@@ -1,0 +1,96 @@
+"""Gap-based sessionization + ministack batch labeling
+(SURVEY.md §2.5 W2/W3; reference reconcile_and_label_db.py:290-412).
+
+Reference semantics (assign_processing_modes / identify_time_groups):
+- sort times per key; a new group starts when the gap from the previous
+  time is >= ``gap_threshold_years * 365`` days;
+- groups are numbered 1.. per key → suffix ``_NN``;
+- a group with fewer than ``batch_size`` rows is entirely ``no_run``;
+- otherwise rows in the first ``floor(n/B)`` full batches get
+  ``historical_NN`` and the trailing partial batch gets ``forward_NN``.
+
+Spark-first shape: lag → gap flag → running sum = session id (classic
+sessionization); labels are pure window arithmetic over (key, session).
+State per key is tiny (~400 rows max per frame in the reference), keys are
+numerous (~47k frames / 150 users here) → partitions beautifully; no
+driver loops, no UDFs, two window shuffles on the same key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_seconds: float,
+    session_col: str = "session_id",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """W2: assign 1-based session ids per key; a new session starts when
+    the gap from the previous row is >= ``gap_seconds``
+    (reconcile_and_label_db.py:322-334 uses ``gap >= gap_threshold``)."""
+    order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    new_session = F.when(gap.isNull() | (gap >= gap_seconds), F.lit(1)).otherwise(F.lit(0))
+    return df.withColumn(
+        session_col,
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+
+
+def label_batches(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    session_col: str = "session_id",
+    batch_size: int = 15,
+    label_col: str = "label",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """W3: ministack labels within each (key, session)
+    (reconcile_and_label_db.py:341-412):
+
+    - session size n < batch_size → ``no_run``
+    - row index i (0-based, time order) with ``i // B < n // B`` →
+      ``historical_{session:02d}``
+    - else (trailing partial batch) → ``forward_{session:02d}``
+    """
+    order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w_sess = Window.partitionBy(key, session_col).orderBy(*order)
+    w_sess_all = Window.partitionBy(key, session_col)
+
+    rn = F.row_number().over(w_sess) - 1  # 0-based index within session
+    n = F.count("*").over(w_sess_all)
+    is_full_batch = F.floor(rn / batch_size) < F.floor(n / batch_size)
+
+    label = (
+        F.when(n < batch_size, F.lit("no_run"))
+        .when(is_full_batch, F.format_string("historical_%02d", F.col(session_col)))
+        .otherwise(F.format_string("forward_%02d", F.col(session_col)))
+    )
+    return df.withColumn(label_col, label)
+
+
+def sessionize_and_label(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_seconds: float,
+    batch_size: int = 15,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """W2+W3 composed — the full reconcile-and-label per-key pipeline."""
+    return label_batches(
+        sessionize(df, key, ts_col, gap_seconds, order_tiebreak=order_tiebreak),
+        key,
+        ts_col,
+        batch_size=batch_size,
+        order_tiebreak=order_tiebreak,
+    )

@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines: tokenization,
+shingling, quality scoring, language-ID heuristic, fingerprinting.
+
+All are pure Column expressions (JVM-side, codegen'd) — no Python UDFs in
+the hot path, so they stream through a 100 TB corpus at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORD_SPLIT = r"\s+"
+# BPE-ish pre-tokenizer: letter runs | single digits | single punctuation
+BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+EN_STOP = ("the", "a", "of", "and", "to", "in", "is")
+ES_STOP = ("el", "la", "de", "y", "en", "es", "que")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of the lower-cased, trimmed text."""
+    return F.split(F.lower(F.trim(text)), WORD_SPLIT)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("int")
+
+
+def bpe_ish_count(text: Column) -> Column:
+    """Sub-word-ish token count via the BPE-style regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH), F.lit(0))).cast("int")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-gram (word) shingles as an array column.
+
+    Guarded for texts shorter than n tokens (empty array, matching the
+    DuckDB ``range()`` behavior used in the oracles).
+    """
+    t = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.get(t, i + j) for j in range(n)]
+    )
+    return F.when(
+        F.size(t) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    wlist = ", ".join(f"'{w}'" for w in words)
+    return F.size(F.filter(toks, lambda x: x.isin(*words))).cast("int")
+
+
+def stopword_count(text: Column, words: tuple[str, ...] = EN_STOP) -> Column:
+    return _count_in(tokens(text), words)
+
+
+def lang_guess(text: Column) -> Column:
+    """N-gram/stopword language heuristic: argmax of per-language stopword
+    hits, 'und' when nothing matches."""
+    t = tokens(text)
+    en = _count_in(t, EN_STOP)
+    es = _count_in(t, ES_STOP)
+    return (
+        F.when((en == 0) & (es == 0), F.lit("und"))
+        .when(en >= es, F.lit("en"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: lengths, ratios, a composite score.
+
+    Mirrors the usual pretraining-corpus filters (length, punctuation
+    density, stopword density) as pure column math.
+    """
+    text = F.col(text_col)
+    t = tokens(text)
+    n_tok = F.size(t).cast("int")
+    n_char = F.length(text).cast("int")
+    punct = F.length(F.regexp_replace(text, r"[^.!?,;]", "")).cast("int")
+    stop = _count_in(t, EN_STOP)
+    avg_tok_len = (
+        F.length(F.regexp_replace(F.trim(text), WORD_SPLIT, "")) / n_tok
+    )
+    score = (
+        F.when(n_tok < 5, 0.0)
+        .otherwise(
+            1.0
+            - F.least(F.lit(1.0), punct / F.greatest(n_tok, F.lit(1)))
+        )
+    )
+    return df.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        n_char.alias("n_chars_computed"),
+        punct.alias("n_punct"),
+        stop.alias("n_stopwords"),
+        avg_tok_len.alias("avg_token_len"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(F.lower(F.trim(text)))
+
+
+def fingerprint64(text: Column) -> Column:
+    """64-bit-ish numeric fingerprint (first 15 hex digits → BIGINT,
+    engine-portable: stays inside the signed range)."""
+    return F.conv(F.substring(fingerprint(text), 1, 15), 16, 10).cast("bigint")

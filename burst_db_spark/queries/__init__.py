@@ -1,0 +1,14 @@
+"""Query catalog: importing this package registers every query.
+
+Each module binds operators from ``burst_db_spark.operators`` to the
+synthetic tables (TESTDATA.md) and supplies the DuckDB oracle SQL used by
+the driver's correctness gate.
+"""
+
+from burst_db_spark.queries import (  # noqa: F401
+    core,
+    scalars,
+    similarity,
+    textops,
+    windows,
+)

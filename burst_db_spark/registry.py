@@ -1,0 +1,58 @@
+"""Query registry: every implemented operator registers a named query that
+runs on the synthetic tables, plus (when SQL-expressible) the equivalent
+ANSI SQL a DuckDB oracle can run on the same parquet — the correctness gate
+described in ``__spark_entry__.py``.
+
+Contract notes (from the driver):
+- column names must match between Spark result and oracle result;
+- the compare is order-insensitive (values are hashed after sorting), but
+  the row *set* must be deterministic — no LIMIT without a total order, no
+  arbitrary-row dedup, no nondeterministic first()/collect order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    build: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a (spark, sf_dir) -> DataFrame query builder."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(
+            name=name, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags
+        )
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    # Import for side effect: query modules self-register on import.
+    import burst_db_spark.queries  # noqa: F401
+
+    return dict(_REGISTRY)
