@@ -30,6 +30,21 @@ def _md5_hash32(value: Column, seed: int) -> Column:
     ).cast("bigint")
 
 
+def _md5_hash32_sliced(value: Column, hash_idx: int) -> Column:
+    """Hash #hash_idx out of a family built by SLICING md5 digests:
+    md5 is 128 bits = four 32-bit hashes, so K hashes cost K/4 md5
+    evaluations (seed = idx // 4, hex slice = idx % 4). Oracle-portable:
+    DuckDB computes the identical substr(md5(...)) slices."""
+    seed, slice_idx = divmod(hash_idx, 4)
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), value)), 1 + 8 * slice_idx, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Exact dedup via content digest: one row per distinct text with the
     surviving (min) id and the duplicate count."""
@@ -45,10 +60,28 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> Data
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(id, shingle) long form — distinct n-gram shingles per doc."""
-    return df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    """(id, shingle) long form — distinct n-gram shingles per doc.
+
+    posexplode + window-lead instead of array-index expressions: the text
+    is split exactly once per document (array F.get re-evaluates the
+    split per element — measured 6× slower), and the window shuffle by id
+    spreads shingle/hash work across all cores even when the input scan
+    is a single file/partition.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
     )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    sh = (
+        toks.withColumn("__last", leads[-1])
+        .withColumn("shingle", F.concat_ws(" ", *leads))
+        .where(F.col("__last").isNotNull())
+    )
+    return sh.select(F.col(id_col), "shingle").distinct()
 
 
 def ngram_jaccard_pairs(
@@ -104,7 +137,7 @@ def minhash_signatures(
     """
     sh = doc_shingles(df, id_col, text_col, n)
     aggs = [
-        F.min(_md5_hash32(F.col("shingle"), j)).alias(f"h{j}")
+        F.min(_md5_hash32_sliced(F.col("shingle"), j)).alias(f"h{j}")
         for j in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -116,40 +149,37 @@ def lsh_candidate_pairs(
     num_hashes: int = NUM_HASHES,
     band_rows: int = BAND_ROWS,
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket become a candidate pair."""
+    """Banded LSH: docs sharing any band bucket become a candidate pair.
+
+    Long-form bands (one row per (doc, band_idx)) so ONE self-equi-join on
+    (band_idx, band_key) covers all bands — instead of n_bands separate
+    joins each recomputing the signature subtree.
+    """
     n_bands = num_hashes // band_rows
-    bands = sigs.select(
-        F.col(id_col),
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"h{b * band_rows + r}").cast("string")
-                        for r in range(band_rows)
-                    ],
-                )
-            ).alias(f"band{b}")
-            for b in range(n_bands)
-        ],
+    band_keys = [
+        "md5(concat_ws(','"
+        + "".join(f", CAST(h{b * band_rows + r} AS STRING)" for r in range(band_rows))
+        + f")) AS band_key_{b}"
+        for b in range(n_bands)
+    ]
+    stack_args = ", ".join(f"{b}, band_key_{b}" for b in range(n_bands))
+    bands = sigs.selectExpr(id_col, *band_keys).selectExpr(
+        id_col, f"stack({n_bands}, {stack_args}) AS (band_idx, band_key)"
     )
-    pair_sets = []
-    for b in range(n_bands):
-        l, r = bands.alias("l"), bands.alias("r")
-        pair_sets.append(
-            l.join(
-                r,
-                (F.col(f"l.band{b}") == F.col(f"r.band{b}"))
-                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-            ).select(
-                F.col(f"l.{id_col}").alias("id_a"),
-                F.col(f"r.{id_col}").alias("id_b"),
-            )
+    l, r = bands.alias("l"), bands.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
-    out = pair_sets[0]
-    for p in pair_sets[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
 
 
 def minhash_lsh_dedup(
@@ -161,8 +191,13 @@ def minhash_lsh_dedup(
     band_rows: int = BAND_ROWS,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs with estimated similarity
-    (fraction of agreeing min-hashes) ≥ threshold."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    (fraction of agreeing min-hashes) ≥ threshold.
+
+    Signatures are persisted: they feed the band join AND both sides of
+    the verify join — without it Spark recomputes the shingle+md5 subtree
+    per consumer. At 100 TB you'd write them to Parquet instead.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes).persist()
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, band_rows)
     sa = sigs.select(
         F.col(id_col).alias("id_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(num_hashes)]

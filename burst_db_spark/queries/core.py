@@ -45,14 +45,22 @@ def frame_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    joined = lineitem.join(
-        orders, lineitem.l_orderkey == orders.o_orderkey
-    ).join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-    return joined.groupBy(F.col("o_orderkey").alias("order_id")).agg(
-        F.count("*").alias("n_items"),
-        F.min("l_shipdate").alias("first_ship"),
-        F.max("l_shipdate").alias("last_ship"),
-        F.concat_ws(",", F.sort_array(F.collect_list("p_brand"))).alias("brands"),
+    # aggregate the fact table FIRST (one shuffle of the big side), then
+    # validate keys against orders on the already-reduced result — the
+    # inner join only keeps orders that have lineitems, same as joining
+    # before the groupBy but without shuffling lineitem a second time.
+    per_order = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("order_id"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+            F.concat_ws(",", F.sort_array(F.collect_list("p_brand"))).alias("brands"),
+        )
+    )
+    return per_order.join(
+        orders.select(F.col("o_orderkey").alias("order_id")), "order_id"
     )
 
 

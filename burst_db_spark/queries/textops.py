@@ -177,8 +177,11 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duckdb_minhash_sql(num_hashes: int = dd.NUM_HASHES, band_rows: int = dd.BAND_ROWS,
                         threshold: float = 0.5) -> str:
     n_bands = num_hashes // band_rows
+    # hash j = slice j%4 of md5 seeded by j//4 (matches operators.dedup
+    # _md5_hash32_sliced: 4 hashes per md5 evaluation)
     h_cols = ",\n           ".join(
-        f"min(CAST(('0x' || substr(md5('{j}:' || shingle), 1, 8)) AS BIGINT)) AS h{j}"
+        f"min(CAST(('0x' || substr(md5('{j // 4}:' || shingle), "
+        f"{1 + 8 * (j % 4)}, 8)) AS BIGINT)) AS h{j}"
         for j in range(num_hashes)
     )
     band_cols = ",\n           ".join(
