@@ -1,0 +1,208 @@
+"""Planar geometry predicates & measures, pure Python.
+
+Semantics follow the reference's use of shapely/SpatiaLite:
+``Intersects`` (boundary touch counts), envelope, centroid, area,
+Douglas-Peucker ``simplify`` (parse_bursts.py:737 uses tolerance 1/3600°),
+``translate`` for antimeridian shifts (build_frame_db.py:296).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from burst_db_spark.geo.wkt import MultiPolygonCoords, Ring, parse_wkt, to_wkt
+
+
+@dataclass
+class Polygon:
+    """One polygon with exterior ring (holes ignored for predicates —
+    the reference's burst/frame footprints have none)."""
+
+    exterior: Ring
+
+    @classmethod
+    def from_wkt(cls, wkt: str) -> list["Polygon"]:
+        kind, coords = parse_wkt(wkt)
+        if kind == "POINT":
+            raise ValueError("expected polygonal WKT")
+        return [cls(exterior=rings[0]) for rings in coords]
+
+
+def point_in_polygon(x: float, y: float, ring: Ring) -> bool:
+    """Ray casting; boundary points count as inside (Intersects semantics)."""
+    n = len(ring)
+    inside = False
+    for i in range(n - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        # on-segment check
+        if (
+            min(x1, x2) - 1e-12 <= x <= max(x1, x2) + 1e-12
+            and min(y1, y2) - 1e-12 <= y <= max(y1, y2) + 1e-12
+        ):
+            cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+            if abs(cross) < 1e-12:
+                return True
+        if (y1 > y) != (y2 > y):
+            xint = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+            if x < xint:
+                inside = not inside
+    return inside
+
+
+def _orient(ax, ay, bx, by, cx, cy) -> float:
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def segments_intersect(p1, p2, p3, p4) -> bool:
+    d1 = _orient(*p3, *p4, *p1)
+    d2 = _orient(*p3, *p4, *p2)
+    d3 = _orient(*p1, *p2, *p3)
+    d4 = _orient(*p1, *p2, *p4)
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+        return True
+
+    def on(px, py, qx, qy, rx, ry):
+        return (
+            abs(_orient(px, py, qx, qy, rx, ry)) < 1e-12
+            and min(px, qx) - 1e-12 <= rx <= max(px, qx) + 1e-12
+            and min(py, qy) - 1e-12 <= ry <= max(py, qy) + 1e-12
+        )
+
+    return (
+        on(*p1, *p2, *p3)
+        or on(*p1, *p2, *p4)
+        or on(*p3, *p4, *p1)
+        or on(*p3, *p4, *p2)
+    )
+
+
+def rings_intersect(a: Ring, b: Ring) -> bool:
+    # vertex containment either way
+    if any(point_in_polygon(x, y, b) for x, y in a[:-1]):
+        return True
+    if any(point_in_polygon(x, y, a) for x, y in b[:-1]):
+        return True
+    # edge crossings
+    for i in range(len(a) - 1):
+        for j in range(len(b) - 1):
+            if segments_intersect(a[i], a[i + 1], b[j], b[j + 1]):
+                return True
+    return False
+
+
+def polygons_intersect(wkt_a: str, wkt_b: str) -> bool:
+    """ST_Intersects over (MULTI)POLYGON WKT."""
+    pa = Polygon.from_wkt(wkt_a)
+    pb = Polygon.from_wkt(wkt_b)
+    return any(rings_intersect(a.exterior, b.exterior) for a in pa for b in pb)
+
+
+def envelope(wkt: str) -> tuple[float, float, float, float]:
+    kind, coords = parse_wkt(wkt)
+    if kind == "POINT":
+        x, y = coords  # type: ignore[misc]
+        return x, y, x, y
+    xs = [x for rings in coords for x, _ in rings[0]]
+    ys = [y for rings in coords for _, y in rings[0]]
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def shoelace_area(ring: Ring) -> float:
+    s = 0.0
+    for i in range(len(ring) - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        s += x1 * y2 - x2 * y1
+    return s / 2.0
+
+
+def centroid(wkt: str) -> tuple[float, float]:
+    """Area-weighted centroid over exterior rings."""
+    _, coords = parse_wkt(wkt)
+    total_a = cx = cy = 0.0
+    for rings in coords:  # type: ignore[union-attr]
+        ring = rings[0]
+        a = shoelace_area(ring)
+        sx = sy = 0.0
+        for i in range(len(ring) - 1):
+            x1, y1 = ring[i]
+            x2, y2 = ring[i + 1]
+            f = x1 * y2 - x2 * y1
+            sx += (x1 + x2) * f
+            sy += (y1 + y2) * f
+        if abs(a) > 1e-18:
+            cx += sx / 6.0
+            cy += sy / 6.0
+            total_a += a
+    if abs(total_a) < 1e-18:
+        raise ValueError("degenerate geometry")
+    return cx / total_a, cy / total_a
+
+
+def _dp(ring: Ring, tol: float) -> Ring:
+    """Douglas-Peucker on an open polyline."""
+    if len(ring) < 3:
+        return ring
+    ax, ay = ring[0]
+    bx, by = ring[-1]
+    dmax, idx = -1.0, 0
+    for i in range(1, len(ring) - 1):
+        px, py = ring[i]
+        dx, dy = bx - ax, by - ay
+        denom = (dx * dx + dy * dy) ** 0.5
+        d = (
+            abs(dy * px - dx * py + bx * ay - by * ax) / denom
+            if denom > 1e-18
+            else ((px - ax) ** 2 + (py - ay) ** 2) ** 0.5
+        )
+        if d > dmax:
+            dmax, idx = d, i
+    if dmax <= tol:
+        return [ring[0], ring[-1]]
+    left = _dp(ring[: idx + 1], tol)
+    right = _dp(ring[idx:], tol)
+    return left[:-1] + right
+
+
+def simplify(wkt: str, tolerance: float) -> str:
+    """Douglas-Peucker simplify, ring-closed (st_simplify analog,
+    create_2d_geojsons.py:48-68)."""
+    _, coords = parse_wkt(wkt)
+    out: MultiPolygonCoords = []
+    for rings in coords:  # type: ignore[union-attr]
+        ring = rings[0]
+        simplified = _dp(ring[:-1] + [ring[0]], tolerance)
+        if simplified[0] != simplified[-1]:
+            simplified.append(simplified[0])
+        if len(simplified) >= 4:
+            out.append([simplified])
+        else:
+            out.append([ring])
+    return to_wkt(out)
+
+
+def translate(wkt: str, xoff: float = 0.0, yoff: float = 0.0) -> str:
+    """Shift all coordinates (antimeridian handling,
+    build_frame_db.py:296 translate(g, xoff=360))."""
+    _, coords = parse_wkt(wkt)
+    out = [
+        [[(x + xoff, y + yoff) for x, y in ring] for ring in rings]
+        for rings in coords  # type: ignore[union-attr]
+    ]
+    return to_wkt(out)
+
+
+def collect_union_wkt(wkts: list[str]) -> str:
+    """Assemble geometries into one MULTIPOLYGON (ST_Collect).
+
+    NOTE: this is a *collection*, not a dissolved union — boundary-merging
+    (ST_UnaryUnion) needs a polygon-clipping library; for the reference's
+    use (frame footprint from member bursts) the collection covers the
+    same point set, and envelope/intersects/centroid behave identically.
+    """
+    polys: MultiPolygonCoords = []
+    for w in wkts:
+        _, coords = parse_wkt(w)
+        polys.extend(coords)  # type: ignore[arg-type]
+    return to_wkt(polys, force_multi=True)

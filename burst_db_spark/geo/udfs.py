@@ -1,0 +1,147 @@
+"""Arrow-batched pandas UDFs over the pure-Python geo kernel.
+
+These are the refine step of the two-phase filter; the bbox prefilter
+(geo.bbox) runs first so only candidates reach Python. Wide frames never
+collect on the driver: the union-collect aggregation goes through
+applyInPandas per group key.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from burst_db_spark.geo import predicates as P
+
+
+def intersects_udf(probe_wkt: str):
+    """ST_Intersects(geom, <constant probe>) as a vectorized UDF.
+
+    The probe is parsed ONCE per batch (closure), not per row.
+    """
+    probe_polys = P.Polygon.from_wkt(probe_wkt)
+
+    @F.pandas_udf(BooleanType())
+    def _intersects(wkts: pd.Series) -> pd.Series:
+        out = []
+        for w in wkts:
+            if w is None:
+                out.append(None)
+                continue
+            polys = P.Polygon.from_wkt(w)
+            out.append(
+                any(
+                    P.rings_intersect(a.exterior, b.exterior)
+                    for a in polys
+                    for b in probe_polys
+                )
+            )
+        return pd.Series(out, dtype="object")
+
+    return _intersects
+
+
+@F.pandas_udf(BooleanType())
+def intersects_pair_udf(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if (a is None or b is None) else P.polygons_intersect(a, b)
+            for a, b in zip(wkt_a, wkt_b)
+        ],
+        dtype="object",
+    )
+
+
+_ENV_SCHEMA = StructType(
+    [
+        StructField("xmin", DoubleType()),
+        StructField("ymin", DoubleType()),
+        StructField("xmax", DoubleType()),
+        StructField("ymax", DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_ENV_SCHEMA)
+def envelope_udf(wkts: pd.Series) -> pd.DataFrame:
+    rows = [P.envelope(w) if w is not None else (None,) * 4 for w in wkts]
+    return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+
+
+_PT_SCHEMA = StructType(
+    [StructField("x", DoubleType()), StructField("y", DoubleType())]
+)
+
+
+@F.pandas_udf(_PT_SCHEMA)
+def centroid_udf(wkts: pd.Series) -> pd.DataFrame:
+    rows = [P.centroid(w) if w is not None else (None, None) for w in wkts]
+    return pd.DataFrame(rows, columns=["x", "y"])
+
+
+def simplify_udf(tolerance: float):
+    @F.pandas_udf(StringType())
+    def _simplify(wkts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if w is None else P.simplify(w, tolerance) for w in wkts]
+        )
+
+    return _simplify
+
+
+def translate_udf(xoff: float, yoff: float = 0.0):
+    @F.pandas_udf(StringType())
+    def _translate(wkts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if w is None else P.translate(w, xoff, yoff) for w in wkts]
+        )
+
+    return _translate
+
+
+def union_collect_agg(
+    df: DataFrame, key: str, wkt_col: str = "geom_wkt", out_col: str = "geom_wkt"
+) -> DataFrame:
+    """Per-key geometry collection → one MULTIPOLYGON row per key
+    (the ST_UnaryUnion(ST_Collect) shape, build_frame_db.py:139-148).
+
+    applyInPandas per key: group state is one frame's member bursts
+    (≤ ~12 in the reference) — tiny; keys are many → perfect parallelism.
+    For huge groups, pre-reduce with a partial collect per partition.
+    """
+    key_field = df.schema[key]
+    out_schema = StructType([key_field, StructField(out_col, StringType())])
+
+    def _union(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = P.collect_union_wkt([w for w in pdf[wkt_col] if w is not None])
+        return pd.DataFrame({key: [pdf[key].iloc[0]], out_col: [merged]})
+
+    return df.select(key, wkt_col).groupBy(key).applyInPandas(_union, out_schema)
+
+
+def two_phase_intersect_filter(
+    df: DataFrame,
+    probe_wkt: str,
+    wkt_col: str = "geom_wkt",
+    bbox_cols: tuple[str, str, str, str] = ("xmin", "ymin", "xmax", "ymax"),
+) -> DataFrame:
+    """R-tree-style two-phase spatial filter (query_frame_db.py:86-121):
+    cheap bbox overlap predicate (pushes to the scan / prunes row groups)
+    then exact Intersects refine on the survivors only."""
+    pxmin, pymin, pxmax, pymax = P.envelope(probe_wkt)
+    xmin, ymin, xmax, ymax = (F.col(c) for c in bbox_cols)
+    prefiltered = df.where(
+        (xmin <= F.lit(pxmax))
+        & (xmax >= F.lit(pxmin))
+        & (ymin <= F.lit(pymax))
+        & (ymax >= F.lit(pymin))
+    )
+    return prefiltered.where(intersects_udf(probe_wkt)(F.col(wkt_col)))

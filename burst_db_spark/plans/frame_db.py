@@ -1,0 +1,174 @@
+"""EP1 — the `opera-db create` pipeline, Spark-first (SURVEY.md §3 EP1).
+
+Stages (reference build_frame_db.py:621-754):
+1. dissolve per-burst rows to triplets (A2)                 → groupBy agg
+2. run-length group land/water along each track (W8)        → windows
+3. DP frame partitioning per contiguous land run (F5)       → applyInPandas
+4. explode frame slices → (frame_fid, burst) bridge         → join
+5. frames table: track avg, first orbit_pass, union bbox    → groupBy agg
+
+The DP solver is a fresh implementation of the text-justification-style
+optimization described at frames.py:124-211: choose consecutive slice
+sizes minimizing Σ floor(|size+1 − target|)³ with size+1 ∈ [min,max]
+(the +1 accounts for the one-burst overlap added to every emitted frame
+except the last). Each track's run is tiny (≤ a few hundred triplets), so
+applyInPandas keys on (track, run) — thousands of independent solver
+calls across executors, no driver loop, no memoization needed (the DP is
+O(n·max_frame) per run).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TARGET_FRAME = 9
+MIN_FRAME = 5
+MAX_FRAME = 10
+OVERLAP = 1
+
+
+def solve_frame_sizes(
+    n: int,
+    target: int = TARGET_FRAME,
+    min_frame: int = MIN_FRAME,
+    max_frame: int = MAX_FRAME,
+) -> list[tuple[int, int]]:
+    """Optimal frame slices over ``n`` consecutive triplets.
+
+    Forward DP over cut positions: cost[j] = best cost to cover [0, j);
+    a segment [i, j) emits the slice (i, min(j+1, n)) — one triplet of
+    overlap with the next frame, capped at the end. Badness of a segment
+    of length L is floor(|L+1 − target|)³, infinite unless
+    min ≤ L+1 ≤ max. Matches the optimum of frames.py:124-195 without
+    copying its backward-recursion formulation.
+    """
+    if n == 0:
+        return []
+    inf = float("inf")
+    lo = max(1, min_frame - 1)
+    hi = max_frame - 1
+    cost = [inf] * (n + 1)
+    prev = [-1] * (n + 1)
+    cost[0] = 0.0
+    for j in range(1, n + 1):
+        # descending sizes: on cost ties prefer the larger last segment,
+        # i.e. earlier cuts — matches the reference's tie-break
+        for size in range(min(hi, j), lo - 1, -1):
+            i = j - size
+            if cost[i] == inf:
+                continue
+            bad = int(abs((size + 1) - target)) ** 3
+            if cost[i] + bad < cost[j]:
+                cost[j] = cost[i] + bad
+                prev[j] = i
+    if cost[n] == inf:
+        # run too small to satisfy min_frame: emit it as one undersized
+        # frame (the reference widens tiny runs upstream; this is the
+        # safety net so no burst is dropped)
+        return [(0, n)]
+    cuts = []
+    j = n
+    while j > 0:
+        cuts.append((prev[j], j))
+        j = prev[j]
+    cuts.reverse()
+    return [(i, min(j + OVERLAP, n)) for i, j in cuts]
+
+
+def land_runs(triplets: DataFrame) -> DataFrame:
+    """W8: contiguous same-is_land runs along each track (run id per
+    track), the grouping the DP solves over (frames.py:214-260)."""
+    w = Window.partitionBy("track").orderBy("pos")
+    changed = F.when(
+        F.lag("is_land").over(w).isNull()
+        | (F.col("is_land") != F.lag("is_land").over(w)),
+        1,
+    ).otherwise(0)
+    return triplets.withColumn(
+        "run_id", F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+
+
+def partition_frames(
+    triplets: DataFrame,
+    target: int = TARGET_FRAME,
+    min_frame: int = MIN_FRAME,
+    max_frame: int = MAX_FRAME,
+) -> DataFrame:
+    """F5: land runs → per-run DP → (track, run, slice_idx, start_pos,
+    end_pos) frame slices, via applyInPandas on (track, run_id)."""
+    runs = land_runs(triplets).where(F.col("is_land") == 1)
+
+    def _solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos")
+        n = len(pdf)
+        slices = solve_frame_sizes(n, target, min_frame, max_frame)
+        rows = []
+        positions = pdf["pos"].tolist()
+        for k, (s, e) in enumerate(slices):
+            rows.append(
+                {
+                    "track": int(pdf["track"].iloc[0]),
+                    "run_id": int(pdf["run_id"].iloc[0]),
+                    "slice_idx": k,
+                    "start_pos": int(positions[s]),
+                    "end_pos": int(positions[e - 1]),
+                    "n_triplets": e - s,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    schema = (
+        "track int, run_id int, slice_idx int, "
+        "start_pos int, end_pos int, n_triplets int"
+    )
+    return runs.groupBy("track", "run_id").applyInPandas(_solve, schema)
+
+
+def build_frames(
+    triplets: DataFrame,
+    target: int = TARGET_FRAME,
+    min_frame: int = MIN_FRAME,
+    max_frame: int = MAX_FRAME,
+) -> tuple[DataFrame, DataFrame]:
+    """EP1 core: returns (frames, frames_bursts bridge).
+
+    frame_fid is assigned deterministically by (track, run, slice) order;
+    the bridge joins slices back to member triplets by position range
+    (a broadcast range join — slices are tiny)."""
+    slices = partition_frames(triplets, target, min_frame, max_frame)
+    w = Window.orderBy("track", "run_id", "slice_idx")
+    frames_sl = slices.withColumn("frame_fid", F.row_number().over(w))
+
+    t = triplets.alias("t")
+    s = F.broadcast(frames_sl).alias("s")
+    bridge = t.join(
+        s,
+        (F.col("t.track") == F.col("s.track"))
+        & (F.col("t.pos") >= F.col("s.start_pos"))
+        & (F.col("t.pos") <= F.col("s.end_pos")),
+    ).select(
+        F.col("s.frame_fid").alias("frame_fid"),
+        F.col("t.burst_id").alias("burst_id"),
+        F.col("t.track").alias("track"),
+        F.col("t.orbit_pass").alias("orbit_pass"),
+        F.col("t.is_land").alias("is_land"),
+        F.col("t.lon").alias("lon"),
+        F.col("t.lat").alias("lat"),
+        F.col("t.pos").alias("pos"),
+    )
+
+    # frames table: A4 avg track, W1 first orbit_pass, envelope of members
+    frames = bridge.groupBy("frame_fid").agg(
+        F.round(F.avg("track")).cast("int").alias("relative_orbit_number"),
+        F.min_by("orbit_pass", F.col("pos")).alias("orbit_pass"),
+        F.max("is_land").alias("is_land"),
+        F.min("lon").alias("xmin"),
+        F.min("lat").alias("ymin"),
+        (F.max("lon") + 0.9 * 3).alias("xmax"),
+        (F.max("lat") + 0.2).alias("ymax"),
+        F.count("*").alias("n_triplets"),
+    )
+    return frames, bridge.select("frame_fid", "burst_id")

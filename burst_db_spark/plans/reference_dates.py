@@ -1,0 +1,94 @@
+"""W5 — reference-date selection: a stateful per-key scan whose emission
+rule depends on how many references were already emitted
+(reference_dates.py:105-157) — NOT expressible as a fixed-frame window
+function, hence applyInPandas per frame (SURVEY.md §2.5 W5, §7.4.2).
+
+Semantics (re-implemented from the reference's loop):
+- the first sensing time is always a reference;
+- walking forward, a new reference is emitted at time t when
+  (t − first_ref).days ≥ len(refs) · interval_days  (interval stretches
+  with every emission), or t falls on a per-frame event date —
+  but only if ≥ ``min_acquisitions`` accumulated since the last
+  reference; an event date without enough acquisitions *moves* the last
+  reference to t instead (merge rule).
+
+Per-key state is one frame's sensing times (≤ a few hundred) — tiny;
+~47k frames parallelize across executors.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+INTERVAL_DAYS = int(1.0 * 365.25)
+MIN_ACQS = 15
+
+
+def select_reference_dates(
+    times: list[datetime],
+    event_dates: set | None = None,
+    interval_days: int = INTERVAL_DAYS,
+    min_acquisitions: int = MIN_ACQS,
+) -> list[datetime]:
+    """Pure-python core (unit-testable without Spark)."""
+    events = event_dates or set()
+    refs: list[datetime] = []
+    group: list[datetime] = []
+    emitted_groups = 0
+    for t in sorted(times):
+        if not refs:
+            refs.append(t)
+            group = [t]
+            continue
+        group.append(t)
+        interval_passed = (t - refs[0]).days >= len(refs) * interval_days
+        is_event = t.date() in events
+        if interval_passed or is_event:
+            if len(group) >= min_acquisitions:
+                refs.append(t)
+                emitted_groups += 1
+                group = []
+            elif is_event:
+                if emitted_groups:
+                    pass  # acquisitions merge into the previous group
+                refs[-1] = t
+                group = []
+    return refs
+
+
+def reference_dates(
+    acq: DataFrame,
+    key: str = "frame_fid",
+    ts_col: str = "sensing_time",
+    event_dates_by_key: dict[int, list[str]] | None = None,
+    interval_days: int = INTERVAL_DAYS,
+    min_acquisitions: int = MIN_ACQS,
+) -> DataFrame:
+    """(key, ref_idx, ref_date) — one row per emitted reference."""
+    events_map = {
+        int(k): {datetime.strptime(d, "%Y-%m-%d").date() for d in v}
+        for k, v in (event_dates_by_key or {}).items()
+    }
+
+    def _per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf[key].iloc[0]
+        times = list(pd.to_datetime(pdf[ts_col]).dt.to_pydatetime())
+        refs = select_reference_dates(
+            times,
+            events_map.get(int(k)),
+            interval_days,
+            min_acquisitions,
+        )
+        return pd.DataFrame(
+            {
+                key: [k] * len(refs),
+                "ref_idx": range(1, len(refs) + 1),
+                "ref_date": refs,
+            }
+        )
+
+    schema = f"{key} int, ref_idx int, ref_date timestamp"
+    return acq.select(key, ts_col).groupBy(key).applyInPandas(_per_key, schema)

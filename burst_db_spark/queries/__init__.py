@@ -6,9 +6,11 @@ the driver's correctness gate.
 """
 
 from burst_db_spark.queries import (  # noqa: F401
+    composite,
     core,
     scalars,
     similarity,
+    spatial,
     textops,
     windows,
 )

@@ -1,0 +1,197 @@
+"""Spatial queries (SURVEY.md §2: P9, J7/J8, A3, EPSG classification).
+
+The synthetic star schema has no geometry, so each query derives
+deterministic integer rectangles from key columns (same arithmetic in the
+DuckDB oracle). Rectangles make the exact-geometry refine provably equal
+to the bbox predicate, so the UDF path is oracle-checkable end-to-end —
+the non-rectangular cases are covered by tests/test_geo.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from burst_db_spark.catalog import load
+from burst_db_spark.geo.bbox import bbox_intersects_expr, utm_epsg_expr
+from burst_db_spark.geo.udfs import (
+    envelope_udf,
+    intersects_pair_udf,
+    two_phase_intersect_filter,
+    union_collect_agg,
+)
+from burst_db_spark.registry import register
+
+# rectangle derivations (identical arithmetic in the oracles)
+_PART_BOX = """
+    SELECT p_partkey, p_brand,
+           CAST((p_partkey * 7) % 340 - 170 AS INTEGER) AS xmin,
+           CAST((p_partkey * 13) % 160 - 80 AS INTEGER) AS ymin,
+           CAST((p_partkey * 7) % 340 - 170 + 3 + p_size % 5 AS INTEGER) AS xmax,
+           CAST((p_partkey * 13) % 160 - 80 + 2 + p_size % 4 AS INTEGER) AS ymax
+    FROM part
+"""
+
+_SUPP_BOX = """
+    SELECT s_suppkey,
+           CAST((s_suppkey * 29) % 340 - 170 AS INTEGER) AS sxmin,
+           CAST((s_suppkey * 17) % 160 - 80 AS INTEGER) AS symin,
+           CAST((s_suppkey * 29) % 340 - 170 + 20 AS INTEGER) AS sxmax,
+           CAST((s_suppkey * 17) % 160 - 80 + 15 AS INTEGER) AS symax
+    FROM supplier
+"""
+
+
+def _rect_wkt_col(xmin: Column, ymin: Column, xmax: Column, ymax: Column) -> Column:
+    return F.format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        xmin, ymin, xmax, ymin, xmax, ymax, xmin, ymax, xmin, ymin,
+    )
+
+
+def _part_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    xmin = ((F.col("p_partkey") * 7) % 340 - 170).cast("int")
+    ymin = ((F.col("p_partkey") * 13) % 160 - 80).cast("int")
+    xmax = (xmin + 3 + F.col("p_size") % 5).cast("int")
+    ymax = (ymin + 2 + F.col("p_size") % 4).cast("int")
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        xmin.alias("xmin"),
+        ymin.alias("ymin"),
+        xmax.alias("xmax"),
+        ymax.alias("ymax"),
+    ).withColumn(
+        "geom_wkt",
+        _rect_wkt_col(F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")),
+    )
+
+
+_PROBE = (-60, -40, 20, 30)
+
+
+@register(
+    "p9_spatial_intersect",
+    oracle=f"""
+    WITH boxes AS ({_PART_BOX})
+    SELECT p_partkey, xmin, ymin, xmax, ymax
+    FROM boxes
+    WHERE xmin <= {_PROBE[2]} AND xmax >= {_PROBE[0]}
+      AND ymin <= {_PROBE[3]} AND ymax >= {_PROBE[1]}
+    """,
+    tags=("P9", "spatial", "two-phase"),
+)
+def p9_spatial_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase spatial probe filter (query_frame_db.py:86-121): bbox
+    prefilter (pushdown-able column predicate) + exact Intersects UDF
+    refine. For rectangles refine == bbox, making the UDF oracle-checked."""
+    from burst_db_spark.geo.wkt import rect_wkt
+
+    boxes = _part_boxes(spark, sf_dir)
+    probe = rect_wkt(*_PROBE)
+    out = two_phase_intersect_filter(boxes, probe)
+    return out.select("p_partkey", "xmin", "ymin", "xmax", "ymax")
+
+
+@register(
+    "j7_spatial_join",
+    oracle=f"""
+    WITH pb AS ({_PART_BOX}), sb AS ({_SUPP_BOX})
+    SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_parts_hit
+    FROM sb JOIN pb
+      ON pb.xmin <= sb.sxmax AND pb.xmax >= sb.sxmin
+     AND pb.ymin <= sb.symax AND pb.ymax >= sb.symin
+    GROUP BY s_suppkey
+    """,
+    tags=("J7", "J8", "spatial"),
+)
+def j7_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial join (gdf.sjoin, get_volcano_frames.py:29-33): broadcast
+    bbox-equi prejoin + exact pairwise Intersects refine."""
+    supp = load(spark, sf_dir, "supplier")
+    sxmin = ((F.col("s_suppkey") * 29) % 340 - 170).cast("int")
+    symin = ((F.col("s_suppkey") * 17) % 160 - 80).cast("int")
+    sboxes = supp.select(
+        "s_suppkey",
+        sxmin.alias("sxmin"),
+        symin.alias("symin"),
+        (sxmin + 20).cast("int").alias("sxmax"),
+        (symin + 15).cast("int").alias("symax"),
+    ).withColumn(
+        "sgeom",
+        _rect_wkt_col(
+            F.col("sxmin"), F.col("symin"), F.col("sxmax"), F.col("symax")
+        ),
+    )
+    pboxes = _part_boxes(spark, sf_dir)
+    bbox_cond = bbox_intersects_expr(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+        F.col("sxmin"), F.col("symin"), F.col("sxmax"), F.col("symax"),
+    )
+    joined = pboxes.join(F.broadcast(sboxes), bbox_cond)
+    refined = joined.where(intersects_pair_udf(F.col("geom_wkt"), F.col("sgeom")))
+    return refined.groupBy("s_suppkey").agg(F.count("*").alias("n_parts_hit"))
+
+
+@register(
+    "a3_union_envelope",
+    oracle=f"""
+    WITH boxes AS ({_PART_BOX})
+    SELECT p_brand,
+           CAST(min(xmin) AS DOUBLE) AS uxmin,
+           CAST(min(ymin) AS DOUBLE) AS uymin,
+           CAST(max(xmax) AS DOUBLE) AS uxmax,
+           CAST(max(ymax) AS DOUBLE) AS uymax
+    FROM boxes GROUP BY p_brand
+    """,
+    tags=("A3", "spatial", "udaf"),
+)
+def a3_union_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry-union aggregate (ST_UnaryUnion(ST_Collect), build_frame_db
+    .py:139-148) via per-key applyInPandas collect, verified through the
+    envelope of the unioned MULTIPOLYGON (== min/max of member bboxes)."""
+    boxes = _part_boxes(spark, sf_dir)
+    unioned = union_collect_agg(boxes, "p_brand")
+    env = unioned.withColumn("env", envelope_udf(F.col("geom_wkt")))
+    return env.select(
+        "p_brand",
+        F.col("env.xmin").alias("uxmin"),
+        F.col("env.ymin").alias("uymin"),
+        F.col("env.xmax").alias("uxmax"),
+        F.col("env.ymax").alias("uymax"),
+    )
+
+
+@register(
+    "utm_epsg_classify",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey,
+               (c_custkey * 7) % 360 - 180 + 0.5 AS lon,
+               (c_custkey * 11) % 170 - 85 + 0.5 AS lat
+        FROM customer
+    )
+    SELECT c_custkey, lon, lat,
+           CAST(CASE
+             WHEN lat > 75 THEN 3413
+             WHEN lat < -60 THEN 3031
+             WHEN lat >= 0 THEN 32600 + least(greatest(CAST(floor((lon + 180) / 6) AS INTEGER) + 1, 1), 60)
+             ELSE 32700 + least(greatest(CAST(floor((lon + 180) / 6) AS INTEGER) + 1, 1), 60)
+           END AS INTEGER) AS epsg
+    FROM pts
+    """,
+    tags=("geo", "epsg"),
+)
+def utm_epsg_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTM/polar EPSG classification as pure column math
+    (build_frame_db.py:27-32,222-249)."""
+    cust = load(spark, sf_dir, "customer")
+    lon = (F.col("c_custkey") * 7) % 360 - 180 + 0.5
+    lat = (F.col("c_custkey") * 11) % 170 - 85 + 0.5
+    return cust.select(
+        "c_custkey",
+        lon.alias("lon"),
+        lat.alias("lat"),
+        utm_epsg_expr(lon, lat).alias("epsg"),
+    )

@@ -1,0 +1,76 @@
+"""Unit tests for the pure-Python geo kernel — the non-rectangular cases
+the oracle queries can't cover."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from burst_db_spark.geo import predicates as P
+from burst_db_spark.geo.wkt import parse_wkt, rect_wkt, to_wkt
+
+TRI = "POLYGON ((0 0, 10 0, 5 8, 0 0))"
+SQ = rect_wkt(2, 1, 6, 5)
+
+
+def test_wkt_roundtrip():
+    kind, coords = parse_wkt(TRI)
+    assert kind == "POLYGON"
+    assert to_wkt(coords) == "POLYGON ((0 0, 10 0, 5 8, 0 0))"
+
+
+def test_wkt_multipolygon():
+    m = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))"
+    kind, coords = parse_wkt(m)
+    assert kind == "MULTIPOLYGON" and len(coords) == 2
+    assert to_wkt(coords, force_multi=True) == m
+
+
+def test_point_in_polygon():
+    _, coords = parse_wkt(TRI)
+    ring = coords[0][0]
+    assert P.point_in_polygon(5, 2, ring)
+    assert not P.point_in_polygon(0, 5, ring)
+    assert P.point_in_polygon(5, 0, ring)  # boundary counts
+    assert P.point_in_polygon(0, 0, ring)  # vertex counts
+
+
+def test_polygons_intersect_overlap_touch_disjoint():
+    assert P.polygons_intersect(TRI, SQ)
+    assert P.polygons_intersect(TRI, rect_wkt(10, 0, 12, 2))  # touch at vertex
+    assert not P.polygons_intersect(TRI, rect_wkt(20, 20, 30, 30))
+    # containment without edge crossings
+    assert P.polygons_intersect(rect_wkt(0, 0, 100, 100), rect_wkt(10, 10, 20, 20))
+
+
+def test_envelope_and_centroid():
+    assert P.envelope(TRI) == (0, 0, 10, 8)
+    cx, cy = P.centroid(rect_wkt(0, 0, 4, 2))
+    assert math.isclose(cx, 2) and math.isclose(cy, 1)
+    cx, cy = P.centroid(TRI)
+    assert math.isclose(cx, 5) and math.isclose(cy, 8 / 3)
+
+
+def test_simplify_removes_collinear():
+    w = "POLYGON ((0 0, 5 0.001, 10 0, 10 10, 0 10, 0 0))"
+    out = P.simplify(w, 0.1)
+    _, coords = parse_wkt(out)
+    assert len(coords[0][0]) == 5  # collinear midpoint dropped, ring closed
+
+
+def test_translate_antimeridian():
+    out = P.translate("POLYGON ((-179 0, -178 0, -178 1, -179 0))", xoff=360)
+    assert P.envelope(out)[0] == 181
+
+
+def test_collect_union():
+    merged = P.collect_union_wkt([rect_wkt(0, 0, 1, 1), rect_wkt(5, 5, 6, 6)])
+    kind, coords = parse_wkt(merged)
+    assert kind == "MULTIPOLYGON" and len(coords) == 2
+    assert P.envelope(merged) == (0, 0, 6, 6)
+
+
+def test_area_sign():
+    _, coords = parse_wkt(rect_wkt(0, 0, 2, 3))
+    assert math.isclose(abs(P.shoelace_area(coords[0][0])), 6)
