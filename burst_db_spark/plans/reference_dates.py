@@ -75,7 +75,7 @@ def reference_dates(
 
     def _per_key(pdf: pd.DataFrame) -> pd.DataFrame:
         k = pdf[key].iloc[0]
-        times = list(pd.to_datetime(pdf[ts_col]).dt.to_pydatetime())
+        times = [t.to_pydatetime() for t in pd.to_datetime(pdf[ts_col])]
         refs = select_reference_dates(
             times,
             events_map.get(int(k)),

@@ -6,6 +6,7 @@ the driver's correctness gate.
 """
 
 from burst_db_spark.queries import (  # noqa: F401
+    advanced,
     composite,
     core,
     scalars,

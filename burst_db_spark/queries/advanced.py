@@ -1,0 +1,87 @@
+"""Rows-only queries (no DuckDB oracle — the driver records the weaker
+check, per the contract): genuinely non-SQL-expressible operators.
+
+- w5_reference_dates: stateful scan whose emission rule depends on prior
+  emissions (reference_dates.py:105-157) → applyInPandas
+- mm_features: multimodal binary plumbing with the stubbed decoder
+- stream_session_counts: Structured Streaming session_window aggregation
+  driven to completion with availableNow (append-mode semantics differ
+  from any batch SQL by design: open sessions are held back)
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from burst_db_spark.catalog import load
+from burst_db_spark.operators import multimodal as mm
+from burst_db_spark.plans.reference_dates import reference_dates
+from burst_db_spark.registry import register
+
+
+@register(
+    "w5_reference_dates",
+    oracle=None,
+    tags=("W5", "applyInPandas", "rows-only"),
+)
+def w5_reference_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-date selection per user over the events stream (7-day
+    stretching interval, ≥5 acquisitions per batch)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("int").alias("frame_fid"),
+        F.col("ts").alias("sensing_time"),
+    )
+    return reference_dates(ev, interval_days=7, min_acquisitions=5)
+
+
+@register(
+    "mm_features",
+    oracle=None,
+    tags=("multimodal", "mapInPandas", "rows-only"),
+)
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata + deterministic (stub) feature vectors;
+    arrays surfaced as scalar columns for stable checking."""
+    docs = load(spark, sf_dir, "documents")
+    media = mm.attach_binary_payload(docs, "doc_id")
+    feats = mm.extract_features(media, dim=4)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 9).alias("f0"),
+        F.round(F.element_at("features", 4), 9).alias("f3"),
+    )
+
+
+@register(
+    "stream_session_counts",
+    oracle=None,
+    tags=("streaming", "session_window", "rows-only"),
+)
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window streaming aggregation over the events table driven
+    with trigger(availableNow) — the streaming twin of w2_sessionize."""
+    from burst_db_spark.streaming import incremental as st
+
+    src = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="bds_stream_")
+    data_dir = f"{tmp}/in"
+    src.write.parquet(data_dir)
+    schema = src.schema
+    stream = st.file_stream(spark, data_dir, schema)
+    agg = st.session_counts(stream, "user_id", "ts", gap="12 hours")
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,68 @@
+"""Sink layer (SURVEY.md §2.1 K1-K6).
+
+- K1/K2: parquet / csv writers (partitioned for pruning at scale)
+- K3: nested JSON envelope — burst_db_spark.sources.json_docs
+- K5: append-mode partitioned write replaces the 100k-row chunk loop
+- K6: 1-row metadata/params table
+JDBC (sqlite parity) is stubbed behind an import/option check: no sqlite
+JDBC driver ships in this image.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """K1/K2: parquet sink; partition columns → directory pruning
+    (the reference's per-date CSV layout, parse_bursts.py:971-982,
+    becomes partitionBy('sensing_date'))."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, sep: str = ",", mode: str = "overwrite") -> None:
+    """K2: COPY TO CSV analog."""
+    df.write.mode(mode).option("header", True).option("sep", sep).csv(path)
+
+
+def append_partitioned(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """K5: chunked-append (export_denormalized_db.py:165-183) — Spark
+    appends whole partitions atomically; no driver-side chunking."""
+    df.write.mode("append").partitionBy(*partition_by).parquet(path)
+
+
+def write_metadata_table(
+    spark: SparkSession, params: dict, path: str
+) -> None:
+    """K6: one-row params table embedded next to each output
+    (build_frame_db.py:548-573)."""
+    row = [tuple(str(v) for v in params.values())]
+    cols = list(params.keys())
+    spark.createDataFrame(row, cols).write.mode("overwrite").parquet(path)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, **options) -> None:
+    """K1 JDBC parity (sqlite/GPKG writes). Requires a JDBC driver jar on
+    the classpath — not shipped in this image."""
+    try:
+        (
+            df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .options(**options)
+            .save()
+        )
+    except Exception as e:  # pragma: no cover - driver-dependent
+        raise NotImplementedError(
+            "JDBC sink needs a driver jar on the Spark classpath "
+            f"(url={url!r}); parquet is the native sink here"
+        ) from e

@@ -1,0 +1,89 @@
+"""Streaming tests: incremental availableNow batches match batch results;
+session windows and dedup behave as the batch operators."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from burst_db_spark.streaming import incremental as st
+from tests.conftest import SF_DIR
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """events rows re-written as micro-batches (two files) with µs ts."""
+    from burst_db_spark.catalog import load
+
+    src = load(spark, SF_DIR, "events")
+    out = str(tmp_path / "stream_in")
+    src.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(out)
+    src.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(out)
+    return out
+
+
+def test_daily_counts_stream_matches_batch(spark, events_dir, tmp_path):
+    stream = st.file_stream(spark, events_dir, EVENTS_SCHEMA)
+    agg = st.daily_counts(stream, "event_type", "ts")
+    st.run_available_now(agg, "daily_out", str(tmp_path / "ckpt"))
+    got = {
+        (r.event_type, str(r.day_start)): (r.n, round(r.total_value, 6))
+        for r in spark.sql("SELECT * FROM daily_out").collect()
+    }
+    # append mode emits only windows finalized by the last watermark
+    # (max_ts - 1 day); trailing windows stay in state — that IS the
+    # streaming contract, so the batch expectation applies the same cut.
+    src = spark.read.parquet(events_dir)
+    max_ts = src.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        src.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    )
+    expected = {
+        (r.event_type, str(r.w.start)): (r.n, round(r.v, 6))
+        for r in batch
+        if (max_ts - r.w.end).total_seconds() >= 86400
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_session_counts_stream(spark, events_dir, tmp_path):
+    stream = st.file_stream(spark, events_dir, EVENTS_SCHEMA)
+    agg = st.session_counts(stream, "user_id", "ts", gap="12 hours")
+    st.run_available_now(agg, "sess_out", str(tmp_path / "ckpt2"))
+    out = spark.sql("SELECT * FROM sess_out")
+    # append mode holds back sessions still open at the final watermark;
+    # emitted sessions must cover most rows and never exceed the input
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    n_input = spark.read.parquet(events_dir).count()
+    assert 0 < total <= n_input
+    # sessions never overlap per user
+    rows = out.orderBy("user_id", "session_start").collect()
+    last = {}
+    for r in rows:
+        if r.user_id in last:
+            assert r.session_start >= last[r.user_id]
+        last[r.user_id] = r.session_end
+
+
+def test_dedup_stream(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10.0), (1, "2024-01-01 00:05:00", 99.0),
+         (2, "2024-01-01 01:00:00", 20.0)],
+        "k long, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = str(tmp_path / "in")
+    src.coalesce(1).write.parquet(d)
+    stream = st.file_stream(spark, d, "k long, ts timestamp, v double")
+    dd = st.dedup_stream(stream, ["k"], "ts")
+    st.run_available_now(dd, "dedup_out", str(tmp_path / "ckpt3"))
+    out = spark.sql("SELECT * FROM dedup_out").collect()
+    assert sorted(r.k for r in out) == [1, 2]  # one row per key survives
