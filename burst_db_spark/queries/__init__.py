@@ -9,6 +9,7 @@ from burst_db_spark.queries import (  # noqa: F401
     advanced,
     composite,
     core,
+    extra,
     scalars,
     similarity,
     spatial,

@@ -1,0 +1,120 @@
+"""Additional coverage queries: lag deltas, top-k per group, the EP1
+frame-partitioning pipeline (rows-only — DP optimization isn't SQL), and
+embedding-cosine near-duplicate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from burst_db_spark.catalog import load
+from burst_db_spark.operators.setops import topk_per_group
+from burst_db_spark.operators.similarity import cosine
+from burst_db_spark.registry import register
+
+
+@register(
+    "w_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)
+               AS gap_us
+    FROM events
+    """,
+    tags=("W2", "lag"),
+)
+def w_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key inter-arrival gaps (the sessionization building block,
+    reconcile_and_label_db.py:322-327) surfaced directly.
+
+    Exact integer microseconds — a double-seconds gap differs in the last
+    ulp between engines (µs/1e6 subtraction order)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    return ev.select("event_id", "user_id", gap.alias("gap_us"))
+
+
+@register(
+    "o5_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_orderpriority
+        ORDER BY o_totalprice DESC, o_orderkey
+    ) <= 3
+    """,
+    tags=("topk-per-group",),
+)
+def o5_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority — the standard OLAP window pattern."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return topk_per_group(
+        orders,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    )
+
+
+@register(
+    "ep1_frame_partition",
+    oracle=None,
+    tags=("EP1", "F5", "applyInPandas", "rows-only"),
+)
+def ep1_frame_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 frame partitioning end-to-end on the deterministic burst
+    fixtures (sf-independent): land-run grouping → per-run DP solver →
+    frames table. Rows-only: the DP optimum isn't SQL-expressible."""
+    from burst_db_spark.plans import fixtures
+    from burst_db_spark.plans.frame_db import build_frames
+
+    trip = fixtures.burst_triplets(spark, n_triplets=600, n_tracks=12)
+    frames, _bridge = build_frames(trip)
+    return frames.orderBy("frame_fid")
+
+
+@register(
+    "dd_embedding_nn",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(1, len(b.embedding) + 1),
+                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y))) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4
+    """,
+    tags=("dedup", "embedding", "similarity"),
+)
+def dd_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4; the synthetic
+    vectors are near-orthogonal, max pairwise cosine ≈ 0.51).
+
+    Correctness baseline is the full pairwise comparison; at 100 TB the
+    identical expression runs after LSH/IVF candidate pruning
+    (see knn_cosine_ivf) instead of the a.vec_id < b.vec_id cross set.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= 0.4)
+        .select("id_a", "id_b", "cos")
+    )
