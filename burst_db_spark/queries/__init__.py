@@ -15,4 +15,5 @@ from burst_db_spark.queries import (  # noqa: F401
     spatial,
     textops,
     windows,
+    windows2,
 )
