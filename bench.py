@@ -30,8 +30,13 @@ HEADLINE = [
     "a9_count_per_day",
     "w2_sessionize",
     "w3_batch_labels",
+    "ep2_burst_catalog",
+    "j7_spatial_join",
+    "a3_union_envelope",
     "dd_exact",
     "dd_minhash_lsh",
+    "dd_ngram_jaccard",
+    "dd_embedding_nn",
     "knn_cosine_brute",
     "t_quality_score",
 ]

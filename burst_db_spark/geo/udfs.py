@@ -51,13 +51,30 @@ def intersects_udf(probe_wkt: str):
 
 @F.pandas_udf(BooleanType())
 def intersects_pair_udf(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [
-            None if (a is None or b is None) else P.polygons_intersect(a, b)
-            for a, b in zip(wkt_a, wkt_b)
-        ],
-        dtype="object",
-    )
+    # memoize WKT parsing per batch: spatial joins repeat the same (small)
+    # dim-side geometries across millions of candidate pairs
+    cache: dict[str, list] = {}
+
+    def polys(w: str):
+        got = cache.get(w)
+        if got is None:
+            got = cache[w] = P.Polygon.from_wkt(w)
+        return got
+
+    out = []
+    for a, b in zip(wkt_a, wkt_b):
+        if a is None or b is None:
+            out.append(None)
+            continue
+        pa, pb = polys(a), polys(b)
+        out.append(
+            any(
+                P.rings_intersect(x.exterior, y.exterior)
+                for x in pa
+                for y in pb
+            )
+        )
+    return pd.Series(out, dtype="object")
 
 
 _ENV_SCHEMA = StructType(

@@ -109,12 +109,35 @@ def dd_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical expression runs after LSH/IVF candidate pruning
     (see knn_cosine_ivf) instead of the a.vec_id < b.vec_id cross set.
     """
+    from burst_db_spark.operators.similarity import _dot, _norm
+
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # precompute each vector's norm ONCE (same left-fold expression →
+    # bit-identical to computing it per pair, 3x less work on N² pairs);
+    # repartition: a single-file scan would otherwise generate all N²/2
+    # pairs in ONE task — spreading the probe side parallelizes the
+    # nested-loop join across the cluster
+    n_parts = spark.sparkContext.defaultParallelism
+    with_norm = (
+        emb.repartition(n_parts)
+        .select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+        .persist()
+    )
+    a = with_norm.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = with_norm.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        pairs.withColumn(
+            "cos", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
         .where(F.col("cos") >= 0.4)
         .select("id_a", "id_b", "cos")
     )

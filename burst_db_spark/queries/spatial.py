@@ -124,7 +124,11 @@ def j7_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sxmin"), F.col("symin"), F.col("sxmax"), F.col("symax")
         ),
     )
-    pboxes = _part_boxes(spark, sf_dir)
+    # spread the fact side: a single-file scan would run the candidate
+    # generation + python refine in one task
+    pboxes = _part_boxes(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     bbox_cond = bbox_intersects_expr(
         F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
         F.col("sxmin"), F.col("symin"), F.col("sxmax"), F.col("symax"),
