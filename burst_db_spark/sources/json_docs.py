@@ -24,7 +24,15 @@ from pyspark.sql import functions as F
 
 
 def nested_doc_df(df: DataFrame, key: str, list_cols: Sequence[str]) -> DataFrame:
-    """(key, {col: [values...]}) — sorted lists per key, one row per key."""
+    """(key, {col: [values...]}) — sorted lists per key, one row per key.
+
+    Accepts either long-form input (one row per value → groupBy collects)
+    or pre-aggregated input (columns already arrays → passthrough)."""
+    from pyspark.sql.types import ArrayType
+
+    types = {f.name: f.dataType for f in df.schema.fields}
+    if all(isinstance(types[c], ArrayType) for c in list_cols):
+        return df.select(key, *list_cols)
     aggs = [F.sort_array(F.collect_list(c)).alias(c) for c in list_cols]
     return df.groupBy(key).agg(*aggs)
 

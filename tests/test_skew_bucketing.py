@@ -1,0 +1,66 @@
+"""Skew/shuffle management: salted join correctness, salted aggregation,
+and bucketed joins actually eliminating the Exchange."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from burst_db_spark.catalog import load
+from burst_db_spark.operators import skew
+from tests.conftest import SF_DIR
+
+
+def test_salted_join_matches_plain(spark):
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    part = load(spark, SF_DIR, "part").select("p_partkey", "p_brand")
+    dim = part.withColumnRenamed("p_partkey", "l_partkey")
+    plain = (
+        li.join(dim, "l_partkey")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    salted = (
+        skew.salted_join(li, dim, "l_partkey", salt_buckets=8)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    a = {r.p_brand: (r.n, round(r.q, 6)) for r in plain.collect()}
+    b = {r.p_brand: (r.n, round(r.q, 6)) for r in salted.collect()}
+    assert a == b
+
+
+def test_salted_count_matches_plain(spark):
+    ev = load(spark, SF_DIR, "events")
+    plain = {r.event_type: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    salted = {r.event_type: r.n for r in skew.salted_count(ev, "event_type").collect()}
+    assert plain == salted
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    skew.write_bucketed(
+        li, "li_b", "l_orderkey", n_buckets=4, path=str(tmp_path / "li_b")
+    )
+    skew.write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"), "ord_b",
+        "l_orderkey", n_buckets=4, path=str(tmp_path / "ord_b"),
+    )
+    joined = spark.table("li_b").join(spark.table("ord_b"), "l_orderkey")
+    # disable broadcast so the join strategy decision is about shuffles
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == load(spark, SF_DIR, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
