@@ -139,8 +139,18 @@ def build_frames(
     the bridge joins slices back to member triplets by position range
     (a broadcast range join — slices are tiny)."""
     slices = partition_frames(triplets, target, min_frame, max_frame)
-    w = Window.orderBy("track", "run_id", "slice_idx")
-    frames_sl = slices.withColumn("frame_fid", F.row_number().over(w))
+    # deterministic arithmetic frame id — no global window (an
+    # unpartitioned row_number funnels everything through one task; fine
+    # at 47k slices, wrong as a pattern). Contiguity isn't load-bearing;
+    # (track, run, slice) order is preserved in the id ordering.
+    frames_sl = slices.withColumn(
+        "frame_fid",
+        (
+            F.col("track").cast("long") * 1_000_000
+            + F.col("run_id").cast("long") * 1_000
+            + F.col("slice_idx").cast("long")
+        ),
+    )
 
     t = triplets.alias("t")
     s = F.broadcast(frames_sl).alias("s")

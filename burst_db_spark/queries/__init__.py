@@ -12,6 +12,7 @@ from burst_db_spark.queries import (  # noqa: F401
     extra,
     scalars,
     similarity,
+    skewq,
     spatial,
     textops,
     windows,
