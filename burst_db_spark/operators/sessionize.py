@@ -61,21 +61,50 @@ def label_batches(
     - row index i (0-based, time order) with ``i // B < n // B`` →
       ``historical_{session:02d}``
     - else (trailing partial batch) → ``forward_{session:02d}``
+
+    Shuffle shape: every window here partitions by ``key`` ONLY — the
+    per-session index and size are derived from cumulative session-start
+    markers (asc) and next-session-start markers (desc), so the whole
+    sessionize→label chain reuses ONE exchange instead of re-shuffling
+    on (key, session).
     """
     order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
-    w_sess = Window.partitionBy(key, session_col).orderBy(*order)
-    w_sess_all = Window.partitionBy(key, session_col)
+    order_desc = [c.desc() for c in order]
+    w_asc = Window.partitionBy(key).orderBy(*order)
+    w_cum = w_asc.rowsBetween(Window.unboundedPreceding, 0)
+    w_desc_excl = (
+        Window.partitionBy(key)
+        .orderBy(*order_desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_key = Window.partitionBy(key)
 
-    rn = F.row_number().over(w_sess) - 1  # 0-based index within session
-    n = F.count("*").over(w_sess_all)
-    is_full_batch = F.floor(rn / batch_size) < F.floor(n / batch_size)
+    rn = F.row_number().over(w_asc)
+    changed = F.when(
+        F.lag(session_col).over(w_asc).isNull()
+        | (F.col(session_col) != F.lag(session_col).over(w_asc)),
+        rn,
+    )
+    df = df.withColumn("__rn", rn).withColumn("__marker", changed)
+    start_rn = F.max("__marker").over(w_cum)
+    next_start_rn = F.coalesce(
+        F.min("__marker").over(w_desc_excl),
+        F.count("*").over(w_key) + 1,
+    )
+    df = (
+        df.withColumn("__start", start_rn)
+        .withColumn("__next", next_start_rn)
+    )
+    pos = F.col("__rn") - F.col("__start")  # 0-based index within session
+    n = F.col("__next") - F.col("__start")  # session size
+    is_full_batch = F.floor(pos / batch_size) < F.floor(n / batch_size)
 
     label = (
         F.when(n < batch_size, F.lit("no_run"))
         .when(is_full_batch, F.format_string("historical_%02d", F.col(session_col)))
         .otherwise(F.format_string("forward_%02d", F.col(session_col)))
     )
-    return df.withColumn(label_col, label)
+    return df.withColumn(label_col, label).drop("__rn", "__marker", "__start", "__next")
 
 
 def sessionize_and_label(
