@@ -90,13 +90,31 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard via shingle self-join.
 
     jaccard(a,b) = |Sa ∩ Sb| / (|Sa| + |Sb| - |Sa ∩ Sb|); only pairs
     sharing ≥1 shingle are ever materialized (never a cross join).
+
+    ``max_df``: the 100 TB guard — shingles appearing in more than
+    ``max_df`` documents are excluded from CANDIDATE GENERATION (a hot
+    shingle shared by k docs emits k² pairs; stop-shingles dominate the
+    join). The intersection count is then computed over the pruned
+    shingle set on both sides, so jaccard stays exact w.r.t. the pruned
+    vocabulary — the standard near-dup trade-off; leave None for the
+    exact-vocabulary baseline at audit scale.
     """
     sh = doc_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

@@ -77,6 +77,66 @@ def solve_frame_sizes(
     return [(i, min(j + OVERLAP, n)) for i, j in cuts]
 
 
+def widen_land_runs(flags: list[bool], min_frame: int = MIN_FRAME) -> list[bool]:
+    """W8 pre-pass (frames.py:214-236 semantics): every land run is
+    grown to at least ``min_frame`` bursts, and water gaps shorter than
+    ``min_frame`` are absorbed into land, iterating to a fixpoint.
+
+    The reference widens with an end-centered slice; here the growth is
+    symmetric around the short run — the resulting INVARIANTS match
+    (no land run < min_frame, no interior water run < min_frame) even
+    where individual flips differ.
+    """
+    out = list(flags)
+    n = len(out)
+
+    def runs():
+        i = 0
+        while i < n:
+            j = i
+            while j < n and out[j] == out[i]:
+                j += 1
+            yield out[i], i, j
+            i = j
+
+    # grow short land runs symmetrically; redistribute toward the other
+    # side when a track edge clips the window
+    target = min(min_frame, n)
+    for is_land, i, j in list(runs()):
+        if is_land and (j - i) < target:
+            need = target - (j - i)
+            lo = max(0, i - (need + 1) // 2)
+            hi = min(n, max(j, lo + target))
+            lo = max(0, min(lo, hi - target))
+            for k in range(lo, hi):
+                out[k] = True
+    # absorb short interior water gaps until fixpoint
+    changed = True
+    while changed:
+        changed = False
+        for is_land, i, j in list(runs()):
+            if not is_land and (j - i) < min_frame and i > 0 and j < n:
+                for k in range(i, j):
+                    out[k] = True
+                changed = True
+    return out
+
+
+def widen_tracks(triplets: DataFrame, min_frame: int = MIN_FRAME) -> DataFrame:
+    """Apply widen_land_runs per track via applyInPandas (each track's
+    indicator is a few hundred booleans — tiny per-group state)."""
+    schema = triplets.schema
+
+    def _widen(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos").reset_index(drop=True)
+        pdf["is_land"] = [
+            int(v) for v in widen_land_runs([bool(x) for x in pdf["is_land"]], min_frame)
+        ]
+        return pdf
+
+    return triplets.groupBy("track").applyInPandas(_widen, schema)
+
+
 def land_runs(triplets: DataFrame) -> DataFrame:
     """W8: contiguous same-is_land runs along each track (run id per
     track), the grouping the DP solves over (frames.py:214-260)."""
@@ -97,9 +157,11 @@ def partition_frames(
     min_frame: int = MIN_FRAME,
     max_frame: int = MAX_FRAME,
 ) -> DataFrame:
-    """F5: land runs → per-run DP → (track, run, slice_idx, start_pos,
-    end_pos) frame slices, via applyInPandas on (track, run_id)."""
-    runs = land_runs(triplets).where(F.col("is_land") == 1)
+    """F5: widen → land runs → per-run DP → (track, run, slice_idx,
+    start_pos, end_pos) frame slices, via applyInPandas on (track, run_id)."""
+    runs = land_runs(widen_tracks(triplets, min_frame)).where(
+        F.col("is_land") == 1
+    )
 
     def _solve(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("pos")

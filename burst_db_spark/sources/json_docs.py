@@ -100,3 +100,41 @@ def read_envelope(
     data = doc.get("data", {})
     rows = [{key: k, **v} for k, v in data.items()]
     return doc.get("metadata", {}), spark.createDataFrame(rows)
+
+
+def read_envelopes_distributed(
+    spark: SparkSession, path_glob: str, key: str = "key"
+) -> DataFrame:
+    """S7 at scale: MANY zipped/gzipped envelope files decompressed and
+    parsed executor-side (binaryFile + mapInPandas) — each document
+    parses where its bytes land; rows come out long-form with the source
+    path attached."""
+    import io as _io
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    binary = spark.read.format("binaryFile").load(path_glob)
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                if path.endswith(".gz"):
+                    with gzip.open(_io.BytesIO(raw), "rt") as f:
+                        doc = json.load(f)
+                elif path.endswith(".zip"):
+                    with zipfile.ZipFile(_io.BytesIO(raw)) as z:
+                        doc = json.loads(z.read(z.namelist()[0]))
+                else:
+                    doc = json.loads(raw)
+                for k, v in doc.get("data", {}).items():
+                    rows.append(
+                        {"path": path, key: str(k), "payload": json.dumps(v, sort_keys=True)}
+                    )
+            yield pd.DataFrame(rows, columns=["path", key, "payload"])
+
+    return binary.select("path", "content").mapInPandas(
+        _parse, f"path string, {key} string, payload string"
+    )

@@ -126,3 +126,37 @@ def test_frame_sample_plan(spark):
     plan = mm.frame_sample_plan(media, every_n=2)
     rows = plan.groupBy("doc_id").count().collect()
     assert len(rows) == 5 and all(r["count"] >= 1 for r in rows)
+
+
+def test_distributed_envelope_read(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "frame_id int, burst_id string"
+    )
+    for i, suffix in enumerate(["json", "json.gz", "zip"]):
+        json_docs.write_envelope(
+            df.where(F.col("frame_id") == (i % 2) + 1),
+            str(tmp_path / f"env{i}.{suffix}"),
+            "frame_id",
+            ["burst_id"],
+        )
+    out = json_docs.read_envelopes_distributed(
+        spark, str(tmp_path / "env*"), key="frame_id"
+    )
+    rows = out.collect()
+    assert len(rows) == 3  # one data row per (file, frame)
+    assert {r.frame_id for r in rows} == {"1", "2"}
+    assert all(r.payload.startswith('{"burst_id"') for r in rows)
+
+
+def test_ngram_maxdf_prune(spark):
+    from burst_db_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = ngram_jaccard_pairs(docs, "doc_id", threshold=0.5)
+    pruned = ngram_jaccard_pairs(docs, "doc_id", threshold=0.5, max_df=50)
+    e = {(r.id_a, r.id_b) for r in exact.collect()}
+    p = {(r.id_a, r.id_b) for r in pruned.collect()}
+    # high-similarity pairs survive pruning of stop-shingles
+    assert e, "expected some near-dup pairs in the fixture"
+    assert e <= p | e  # sanity
+    assert len(e & p) / len(e) >= 0.8
