@@ -236,6 +236,64 @@ def minhash_lsh_dedup(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster assignment: each vertex gets the MIN id reachable
+    through the near-dup pair graph (connected components).
+
+    Iterative min-label propagation: each round joins current labels
+    across edges and keeps the minimum; converges in O(log diameter)
+    rounds for near-dup graphs (tiny clusters). The driver loop only
+    checks a per-round convergence count — labels never leave executors.
+    Returns (id, cluster_id).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("src"), F.col(id_col).alias("cluster_id")
+    ).persist()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("src", "dst"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "src", "left")
+            .select(
+                "src",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias(id_col), "cluster_id")
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32
 ) -> DataFrame:

@@ -240,6 +240,46 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.2
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    """,
+    tags=("dedup", "clustering", "connected-components"),
+)
+def dd_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: near-dup pairs (3-gram Jaccard ≥ 0.2)
+    → connected components → every doc labeled with the min doc_id of its
+    cluster. Spark side: iterative min-label propagation (O(log diameter)
+    join rounds); oracle: recursive-CTE transitive closure."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", threshold=0.2)
+    return dd.connected_components(pairs, docs, "doc_id")
+
+
+@register(
     "dd_simhash",
     oracle=f"""
     WITH toks AS (
