@@ -59,6 +59,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
+        # isolate queries: drop persisted intermediates from the previous
+        # query so timings don't absorb eviction/GC pressure
+        spark.catalog.clearCache()
         df = specs[name].build(spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
