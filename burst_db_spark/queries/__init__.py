@@ -10,6 +10,7 @@ from burst_db_spark.queries import (  # noqa: F401
     composite,
     core,
     extra,
+    extra2,
     scalars,
     similarity,
     skewq,
