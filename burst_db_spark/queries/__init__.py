@@ -11,6 +11,7 @@ from burst_db_spark.queries import (  # noqa: F401
     core,
     extra,
     extra2,
+    extra3,
     scalars,
     similarity,
     skewq,

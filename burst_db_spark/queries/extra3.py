@@ -1,0 +1,100 @@
+"""Running aggregates and spatial nearest-neighbor join."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from burst_db_spark.catalog import load
+from burst_db_spark.registry import register
+
+
+@register(
+    "w_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_so_far,
+           CAST(sum(CAST(value AS DECIMAL(18, 6))) OVER w
+                AS DECIMAL(28, 6)) AS value_so_far
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("W-running",),
+)
+def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count + sum per key over time. The cumulative frame fixes
+    the accumulation order on both engines (ts, event_id total order), and
+    the sum runs in DECIMAL: DuckDB evaluates window aggregates with a
+    segment tree (pairwise association), so double prefix sums drift a
+    ulp even with a fixed frame order."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_so_far"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("decimal(28,6)")
+        .alias("value_so_far"),
+    )
+
+
+@register(
+    "j_spatial_knn",
+    oracle="""
+    WITH pc AS (
+        SELECT p_partkey,
+               (p_partkey * 7) % 340 - 170 AS px,
+               (p_partkey * 13) % 160 - 80 AS py
+        FROM part
+    ), sc AS (
+        SELECT s_suppkey,
+               (s_suppkey * 29) % 340 - 170 AS sx,
+               (s_suppkey * 17) % 160 - 80 AS sy
+        FROM supplier
+    )
+    SELECT p_partkey, s_suppkey,
+           CAST((px - sx) * (px - sx) + (py - sy) * (py - sy) AS BIGINT)
+               AS dist_sq
+    FROM pc CROSS JOIN sc
+    QUALIFY row_number() OVER (
+        PARTITION BY p_partkey ORDER BY dist_sq, s_suppkey
+    ) = 1
+    """,
+    tags=("spatial", "knn-join"),
+)
+def j_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor spatial join: each part point gets its closest
+    supplier point (exact integer squared distance, deterministic
+    tie-break). The supplier side broadcasts (the codebook pattern); at
+    planet scale the cross term is cut by grid-cell bucketing first —
+    same shape as knn_cosine_ivf."""
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    pc = part.select(
+        "p_partkey",
+        ((F.col("p_partkey") * 7) % 340 - 170).alias("px"),
+        ((F.col("p_partkey") * 13) % 160 - 80).alias("py"),
+    )
+    sc = supp.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 29) % 340 - 170).alias("sx"),
+        ((F.col("s_suppkey") * 17) % 160 - 80).alias("sy"),
+    )
+    dist = (
+        (F.col("px") - F.col("sx")) * (F.col("px") - F.col("sx"))
+        + (F.col("py") - F.col("sy")) * (F.col("py") - F.col("sy"))
+    ).cast("bigint")
+    scored = pc.join(F.broadcast(sc)).withColumn("dist_sq", dist)
+    w = Window.partitionBy("p_partkey").orderBy("dist_sq", "s_suppkey")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("p_partkey", "s_suppkey", "dist_sq")
+    )
