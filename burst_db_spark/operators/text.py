@@ -103,6 +103,47 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def top_tfidf_terms(df: DataFrame, id_col: str, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by tf·(N/df).
+
+    Rational idf (N/df instead of log(N/df)) keeps the score an exact
+    quotient of integers — rank-equivalent for top-k and bit-identical
+    across engines (libm log differs in the last ulp between JVM and C).
+    All relational: explode → two counts → join → bounded top-k window.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        toks.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = df.select(id_col).distinct().count()
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score", F.col("tf") * F.lit(float(n_docs)) / F.col("df")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(
+            id_col,
+            F.col("__rn").cast("int").alias("rank"),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "score",
+        )
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text."""
     return F.md5(F.lower(F.trim(text)))

@@ -133,6 +133,40 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_top_tfidf",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
+          FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               tf.tf * n.n_docs / dfreq.df AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term
+           ) AS INTEGER) AS rank,
+           term, tf, df, score
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def t_top_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by rational tf-idf (tf·N/df:
+    rank-equivalent to log idf, exact across engines)."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.top_tfidf_terms(docs, "doc_id", k=3)
+
+
+@register(
     "dd_exact",
     oracle="""
     SELECT md5(lower(trim(text))) AS digest,
