@@ -8,11 +8,18 @@ DuckDB-equivalent oracle where SQL-expressible.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from burst_db_spark.registry import all_queries
+# import-safe regardless of the caller's cwd
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from burst_db_spark.registry import all_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
