@@ -136,16 +136,18 @@ def test_refdates_spark_matches_python(spark):
     trip = fixtures.burst_triplets(spark, n_triplets=60, n_tracks=2)
     frames, bridge = build_frames(trip)
     acq = fixtures.acquisitions(spark, bridge, n_dates=100)
-    out = reference_dates(acq).orderBy("frame_fid", "ref_idx").collect()
-    # cross-check one key against the pure-python core
-    some_key = out[0]["frame_fid"]
-    times = [
-        r["sensing_time"]
-        for r in acq.where(F.col("frame_fid") == some_key).collect()
-    ]
-    expected = select_reference_dates(times)
-    got = [r["ref_date"] for r in out if r["frame_fid"] == some_key]
-    assert got == expected
+    out = reference_dates(acq).collect()
+    got_by_key: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["frame_fid"], r["ref_idx"])):
+        got_by_key.setdefault(r["frame_fid"], []).append(r["ref_date"])
+    # cross-check EVERY key against the pure-python core (keys with the
+    # 900-day fixture gap exercise the stretching-interval rule hardest)
+    times_by_key: dict[int, list] = {}
+    for r in acq.collect():
+        times_by_key.setdefault(r["frame_fid"], []).append(r["sensing_time"])
+    assert set(got_by_key) == set(times_by_key)
+    for key, times in times_by_key.items():
+        assert got_by_key[key] == select_reference_dates(times), f"key {key}"
 
 
 # ------------------------------------------------------------- blackout
