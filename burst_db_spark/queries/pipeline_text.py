@@ -1,0 +1,151 @@
+"""End-to-end training-data curation queries: corpus dedup decision,
+train/eval decontamination, quantile quality filtering — the composed
+forms of the dedup/text operators, each oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from burst_db_spark.catalog import load
+from burst_db_spark.operators import dedup as dd
+from burst_db_spark.operators import text as tx
+from burst_db_spark.queries.textops import _SHINGLES_CTE, _TOKS
+from burst_db_spark.registry import register
+
+
+@register(
+    "dd_corpus_survivors",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.2
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+        SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           CAST(sz.n AS BIGINT) AS cluster_size
+    FROM documents d
+    JOIN clusters c ON c.doc_id = d.doc_id AND c.cluster_id = d.doc_id
+    JOIN (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
+          FROM clusters GROUP BY cluster_id) sz
+      ON sz.cluster_id = d.doc_id
+    """,
+    tags=("dedup", "pipeline"),
+)
+def dd_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup DECISION: near-dup pairs → clusters → keep one doc
+    per cluster (the min id) with its cluster size — i.e. the deduplicated
+    corpus manifest a 100 TB curation job materializes."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", threshold=0.2)
+    clusters = dd.connected_components(pairs, docs, "doc_id")
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    survivors = clusters.where(F.col("doc_id") == F.col("cluster_id"))
+    return (
+        docs.join(survivors.select("doc_id"), "doc_id")
+        .join(
+            sizes.withColumnRenamed("cluster_id", "doc_id"),
+            "doc_id",
+        )
+        .select("doc_id", "lang", "source", "cluster_size")
+    )
+
+
+@register(
+    "t_decontaminate",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    train AS (SELECT s.doc_id, s.shingle FROM sh s
+              JOIN documents d ON d.doc_id = s.doc_id
+              WHERE d.source IN ('src0', 'src1', 'src2')),
+    eval_ AS (SELECT s.doc_id, s.shingle FROM sh s
+              JOIN documents d ON d.doc_id = s.doc_id
+              WHERE d.source NOT IN ('src0', 'src1', 'src2')),
+    hits AS (
+        SELECT e.doc_id AS eval_doc,
+               CAST(count(DISTINCT e.shingle) AS BIGINT) AS n_shared
+        FROM eval_ e JOIN train t ON e.shingle = t.shingle
+        GROUP BY e.doc_id
+    )
+    SELECT eval_doc, n_shared FROM hits WHERE n_shared >= 5
+    """,
+    tags=("text", "decontamination", "pipeline"),
+)
+def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: eval docs sharing ≥5 distinct 3-gram
+    shingles with ANY train doc. The join touches only co-occurring
+    shingles (semi-join shape), never the doc cross product."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dd.doc_shingles(docs, "doc_id")
+    train_ids = docs.where(F.col("source").isin("src0", "src1", "src2")).select(
+        "doc_id"
+    )
+    eval_ids = docs.join(train_ids, "doc_id", "left_anti").select("doc_id")
+    train_sh = sh.join(F.broadcast(train_ids), "doc_id").select("shingle").distinct()
+    eval_sh = sh.join(F.broadcast(eval_ids), "doc_id")
+    hits = (
+        eval_sh.join(train_sh, "shingle")
+        .groupBy(F.col("doc_id").alias("eval_doc"))
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+        .where(F.col("n_shared") >= 5)
+    )
+    return hits
+
+
+@register(
+    "t_quality_filter",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, source,
+               CASE WHEN len({_TOKS}) < 5 THEN 0.0
+                    ELSE 1.0 - least(1.0,
+                         length(regexp_replace(text, '[^.!?,;]', '', 'g'))
+                         / greatest(len({_TOKS}), 1))
+               END AS quality_score
+        FROM documents
+    ),
+    cut AS (
+        SELECT source, quantile_cont(quality_score, 0.5) AS median_q
+        FROM q GROUP BY source
+    )
+    SELECT q.doc_id, q.source, q.quality_score
+    FROM q JOIN cut ON cut.source = q.source
+    WHERE q.quality_score >= cut.median_q
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def t_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile quality gate: keep docs at or above their source's median
+    quality score (exact percentile, broadcast per-source cuts)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    q = tx.quality_features(docs).select("doc_id", "source", "quality_score")
+    cut = q.groupBy("source").agg(
+        F.expr("percentile(quality_score, 0.5)").alias("median_q")
+    )
+    return (
+        q.join(F.broadcast(cut), "source")
+        .where(F.col("quality_score") >= F.col("median_q"))
+        .select("doc_id", "source", "quality_score")
+    )
