@@ -244,3 +244,49 @@ def build_frames(
         F.count("*").alias("n_triplets"),
     )
     return frames, bridge.select("frame_fid", "burst_id")
+
+
+def enrich_frames(frames: DataFrame, member_geoms: DataFrame | None = None) -> DataFrame:
+    """EP1 tail (build_frame_db.py:691-717): geometry + EPSG + snapped
+    bbox per frame.
+
+    - ``geom_wkt``: the frame footprint — if per-member WKT is supplied
+      as (frame_fid, geom_wkt) long form, union-collect the member
+      geometries (A3); otherwise the envelope rectangle from the bbox
+      columns;
+    - ``epsg``: UTM/polar classification from the footprint centroid
+      (pure column math, geo.bbox.utm_epsg_expr);
+    - snapped integer bbox with margin (build_frame_db.py:424-450) — in
+      degree units here (the fixtures are lon/lat), same arithmetic.
+    """
+    from burst_db_spark.geo.bbox import snap_bbox_exprs, utm_epsg_expr
+    from burst_db_spark.geo.udfs import union_collect_agg
+
+    if member_geoms is not None:
+        geoms = union_collect_agg(member_geoms, "frame_fid")
+        frames = frames.join(geoms, "frame_fid", "left")
+    else:
+        frames = frames.withColumn(
+            "geom_wkt",
+            F.format_string(
+                "POLYGON ((%.4f %.4f, %.4f %.4f, %.4f %.4f, %.4f %.4f, %.4f %.4f))",
+                F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymin"),
+                F.col("xmax"), F.col("ymax"), F.col("xmin"), F.col("ymax"),
+                F.col("xmin"), F.col("ymin"),
+            ),
+        )
+    cx = (F.col("xmin") + F.col("xmax")) / 2
+    cy = (F.col("ymin") + F.col("ymax")) / 2
+    frames = frames.withColumn("epsg", utm_epsg_expr(cx, cy))
+    # snap must produce integral grid values (the bbox columns are INT,
+    # matching the reference's 40%-smaller minimal DB): 1 degree here,
+    # 30 m in the reference's UTM meters
+    snapped = snap_bbox_exprs(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+        snap=1.0, margin=0.5,
+    )
+    return frames.select(
+        "frame_fid", "relative_orbit_number", "orbit_pass", "is_land",
+        "n_triplets", "geom_wkt", "epsg",
+        *[s.alias(n) for s, n in zip(snapped, ["sxmin", "symin", "sxmax", "symax"])],
+    )

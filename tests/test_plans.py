@@ -170,3 +170,28 @@ def test_blackout_windows_and_apply(spark):
     ).withColumn("sensing_time", F.to_timestamp("sensing_time"))
     kept = apply_blackouts(acq, win)
     assert [str(r.sensing_time) for r in kept.collect()] == ["2020-07-04 10:00:00"]
+
+
+def test_enrich_frames(spark):
+    from burst_db_spark.geo.predicates import envelope
+    from burst_db_spark.plans.frame_db import enrich_frames
+
+    trip = fixtures.burst_triplets(spark, n_triplets=120, n_tracks=2)
+    frames, bridge = build_frames(trip)
+    enriched = enrich_frames(frames)
+    rows = enriched.collect()
+    assert len(rows) == frames.count()
+    for r in rows[:10]:
+        # epsg valid for the centroid's hemisphere/latitude
+        assert r.epsg in (3413, 3031) or 32601 <= r.epsg <= 32760
+        # snapped bbox strictly contains the raw envelope
+        ex0, ey0, ex1, ey1 = envelope(r.geom_wkt)
+        assert r.sxmin <= ex0 and r.symin <= ey0
+        assert r.sxmax >= ex1 and r.symax >= ey1
+
+    # with member geometries: footprint is the multipolygon of members
+    bursts = fixtures.burst_id_map(spark, n_triplets=120, n_tracks=2)
+    member = bridge.join(bursts, "burst_id").select("frame_fid", "geom_wkt")
+    enriched2 = enrich_frames(frames, member_geoms=member)
+    row = enriched2.where(F.col("geom_wkt").isNotNull()).first()
+    assert row.geom_wkt.startswith("MULTIPOLYGON")
