@@ -39,6 +39,8 @@ HEADLINE = [
     "dd_embedding_nn",
     "knn_cosine_brute",
     "t_quality_score",
+    "q5_local_supplier_volume",
+    "t_top_tfidf",
 ]
 
 
