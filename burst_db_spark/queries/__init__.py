@@ -12,6 +12,7 @@ from burst_db_spark.queries import (  # noqa: F401
     extra,
     extra2,
     extra3,
+    extra4,
     pipeline_text,
     scalars,
     similarity,
