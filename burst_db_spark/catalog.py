@@ -36,12 +36,24 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark can't read them
     natively; we read them as int64 nanos and convert (DuckDB equivalently
     truncates ns → µs on read, so oracle parity holds)."""
-    schema = pq.read_schema(path)
+    if os.path.isdir(path):
+        # Spark-written dataset: inspect the first part file
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            return ()
+        path = os.path.join(path, parts[0])
+    # inspect the PHYSICAL parquet logical type: pyarrow maps both
+    # TIMESTAMP(NANOS) and Spark's INT96 to timestamp[ns], but Spark only
+    # chokes on the annotated-NANOS form (INT96 it reads natively)
+    meta = pq.ParquetFile(path).metadata.schema
     out = []
-    for field in schema:
-        t = field.type
-        if str(t).startswith("timestamp[ns"):
-            out.append(field.name)
+    for i in range(len(meta)):
+        col = meta.column(i)
+        lt = str(col.logical_type)
+        if "Timestamp" in lt and "nanoseconds" in lt:
+            out.append(col.path)
     return tuple(out)
 
 
