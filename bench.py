@@ -60,16 +60,20 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name in HEADLINE:
-        # isolate queries: drop persisted intermediates from the previous
-        # query so timings don't absorb eviction/GC pressure
-        spark.catalog.clearCache()
-        df = specs[name].build(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        best = None
+        for _ in range(runs):
+            # isolate queries: drop persisted intermediates so timings
+            # don't absorb eviction/GC pressure from earlier queries
+            spark.catalog.clearCache()
+            df = specs[name].build(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        total += best
 
     print(
         json.dumps(
