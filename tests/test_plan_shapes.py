@@ -1,0 +1,64 @@
+"""Physical-plan regression tests: the plan properties the engine's
+scale story depends on, asserted so they can't silently regress."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from burst_db_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+SPECS = all_queries()
+
+
+def _plan(name: str, spark) -> str:
+    df = SPECS[name].build(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan("p2_filter_isin", spark)
+    assert "In(l_returnflag, [A,R])" in plan
+    # column pruning: only the 4 needed columns in ReadSchema
+    rs = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert rs.count(":") == 4 + 1  # 4 columns + the line's own colon
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ("j2_fact_dim_broadcast", "j1_region_rollup", "frame_lookup"):
+        plan = _plan(name, spark)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_interval_antijoin_is_hash_not_nested_loop(spark):
+    plan = _plan("p7_blackout_anti_join", spark)
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_label_single_exchange(spark):
+    plan = _plan("w3_batch_labels", spark)
+    # formatted mode prints each Exchange node twice (tree + details)
+    n_exchanges = sum(
+        1 for l in plan.splitlines() if l.strip().startswith("Exchange")
+    )
+    assert n_exchanges <= 1, plan
+
+
+def test_aggregates_have_partial_phase(spark):
+    plan = _plan("q1_pricing_summary", spark)
+    # two HashAggregate nodes around the Exchange = map-side combine
+    n_agg = plan.count("HashAggregate (")
+    assert n_agg >= 2, plan
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = _plan("o1_topk_orders", spark)
+    assert "TakeOrderedAndProject" in plan
