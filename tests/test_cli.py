@@ -19,6 +19,6 @@ def test_cli_create_lookup_intersect(spark, tmp_path, capsys):
     assert rec[0]["geom_wkt"].startswith("MULTIPOLYGON")
     assert rec[0]["n_bursts"] == rec[0]["burst_ids"].count(",") + 1
 
-    assert main(["intersect", "--db", db, "--bbox", "-180,-90,180,90"]) == 0
+    assert main(["intersect", "--db", db, "--bbox=-180,-90,180,90"]) == 0
     hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(hits) == created["n_frames"]  # world bbox hits every frame
