@@ -195,3 +195,44 @@ def test_enrich_frames(spark):
     enriched2 = enrich_frames(frames, member_geoms=member)
     row = enriched2.where(F.col("geom_wkt").isNotNull()).first()
     assert row.geom_wkt.startswith("MULTIPOLYGON")
+
+
+def test_solver_optimality_vs_bruteforce():
+    """DP cost equals exhaustive-enumeration optimum for small n."""
+    from itertools import product
+    from burst_db_spark.plans.frame_db import TARGET_FRAME
+
+    def seg_cost(size):
+        if (size + 1) > MAX_FRAME or (size + 1) < MIN_FRAME:
+            return float("inf")
+        return int(abs((size + 1) - TARGET_FRAME)) ** 3
+
+    def brute_min(n):
+        best = float("inf")
+        # enumerate all compositions of n with parts in [MIN-1, MAX-1]
+        def rec(rem, cost):
+            nonlocal best
+            if cost >= best:
+                return
+            if rem == 0:
+                best = min(best, cost)
+                return
+            for size in range(MIN_FRAME - 1, MAX_FRAME):
+                if size <= rem:
+                    rec(rem - size, cost + seg_cost(size))
+        rec(n, 0.0)
+        return best
+
+    for n in range(MIN_FRAME, 30):
+        slices = solve_frame_sizes(n)
+        # dp cost from the raw segment sizes (undo the +1 overlap added
+        # to every emitted slice except the last)
+        raw_sizes = [
+            (e - s) if k == len(slices) - 1 else (e - s) - 1
+            for k, (s, e) in enumerate(slices)
+        ]
+        dp_cost = sum(seg_cost(sz) for sz in raw_sizes)
+        expected = brute_min(n)
+        if expected == float("inf"):
+            continue  # covered by the fallback path
+        assert dp_cost == expected, f"n={n}: dp {dp_cost} vs brute {expected}"
