@@ -33,8 +33,8 @@ from burst_db_spark.registry import register
         SELECT user_id, day,
                date_trunc('second', min(ts)) AS first_ts,
                CAST(count(*) AS BIGINT) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DECIMAL(28, 6))
-                   AS total_value
+               CAST(CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DECIMAL(28, 6))
+                    AS DOUBLE) AS total_value
         FROM joined GROUP BY user_id, day
     ),
     iv AS (
@@ -74,12 +74,16 @@ def ep2_burst_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("c_mktsegment").isin("MACHINERY", "BUILDING", "AUTOMOBILE"))
     # decimal sum: the input rows come out of a prior shuffle, so a DOUBLE
     # sum would be order-dependent across engines (last-ulp drift); decimal
-    # addition is associative → hash-stable
+    # addition is associative. The FINAL value is cast to double on both
+    # engine sides — the exact decimal rounds to the same double bits, and
+    # double survives the driver's pandas-level hasher (Decimal objects
+    # canonicalize differently between Spark and DuckDB).
     per_day = joined.groupBy("user_id", "day").agg(
         F.date_trunc("second", F.min("ts")).alias("first_ts"),
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)"))
         .cast("decimal(28,6)")
+        .cast("double")
         .alias("total_value"),
     )
     iv = per_day.groupBy("user_id").agg(

@@ -395,8 +395,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name AS nation,
-           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                         AS DECIMAL(18, 6))) AS DECIMAL(28, 6)) AS revenue,
+           CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18, 6))) AS DECIMAL(28, 6))
+                AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -450,6 +451,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .cast("decimal(28,6)")
+        .cast("double")
         .alias("revenue"),
         F.count("*").alias("n_lines"),
     )

@@ -14,8 +14,8 @@ from burst_db_spark.registry import register
     oracle="""
     SELECT event_id, user_id,
            CAST(count(*) OVER w AS BIGINT) AS n_so_far,
-           CAST(sum(CAST(value AS DECIMAL(18, 6))) OVER w
-                AS DECIMAL(28, 6)) AS value_so_far
+           CAST(CAST(sum(CAST(value AS DECIMAL(18, 6))) OVER w
+                     AS DECIMAL(28, 6)) AS DOUBLE) AS value_so_far
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -41,6 +41,7 @@ def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)"))
         .over(w)
         .cast("decimal(28,6)")
+        .cast("double")
         .alias("value_so_far"),
     )
 
