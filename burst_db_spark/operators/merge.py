@@ -48,8 +48,13 @@ def scd2_apply(
     )
     all_rows = history.unionByName(upd)
     w = Window.partitionBy(key).orderBy(ts_col)
+    # Only OPEN rows get closed by the next version's start; already-closed
+    # intervals (including validity gaps from delete-then-reinsert) keep
+    # their historical effective_to untouched.
     closed = all_rows.withColumn(
         end_col,
-        F.coalesce(F.lead(ts_col).over(w), F.col(end_col)),
+        F.when(F.col(end_col).isNull(), F.lead(ts_col).over(w)).otherwise(
+            F.col(end_col)
+        ),
     )
     return closed.withColumn(current_col, F.col(end_col).isNull())

@@ -84,8 +84,10 @@ def widen_land_runs(flags: list[bool], min_frame: int = MIN_FRAME) -> list[bool]
 
     The reference widens with an end-centered slice; here the growth is
     symmetric around the short run — the resulting INVARIANTS match
-    (no land run < min_frame, no interior water run < min_frame) even
-    where individual flips differ.
+    (no land run < min_frame, and — like the reference's fixpoint loop,
+    frames.py:225-236, which absorbs edge water runs too — no water run
+    < min_frame anywhere, track edges included) even where individual
+    flips differ.
     """
     out = list(flags)
     n = len(out)
@@ -110,12 +112,13 @@ def widen_land_runs(flags: list[bool], min_frame: int = MIN_FRAME) -> list[bool]
             lo = max(0, min(lo, hi - target))
             for k in range(lo, hi):
                 out[k] = True
-    # absorb short interior water gaps until fixpoint
+    # absorb ALL short water runs (edges included, matching the
+    # reference's second pass) until fixpoint
     changed = True
     while changed:
         changed = False
         for is_land, i, j in list(runs()):
-            if not is_land and (j - i) < min_frame and i > 0 and j < n:
+            if not is_land and (j - i) < min_frame:
                 for k in range(i, j):
                     out[k] = True
                 changed = True

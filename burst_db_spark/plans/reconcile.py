@@ -22,9 +22,20 @@ GAP_SECONDS_2Y = 2.0 * 365 * 86400  # reference gap_threshold_years=2 (:317)
 def reconcile_snapshots(
     old: DataFrame, new: DataFrame, key: str, ts_col: str
 ) -> DataFrame:
-    """new ∪ (old ∖ new) per key — anti-join + union, scale-safe."""
-    missing = old.select(key, ts_col).join(
-        new.select(key, ts_col), [key, ts_col], "left_anti"
+    """new ∪ (old ∖ new) per key — anti-join + union, scale-safe.
+
+    Missingness is decided on the DATE of ``ts_col``, not the full
+    timestamp, matching the reference's ``get_date_only`` comparison
+    (reconcile_and_label_db.py:199-206: "if the date matches but hours
+    differ, we don't consider it missing"). Re-added old rows keep their
+    ORIGINAL timestamp."""
+    day = F.to_date(F.col(ts_col)).alias("__recon_day")
+    new_days = new.select(F.col(key), day).distinct()
+    missing = (
+        old.select(key, ts_col)
+        .withColumn("__recon_day", F.to_date(F.col(ts_col)))
+        .join(new_days, [key, "__recon_day"], "left_anti")
+        .drop("__recon_day")
     )
     return new.select(key, ts_col).unionByName(missing)
 

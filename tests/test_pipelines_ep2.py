@@ -75,6 +75,26 @@ def test_reconcile_keeps_new_and_missing_old(spark):
     ]
 
 
+def test_reconcile_date_only_missingness(spark):
+    # reference rule (reconcile_and_label_db.py:199-206): same DATE with a
+    # shifted hour is NOT missing — the old row must not be duplicated in.
+    old = spark.createDataFrame(
+        [(1, "2020-01-01 03:00:00"), (1, "2020-02-01 00:00:00")],
+        "frame_fid int, sensing_time string",
+    ).withColumn("sensing_time", F.to_timestamp("sensing_time"))
+    new = spark.createDataFrame(
+        [(1, "2020-01-01 09:30:00"), (1, "2020-03-01 00:00:00")],
+        "frame_fid int, sensing_time string",
+    ).withColumn("sensing_time", F.to_timestamp("sensing_time"))
+    merged = reconcile_snapshots(old, new, "frame_fid", "sensing_time")
+    times = sorted(str(r.sensing_time) for r in merged.collect())
+    # 2020-01-01 appears ONCE (new's hour wins); 2020-02-01 re-added with
+    # its original timestamp
+    assert times == [
+        "2020-01-01 09:30:00", "2020-02-01 00:00:00", "2020-03-01 00:00:00",
+    ]
+
+
 def test_reconcile_label_summary(spark):
     frames, bridge, acq = _setup(spark)
     old = acq.where(F.col("sensing_time") < "2017-06-01")

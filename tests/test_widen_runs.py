@@ -31,14 +31,24 @@ def test_widen_invariants(flags):
         if is_land:
             # every land run reaches min_frame (or fills the whole track)
             assert (j - i) >= min(MIN_FRAME, len(out))
-        elif i > 0 and j < len(out):
-            # no short interior water gaps survive
+        else:
+            # no short water run survives ANYWHERE — edges included,
+            # matching the reference's fixpoint loop (frames.py:225-236)
             assert (j - i) >= MIN_FRAME
 
 
 def test_widen_noop_when_already_wide():
-    flags = [False] * 6 + [True] * 8 + [False] * 6 + [True] * 10 + [False] * 2
+    flags = [False] * 6 + [True] * 8 + [False] * 6 + [True] * 10 + [False] * 5
     assert widen_land_runs(flags, MIN_FRAME) == flags
+
+
+def test_widen_absorbs_short_edge_water():
+    # trailing water shorter than MIN_FRAME is converted to land, like the
+    # reference's second pass (it slices without an interior guard)
+    flags = [False] * 6 + [True] * 8 + [False] * 2
+    out = widen_land_runs(flags, MIN_FRAME)
+    assert all(out[6:])
+    assert out[:6] == [False] * 6  # long edge water is untouched
 
 
 def test_widen_grows_short_run():
