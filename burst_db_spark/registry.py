@@ -12,7 +12,7 @@ Contract notes (from the driver):
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +30,16 @@ class QuerySpec:
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
+
+# Explicit ordering prefix: names listed here come first in all_queries()
+# (the driver's correctness gate samples a prefix of the registration
+# order, so load-bearing / not-yet-driver-verified queries go first).
+_ORDER_PREFIX: tuple[str, ...] = ()
+
+
+def set_order_prefix(names: Sequence[str]) -> None:
+    global _ORDER_PREFIX
+    _ORDER_PREFIX = tuple(names)
 
 
 def register(
@@ -55,4 +65,11 @@ def all_queries() -> dict[str, QuerySpec]:
     # Import for side effect: query modules self-register on import.
     import burst_db_spark.queries  # noqa: F401
 
-    return dict(_REGISTRY)
+    out: dict[str, QuerySpec] = {}
+    for n in _ORDER_PREFIX:
+        if n in _REGISTRY:
+            out[n] = _REGISTRY[n]
+    for n, spec in _REGISTRY.items():
+        if n not in out:
+            out[n] = spec
+    return out
