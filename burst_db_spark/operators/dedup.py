@@ -154,11 +154,29 @@ def minhash_signatures(
     One explode + one groupBy — the shuffle moves (id, K longs) only.
     """
     sh = doc_shingles(df, id_col, text_col, n)
-    aggs = [
-        F.min(_md5_hash32_sliced(F.col("shingle"), j)).alias(f"h{j}")
-        for j in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    # Project the md5 digests ONCE per shingle before aggregating: the min
+    # aggregates then slice cheap substrings of the digest columns, which
+    # guarantees K/4 md5 evaluations per shingle regardless of whether the
+    # aggregate codegen eliminates common subexpressions.
+    n_md5 = (num_hashes + 3) // 4
+    dig = sh.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))).alias(f"d{s}")
+            for s in range(n_md5)
+        ],
+    )
+    aggs = []
+    for j in range(num_hashes):
+        seed, slice_idx = divmod(j, 4)
+        aggs.append(
+            F.min(
+                F.conv(
+                    F.substring(F.col(f"d{seed}"), 1 + 8 * slice_idx, 8), 16, 10
+                ).cast("bigint")
+            ).alias(f"h{j}")
+        )
+    return dig.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -217,15 +235,18 @@ def minhash_lsh_dedup(
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes).persist()
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, band_rows)
-    sa = sigs.select(
-        F.col(id_col).alias("id_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(num_hashes)]
-    )
-    sb = sigs.select(
-        F.col(id_col).alias("id_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(num_hashes)]
-    )
-    agree = sum(
-        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
-        for j in range(num_hashes)
+    # verify on the signature packed as ONE array column per side: the
+    # joined row stays narrow and the agreement count is a single
+    # zip_with fold instead of 2·K column accessors
+    sig_arr = F.array(*[F.col(f"h{j}") for j in range(num_hashes)])
+    sa = sigs.select(F.col(id_col).alias("id_a"), sig_arr.alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), sig_arr.alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
     return (
         cands.join(sa, "id_a")

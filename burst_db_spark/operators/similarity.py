@@ -71,6 +71,195 @@ def cosine_topk(
     )
 
 
+def lsh_planes(n_planes: int = 32, dim: int = 64) -> list[list[float]]:
+    """Deterministic random-hyperplane matrix (LCG-derived, seedless API so
+    both engines can inline the identical literals). Values in [-1, 1]."""
+    state = 0x9E3779B97F4A7C15
+    out: list[list[float]] = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        out.append(row)
+    return out
+
+
+def lsh_sign_bits(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit LSH signature as ONE array<int> column.
+
+    bit_p = (vec · plane_p >= 0), computed with a single ``transform``
+    over the 2-D literal plane matrix — the dot-product code is
+    generated once (vs one inlined copy per plane, which made JIT the
+    dominant cold cost). The dot is the same left-fold as ``_dot`` so
+    each sign is bit-identical to the oracle's ``list_reduce`` fold."""
+    planes_col = F.array(
+        *[F.array(*[F.lit(x) for x in p]) for p in planes]
+    )
+    return F.transform(planes_col, lambda p: (_dot(vec, p) >= 0).cast("int"))
+
+
+def lsh_band_keys(bits: Column, n_planes: int, bits_per_band: int = 4) -> Column:
+    """Band keys from a MATERIALIZED sign-bit column: key b =
+    Σ_j bits[b·r+j] << j. ``bits`` must be a projected column (not the
+    raw signature expression) so the planes are evaluated once per row."""
+    r = bits_per_band
+    weights = F.array(*[F.lit(1 << j) for j in range(r)])
+    n_bands = n_planes // r
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.aggregate(
+            F.zip_with(
+                F.slice(bits, b * r + 1, F.lit(r)), weights, lambda x, w: x * w
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 32,
+    bits_per_band: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via random-hyperplane LSH banding.
+
+    The 100 TB shape: signature + band keys are narrow column math; the
+    ONLY join is a self-equi-join on (band_idx, band_key) — candidate
+    generation never goes quadratic in the corpus, it is bounded by
+    bucket occupancy (like the MinHash path, operators/dedup.py). Exact
+    cosine runs on surviving candidates only. Recall vs the all-pairs
+    baseline is the standard LSH trade-off (P[candidate] =
+    1-(1-p^r)^b with p = 1 - θ/π); the all-pairs audit variant measures
+    it (queries: dd_embedding_nn_exact_audit).
+    """
+    planes = lsh_planes(n_planes, dim=64)
+    # The plane matrix rides in as broadcast DATA (a 1-row frame), not as
+    # a 2048-literal expression tree — Catalyst planning/codegen over the
+    # literal tree was the dominant cold cost. The transform lambda is
+    # identical, so signs and cosines don't change.
+    spark = emb.sparkSession
+    planes_df = spark.createDataFrame(
+        [(planes,)], "planes: array<array<double>>"
+    )
+    # signature computed once, persisted: it feeds the band explode AND
+    # both verify sides (the minhash pattern, operators/dedup.py). The
+    # bits land in a real column first so the plane transform runs once
+    # per row; keys are cheap slices of that column.
+    sig = (
+        emb.crossJoin(F.broadcast(planes_df))
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("nrm"),
+            F.transform(
+                F.col("planes"),
+                lambda p: (_dot(F.col(vec_col), p) >= 0).cast("int"),
+            ).alias("bits"),
+        )
+        .select(
+            "vid",
+            "vec",
+            "nrm",
+            lsh_band_keys(F.col("bits"), n_planes, bits_per_band).alias("keys"),
+        )
+        .persist()
+    )
+    # band rows stay NARROW (ids + small ints) — the explode and the
+    # candidate shuffle never carry the vectors
+    bands = sig.select(
+        "vid", F.posexplode("keys").alias("band_idx", "band_key")
+    )
+    a = bands.select(F.col("vid").alias("id_a"), "band_idx", "band_key")
+    b = bands.select(F.col("vid").alias("id_b"), "band_idx", "band_key")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = sig.select(
+        F.col("vid").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+    )
+    eb = sig.select(
+        F.col("vid").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn(
+            "cos", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def lsh_oracle_sql(
+    n_planes: int = 32, bits_per_band: int = 4, threshold: float = 0.4
+) -> str:
+    """DuckDB SQL computing the identical LSH-pruned pair set (same plane
+    literals, same fold order → bit-identical signs and cosines)."""
+    planes = lsh_planes(n_planes, dim=64)
+    r = bits_per_band
+
+    def dot(plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (
+            "list_reduce(list_transform(range(1, 65), i -> "
+            f"CAST(embedding[i] AS DOUBLE) * ({lit})[i]), (x, y) -> x + y)"
+        )
+
+    band_keys = []
+    for bstart in range(0, n_planes, r):
+        terms = [
+            f"(CASE WHEN {dot(planes[bstart + j])} >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(r)
+        ]
+        band_keys.append(" + ".join(terms))
+    keys_list = "[" + ", ".join(band_keys) + "]"
+    n_bands = n_planes // r
+    return f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    sig AS (
+        SELECT vec_id, embedding,
+               sqrt(list_reduce(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                    (x, y) -> x + y)) AS nrm,
+               {keys_list} AS keys
+        FROM e
+    ),
+    bands AS (
+        SELECT vec_id, embedding, nrm,
+               unnest(range({n_bands})) AS band_idx,
+               unnest(keys) AS band_key
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               list_reduce(list_transform(range(1, 65),
+                   i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y) / (sa.nrm * sb.nrm) AS cos
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.id_a
+        JOIN e eb ON eb.vec_id = c.id_b
+        JOIN sig sa ON sa.vec_id = c.id_a
+        JOIN sig sb ON sb.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, cos FROM scored WHERE cos >= {threshold}
+    """
+
+
 def cosine_topk_partitioned(
     emb: DataFrame,
     queries: DataFrame,

