@@ -40,16 +40,38 @@ def snap_bbox_exprs(
     ]
 
 
+def utm_zone_expr(lon: Column, lat: Column) -> Column:
+    """UTM zone number with the Norway (32V) and Svalbard (31X/33X/35X/
+    37X) exceptions — ``utm.from_latlon`` zone semantics
+    (build_frame_db.py:193-206 cites the same oddities), pure column math.
+    """
+    std = F.least(
+        F.greatest(F.floor((lon + 180.0) / 6.0).cast("int") + 1, F.lit(1)),
+        F.lit(60),
+    )
+    sval = (lat >= 72.0) & (lat <= 84.0)
+    return (
+        F.when(
+            (lat >= 56.0) & (lat < 64.0) & (lon >= 3.0) & (lon < 12.0),
+            F.lit(32),
+        )
+        .when(sval & (lon >= 0.0) & (lon < 9.0), F.lit(31))
+        .when(sval & (lon >= 9.0) & (lon < 21.0), F.lit(33))
+        .when(sval & (lon >= 21.0) & (lon < 33.0), F.lit(35))
+        .when(sval & (lon >= 33.0) & (lon < 42.0), F.lit(37))
+        .otherwise(std)
+        .cast("int")
+    )
+
+
 def utm_epsg_expr(lon: Column, lat: Column) -> Column:
     """EPSG classification from lon/lat, pure column math
     (build_frame_db.py:27-32 polar thresholds; :222-249 UTM zone):
     lat > 75 → 3413 (polar north), lat < -60 → 3031 (polar south),
-    else 326xx/327xx with zone = floor((lon+180)/6)+1 clamped to [1,60].
+    else 326xx/327xx with zone from ``utm_zone_expr`` (incl. the
+    Norway/Svalbard exception cells).
     """
-    zone = F.least(
-        F.greatest(F.floor((lon + 180.0) / 6.0).cast("int") + 1, F.lit(1)),
-        F.lit(60),
-    )
+    zone = utm_zone_expr(lon, lat)
     return (
         F.when(lat > 75.0, F.lit(3413))
         .when(lat < -60.0, F.lit(3031))

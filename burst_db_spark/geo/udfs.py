@@ -104,6 +104,50 @@ def centroid_udf(wkts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["x", "y"])
 
 
+@F.pandas_udf(_ENV_SCHEMA)
+def utm_envelope_udf(wkts: pd.Series, epsgs: pd.Series) -> pd.DataFrame:
+    """Envelope of each geometry AFTER forward-projecting its vertices
+    into the row's own EPSG (ST_Envelope(ST_Transform(geom, epsg)),
+    build_frame_db.py:424-431). Vertices are gathered across the whole
+    Arrow batch and projected with ONE vectorized numpy call per distinct
+    EPSG — no per-row trig loops."""
+    import numpy as np
+
+    from burst_db_spark.geo import utm as U
+    from burst_db_spark.geo.wkt import parse_wkt
+
+    n = len(wkts)
+    xs, ys, rid, eid = [], [], [], []
+    for i, (w, e) in enumerate(zip(wkts, epsgs)):
+        if w is None or e is None or int(e) == 0:
+            continue
+        _, polys = parse_wkt(w)
+        for rings in polys:
+            for x, y in rings[0]:  # exterior ring bounds the envelope
+                xs.append(x)
+                ys.append(y)
+                rid.append(i)
+                eid.append(int(e))
+    out = np.full((n, 4), np.nan)
+    if xs:
+        xs_a = np.asarray(xs)
+        ys_a = np.asarray(ys)
+        rid_a = np.asarray(rid)
+        eid_a = np.asarray(eid)
+        out[:, 0] = out[:, 1] = np.inf
+        out[:, 2] = out[:, 3] = -np.inf
+        for e in np.unique(eid_a):
+            m = eid_a == e
+            px, py = U.project(ys_a[m], xs_a[m], int(e))
+            idx = rid_a[m]
+            np.minimum.at(out[:, 0], idx, px)
+            np.minimum.at(out[:, 1], idx, py)
+            np.maximum.at(out[:, 2], idx, px)
+            np.maximum.at(out[:, 3], idx, py)
+        out[np.isinf(out)] = np.nan
+    return pd.DataFrame(out, columns=["xmin", "ymin", "xmax", "ymax"])
+
+
 def simplify_udf(tolerance: float):
     @F.pandas_udf(StringType())
     def _simplify(wkts: pd.Series) -> pd.Series:

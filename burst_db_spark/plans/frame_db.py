@@ -263,7 +263,7 @@ def enrich_frames(frames: DataFrame, member_geoms: DataFrame | None = None) -> D
       degree units here (the fixtures are lon/lat), same arithmetic.
     """
     from burst_db_spark.geo.bbox import snap_bbox_exprs, utm_epsg_expr
-    from burst_db_spark.geo.udfs import union_collect_agg
+    from burst_db_spark.geo.udfs import union_collect_agg, utm_envelope_udf
 
     if member_geoms is not None:
         geoms = union_collect_agg(member_geoms, "frame_fid")
@@ -281,15 +281,26 @@ def enrich_frames(frames: DataFrame, member_geoms: DataFrame | None = None) -> D
     cx = (F.col("xmin") + F.col("xmax")) / 2
     cy = (F.col("ymin") + F.col("ymax")) / 2
     frames = frames.withColumn("epsg", utm_epsg_expr(cx, cy))
-    # snap must produce integral grid values (the bbox columns are INT,
-    # matching the reference's 40%-smaller minimal DB): 1 degree here,
-    # 30 m in the reference's UTM meters
+    # lon/lat prune bbox: integral-degree grid (drives the CLI intersect
+    # prefilter, which works in 4326 like the reference frames table)
     snapped = snap_bbox_exprs(
         F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
         snap=1.0, margin=0.5,
+    )
+    # reference minimal-DB parity (build_frame_db.py:409-450 +
+    # make_minimal_db): vertices forward-projected into the frame's OWN
+    # EPSG, envelope in meters, snapped to the 30 m grid with 5 km margin,
+    # stored as INT (the reference's ~40% smaller representation)
+    env = utm_envelope_udf(F.col("geom_wkt"), F.col("epsg"))
+    frames = frames.withColumn("__uenv", env)
+    meter = snap_bbox_exprs(
+        F.col("__uenv.xmin"), F.col("__uenv.ymin"),
+        F.col("__uenv.xmax"), F.col("__uenv.ymax"),
+        snap=30.0, margin=5000.0,
     )
     return frames.select(
         "frame_fid", "relative_orbit_number", "orbit_pass", "is_land",
         "n_triplets", "geom_wkt", "epsg",
         *[s.alias(n) for s, n in zip(snapped, ["sxmin", "symin", "sxmax", "symax"])],
+        *[s.alias(n) for s, n in zip(meter, ["uxmin", "uymin", "uxmax", "uymax"])],
     )

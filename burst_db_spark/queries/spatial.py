@@ -167,35 +167,64 @@ def a3_union_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZONE_SQL = """CASE
+             WHEN lat >= 56 AND lat < 64 AND lon >= 3 AND lon < 12 THEN 32
+             WHEN lat >= 72 AND lat <= 84 AND lon >= 0 AND lon < 9 THEN 31
+             WHEN lat >= 72 AND lat <= 84 AND lon >= 9 AND lon < 21 THEN 33
+             WHEN lat >= 72 AND lat <= 84 AND lon >= 21 AND lon < 33 THEN 35
+             WHEN lat >= 72 AND lat <= 84 AND lon >= 33 AND lon < 42 THEN 37
+             ELSE least(greatest(CAST(floor((lon + 180) / 6) AS INTEGER) + 1, 1), 60)
+           END"""
+
+
 @register(
     "utm_epsg_classify",
-    oracle="""
+    oracle=f"""
     WITH pts AS (
         SELECT c_custkey,
-               (c_custkey * 7) % 360 - 180 + 0.5 AS lon,
-               (c_custkey * 11) % 170 - 85 + 0.5 AS lat
+               CAST((c_custkey * 7) % 360 - 180 + 0.5 AS DOUBLE) AS lon,
+               CAST((c_custkey * 11) % 170 - 85 + 0.5 AS DOUBLE) AS lat
         FROM customer
+        UNION ALL
+        SELECT c_custkey + 1000000,
+               CAST((c_custkey * 5) % 42 + 0.5 AS DOUBLE) AS lon,
+               CAST((c_custkey * 3) % 28 + 56 + 0.5 AS DOUBLE) AS lat
+        FROM customer WHERE c_custkey < 400
     )
     SELECT c_custkey, lon, lat,
            CAST(CASE
              WHEN lat > 75 THEN 3413
              WHEN lat < -60 THEN 3031
-             WHEN lat >= 0 THEN 32600 + least(greatest(CAST(floor((lon + 180) / 6) AS INTEGER) + 1, 1), 60)
-             ELSE 32700 + least(greatest(CAST(floor((lon + 180) / 6) AS INTEGER) + 1, 1), 60)
+             WHEN lat >= 0 THEN 32600 + {{_ZONE_SQL}}
+             ELSE 32700 + {{_ZONE_SQL}}
            END AS INTEGER) AS epsg
     FROM pts
-    """,
+    """.format(_ZONE_SQL=_ZONE_SQL),
     tags=("geo", "epsg"),
 )
 def utm_epsg_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UTM/polar EPSG classification as pure column math
-    (build_frame_db.py:27-32,222-249)."""
+    """UTM/polar EPSG classification as pure column math, including the
+    Norway (32V) / Svalbard (31X..37X) zone exceptions
+    (build_frame_db.py:27-32,193-259 via utm.from_latlon). The second
+    point set sweeps lat 56..84 x lon 0..42 so every exception cell is
+    exercised."""
     cust = load(spark, sf_dir, "customer")
-    lon = (F.col("c_custkey") * 7) % 360 - 180 + 0.5
-    lat = (F.col("c_custkey") * 11) % 170 - 85 + 0.5
-    return cust.select(
+    lon = ((F.col("c_custkey") * 7) % 360 - 180 + 0.5).cast("double")
+    lat = ((F.col("c_custkey") * 11) % 170 - 85 + 0.5).cast("double")
+    base = cust.select(
+        "c_custkey", lon.alias("lon"), lat.alias("lat")
+    )
+    ex_lon = ((F.col("c_custkey") * 5) % 42 + 0.5).cast("double")
+    ex_lat = ((F.col("c_custkey") * 3) % 28 + 56 + 0.5).cast("double")
+    exc = cust.where(F.col("c_custkey") < 400).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        ex_lon.alias("lon"),
+        ex_lat.alias("lat"),
+    )
+    pts = base.unionByName(exc)
+    return pts.select(
         "c_custkey",
-        lon.alias("lon"),
-        lat.alias("lat"),
-        utm_epsg_expr(lon, lat).alias("epsg"),
+        "lon",
+        "lat",
+        utm_epsg_expr(F.col("lon"), F.col("lat")).alias("epsg"),
     )

@@ -74,3 +74,58 @@ def test_collect_union():
 def test_area_sign():
     _, coords = parse_wkt(rect_wkt(0, 0, 2, 3))
     assert math.isclose(abs(P.shoelace_area(coords[0][0])), 6)
+
+
+def test_utm_forward_transform_golden():
+    """Anchor against the utm package's published README vector:
+    from_latlon(51.2, 7.5) -> (395201.3103811303, 5673135.241182375, 32, 'U')."""
+    import numpy as np
+    from burst_db_spark.geo import utm as U
+
+    x, y = U.project(np.array([51.2]), np.array([7.5]), 32632)
+    assert abs(x[0] - 395201.3103811303) < 0.01
+    assert abs(y[0] - 5673135.241182375) < 0.01
+    # north pole is the 3413 origin
+    x, y = U.project(np.array([90.0]), np.array([0.0]), 3413)
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    # southern-hemisphere false northing
+    x, y = U.project(np.array([-33.0]), np.array([151.0]), 32756)
+    assert 0 < y[0] < 10_000_000
+
+
+def test_utm_zone_exceptions():
+    from burst_db_spark.geo import utm as U
+
+    assert U.utm_zone(60.0, 5.0) == 32       # Norway 32V
+    assert U.utm_zone(60.0, 2.9) == 31       # west of the exception
+    assert U.utm_zone(75.0, 5.0) == 31       # Svalbard 31X
+    assert U.utm_zone(75.0, 10.0) == 33
+    assert U.utm_zone(75.0, 25.0) == 35
+    assert U.utm_zone(75.0, 35.0) == 37
+    assert U.utm_zone(40.0, 5.0) == 31       # standard formula elsewhere
+
+
+def test_enrich_frames_meter_bbox(spark):
+    import numpy as np
+    from burst_db_spark.geo import utm as U
+    from burst_db_spark.geo.wkt import parse_wkt
+    from burst_db_spark.plans import fixtures
+    from burst_db_spark.plans.frame_db import build_frames, enrich_frames
+
+    trip = fixtures.burst_triplets(spark, n_triplets=120, n_tracks=2)
+    frames, _ = build_frames(trip)
+    rows = enrich_frames(frames).collect()
+    assert rows
+    for r in rows[:10]:
+        # snapped to the 30 m grid
+        for v in (r.uxmin, r.uymin, r.uxmax, r.uymax):
+            assert isinstance(v, int) and v % 30 == 0
+        # contains every projected vertex with the 5 km margin
+        _, polys = parse_wkt(r.geom_wkt)
+        vx = np.array([p[0] for rings in polys for p in rings[0]])
+        vy = np.array([p[1] for rings in polys for p in rings[0]])
+        px, py = U.project(vy, vx, r.epsg)
+        assert r.uxmin <= px.min() - 5000 and r.uxmin >= px.min() - 5030
+        assert r.uymin <= py.min() - 5000 and r.uymin >= py.min() - 5030
+        assert r.uxmax >= px.max() + 5000 and r.uxmax <= px.max() + 5030
+        assert r.uymax >= py.max() + 5000 and r.uymax <= py.max() + 5030
