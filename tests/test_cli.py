@@ -13,7 +13,10 @@ def test_cli_create_lookup_intersect(spark, tmp_path, capsys):
     created = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert created["n_frames"] > 0 and created["n_bridge_rows"] > 0
 
-    assert main(["lookup", "--db", db, "--frame-id", "1002000"]) == 0
+    # pick a real frame id from the created artifacts (run numbering
+    # depends on the land-widening pass, so no hardcoded id)
+    fid = int(spark.read.parquet(f"{db}/frames").agg({"frame_fid": "min"}).first()[0])
+    assert main(["lookup", "--db", db, "--frame-id", str(fid)]) == 0
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(rec) == 1
     assert rec[0]["geom_wkt"].startswith("MULTIPOLYGON")
