@@ -193,6 +193,92 @@ def translate(wkt: str, xoff: float = 0.0, yoff: float = 0.0) -> str:
     return to_wkt(out)
 
 
+def clip_halfplane(ring: Ring, a: float, b: float, c: float) -> Ring:
+    """Sutherland–Hodgman clip of a closed ring against the half-plane
+    a·x + b·y <= c. Returns a closed ring ([] when fully outside)."""
+    if not ring:
+        return []
+    pts = ring[:-1] if ring[0] == ring[-1] else list(ring)
+    out: Ring = []
+    n = len(pts)
+    for i in range(n):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % n]
+        d1 = a * x1 + b * y1 - c
+        d2 = a * x2 + b * y2 - c
+        if d1 <= 0:
+            out.append((x1, y1))
+            if d2 > 0:  # leaving: add intersection
+                t = d1 / (d1 - d2)
+                out.append((x1 + t * (x2 - x1), y1 + t * (y2 - y1)))
+        elif d2 <= 0:  # entering: add intersection
+            t = d1 / (d1 - d2)
+            out.append((x1 + t * (x2 - x1), y1 + t * (y2 - y1)))
+    if not out:
+        return []
+    out.append(out[0])
+    return out
+
+
+def split_antimeridian(wkt: str) -> str:
+    """Split a dateline-crossing polygon into two at ±180°
+    (check_dateline semantics, parse_bursts.py:576-629): a polygon whose
+    raw lon span exceeds 180° is rebuilt with longitudes in [0, 360],
+    clipped at x=180 into an eastern and a western part, and the >180
+    part is wrapped back down by 360. Non-crossing input is returned
+    unchanged."""
+    kind, coords = parse_wkt(wkt)
+    out: MultiPolygonCoords = []
+    for rings in coords:  # type: ignore[union-attr]
+        ring = rings[0]
+        xs = [x for x, _ in ring]
+        if max(xs) - min(xs) <= 180.0:
+            out.append(rings)
+            continue
+        shifted = [(x + 360.0 if x <= 0.0 else x, y) for x, y in ring]
+        east = clip_halfplane(shifted, 1.0, 0.0, 180.0)  # x <= 180
+        west = clip_halfplane(shifted, -1.0, 0.0, -180.0)  # x >= 180
+        parts = []
+        if len(east) >= 4:
+            parts.append([east])
+        if len(west) >= 4:
+            parts.append([[(x - 360.0, y) for x, y in west]])
+        assert len(parts) == 2, "dateline split must yield two parts"
+        out.extend(parts)
+    return to_wkt(out, force_multi=len(out) > 1)
+
+
+def antimeridian_epsg(wkt: str) -> int:
+    """EPSG for a dateline-straddling MULTIPOLYGON
+    (build_frame_db.py:262-308): polar thresholds on the centroid
+    latitude, else the area-weighted mean of the per-part centroids with
+    western parts shifted +360; zone 1 if the mean lies east of 180,
+    zone 60 otherwise."""
+    _, coords = parse_wkt(wkt)
+    total_a = wy = 0.0
+    for rings in coords:  # type: ignore[union-attr]
+        a = abs(shoelace_area(rings[0]))
+        _, cy_ = centroid(to_wkt([rings]))
+        total_a += a
+        wy += cy_ * a
+    y_c = wy / total_a
+    if y_c >= 75.0:
+        return 3413
+    if y_c <= -60.0:
+        return 3031
+    a_sum = xw = 0.0
+    for rings in coords:  # type: ignore[union-attr]
+        a = abs(shoelace_area(rings[0]))
+        cx_, _ = centroid(to_wkt([rings]))
+        if cx_ < 0:
+            cx_ += 360.0
+        a_sum += a
+        xw += cx_ * a
+    x_c = xw / a_sum
+    base = 32600 if y_c > 0 else 32700
+    return base + (1 if x_c > 180.0 else 60)
+
+
 def collect_union_wkt(wkts: list[str]) -> str:
     """Assemble geometries into one MULTIPOLYGON (ST_Collect).
 

@@ -148,6 +148,21 @@ def utm_envelope_udf(wkts: pd.Series, epsgs: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["xmin", "ymin", "xmax", "ymax"])
 
 
+@F.pandas_udf(StringType())
+def split_antimeridian_udf(wkts: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if w is None else P.split_antimeridian(w) for w in wkts]
+    )
+
+
+@F.pandas_udf("int")
+def antimeridian_epsg_udf(wkts: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if w is None else P.antimeridian_epsg(w) for w in wkts],
+        dtype="Int32",
+    )
+
+
 def simplify_udf(tolerance: float):
     @F.pandas_udf(StringType())
     def _simplify(wkts: pd.Series) -> pd.Series:

@@ -75,7 +75,10 @@ def transverse_mercator(lat, lon, lon0):
     n = _A / np.sqrt(1.0 - _E2 * sin_phi**2)
     t = tan_phi**2
     c = _EP2 * cos_phi**2
-    a_ = (lam - lam0) * cos_phi
+    # normalize the meridian offset into [-pi, pi] so dateline-straddling
+    # geometries project into their assigned zone instead of wrapping
+    dlam = np.mod(lam - lam0 + np.pi, 2.0 * np.pi) - np.pi
+    a_ = dlam * cos_phi
 
     m = _A * (
         (1.0 - _E2 / 4.0 - 3.0 * _E4 / 64.0 - 5.0 * _E6 / 256.0) * phi

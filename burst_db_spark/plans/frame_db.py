@@ -268,7 +268,7 @@ def enrich_frames(frames: DataFrame, member_geoms: DataFrame | None = None) -> D
     if member_geoms is not None:
         geoms = union_collect_agg(member_geoms, "frame_fid")
         frames = frames.join(geoms, "frame_fid", "left")
-    else:
+    elif "geom_wkt" not in frames.columns:
         frames = frames.withColumn(
             "geom_wkt",
             F.format_string(
@@ -278,13 +278,36 @@ def enrich_frames(frames: DataFrame, member_geoms: DataFrame | None = None) -> D
                 F.col("xmin"), F.col("ymin"),
             ),
         )
+    # Antimeridian frames (raw lon span > 180°): split the footprint in
+    # two at ±180° (parse_bursts.py:576-629) and classify EPSG with the
+    # area-weighted shifted-centroid rule (build_frame_db.py:262-308).
+    # Everything else stays on the pure-column EPSG path.
+    from burst_db_spark.geo.udfs import antimeridian_epsg_udf, split_antimeridian_udf
+
+    crossing = (F.col("xmax") - F.col("xmin")) > 180.0
+    frames = frames.withColumn(
+        "geom_wkt",
+        F.when(crossing, split_antimeridian_udf(F.col("geom_wkt"))).otherwise(
+            F.col("geom_wkt")
+        ),
+    )
     cx = (F.col("xmin") + F.col("xmax")) / 2
     cy = (F.col("ymin") + F.col("ymax")) / 2
-    frames = frames.withColumn("epsg", utm_epsg_expr(cx, cy))
+    frames = frames.withColumn(
+        "epsg",
+        F.when(crossing, antimeridian_epsg_udf(F.col("geom_wkt"))).otherwise(
+            utm_epsg_expr(cx, cy)
+        ),
+    )
     # lon/lat prune bbox: integral-degree grid (drives the CLI intersect
-    # prefilter, which works in 4326 like the reference frames table)
+    # prefilter, which works in 4326 like the reference frames table).
+    # A split dateline frame spans the whole lon axis in 4326, so its
+    # prune box is the conservative [-180, 180].
     snapped = snap_bbox_exprs(
-        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+        F.when(crossing, F.lit(-180.0)).otherwise(F.col("xmin")),
+        F.col("ymin"),
+        F.when(crossing, F.lit(180.0)).otherwise(F.col("xmax")),
+        F.col("ymax"),
         snap=1.0, margin=0.5,
     )
     # reference minimal-DB parity (build_frame_db.py:409-450 +

@@ -129,3 +129,70 @@ def test_enrich_frames_meter_bbox(spark):
         assert r.uymin <= py.min() - 5000 and r.uymin >= py.min() - 5030
         assert r.uxmax >= px.max() + 5000 and r.uxmax <= px.max() + 5030
         assert r.uymax >= py.max() + 5000 and r.uymax <= py.max() + 5030
+
+
+def test_split_antimeridian():
+    from burst_db_spark.geo import predicates as P
+
+    # a strip crossing the dateline: lons 175 .. -175 (span 350 raw)
+    w = "POLYGON ((175 10, -175 10, -175 12, 175 12, 175 10))"
+    out = P.split_antimeridian(w)
+    assert out.startswith("MULTIPOLYGON")
+    _, coords = __import__("burst_db_spark.geo.wkt", fromlist=["parse_wkt"]).parse_wkt(out)
+    assert len(coords) == 2
+    for rings in coords:
+        xs = [x for x, _ in rings[0]]
+        # each part stays on one side of the dateline
+        assert (max(xs) <= 180.0 and min(xs) >= 170.0) or (
+            min(xs) >= -180.0 and max(xs) <= -170.0
+        )
+    # area is preserved by the split (10 deg x 2 deg strip)
+    area = sum(abs(P.shoelace_area(r[0])) for r in coords)
+    assert abs(area - 20.0) < 1e-9
+    # non-crossing input is unchanged
+    w2 = "POLYGON ((10 10, 20 10, 20 12, 10 12, 10 10))"
+    assert P.split_antimeridian(w2) == w2
+
+
+def test_antimeridian_epsg():
+    from burst_db_spark.geo import predicates as P
+
+    w = "POLYGON ((175 10, -175 10, -175 12, 175 12, 175 10))"
+    mp = P.split_antimeridian(w)
+    # centroid sits at shifted lon 180 -> on the boundary, west rule: zone 60
+    assert P.antimeridian_epsg(mp) in (32601, 32660)
+    # mostly-eastern strip: lons 176..-178 -> shifted centroid 179 < 180 -> zone 60
+    w_east = "POLYGON ((176 10, -178 10, -178 12, 176 12, 176 10))"
+    assert P.antimeridian_epsg(P.split_antimeridian(w_east)) == 32660
+    # mostly-western strip: lons 178..-172 -> shifted centroid 183 > 180 -> zone 1
+    w_west = "POLYGON ((178 10, -172 10, -172 12, 178 12, 178 10))"
+    assert P.antimeridian_epsg(P.split_antimeridian(w_west)) == 32601
+    # southern hemisphere -> 327xx
+    w_s = "POLYGON ((178 -30, -172 -30, -172 -28, 178 -28, 178 -30))"
+    assert P.antimeridian_epsg(P.split_antimeridian(w_s)) == 32701
+    # polar override
+    w_n = "POLYGON ((175 80, -175 80, -175 82, 175 82, 175 80))"
+    assert P.antimeridian_epsg(P.split_antimeridian(w_n)) == 3413
+
+
+def test_enrich_frames_antimeridian(spark):
+    """A dateline-crossing frame gets a 2-part footprint, a zone-1/60
+    EPSG, and a finite meter bbox in that EPSG."""
+    from pyspark.sql import functions as F
+    from burst_db_spark.plans.frame_db import enrich_frames
+
+    # lon min/max of a crossing track come out as -178/178 (span 356),
+    # which is exactly the crossing signal build_frames produces
+    frames = spark.createDataFrame(
+        [(9001000, 9, "ASCENDING", True, -178.0, 10.0, 178.0, 12.0, 3)],
+        "frame_fid long, track int, orbit_pass string, is_land boolean, "
+        "xmin double, ymin double, xmax double, ymax double, n_triplets int",
+    ).withColumn(
+        "geom_wkt",
+        F.lit("POLYGON ((178 10, -178 10, -178 12, 178 12, 178 10))"),
+    ).withColumn("relative_orbit_number", F.col("track"))
+    row = enrich_frames(frames).first()
+    assert row.geom_wkt.startswith("MULTIPOLYGON")
+    assert row.epsg in (32601, 32660)
+    assert row.uxmin is not None and row.uxmax > row.uxmin
+    assert row.uymin is not None and row.uymax > row.uymin
