@@ -279,6 +279,133 @@ def antimeridian_epsg(wkt: str) -> int:
     return base + (1 if x_c > 180.0 else 60)
 
 
+def _ring_ccw(ring: Ring) -> Ring:
+    return ring if shoelace_area(ring) >= 0 else ring[::-1]
+
+
+def convex_clip(subject: Ring, clip: Ring) -> Ring:
+    """subject ∩ clip via Sutherland–Hodgman (exact when ``clip`` is
+    convex; the intersection of convex rings stays convex, so repeated
+    application is closed)."""
+    clip = _ring_ccw(clip)
+    pts = clip[:-1] if clip[0] == clip[-1] else list(clip)
+    out = subject
+    n = len(pts)
+    for i in range(n):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % n]
+        # inside = left of the CCW edge: (y2-y1)x - (x2-x1)y <= (y2-y1)x1 - (x2-x1)y1
+        a = y2 - y1
+        b = -(x2 - x1)
+        c = a * x1 + b * y1
+        out = clip_halfplane(out, a, b, c)
+        if not out:
+            return []
+    return out
+
+
+def _ring_area_centroid(ring: Ring) -> tuple[float, float, float]:
+    a = shoelace_area(ring)
+    sx = sy = 0.0
+    for i in range(len(ring) - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        f = x1 * y2 - x2 * y1
+        sx += (x1 + x2) * f
+        sy += (y1 + y2) * f
+    if abs(a) < 1e-18:
+        return 0.0, 0.0, 0.0
+    return abs(a), sx / (6.0 * a), sy / (6.0 * a)
+
+
+def dissolve_stats(wkts: list[str]) -> tuple[float, float, float]:
+    """TRUE union (dissolve) area + centroid of a set of CONVEX polygons
+    — the ST_UnaryUnion statistics (build_frame_db.py:139-148) without a
+    clipping library: inclusion–exclusion over running convex
+    intersections, recursing only while the running intersection is
+    nonempty (burst strips only overlap between neighbours, so the
+    recursion dies at depth ~2). Unlike ``collect_union_wkt`` (a
+    collection), overlap between members is NOT double-counted.
+
+    Exponential in the worst case (everything overlapping everything) —
+    fine for per-frame member counts; exactness requires convex inputs.
+    Returns (area, cx, cy)."""
+    rings: list[Ring] = []
+    for w in wkts:
+        _, coords = parse_wkt(w)
+        for poly in coords:  # type: ignore[union-attr]
+            rings.append(_ring_ccw(poly[0]))
+    area_total = 0.0
+    mx = my = 0.0
+
+    def rec(start: int, current: Ring, depth: int) -> None:
+        nonlocal area_total, mx, my
+        for k in range(start, len(rings)):
+            inter = convex_clip(current, rings[k]) if depth else rings[k]
+            if len(inter) < 4:
+                continue
+            a, cx, cy = _ring_area_centroid(inter)
+            if a < 1e-18:
+                continue
+            sign = 1.0 if depth % 2 == 0 else -1.0
+            area_total += sign * a
+            mx += sign * a * cx
+            my += sign * a * cy
+            rec(k + 1, inter, depth + 1)
+
+    rec(0, [], 0)
+    if area_total < 1e-18:
+        raise ValueError("degenerate union")
+    return area_total, mx / area_total, my / area_total
+
+
+def buffer_convex(wkt: str, dist: float) -> str:
+    """Positive buffer of convex polygons by MITER offset — the land-mask
+    dilation (_land_usgs.py:65 buffers the land polygon 0.3°). Each edge
+    is shifted outward along its normal and consecutive offset lines are
+    re-intersected. Miter corners make this a conservative SUPERSET of
+    the rounded (Minkowski-disk) buffer, which is exactly what a
+    safety-margin land mask wants; exact on edges, overshoot only at
+    corners (factor 1/cos(θ/2) of ``dist``). Requires convex parts."""
+    if dist < 0:
+        raise ValueError("only positive buffers are supported")
+    _, coords = parse_wkt(wkt)
+    out: MultiPolygonCoords = []
+    for rings in coords:  # type: ignore[union-attr]
+        ring = _ring_ccw(rings[0])
+        pts = ring[:-1]
+        # drop consecutive duplicates
+        pts = [p for i, p in enumerate(pts) if p != pts[i - 1]]
+        n = len(pts)
+        lines = []  # offset edge lines as (a, b, c): a·x + b·y = c
+        for i in range(n):
+            x1, y1 = pts[i]
+            x2, y2 = pts[(i + 1) % n]
+            dx, dy = x2 - x1, y2 - y1
+            ln = (dx * dx + dy * dy) ** 0.5
+            if ln < 1e-18:
+                continue
+            # outward normal of a CCW ring points right of travel
+            nx, ny = dy / ln, -dx / ln
+            ox, oy = x1 + dist * nx, y1 + dist * ny
+            lines.append((dy / ln, -dx / ln, (dy / ln) * ox + (-dx / ln) * oy))
+        new_ring: Ring = []
+        m = len(lines)
+        for i in range(m):
+            a1, b1, c1 = lines[i - 1]
+            a2, b2, c2 = lines[i]
+            det = a1 * b2 - a2 * b1
+            if abs(det) < 1e-15:  # collinear edges share the offset line
+                continue
+            new_ring.append(
+                ((c1 * b2 - c2 * b1) / det, (a1 * c2 - a2 * c1) / det)
+            )
+        if len(new_ring) >= 3:
+            new_ring.append(new_ring[0])
+            out.append([new_ring])
+    return to_wkt(out, force_multi=len(out) > 1)
+
+
 def collect_union_wkt(wkts: list[str]) -> str:
     """Assemble geometries into one MULTIPOLYGON (ST_Collect).
 

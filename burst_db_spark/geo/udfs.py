@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -163,6 +164,19 @@ def antimeridian_epsg_udf(wkts: pd.Series) -> pd.Series:
     )
 
 
+def buffer_udf(dist: float):
+    """Positive miter buffer (predicates.buffer_convex) as a vectorized
+    column transform — the land-mask dilation step."""
+
+    @F.pandas_udf(StringType())
+    def _buffer(wkts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if w is None else P.buffer_convex(w, dist) for w in wkts]
+        )
+
+    return _buffer
+
+
 def simplify_udf(tolerance: float):
     @F.pandas_udf(StringType())
     def _simplify(wkts: pd.Series) -> pd.Series:
@@ -201,6 +215,34 @@ def union_collect_agg(
         return pd.DataFrame({key: [pdf[key].iloc[0]], out_col: [merged]})
 
     return df.select(key, wkt_col).groupBy(key).applyInPandas(_union, out_schema)
+
+
+def dissolve_union_agg(
+    df: DataFrame, key: str, wkt_col: str = "geom_wkt"
+) -> DataFrame:
+    """Per-key TRUE union (dissolve) statistics: ST_UnaryUnion-style
+    area + centroid with overlap counted once (predicates.dissolve_stats
+    — convex members), via applyInPandas with tiny per-group state.
+    Returns (key, union_area, cx, cy, n_members)."""
+    key_field = df.schema[key]
+    schema = StructType(
+        [
+            key_field,
+            StructField("union_area", DoubleType()),
+            StructField("cx", DoubleType()),
+            StructField("cy", DoubleType()),
+            StructField("n_members", LongType()),
+        ]
+    )
+
+    def _dissolve(pdf: pd.DataFrame) -> pd.DataFrame:
+        area, cx, cy = P.dissolve_stats([w for w in pdf[wkt_col] if w])
+        return pd.DataFrame(
+            [[pdf[key].iloc[0], area, cx, cy, len(pdf)]],
+            columns=[key, "union_area", "cx", "cy", "n_members"],
+        )
+
+    return df.groupBy(key).applyInPandas(_dissolve, schema)
 
 
 def two_phase_intersect_filter(

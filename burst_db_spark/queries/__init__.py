@@ -48,10 +48,11 @@ for _m in _MODULES:
 # per already-green operator family. Names not listed keep their module
 # registration order after the prefix; unknown names are ignored.
 _SAMPLING_PRIORITY = (
-    # spatial kernel (unsampled in r1)
+    # spatial kernel (unsampled in r1) + round-2 dissolve
     "p9_spatial_intersect",
     "j7_spatial_join",
     "a3_union_envelope",
+    "a3_dissolve_union_area",
     "utm_epsg_classify",
     "j_spatial_knn",
     "a14_spatial_mean",

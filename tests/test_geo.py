@@ -196,3 +196,45 @@ def test_enrich_frames_antimeridian(spark):
     assert row.epsg in (32601, 32660)
     assert row.uxmin is not None and row.uxmax > row.uxmin
     assert row.uymin is not None and row.uymax > row.uymin
+
+
+def test_dissolve_stats_goldens():
+    from burst_db_spark.geo import predicates as P
+
+    # two overlapping squares, hand-computed union centroid:
+    # A=(0,0)-(2,2) a=4 c=(1,1); B=(1,1)-(4,4) a=9 c=(2.5,2.5);
+    # I=(1,1)-(2,2) a=1 c=(1.5,1.5); U=12, c=25/12
+    a = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    b = "POLYGON ((1 1, 4 1, 4 4, 1 4, 1 1))"
+    area, cx, cy = P.dissolve_stats([a, b])
+    assert abs(area - 12.0) < 1e-9
+    assert abs(cx - 25.0 / 12.0) < 1e-9 and abs(cy - 25.0 / 12.0) < 1e-9
+    # triple overlap handled by inclusion-exclusion depth 3
+    t1 = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    t2 = "POLYGON ((1 0, 3 0, 3 2, 1 2, 1 0))"
+    t3 = "POLYGON ((1 1, 2 1, 2 3, 1 3, 1 1))"
+    area3, _, _ = P.dissolve_stats([t1, t2, t3])
+    assert abs(area3 - 7.0) < 1e-9
+    # identical members are not double-counted
+    areai, cxi, _ = P.dissolve_stats([a, a])
+    assert abs(areai - 4.0) < 1e-9 and abs(cxi - 1.0) < 1e-9
+    # winding-insensitive (CW ring input)
+    b_cw = "POLYGON ((1 1, 1 4, 4 4, 4 1, 1 1))"
+    area_cw, _, _ = P.dissolve_stats([a, b_cw])
+    assert abs(area_cw - 12.0) < 1e-9
+
+
+def test_buffer_convex():
+    from burst_db_spark.geo import predicates as P
+
+    out = P.buffer_convex("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", 1.0)
+    assert P.envelope(out) == (-1, -1, 3, 3)
+    area, cx, _ = P.dissolve_stats([out])
+    assert abs(area - 16.0) < 1e-9 and abs(cx - 1.0) < 1e-9
+    # winding-insensitive, zero-buffer identity, containment with margin
+    out0 = P.buffer_convex("POLYGON ((0 0, 0 2, 2 2, 2 0, 0 0))", 0.0)
+    assert P.envelope(out0) == (0, 0, 2, 2)
+    tri = "POLYGON ((0 0, 10 0, 5 8, 0 0))"
+    e0, e1 = P.envelope(tri), P.envelope(P.buffer_convex(tri, 0.5))
+    assert e1[0] <= e0[0] - 0.5 and e1[2] >= e0[2] + 0.5
+    assert e1[1] <= e0[1] - 0.5 and e1[3] >= e0[3] + 0.5
