@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -156,7 +157,7 @@ def split_antimeridian_udf(wkts: pd.Series) -> pd.Series:
     )
 
 
-@F.pandas_udf("int")
+@F.pandas_udf(IntegerType())
 def antimeridian_epsg_udf(wkts: pd.Series) -> pd.Series:
     return pd.Series(
         [None if w is None else P.antimeridian_epsg(w) for w in wkts],

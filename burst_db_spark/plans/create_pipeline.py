@@ -11,6 +11,9 @@ native store; the JSON document maps keep their envelope format):
 - ``burst_to_frame.json.gz``  {burst: {frame_ids}} envelope
 - ``frames.geojson``    simplified footprints (K4)
 - ``metadata/``         1-row params table (K6)
+- ``minimal.sqlite``    queryable relational artifact (K1): the
+  reference's minimal DB (make_minimal_db: id, epsg, meter-snapped int
+  bbox) via the stdlib sqlite sink
 """
 
 from __future__ import annotations
@@ -20,7 +23,7 @@ from pyspark.sql import functions as F
 
 from burst_db_spark.operators.joins import update_join
 from burst_db_spark.plans.frame_db import build_frames, enrich_frames
-from burst_db_spark.sinks import write_metadata_table, write_parquet
+from burst_db_spark.sinks import write_metadata_table, write_parquet, write_sqlite
 from burst_db_spark.sources.geojson import write_geojson
 from burst_db_spark.sources.json_docs import write_envelope
 
@@ -79,5 +82,14 @@ def create(
         spark,
         {"target": target, "min_frame": min_frame, "max_frame": max_frame},
         f"{out_dir}/metadata",
+    )
+    # K1 relational parity: minimal DB as a real sqlite file
+    # (make_minimal_db columns: id, epsg, snapped meter bbox as INT)
+    write_sqlite(
+        frames_full.select(
+            "frame_fid", "epsg", "uxmin", "uymin", "uxmax", "uymax"
+        ),
+        f"{out_dir}/minimal.sqlite",
+        "frames",
     )
     return {"frames": frames_full, "bridge": bridge, "bursts": bursts_out}

@@ -25,6 +25,7 @@ _MODULES = (
     "scalars",
     "similarity",
     "skewq",
+    "slayer",
     "spatial",
     "textops",
     "windows",
@@ -60,6 +61,13 @@ _SAMPLING_PRIORITY = (
     "ep2_burst_catalog",
     "q5_local_supplier_volume",
     "w_running_sum",
+    # round-2 source-layer round-trips (S2-S7/S9)
+    "s2_csv_infer_roundtrip",
+    "s3_csv_schema_semicolon",
+    "s4_csv_glob_multifile",
+    "s6_geojson_roundtrip",
+    "s7_envelope_roundtrip",
+    "s9_xml_bursts",
     # scalar gauntlets (unsampled in r1)
     "f_string_gauntlet",
     "f_date_gauntlet",

@@ -1,0 +1,222 @@
+"""Source-layer (SURVEY.md §2.1 S2-S7/S9) round-trip queries.
+
+Each query materializes a small table through the format under test
+(CSV / GeoJSON / JSON envelope / XML) into a fresh temp dir, reads it
+back through the source connector, and projects; the DuckDB oracle runs
+the same projection on the original parquet view. A value surviving the
+round-trip bit-for-bit is exactly what the correctness gate should see,
+so these give the S-layer real driver rows instead of pytest-only
+coverage.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from burst_db_spark.catalog import load
+from burst_db_spark.registry import register
+
+
+def _tmpdir(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"burst_db_spark_{tag}_")
+
+
+@register(
+    "s2_csv_infer_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
+           n_name,
+           CAST(n_regionkey AS INTEGER) AS n_regionkey
+    FROM nation
+    """,
+    tags=("S2", "csv"),
+)
+def s2_csv_infer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV with header + full-sample schema inference (S2,
+    parse_bursts.py pd.read_csv analog): parquet → CSV → inferred read →
+    identical values."""
+    from burst_db_spark.sources.csv import read_csv_inferred
+
+    out = _tmpdir("s2")
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.mode("overwrite").option("header", True).csv(out)
+    got = read_csv_inferred(spark, out)
+    return got.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+
+@register(
+    "s3_csv_schema_semicolon",
+    oracle="""
+    SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier
+    """,
+    tags=("S3", "csv"),
+)
+def s3_csv_schema_semicolon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-schema, ';'-delimited, headerless CSV (S3 — the
+    historical-burst CSV shape, parse_bursts.py:54-56): doubles survive
+    the text round-trip because Spark writes shortest-round-trip
+    representations."""
+    from burst_db_spark.sources.csv import read_csv_schema
+
+    out = _tmpdir("s3")
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    supp.write.mode("overwrite").option("header", False).option("sep", ";").csv(out)
+    got = read_csv_schema(
+        spark,
+        out,
+        "s_suppkey bigint, s_name string, s_acctbal double",
+        sep=";",
+        header=False,
+    )
+    return got
+
+
+@register(
+    "s4_csv_glob_multifile",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("S4", "csv", "glob"),
+)
+def s4_csv_glob_multifile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glob scan over a multi-file CSV dataset (S4): the aggregate over
+    the globbed read equals the aggregate over the source table."""
+    from burst_db_spark.sources.csv import read_csv_schema
+
+    out = _tmpdir("s4")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cust.repartition(4).write.mode("overwrite").option("header", False).csv(out)
+    got = read_csv_schema(
+        spark,
+        os.path.join(out, "*.csv"),
+        "c_custkey bigint, c_mktsegment string",
+        header=False,
+    )
+    return got.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
+
+
+@register(
+    "s6_geojson_roundtrip",
+    oracle="""
+    SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
+           CAST((r_regionkey * 3) % 50 AS DOUBLE) AS gxmin,
+           CAST((r_regionkey * 3) % 50 + 2 + r_regionkey AS DOUBLE) AS gxmax
+    FROM region
+    """,
+    tags=("S6", "K4", "geojson"),
+)
+def s6_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON write → read round-trip (S6/K4): rect footprints derived
+    from region keys survive FeatureCollection encoding; the envelope of
+    the read-back geometry reproduces the source coordinates."""
+    from burst_db_spark.geo.udfs import envelope_udf
+    from burst_db_spark.sources.geojson import read_geojson, write_geojson
+
+    out = os.path.join(_tmpdir("s6"), "regions.geojson")
+    region = load(spark, sf_dir, "region")
+    rects = region.select(
+        F.col("r_regionkey").cast("bigint").alias("r_regionkey"),
+        F.format_string(
+            "POLYGON ((%d 0, %d 0, %d 5, %d 5, %d 0))",
+            ((F.col("r_regionkey") * 3) % 50).cast("int"),
+            ((F.col("r_regionkey") * 3) % 50 + 2 + F.col("r_regionkey")).cast("int"),
+            ((F.col("r_regionkey") * 3) % 50 + 2 + F.col("r_regionkey")).cast("int"),
+            ((F.col("r_regionkey") * 3) % 50).cast("int"),
+            ((F.col("r_regionkey") * 3) % 50).cast("int"),
+        ).alias("geom_wkt"),
+    )
+    write_geojson(rects, out, properties=["r_regionkey"])
+    got = read_geojson(spark, out)
+    env = envelope_udf(F.col("geom_wkt"))
+    return got.select(
+        F.col("r_regionkey").cast("bigint").alias("r_regionkey"),
+        env["xmin"].alias("gxmin"),
+        env["xmax"].alias("gxmax"),
+    )
+
+
+@register(
+    "s7_envelope_roundtrip",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, n_name
+    FROM nation
+    """,
+    tags=("S7", "K3", "json"),
+)
+def s7_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipped nested-JSON envelope round-trip (S7/K3 — the
+    frame-to-burst document maps, utils.py:11-24): per-region sorted
+    name lists → gzip envelope → read → explode back to rows."""
+    from burst_db_spark.sources.json_docs import read_envelope, write_envelope
+
+    out = os.path.join(_tmpdir("s7"), "nations.json.gz")
+    nation = load(spark, sf_dir, "nation")
+    write_envelope(
+        nation.select(
+            F.col("n_regionkey").cast("string").alias("n_regionkey"), "n_name"
+        ),
+        out,
+        "n_regionkey",
+        ["n_name"],
+    )
+    _, doc = read_envelope(spark, out, key="n_regionkey")
+    return doc.select(
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+        F.explode("n_name").alias("n_name"),
+    )
+
+
+@register(
+    "s9_xml_bursts",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS INTEGER)
+               AS burst_index,
+           CAST(o_orderdate AS VARCHAR) AS azimuth_time,
+           CAST(o_orderkey * 100 AS BIGINT) AS byte_offset
+    FROM orders WHERE o_orderkey < 500
+    """,
+    tags=("S9", "F9", "xml"),
+)
+def s9_xml_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML → rows UDTF (S9/F9, the SAFE annotation <burst> parse): an
+    annotation file synthesized from the orders table round-trips through
+    the distributed mapInPandas XML parser."""
+    from burst_db_spark.sources.xml import read_annotation_bursts
+
+    out_dir = _tmpdir("s9")
+    rows = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 500)
+        .select("o_orderkey", F.col("o_orderdate").cast("string").alias("d"))
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    parts = ["<product>"]
+    for r in rows:
+        parts.append(
+            f"<burst><azimuthTime>{r.d}</azimuthTime>"
+            f"<byteOffset>{r.o_orderkey * 100}</byteOffset></burst>"
+        )
+    parts.append("</product>")
+    with open(os.path.join(out_dir, "annotation.xml"), "w") as f:
+        f.write("".join(parts))
+    got = read_annotation_bursts(spark, os.path.join(out_dir, "*.xml"))
+    return got.select(
+        F.col("burst_index").cast("int").alias("burst_index"),
+        F.col("azimuth_time"),
+        F.col("byte_offset").cast("bigint").alias("byte_offset"),
+    )

@@ -50,6 +50,85 @@ def write_metadata_table(
     spark.createDataFrame(row, cols).write.mode("overwrite").parquet(path)
 
 
+_SQLITE_TYPES = {
+    "tinyint": "INTEGER",
+    "smallint": "INTEGER",
+    "int": "INTEGER",
+    "bigint": "INTEGER",
+    "boolean": "INTEGER",
+    "float": "REAL",
+    "double": "REAL",
+    "string": "TEXT",
+    "date": "TEXT",
+    "timestamp": "TEXT",
+}
+
+
+def write_sqlite(
+    df: DataFrame,
+    db_path: str,
+    table: str,
+    mode: str = "overwrite",
+    batch_size: int = 10_000,
+) -> int:
+    """K1 relational-sink parity: write a DataFrame into a SQLite file
+    with the stdlib driver (the reference's GPKG/SQLite artifacts,
+    build_frame_db.py make_minimal_db / export scripts).
+
+    A single .sqlite file has exactly one writer, so this sink is
+    driver-side BY NATURE (the reference builds it on one machine too):
+    rows stream through ``toLocalIterator`` partition by partition —
+    bounded driver memory — and land in batched executemany inserts.
+    Complex columns (arrays/structs) are JSON-encoded. Returns the row
+    count written."""
+    import json
+    import sqlite3
+
+    cols = df.schema.fields
+    decls = ", ".join(
+        f'"{f.name}" {_SQLITE_TYPES.get(f.dataType.simpleString(), "TEXT")}'
+        for f in cols
+    )
+    names = ", ".join(f'"{f.name}"' for f in cols)
+    ph = ", ".join("?" for _ in cols)
+    simple = {f.name: f.dataType.simpleString() in _SQLITE_TYPES for f in cols}
+
+    def _cell(name: str, v):
+        if v is None or simple[name] is False:
+            return json.dumps(v, default=str) if v is not None else None
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, (int, float, str)):
+            return v
+        return str(v)  # date/timestamp and friends
+
+    con = sqlite3.connect(db_path)
+    try:
+        with con:
+            if mode == "overwrite":
+                con.execute(f'DROP TABLE IF EXISTS "{table}"')
+            con.execute(f'CREATE TABLE IF NOT EXISTS "{table}" ({decls})')
+        n = 0
+        batch: list[tuple] = []
+        with con:
+            for row in df.toLocalIterator():
+                batch.append(tuple(_cell(f.name, row[f.name]) for f in cols))
+                if len(batch) >= batch_size:
+                    con.executemany(
+                        f'INSERT INTO "{table}" ({names}) VALUES ({ph})', batch
+                    )
+                    n += len(batch)
+                    batch = []
+            if batch:
+                con.executemany(
+                    f'INSERT INTO "{table}" ({names}) VALUES ({ph})', batch
+                )
+                n += len(batch)
+        return n
+    finally:
+        con.close()
+
+
 def write_jdbc(df: DataFrame, url: str, table: str, **options) -> None:
     """K1 JDBC parity (sqlite/GPKG writes). Requires a JDBC driver jar on
     the classpath — not shipped in this image."""

@@ -160,3 +160,47 @@ def test_ngram_maxdf_prune(spark):
     assert e, "expected some near-dup pairs in the fixture"
     assert e <= p | e  # sanity
     assert len(e & p) / len(e) >= 0.8
+
+
+def test_write_sqlite_roundtrip(spark, tmp_path):
+    import sqlite3
+
+    from burst_db_spark.sinks import write_sqlite
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, True, [1, 2]), (2, "b", 2.5, False, [3])],
+        "id bigint, name string, score double, flag boolean, tags array<int>",
+    )
+    db = str(tmp_path / "t.sqlite")
+    n = write_sqlite(df, db, "t")
+    assert n == 2
+    con = sqlite3.connect(db)
+    rows = con.execute("SELECT id, name, score, flag, tags FROM t ORDER BY id").fetchall()
+    assert rows[0][:4] == (1, "a", 1.5, 1)
+    assert rows[0][4] == "[1, 2]"  # complex columns JSON-encoded
+    # overwrite replaces, append adds
+    write_sqlite(df, db, "t")
+    assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 2
+    write_sqlite(df, db, "t", mode="append")
+    assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 4
+    con.close()
+
+
+def test_create_pipeline_emits_sqlite(spark, tmp_path):
+    import sqlite3
+
+    from burst_db_spark.plans import fixtures
+    from burst_db_spark.plans.create_pipeline import create
+
+    out = str(tmp_path / "db")
+    trip = fixtures.burst_triplets(spark, n_triplets=120, n_tracks=2)
+    bursts = fixtures.burst_id_map(spark, n_triplets=120, n_tracks=2)
+    res = create(spark, trip, bursts, out)
+    con = sqlite3.connect(f"{out}/minimal.sqlite")
+    n = con.execute("SELECT count(*) FROM frames").fetchone()[0]
+    assert n == res["frames"].count()
+    row = con.execute(
+        "SELECT epsg, uxmin, uxmax FROM frames WHERE uxmin IS NOT NULL LIMIT 1"
+    ).fetchone()
+    assert row[0] > 0 and row[2] > row[1]
+    con.close()
