@@ -107,13 +107,17 @@ def ngram_jaccard_pairs(
     """
     sh = doc_shingles(df, id_col, text_col, n)
     if max_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("__df"))
+        # document frequency via a count window: ONE shuffle on shingle
+        # (vs aggregate + join back = two), and the partitioning it
+        # leaves behind is exactly what the self-equi-join needs next
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count("*").over(w))
             .where(F.col("__df") <= max_df)
-            .select("shingle")
+            .drop("__df")
         )
-        sh = sh.join(rare, "shingle")
     sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -188,6 +188,10 @@ def lsh_near_dup_pairs(
     eb = sig.select(
         F.col("vid").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
     )
+    # no broadcast hint on purpose: at this SF the vector side is tiny and
+    # AQE picks BroadcastHashJoin on its own (verified in the plan); at
+    # 100 TB the corpus outgrows the threshold and the same code falls
+    # back to a shuffle join on id — the hint would force an OOM instead
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
