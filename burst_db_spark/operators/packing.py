@@ -1,0 +1,89 @@
+"""Dataset-assembly operators for LLM training pipelines: deterministic
+split assignment and sequence packing into fixed context windows.
+
+Both are pure column/window math — no Python in the hot path, one
+shuffle each — and both use the repo's engine-portable md5 hash family
+so a DuckDB oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from burst_db_spark.operators.text import token_count
+
+
+def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets) from the md5 of the key —
+    stable across runs, engines, and cluster sizes (never use
+    engine-private hash() for split assignment: re-runs must land every
+    document in the same split)."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return (h % n_buckets).cast("int")
+
+
+def assign_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, int] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment by hashed key percentile.
+
+    ``weights`` maps split name → percent (must sum to 100); default
+    98/1/1. Hash-based assignment is the 100 TB pattern: no global sort,
+    no sampling state, any worker can recompute any row's split."""
+    weights = weights or {"train": 98, "val": 1, "test": 1}
+    if sum(weights.values()) != 100:
+        raise ValueError("split weights must sum to 100")
+    bucket = hash_bucket(F.col(key), 100)
+    expr: Column | None = None
+    acc = 0
+    for name, w in weights.items():
+        acc += w
+        cond = bucket < acc
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out_col, expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shard_col: Column | None = None,
+    context: int = 4096,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out
+    back-to-back per shard (deterministic id order) and cut into
+    ``context``-token windows — the standard LLM pretraining packing,
+    where a document may straddle a chunk boundary.
+
+    Per doc: ``start_offset`` (exclusive running token count),
+    ``first_chunk``/``last_chunk`` (the context windows it lands in).
+    One window shuffle per shard; shards are independent, so at 100 TB
+    the layout parallelizes across shards instead of one global sort."""
+    shard = shard_col if shard_col is not None else (F.col(id_col) % 8)
+    d = df.select(
+        F.col(id_col),
+        shard.cast("int").alias("shard"),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return d.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / context).cast("bigint").alias("first_chunk"),
+        F.floor((F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / context)
+        .cast("bigint")
+        .alias("last_chunk"),
+    )

@@ -21,6 +21,7 @@ _MODULES = (
     "extra2",
     "extra3",
     "extra4",
+    "pipeline_pack",
     "pipeline_text",
     "scalars",
     "similarity",
@@ -81,6 +82,8 @@ _SAMPLING_PRIORITY = (
     "t_top_tfidf",
     "t_decontaminate",
     "t_quality_filter",
+    "t_split_assign",
+    "t_pack_sequences",
     # dedup family (unsampled in r1)
     "dd_exact",
     "dd_ngram_jaccard",

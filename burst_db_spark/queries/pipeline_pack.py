@@ -1,0 +1,66 @@
+"""Dataset-assembly queries: deterministic split assignment + sequence
+packing over the documents table (operators/packing.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from burst_db_spark.catalog import load
+from burst_db_spark.operators.packing import assign_split, pack_sequences
+from burst_db_spark.registry import register
+
+_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+@register(
+    "t_split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_BUCKET} < 98 THEN 'train'
+                WHEN {_BUCKET} < 99 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("pipeline", "split", "hash"),
+)
+def t_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test assignment by md5-hash
+    percentile of the document id — stable across runs/engines/cluster
+    sizes, no sampling state, no global sort."""
+    docs = load(spark, sf_dir, "documents")
+    return assign_split(docs, "doc_id").select("doc_id", "split")
+
+
+@register(
+    "t_pack_sequences",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    laid AS (
+        SELECT *, COALESCE(sum(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS start_offset
+        FROM d
+    )
+    SELECT doc_id, shard, n_tokens, start_offset,
+           CAST(floor(start_offset / 4096) AS BIGINT) AS first_chunk,
+           CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 4096)
+                AS BIGINT) AS last_chunk
+    FROM laid
+    """,
+    tags=("pipeline", "packing"),
+)
+def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing into 4096-token context windows, sharded
+    so the layout parallelizes (one window shuffle per shard, no global
+    sort). Emits each document's offset and chunk span."""
+    docs = load(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", context=4096)
