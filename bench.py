@@ -41,6 +41,8 @@ HEADLINE = [
     "t_quality_score",
     "q5_local_supplier_volume",
     "t_top_tfidf",
+    "a3_dissolve_union_area",
+    "t_pack_sequences",
 ]
 
 

@@ -331,17 +331,44 @@ def dissolve_stats(wkts: list[str]) -> tuple[float, float, float]:
     fine for per-frame member counts; exactness requires convex inputs.
     Returns (area, cx, cy)."""
     rings: list[Ring] = []
+    seen: set[tuple] = set()
     for w in wkts:
         _, coords = parse_wkt(w)
         for poly in coords:  # type: ignore[union-attr]
-            rings.append(_ring_ccw(poly[0]))
+            ring = _ring_ccw(poly[0])
+            key = tuple(ring)
+            # identical members don't change the union but double the
+            # inclusion-exclusion subset count — drop them up front
+            if key in seen:
+                continue
+            seen.add(key)
+            rings.append(ring)
+
+    def _env(ring: Ring) -> tuple[float, float, float, float]:
+        xs = [x for x, _ in ring]
+        ys = [y for _, y in ring]
+        return min(xs), min(ys), max(xs), max(ys)
+
+    envs = [_env(r) for r in rings]
     area_total = 0.0
     mx = my = 0.0
 
-    def rec(start: int, current: Ring, depth: int) -> None:
+    def rec(start: int, current: Ring, cur_env, depth: int) -> None:
         nonlocal area_total, mx, my
         for k in range(start, len(rings)):
-            inter = convex_clip(current, rings[k]) if depth else rings[k]
+            if depth:
+                # O(1) envelope reject before the O(V) clip
+                e = envs[k]
+                if (
+                    cur_env[0] >= e[2]
+                    or e[0] >= cur_env[2]
+                    or cur_env[1] >= e[3]
+                    or e[1] >= cur_env[3]
+                ):
+                    continue
+                inter = convex_clip(current, rings[k])
+            else:
+                inter = rings[k]
             if len(inter) < 4:
                 continue
             a, cx, cy = _ring_area_centroid(inter)
@@ -351,9 +378,9 @@ def dissolve_stats(wkts: list[str]) -> tuple[float, float, float]:
             area_total += sign * a
             mx += sign * a * cx
             my += sign * a * cy
-            rec(k + 1, inter, depth + 1)
+            rec(k + 1, inter, _env(inter), depth + 1)
 
-    rec(0, [], 0)
+    rec(0, [], None, 0)
     if area_total < 1e-18:
         raise ValueError("degenerate union")
     return area_total, mx / area_total, my / area_total

@@ -62,3 +62,44 @@ def test_aggregates_have_partial_phase(spark):
 def test_topk_plans_take_ordered(spark):
     plan = _plan("o1_topk_orders", spark)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_embedding_lsh_no_cartesian_pairs(spark):
+    """The registered embedding near-dup must never plan a cartesian
+    PAIR join: the only nested-loop join allowed is the 1-row broadcast
+    of the plane matrix."""
+    plan = _plan("dd_embedding_nn", spark)
+    assert "CartesianProduct" not in plan
+    # candidate generation is an equi-join on (band_idx, band_key)
+    assert "band_key" in plan
+    # the audit variant IS the cartesian baseline - and says so
+    doc = SPECS["dd_embedding_nn_exact_audit"].doc
+    assert "AUDIT" in doc or "audit" in doc
+
+
+def test_dissolve_stays_per_group(spark):
+    """Dissolve is one applyInPandas over grouped keys: exactly one
+    exchange (the groupBy), no join, no collect."""
+    plan = _plan("a3_dissolve_union_area", spark)
+    n_exchanges = sum(
+        1 for l in plan.splitlines() if l.strip().split(" ")[0].endswith("Exchange")
+        and "Exchange" in l.split("(")[0]
+    )
+    assert "FlatMapGroupsInPandas" in plan or "ApplyInPandas" in plan
+    assert "Join" not in plan
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    """Packing = one hash exchange (shard) + one window sort; no join,
+    no global sort (Exchange SinglePartition would be the smell)."""
+    plan = _plan("t_pack_sequences", spark)
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_split_assign_is_scan_plus_project(spark):
+    """Split assignment never shuffles: scan -> project, nothing else."""
+    plan = _plan("t_split_assign", spark)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
