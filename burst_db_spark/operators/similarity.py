@@ -15,6 +15,7 @@ Spark (``aggregate``) and the DuckDB oracle (``list_sum`` over
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -169,38 +170,61 @@ def lsh_near_dup_pairs(
         )
         .persist()
     )
-    # band rows stay NARROW (ids + small ints) — the explode and the
-    # candidate shuffle never carry the vectors
+    # Verify WITHIN each LSH bucket via applyInPandas: every vector
+    # crosses into Python once per bucket membership (|bands| rows ≈
+    # b·N, a few MB) instead of twice per CANDIDATE PAIR (≈N²·p rows).
+    # Inside a bucket the pairwise cosines accumulate position-by-
+    # position with numpy outer products — additions happen in the same
+    # element order as the JVM/_dot and DuckDB list_reduce left folds,
+    # so every emitted cos is bit-identical to the oracle. Hot buckets
+    # are the usual LSH skew: each is one task, bounded by bucket size.
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     bands = sig.select(
-        "vid", F.posexplode("keys").alias("band_idx", "band_key")
+        "vid", "vec", "nrm", F.posexplode("keys").alias("band_idx", "band_key")
     )
-    a = bands.select(F.col("vid").alias("id_a"), "band_idx", "band_key")
-    b = bands.select(F.col("vid").alias("id_b"), "band_idx", "band_key")
-    cand = (
-        a.join(b, ["band_idx", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cos", DoubleType()),
+        ]
     )
-    ea = sig.select(
-        F.col("vid").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
-    )
-    eb = sig.select(
-        F.col("vid").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
-    )
-    # no broadcast hint on purpose: at this SF the vector side is tiny and
-    # AQE picks BroadcastHashJoin on its own (verified in the plan); at
-    # 100 TB the corpus outgrows the threshold and the same code falls
-    # back to a shuffle join on id — the hint would force an OOM instead
-    return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .withColumn(
-            "cos", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(columns=["id_a", "id_b", "cos"])
+        pdf = pdf.sort_values("vid")
+        x = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+        nrm = pdf["nrm"].to_numpy()
+        acc = np.zeros((n, n), dtype=np.float64)
+        for i in range(x.shape[1]):
+            acc = acc + np.outer(x[:, i], x[:, i])
+        cos = acc / np.outer(nrm, nrm)
+        ia, ib = np.triu_indices(n, k=1)
+        keep = cos[ia, ib] >= threshold
+        ids = pdf["vid"].to_numpy()
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cos": cos[ia[keep], ib[keep]],
+            }
         )
-        .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+
+    bucket_hits = bands.groupBy("band_idx", "band_key").applyInPandas(
+        _bucket_pairs, out_schema
     )
+    # a pair found in several buckets carries the identical cos — one
+    # final dedup on the (tiny) surviving pair set
+    return bucket_hits.groupBy("id_a", "id_b").agg(F.first("cos").alias("cos"))
 
 
 def lsh_oracle_sql(
