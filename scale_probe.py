@@ -36,6 +36,10 @@ PROBE_QUERIES = [
     "dd_minhash_lsh",
     "t_quality_score",
     "q5_local_supplier_volume",
+    "dd_embedding_nn",
+    "a3_dissolve_union_area",
+    "t_pack_sequences",
+    "t_split_assign",
 ]
 
 # keys to shift per replica so replicated rows don't collapse into the
