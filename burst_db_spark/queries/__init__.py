@@ -84,6 +84,7 @@ _SAMPLING_PRIORITY = (
     "t_quality_filter",
     "t_split_assign",
     "t_pack_sequences",
+    "mm_wav_roundtrip",
     # dedup family (unsampled in r1)
     "dd_exact",
     "dd_ngram_jaccard",

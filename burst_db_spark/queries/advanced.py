@@ -85,3 +85,34 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "mm_wav_roundtrip",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(least(greatest(floor(value * 10 + 0.5), -32000), 32000)
+                    AS INTEGER) AS smp
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(smp) AS BIGINT) AS sum_s,
+           CAST(min(smp) AS INTEGER) AS min_s,
+           CAST(max(smp) AS INTEGER) AS max_s,
+           CAST(sum(smp) AS DOUBLE) / count(*) AS mean_s
+    FROM s GROUP BY user_id
+    """,
+    tags=("multimodal", "audio", "real-decode"),
+)
+def mm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end: per-user event values quantized to
+    PCM16, encoded into actual WAV containers (stdlib wave), carried as a
+    binary column, decoded back by decode_media's magic-byte dispatch,
+    and reduced to integer sample statistics. The oracle reproduces the
+    quantization relationally, so the decoded aggregates hash-match —
+    proof the binary path is a real format round-trip, not a stub."""
+    ev = load(spark, sf_dir, "events")
+    return mm.audio_roundtrip_features(ev, key="user_id", value_col="value",
+                                       order_col="event_id")

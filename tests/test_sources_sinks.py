@@ -204,3 +204,48 @@ def test_create_pipeline_emits_sqlite(spark, tmp_path):
     ).fetchone()
     assert row[0] > 0 and row[2] > row[1]
     con.close()
+
+
+def test_decode_wav_roundtrip_unit():
+    import numpy as np
+
+    from burst_db_spark.operators.multimodal import decode_media, encode_wav_pcm16
+
+    samples = [0, 100, -100, 32000, -32000, 7]
+    wav = encode_wav_pcm16(samples, rate=8000)
+    d = decode_media(wav)
+    assert d["kind"] == "audio" and d["rate"] == 8000 and d["channels"] == 1
+    assert np.array_equal(d["samples"], np.array(samples, dtype=np.int16))
+
+
+def test_decode_bmp_golden():
+    import struct
+
+    import numpy as np
+
+    from burst_db_spark.operators.multimodal import decode_media
+
+    # hand-built 2x2 24-bit BMP: rows padded to 4 bytes, bottom-up, BGR
+    w = h = 2
+    row_bytes = (w * 3 + 3) // 4 * 4
+    header = b"BM" + struct.pack("<IHHI", 54 + row_bytes * h, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_bytes * h, 0, 0, 0, 0)
+    # bottom row first: red(255,0,0) green(0,255,0); top: blue, white
+    bottom = bytes([0, 0, 255, 0, 255, 0]) + b"\x00\x00"
+    top = bytes([255, 0, 0, 255, 255, 255]) + b"\x00\x00"
+    d = decode_media(header + info + bottom + top)
+    assert d["kind"] == "image" and (d["width"], d["height"]) == (2, 2)
+    px = d["pixels"]
+    assert np.array_equal(px[1, 0], [255, 0, 0])    # bottom-left red
+    assert np.array_equal(px[1, 1], [0, 255, 0])    # bottom-right green
+    assert np.array_equal(px[0, 0], [0, 0, 255])    # top-left blue
+    assert np.array_equal(px[0, 1], [255, 255, 255])
+
+
+def test_decode_media_compressed_still_raises():
+    import pytest as _pytest
+
+    from burst_db_spark.operators.multimodal import decode_media
+
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff\xe0JFIF-like")
