@@ -56,6 +56,7 @@ _SAMPLING_PRIORITY = (
     "a3_union_envelope",
     "a3_dissolve_union_area",
     "utm_epsg_classify",
+    "ep1_minimal_db",
     "j_spatial_knn",
     "a14_spatial_mean",
     # round-2 decimal→double fixes (previously hash_match: false)

@@ -65,6 +65,29 @@ def o5_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ep1_minimal_db",
+    oracle=None,
+    tags=("EP1", "geo", "utm", "rows-only"),
+)
+def ep1_minimal_db(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 tail end-to-end (build_frame_db.py:409-450 + make_minimal_db):
+    frames -> EPSG classification (incl. antimeridian + Norway/Svalbard
+    rules) -> per-EPSG forward projection -> meter envelope -> 30 m snap
+    with 5 km margin -> the minimal-DB integer columns. Rows-only: the
+    Transverse-Mercator series isn't SQL-expressible; exactness is
+    anchored by golden tests against the published utm-package vector
+    (tests/test_geo.py)."""
+    from burst_db_spark.plans import fixtures
+    from burst_db_spark.plans.frame_db import build_frames, enrich_frames
+
+    trip = fixtures.burst_triplets(spark, n_triplets=600, n_tracks=12)
+    frames, _bridge = build_frames(trip)
+    return enrich_frames(frames).select(
+        "frame_fid", "epsg", "uxmin", "uymin", "uxmax", "uymax"
+    ).orderBy("frame_fid")
+
+
+@register(
     "ep1_frame_partition",
     oracle=None,
     tags=("EP1", "F5", "applyInPandas", "rows-only"),
