@@ -299,6 +299,18 @@ def enrich_frames(frames: DataFrame, member_geoms: DataFrame | None = None) -> D
             utm_epsg_expr(cx, cy)
         ),
     )
+    # Greenland frames are pinned to the polar CRS regardless of their
+    # centroid zone (get_epsg_codes tail) — bbox-gated intersects test
+    from burst_db_spark.geo.greenland import greenland_override_expr
+
+    frames = frames.withColumn(
+        "epsg",
+        greenland_override_expr(
+            F.col("geom_wkt"),
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+            F.col("epsg"),
+        ),
+    )
     # lon/lat prune bbox: integral-degree grid (drives the CLI intersect
     # prefilter, which works in 4326 like the reference frames table).
     # A split dateline frame spans the whole lon axis in 4326, so its

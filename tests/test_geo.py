@@ -238,3 +238,33 @@ def test_buffer_convex():
     e0, e1 = P.envelope(tri), P.envelope(P.buffer_convex(tri, 0.5))
     assert e1[0] <= e0[0] - 0.5 and e1[2] >= e0[2] + 0.5
     assert e1[1] <= e0[1] - 0.5 and e1[3] >= e0[3] + 0.5
+
+
+def test_greenland_override(spark):
+    from pyspark.sql import functions as F
+    from burst_db_spark.plans.frame_db import enrich_frames
+
+    def frame(fid, x0, y0, x1, y1):
+        wkt = (
+            f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, "
+            f"{x0} {y1}, {x0} {y0}))"
+        )
+        return (fid, 1, "ASCENDING", True, float(x0), float(y0),
+                float(x1), float(y1), 3, wkt)
+
+    frames = spark.createDataFrame(
+        [
+            frame(1, -46, 70, -44, 71),   # central-west Greenland
+            frame(2, -20, 64, -18, 65),   # Iceland -> NOT Greenland
+            frame(3, -72, 69, -70, 70),   # Baffin Island -> NOT Greenland
+            frame(4, 10, 50, 12, 51),     # central Europe, far away
+        ],
+        "frame_fid long, track int, orbit_pass string, is_land boolean, "
+        "xmin double, ymin double, xmax double, ymax double, "
+        "n_triplets int, geom_wkt string",
+    ).withColumn("relative_orbit_number", F.col("track"))
+    rows = {r.frame_fid: r.epsg for r in enrich_frames(frames).collect()}
+    assert rows[1] == 3413          # Greenland rule fires
+    assert rows[2] == 32627         # Iceland stays UTM zone 27N
+    assert rows[3] == 32619         # Baffin stays UTM zone 19N
+    assert rows[4] == 32632         # Europe untouched
