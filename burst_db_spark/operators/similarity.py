@@ -288,6 +288,92 @@ def lsh_oracle_sql(
     """
 
 
+def assign_cells(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Attach each vector's nearest-centroid cell id — broadcast codebook
+    argmin, the 100 TB IVF assignment pattern. The distance array is
+    projected ONCE per row; the argmin reads the materialized column."""
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame([(centroids,)], "cents: array<array<double>>")
+    dists = F.transform(
+        F.col("cents"),
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (
+        emb.crossJoin(F.broadcast(cdf))
+        .withColumn("__d", dists)
+        .withColumn(
+            out_col,
+            F.array_position(F.col("__d"), F.array_min(F.col("__d"))).cast("int"),
+        )
+        .drop("cents", "__d")
+    )
+
+
+def kmeans_codebook(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Train an IVF codebook with Lloyd's k-means, Spark-native.
+
+    Per iteration: centroids ride to executors as broadcast DATA (the
+    1-row array-of-arrays pattern), every vector gets its argmin cell
+    via ``assign_cells``, and the new centroids come back from ONE
+    posexplode + groupBy(cell, dim) mean — a single shuffle whose size
+    is |corpus|·dim rows, independent of k. Only the k·dim codebook
+    itself ever touches the driver (model state, not data).
+
+    Init is deterministic: the k vectors with the smallest md5 hash of
+    their id (stable across runs/cluster sizes, no RNG)."""
+    seeds = (
+        emb.select(
+            F.col(vec_col).alias("v"),
+            F.col(id_col).alias("i"),
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+        .orderBy("h", "i")
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r.v] for r in seeds]
+
+    for _ in range(iters):
+        assigned = assign_cells(emb, centroids, id_col, vec_col)
+        means = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("dim", "x")
+            )
+            .groupBy("cell", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]
+        for r in means:
+            new_c[r.cell - 1][r.dim] = float(r.m)  # array_position is 1-based
+        centroids = new_c
+    return centroids
+
+
 def cosine_topk_partitioned(
     emb: DataFrame,
     queries: DataFrame,

@@ -97,6 +97,7 @@ _SAMPLING_PRIORITY = (
     # similarity + skew (unsampled in r1)
     "knn_cosine_brute",
     "knn_cosine_ivf",
+    "knn_cosine_ivf_learned",
     "skew_salted_count",
     # remaining unsampled windows/arrays
     "a13_weekly_window",

@@ -89,3 +89,28 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     return sim.cosine_topk_partitioned(emb, queries, k=TOP_K)
+
+
+@register(
+    "knn_cosine_ivf_learned",
+    oracle=None,
+    tags=("similarity", "ann", "ivf", "kmeans", "rows-only"),
+)
+def knn_cosine_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED codebook: Lloyd's k-means over the corpus
+    (deterministic md5 seeding, broadcast-codebook argmin assignment,
+    one posexplode shuffle per iteration), then the cell-restricted
+    top-k search. Rows-only: the iterative trainer isn't
+    SQL-expressible; determinism is pinned by the seeded init, so row
+    counts and values are stable across runs."""
+    from burst_db_spark.operators.similarity import (
+        assign_cells,
+        cosine_topk_partitioned,
+        kmeans_codebook,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    codebook = kmeans_codebook(emb, k=8, iters=2)
+    cells = assign_cells(emb, codebook)
+    queries = cells.where(F.col("vec_id") < 20)
+    return cosine_topk_partitioned(cells, queries, cell_col="cell", k=3)

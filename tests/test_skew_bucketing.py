@@ -64,3 +64,45 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_kmeans_codebook_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from burst_db_spark.catalog import load
+    from burst_db_spark.operators.similarity import assign_cells, kmeans_codebook
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = kmeans_codebook(emb, k=4, iters=2)
+    assert len(cb) == 4 and all(len(c) == 64 for c in cb)
+    cells = assign_cells(emb, cb)
+    # cells partition the corpus, ids in [1, k]
+    dist = {r.cell: r["count"] for r in cells.groupBy("cell").count().collect()}
+    assert sum(dist.values()) == emb.count()
+    assert set(dist) <= {1, 2, 3, 4}
+    # deterministic: retrain gives the identical codebook
+    assert kmeans_codebook(emb, k=4, iters=2) == cb
+    # more Lloyd iterations never increase inertia
+    def inertia(cb_):
+        a = assign_cells(emb, cb_)
+        cdf = emb.sparkSession.createDataFrame([(cb_,)], "cents: array<array<double>>")
+        return (
+            a.crossJoin(F.broadcast(cdf))
+            .select(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.element_at(F.col("cents"), F.col("cell")),
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2")
+            )
+            .agg(F.sum("d2"))
+            .first()[0]
+        )
+
+    assert inertia(kmeans_codebook(emb, k=4, iters=3)) <= inertia(
+        kmeans_codebook(emb, k=4, iters=1)
+    ) + 1e-9
