@@ -153,3 +153,43 @@ def fingerprint64(text: Column) -> Column:
     """64-bit-ish numeric fingerprint (first 15 hex digits → BIGINT,
     engine-portable: stays inside the signed range)."""
     return F.conv(F.substring(fingerprint(text), 1, 15), 16, 10).cast("bigint")
+
+
+# PII-ish patterns, deliberately written in the regex subset that Spark
+# (Java regex) and DuckDB (RE2) interpret identically: no backrefs, no
+# lookaround, explicit character classes.
+REDACTION_PATTERNS = (
+    (r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]+", "<EMAIL>"),
+    (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    (r"\+?[0-9]{1,2}[- ]?\(?[0-9]{3}\)?[- ][0-9]{3}[- ][0-9]{4}", "<PHONE>"),
+    (r"(https?://|www\.)[^ ]+", "<URL>"),
+)
+
+
+def redact(text: Column, patterns=REDACTION_PATTERNS) -> Column:
+    """Pattern scrubbing as chained regexp_replace — JVM-side, streams at
+    scan speed; patterns stay in the engine-portable regex subset so the
+    oracle applies the identical rules."""
+    out = text
+    for pat, token in patterns:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    score_col: Column,
+    n_buckets: int = 4,
+    order_key: Column | None = None,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Curriculum bucketing: ntile over a TOTAL order (score, then a
+    unique tiebreak key — without it ntile is nondeterministic across
+    engines/runs). One global sort, the standard curriculum-schedule
+    shape; at 100 TB swap in approx quantile cutoffs computed map-side
+    if the global sort becomes the bottleneck."""
+    from pyspark.sql import Window
+
+    order = [score_col] + ([order_key] if order_key is not None else [])
+    w = Window.orderBy(*order)
+    return df.withColumn(out_col, F.ntile(n_buckets).over(w).cast("int"))

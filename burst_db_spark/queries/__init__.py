@@ -85,6 +85,8 @@ _SAMPLING_PRIORITY = (
     "t_quality_filter",
     "t_split_assign",
     "t_pack_sequences",
+    "t_redact_pii",
+    "t_curriculum_buckets",
     "mm_wav_roundtrip",
     # dedup family (unsampled in r1)
     "dd_exact",

@@ -64,3 +64,54 @@ def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort). Emits each document's offset and chunk span."""
     docs = load(spark, sf_dir, "documents")
     return pack_sequences(docs, "doc_id", context=4096)
+
+
+@register(
+    "t_redact_pii",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]+', '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+               '\\+?[0-9]{1,2}[- ]?\\(?[0-9]{3}\\)?[- ][0-9]{3}[- ][0-9]{4}',
+               '<PHONE>', 'g'),
+             '(https?://|www\\.)[^ ]+', '<URL>', 'g') AS redacted
+    FROM documents
+    """,
+    tags=("pipeline", "redaction"),
+)
+def t_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing (emails, SSN-shaped ids, phone numbers, URLs)
+    as chained JVM regexp_replace — streams at scan speed; the patterns
+    live in the Spark/DuckDB-portable regex subset so both engines
+    rewrite identically."""
+    from burst_db_spark.operators.text import redact
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", redact(F.col("text")).alias("redacted"))
+
+
+@register(
+    "t_curriculum_buckets",
+    oracle="""
+    SELECT doc_id,
+           CAST(ntile(4) OVER (ORDER BY length(text), doc_id) AS INTEGER)
+               AS bucket
+    FROM documents
+    """,
+    tags=("pipeline", "curriculum", "ntile"),
+)
+def t_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-schedule bucketing: quartiles of a difficulty proxy
+    (text length) under a TOTAL order (score, doc_id) — the unique
+    tiebreak is what makes ntile deterministic across engines."""
+    from burst_db_spark.operators.text import curriculum_buckets
+
+    docs = load(spark, sf_dir, "documents")
+    out = curriculum_buckets(
+        docs, F.length("text"), n_buckets=4, order_key=F.col("doc_id")
+    )
+    return out.select("doc_id", "bucket")
