@@ -72,6 +72,22 @@ def cosine_topk(
     )
 
 
+def lsh_params_for(n_docs: int, target_occupancy: int = 256) -> tuple[int, int]:
+    """LSH sizing rule: (n_planes, bits_per_band) so expected bucket
+    occupancy stays ≈ ``target_occupancy`` as the corpus grows.
+
+    With r bits per band a band has 2^r keys, so mean occupancy is
+    N / 2^r → r = ceil(log2(N / target)). The per-bucket pairwise verify
+    is occupancy-bounded, which is what keeps the whole pipeline from
+    re-quadratifying at 100 TB (SCALING.md records the effect when r is
+    held fixed). Band count stays at 8 — recall is tuned by b, cost by r.
+    """
+    import math
+
+    r = max(4, math.ceil(math.log2(max(n_docs, 1) / target_occupancy)))
+    return 8 * r, r
+
+
 def lsh_planes(n_planes: int = 32, dim: int = 64) -> list[list[float]]:
     """Deterministic random-hyperplane matrix (LCG-derived, seedless API so
     both engines can inline the identical literals). Values in [-1, 1]."""

@@ -70,6 +70,7 @@ _SAMPLING_PRIORITY = (
     "s6_geojson_roundtrip",
     "s7_envelope_roundtrip",
     "s9_xml_bursts",
+    "k5_partitioned_append_roundtrip",
     # scalar gauntlets (unsampled in r1)
     "f_string_gauntlet",
     "f_date_gauntlet",

@@ -220,3 +220,33 @@ def s9_xml_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("azimuth_time"),
         F.col("byte_offset").cast("bigint").alias("byte_offset"),
     )
+
+
+@register(
+    "k5_partitioned_append_roundtrip",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+    tags=("K5", "K2", "parquet", "append"),
+)
+def k5_partitioned_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked/partitioned append sink (K5, the reference's 100k-row
+    chunk loop, export_denormalized_db.py:165-183): two append writes of
+    disjoint halves into a day-partitioned parquet dataset, read back
+    through the partition layout — per-day aggregates reproduce the
+    source exactly, proving the append path loses and duplicates
+    nothing."""
+    from burst_db_spark.sinks import append_partitioned
+
+    out = _tmpdir("k5")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.to_date("ts").alias("day")
+    )
+    append_partitioned(ev.where(F.col("event_id") % 2 == 0), out, ["day"])
+    append_partitioned(ev.where(F.col("event_id") % 2 == 1), out, ["day"])
+    got = spark.read.parquet(out)
+    return got.groupBy("day").agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("sum_id")
+    )

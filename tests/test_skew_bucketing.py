@@ -106,3 +106,14 @@ def test_kmeans_codebook_invariants(spark):
     assert inertia(kmeans_codebook(emb, k=4, iters=3)) <= inertia(
         kmeans_codebook(emb, k=4, iters=1)
     ) + 1e-9
+
+
+def test_lsh_params_scale_with_corpus():
+    from burst_db_spark.operators.similarity import lsh_params_for
+
+    n4, r4 = lsh_params_for(2_000)          # bench corpus: stays at r=4
+    assert (n4, r4) == (32, 4)
+    n_big, r_big = lsh_params_for(1_000_000_000)
+    assert r_big > r4 and n_big == 8 * r_big
+    # occupancy bound holds: N / 2^r <= target (up to the r>=4 floor)
+    assert 1_000_000_000 / (2 ** r_big) <= 256
