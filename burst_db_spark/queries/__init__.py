@@ -89,6 +89,7 @@ _SAMPLING_PRIORITY = (
     "t_redact_pii",
     "t_curriculum_buckets",
     "mm_wav_roundtrip",
+    "stream_daily_counts",
     # dedup family (unsampled in r1)
     "dd_exact",
     "dd_ngram_jaccard",

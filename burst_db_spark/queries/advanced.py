@@ -116,3 +116,60 @@ def mm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return mm.audio_roundtrip_features(ev, key="user_id", value_col="value",
                                        order_col="event_id")
+
+
+@register(
+    "stream_daily_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DECIMAL(28, 6))
+                AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id, date_trunc('day', ts)
+    """,
+    tags=("streaming", "window", "oracle-checked"),
+)
+def stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregation with a REAL
+    oracle: daily counts + sums driven to completion with
+    trigger(availableNow) in COMPLETE output mode (every window emitted,
+    none held back by a watermark), so the streamed result must equal
+    the batch GROUP BY bit-for-bit. The sum accumulates in DECIMAL
+    (stream task order is nondeterministic) and lands as DOUBLE on both
+    engine sides. Spark's window('1 day') is epoch-aligned = UTC
+    date_trunc."""
+    from burst_db_spark.streaming import incremental as st
+
+    src = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="bds_stream_daily_")
+    data_dir = f"{tmp}/in"
+    src.write.parquet(data_dir)
+    stream = st.file_stream(spark, data_dir, src.schema)
+    agg = (
+        stream.groupBy(F.window(F.col("ts"), "1 day"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("window.start").alias("day_start"),
+            "n",
+            "total_value",
+        )
+    )
+    name = f"daily_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
