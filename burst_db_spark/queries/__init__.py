@@ -63,7 +63,8 @@ _SAMPLING_PRIORITY = (
     "ep2_burst_catalog",
     "q5_local_supplier_volume",
     "w_running_sum",
-    # round-2 source-layer round-trips (S2-S7/S9)
+    # round-2 source-layer round-trips (S1-S7/S9)
+    "s1_sqlite_roundtrip",
     "s2_csv_infer_roundtrip",
     "s3_csv_schema_semicolon",
     "s4_csv_glob_multifile",

@@ -250,3 +250,33 @@ def k5_partitioned_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     return got.groupBy("day").agg(
         F.count("*").alias("n"), F.sum("event_id").alias("sum_id")
     )
+
+
+@register(
+    "s1_sqlite_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier
+    """,
+    tags=("S1", "K1", "sqlite"),
+)
+def s1_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational store round-trip (S1/K1, the reference's SQLite/GPKG
+    artifacts): supplier → stdlib sqlite sink → PARALLEL partition-range
+    read back (8 ranges on s_suppkey, one reader per task) → identical
+    values."""
+    from burst_db_spark.sinks import read_sqlite, write_sqlite
+
+    db = os.path.join(_tmpdir("s1"), "t.sqlite")
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    write_sqlite(supp, db, "supplier")
+    return read_sqlite(
+        spark,
+        db,
+        "supplier",
+        "s_suppkey bigint, s_name string, s_acctbal double",
+        partition_col="s_suppkey",
+        num_partitions=8,
+    )

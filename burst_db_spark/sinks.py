@@ -129,6 +129,84 @@ def write_sqlite(
         con.close()
 
 
+def read_sqlite(
+    spark: SparkSession,
+    db_path: str,
+    table: str,
+    schema: str,
+    partition_col: str | None = None,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """S1 relational SCAN: parallel read of a SQLite table without a
+    JDBC jar — the same partition-range strategy a JDBC source uses,
+    executed with the stdlib driver inside ``mapInPandas``.
+
+    When ``partition_col`` (a numeric column) is given, min/max bounds
+    split into ``num_partitions`` half-open ranges and EACH EXECUTOR TASK
+    opens the file read-only and scans only its range (sqlite allows any
+    number of concurrent readers); without it the read is a single task.
+    ``schema`` is the Spark DDL of the result. Works wherever the file
+    path is visible cluster-wide (local, NFS, fuse-mounted object store).
+    """
+    import sqlite3
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if partition_col is None:
+        bounds = [(None, None)]
+    else:
+        con = sqlite3.connect(db_path)
+        try:
+            lo, hi = con.execute(
+                f'SELECT min("{partition_col}"), max("{partition_col}") '
+                f'FROM "{table}"'
+            ).fetchone()
+        finally:
+            con.close()
+        if lo is None:
+            bounds = [(None, None)]
+        else:
+            step = (hi - lo) / num_partitions or 1
+            bounds = [
+                (lo + i * step, lo + (i + 1) * step) for i in range(num_partitions)
+            ]
+            bounds[-1] = (bounds[-1][0], hi + 1)
+
+    bdf = spark.createDataFrame(
+        [
+            (
+                i,
+                None if b[0] is None else float(b[0]),
+                None if b[1] is None else float(b[1]),
+            )
+            for i, b in enumerate(bounds)
+        ],
+        "part int, lo double, hi double",
+    ).repartition(len(bounds), "part")
+
+    def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                con = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
+                try:
+                    if row["lo"] is None or pd.isna(row["lo"]):
+                        q = f'SELECT * FROM "{table}"'
+                        args: tuple = ()
+                    else:
+                        q = (
+                            f'SELECT * FROM "{table}" WHERE '
+                            f'"{partition_col}" >= ? AND "{partition_col}" < ?'
+                        )
+                        args = (row["lo"], row["hi"])
+                    yield pd.read_sql_query(q, con, params=args)
+                finally:
+                    con.close()
+
+    return bdf.mapInPandas(_read, schema)
+
+
 def write_jdbc(df: DataFrame, url: str, table: str, **options) -> None:
     """K1 JDBC parity (sqlite/GPKG writes). Requires a JDBC driver jar on
     the classpath — not shipped in this image."""
