@@ -268,3 +268,47 @@ def test_greenland_override(spark):
     assert rows[2] == 32627         # Iceland stays UTM zone 27N
     assert rows[3] == 32619         # Baffin stays UTM zone 19N
     assert rows[4] == 32632         # Europe untouched
+
+
+def test_dissolve_stats_fuzz_vs_sweepline():
+    """Property check: inclusion-exclusion union area of random integer
+    rects equals an independent sweep-line computation."""
+    from hypothesis import given, settings, strategies as st
+
+    from burst_db_spark.geo import predicates as P
+
+    rect = st.tuples(
+        st.integers(0, 30), st.integers(0, 30),
+        st.integers(1, 8), st.integers(1, 8),
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(rect, min_size=1, max_size=7))
+    def _check(rects):
+        wkts, boxes = [], []
+        for x, y, w, h in rects:
+            boxes.append((x, y, x + w, y + h))
+            wkts.append(
+                f"POLYGON (({x} {y}, {x+w} {y}, {x+w} {y+h}, "
+                f"{x} {y+h}, {x} {y}))"
+            )
+        area, _, _ = P.dissolve_stats(wkts)
+        # independent sweep: x-slabs x merged y-interval lengths
+        xs = sorted({b[0] for b in boxes} | {b[2] for b in boxes})
+        expect = 0
+        for x1, x2 in zip(xs, xs[1:]):
+            ivs = sorted(
+                (b[1], b[3]) for b in boxes if b[0] <= x1 and b[2] >= x2
+            )
+            covered, hi = 0, None
+            for lo, up in ivs:
+                if hi is None or lo > hi:
+                    covered += up - lo
+                    hi = up
+                elif up > hi:
+                    covered += up - hi
+                    hi = up
+            expect += (x2 - x1) * covered
+        assert abs(area - expect) < 1e-9
+
+    _check()
