@@ -91,3 +91,66 @@ def update_join(
         else:
             cols.append(F.col(f"t.{c}").alias(c))
     return joined.select(*cols)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """AS-OF join — for each left row, the LATEST right row with
+    right_ts <= left_ts on the same key. Spark has no native ASOF; the
+    scale-correct formulation is union + ordered window carry-forward:
+
+    tag both sides, sort per key by (time, side) — right rows first on
+    ties so equality counts as "at or before" — and carry the last seen
+    right payload forward onto every left row. ONE shuffle on the key,
+    no range-explosion join, state bounded by a single row per
+    partition stream. Left rows that precede every right row are
+    dropped (inner-ASOF semantics, like DuckDB's ASOF JOIN).
+
+    ``right`` must be unique per (key, right_ts) — pre-aggregate if not
+    (ties would be nondeterministic in any engine).
+    """
+    from pyspark.sql import Window
+
+    lcols = [c for c in left.columns]
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c).alias(f"l_{c}") for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"r_{c}")
+          for c in value_cols],
+    )
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"l_{c}")
+          for c in lcols],
+        *[F.col(c).alias(f"r_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = l.unionByName(r).select(
+        "*",
+        *[
+            F.last(f"r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.where(
+        (F.col("__is_left") == 1)
+        & F.col(f"asof_{value_cols[0]}").isNotNull()
+    )
+    return out.select(
+        *[F.col(f"l_{c}").alias(c) for c in lcols],
+        *[F.col(f"asof_{c}").alias(f"asof_{c}") for c in value_cols],
+    )

@@ -109,6 +109,7 @@ _SAMPLING_PRIORITY = (
     "a17_cube",
     "w_rolling_1d",
     "u2_array_ops",
+    "j12_asof_join",
     # one representative per r1-green family keeps a fresh row each round
     "frame_lookup",
     "q1_pricing_summary",

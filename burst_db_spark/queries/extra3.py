@@ -99,3 +99,71 @@ def j_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rn") == 1)
         .select("p_partkey", "s_suppkey", "dist_sq")
     )
+
+
+@register(
+    "j12_asof_join",
+    oracle="""
+    WITH probes AS (
+        SELECT o_orderkey,
+               CAST(o_custkey % 150 + 1 AS BIGINT) AS probe_key,
+               TIMESTAMP '2024-01-01'
+                 + INTERVAL (o_orderkey % 40) DAY
+                 + INTERVAL (o_orderkey % 24) HOUR AS probe_ts
+        FROM orders
+    ),
+    ev AS (
+        SELECT user_id, ts,
+               max_by(event_id, event_id) AS event_id,
+               max_by(value, event_id) AS value
+        FROM events GROUP BY user_id, ts
+    )
+    SELECT p.o_orderkey, p.probe_key, p.probe_ts,
+           e.event_id AS asof_event_id,
+           CAST(e.value AS DOUBLE) AS asof_value
+    FROM probes p
+    ASOF JOIN ev e
+      ON p.probe_key = e.user_id AND e.ts <= p.probe_ts
+    """,
+    tags=("J12", "asof", "timeseries"),
+)
+def j12_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (the canonical timeseries operator Spark lacks): each
+    order picks the latest same-customer event at or before its order
+    date. Implemented as union + ordered window carry-forward (one
+    shuffle, no range explosion); the oracle is DuckDB's NATIVE ASOF
+    JOIN, so the two independent formulations must agree row-for-row.
+    The right side dedups to one row per (key, ts) first — ties are
+    nondeterministic in any engine."""
+    from burst_db_spark.operators.joins import asof_join
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 150 + 1).cast("bigint").alias("probe_key"),
+        (
+            F.lit("2024-01-01").cast("timestamp")
+            + F.make_interval(days=(F.col("o_orderkey") % 40).cast("int"))
+            + F.make_interval(hours=(F.col("o_orderkey") % 24).cast("int"))
+        ).alias("probe_ts"),
+    )
+    ev = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("event_id", F.col("event_id")).alias("event_id"),
+            F.max_by("value", F.col("event_id")).alias("value"),
+        )
+    )
+    out = asof_join(
+        orders,
+        ev.withColumnRenamed("user_id", "probe_key"),
+        key="probe_key",
+        left_ts="probe_ts",
+        right_ts="ts",
+        value_cols=["event_id", "value"],
+    )
+    return out.select(
+        "o_orderkey", "probe_key", "probe_ts",
+        F.col("asof_event_id"),
+        F.col("asof_value").cast("double").alias("asof_value"),
+    )
