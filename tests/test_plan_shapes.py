@@ -103,3 +103,12 @@ def test_split_assign_is_scan_plus_project(spark):
     plan = _plan("t_split_assign", spark)
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_asof_join_is_window_not_range_join(spark):
+    """ASOF must plan as union + window (one hash exchange on the key),
+    never a range/nested-loop join."""
+    plan = _plan("j12_asof_join", spark)
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
