@@ -44,10 +44,10 @@ def t_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     laid AS (
-        SELECT *, COALESCE(sum(n_tokens) OVER (
+        SELECT *, CAST(COALESCE(sum(n_tokens) OVER (
                     PARTITION BY shard ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                  0) AS start_offset
+                  0) AS BIGINT) AS start_offset
         FROM d
     )
     SELECT doc_id, shard, n_tokens, start_offset,
