@@ -243,7 +243,13 @@ def split_antimeridian(wkt: str) -> str:
             parts.append([east])
         if len(west) >= 4:
             parts.append([[(x - 360.0, y) for x, y in west]])
-        assert len(parts) == 2, "dateline split must yield two parts"
+        if len(parts) != 2:
+            # A genuinely wide non-crossing footprint, or a sliver that
+            # collapses under the >=4-point check: keep the input ring
+            # rather than killing the whole Arrow batch (and asserts
+            # vanish under -O, so this must be a real branch).
+            out.append(rings)
+            continue
         out.extend(parts)
     return to_wkt(out, force_multi=len(out) > 1)
 

@@ -114,17 +114,28 @@ def asof_join(
 
     ``right`` must be unique per (key, right_ts) — pre-aggregate if not
     (ties would be nondeterministic in any engine).
+
+    The carried payload is ONE struct column, not per-column
+    ``last(ignorenulls)`` — per-column carry would stitch values from
+    DIFFERENT right rows whenever a right value column is NULL, and the
+    match test would be wrong for rows whose true match has a NULL first
+    value column. A struct is atomic: either the whole right row carried
+    or none of it, and ``payload IS NOT NULL`` is the exact match test
+    even when every value inside the matched row is NULL.
     """
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
     lcols = [c for c in left.columns]
+    payload_t = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     l = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__is_left"),
         *[F.col(c).alias(f"l_{c}") for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"r_{c}")
-          for c in value_cols],
+        F.lit(None).cast(payload_t).alias("__payload"),
     )
     r = right.select(
         F.col(key).alias("__k"),
@@ -132,7 +143,7 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"l_{c}")
           for c in lcols],
-        *[F.col(c).alias(f"r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__payload"),
     )
     w = (
         Window.partitionBy("__k")
@@ -141,16 +152,12 @@ def asof_join(
     )
     carried = l.unionByName(r).select(
         "*",
-        *[
-            F.last(f"r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
+        F.last("__payload", ignorenulls=True).over(w).alias("__asof"),
     )
     out = carried.where(
-        (F.col("__is_left") == 1)
-        & F.col(f"asof_{value_cols[0]}").isNotNull()
+        (F.col("__is_left") == 1) & F.col("__asof").isNotNull()
     )
     return out.select(
         *[F.col(f"l_{c}").alias(c) for c in lcols],
-        *[F.col(f"asof_{c}").alias(f"asof_{c}") for c in value_cols],
+        *[F.col("__asof")[c].alias(f"asof_{c}") for c in value_cols],
     )

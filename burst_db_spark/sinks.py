@@ -84,20 +84,32 @@ def write_sqlite(
     import json
     import sqlite3
 
+    import decimal
+
+    def _sqlite_type(simple_str: str) -> str:
+        if simple_str.startswith("decimal("):
+            return "REAL"
+        return _SQLITE_TYPES.get(simple_str, "TEXT")
+
     cols = df.schema.fields
     decls = ", ".join(
-        f'"{f.name}" {_SQLITE_TYPES.get(f.dataType.simpleString(), "TEXT")}'
-        for f in cols
+        f'"{f.name}" {_sqlite_type(f.dataType.simpleString())}' for f in cols
     )
     names = ", ".join(f'"{f.name}"' for f in cols)
     ph = ", ".join("?" for _ in cols)
-    simple = {f.name: f.dataType.simpleString() in _SQLITE_TYPES for f in cols}
+    simple = {
+        f.name: f.dataType.simpleString() in _SQLITE_TYPES
+        or f.dataType.simpleString().startswith("decimal(")
+        for f in cols
+    }
 
     def _cell(name: str, v):
         if v is None or simple[name] is False:
             return json.dumps(v, default=str) if v is not None else None
         if isinstance(v, bool):
             return int(v)
+        if isinstance(v, decimal.Decimal):
+            return float(v)  # REAL column; no quoted-string round-trip
         if isinstance(v, (int, float, str)):
             return v
         return str(v)  # date/timestamp and friends
@@ -167,23 +179,35 @@ def read_sqlite(
             con.close()
         if lo is None:
             bounds = [(None, None)]
-        else:
-            step = (hi - lo) / num_partitions or 1
+        elif isinstance(lo, int) and isinstance(hi, int):
+            # Integer keys stay integers end-to-end: a float round-trip
+            # loses precision above 2^53 and drops/double-reads boundary
+            # rows. Ceil-division step guarantees the half-open ranges
+            # cover [lo, hi] exactly.
+            step = max(1, -(-(hi - lo + 1) // num_partitions))
             bounds = [
-                (lo + i * step, lo + (i + 1) * step) for i in range(num_partitions)
+                (lo + i * step, lo + (i + 1) * step)
+                for i in range(num_partitions)
+                if lo + i * step <= hi
             ]
-            bounds[-1] = (bounds[-1][0], hi + 1)
-
-    bdf = spark.createDataFrame(
-        [
-            (
-                i,
-                None if b[0] is None else float(b[0]),
-                None if b[1] is None else float(b[1]),
+        elif isinstance(lo, (int, float)) and isinstance(hi, (int, float)):
+            step = (float(hi) - float(lo)) / num_partitions or 1.0
+            bounds = [
+                (float(lo) + i * step, float(lo) + (i + 1) * step)
+                for i in range(num_partitions)
+            ]
+            bounds[-1] = (bounds[-1][0], float(hi) + 1.0)
+        else:
+            raise ValueError(
+                f"partition_col {partition_col!r} must be numeric; "
+                f"got bounds ({lo!r}, {hi!r})"
             )
-            for i, b in enumerate(bounds)
-        ],
-        "part int, lo double, hi double",
+
+    int_bounds = bounds[0][0] is not None and isinstance(bounds[0][0], int)
+    bdf = spark.createDataFrame(
+        [(i, b[0], b[1]) for i, b in enumerate(bounds)],
+        f"part int, lo {'long' if int_bounds else 'double'},"
+        f" hi {'long' if int_bounds else 'double'}",
     ).repartition(len(bounds), "part")
 
     def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -199,7 +223,11 @@ def read_sqlite(
                             f'SELECT * FROM "{table}" WHERE '
                             f'"{partition_col}" >= ? AND "{partition_col}" < ?'
                         )
-                        args = (row["lo"], row["hi"])
+                        # numpy scalars don't bind in sqlite3 — unwrap
+                        args = tuple(
+                            v.item() if hasattr(v, "item") else v
+                            for v in (row["lo"], row["hi"])
+                        )
                     yield pd.read_sql_query(q, con, params=args)
                 finally:
                     con.close()

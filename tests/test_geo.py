@@ -312,3 +312,20 @@ def test_dissolve_stats_fuzz_vs_sweepline():
         assert abs(area - expect) < 1e-9
 
     _check()
+
+
+def test_split_antimeridian_degenerate_keeps_input():
+    # A footprint whose raw lon span exceeds 180 but that does NOT clip
+    # into two valid parts (all-positive lons, nothing east of x=180
+    # after the shift) must come back unchanged, not crash.
+    w = "POLYGON ((-179.9 0, 179.9 0, 179.9 1, -179.9 1, -179.9 0))"
+    out = P.split_antimeridian(w)
+    assert out.startswith("MULTIPOLYGON")  # genuine crossing still splits
+    wide = "POLYGON ((0 0, 181 0, 181 1, 0 1, 0 0))"
+    # span > 180, positive lons shift to themselves; west clip yields a
+    # sliver at exactly x=180..181 wrapped to -180..-179 -> two parts OK;
+    # the degenerate case is a span-wide polygon with points only at
+    # x <= 180 after shifting: x in {-170 -> 190, 5, 9}
+    deg = "POLYGON ((-170 0, 5 0, 9 1, -170 0))"
+    got = P.split_antimeridian(deg)
+    assert "POLYGON" in got  # no assert-crash; some valid geometry back

@@ -249,3 +249,65 @@ def test_decode_media_compressed_still_raises():
 
     with _pytest.raises(NotImplementedError):
         decode_media(b"\xff\xd8\xff\xe0JFIF-like")
+
+
+def test_write_sqlite_decimal_lands_as_real(spark, tmp_path):
+    import sqlite3
+
+    from burst_db_spark.sinks import write_sqlite
+
+    df = spark.createDataFrame(
+        [(1, "4032.68"), (2, "-7.25")], "id bigint, bal string"
+    ).selectExpr("id", "CAST(bal AS DECIMAL(18,2)) AS bal")
+    db = str(tmp_path / "dec.sqlite")
+    write_sqlite(df, db, "t")
+    con = sqlite3.connect(db)
+    decl = con.execute(
+        "SELECT type FROM pragma_table_info('t') WHERE name='bal'"
+    ).fetchone()[0]
+    assert decl == "REAL"
+    rows = dict(con.execute("SELECT id, bal FROM t").fetchall())
+    assert rows[1] == 4032.68 and rows[2] == -7.25
+    # numeric SQL over the column works (would fail on '"4032.68"' text)
+    assert abs(con.execute("SELECT sum(bal) FROM t").fetchone()[0] - 4025.43) < 1e-9
+    con.close()
+
+
+def test_read_sqlite_bigint_bounds_exact(spark, tmp_path):
+    import sqlite3
+
+    from burst_db_spark.sinks import read_sqlite
+
+    # keys above 2^53: adjacent ints indistinguishable as doubles, so a
+    # float bounds round-trip would drop or double-read boundary rows
+    base = 2**53
+    keys = [base + i for i in range(40)]
+    db = str(tmp_path / "big.sqlite")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (k INTEGER, v TEXT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(k, str(k)) for k in keys])
+    con.commit()
+    con.close()
+    out = read_sqlite(
+        spark, db, "t", "k long, v string", partition_col="k", num_partitions=7
+    )
+    got = sorted(r.k for r in out.collect())
+    assert got == keys  # every row exactly once
+    assert out.count() == 40
+
+
+def test_read_sqlite_non_numeric_partition_col_raises(spark, tmp_path):
+    import sqlite3
+
+    import pytest as _pytest
+
+    from burst_db_spark.sinks import read_sqlite
+
+    db = str(tmp_path / "s.sqlite")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (k TEXT)")
+    con.execute("INSERT INTO t VALUES ('a')")
+    con.commit()
+    con.close()
+    with _pytest.raises(ValueError, match="numeric"):
+        read_sqlite(spark, db, "t", "k string", partition_col="k")
