@@ -1,0 +1,172 @@
+"""Grid-cell bucketed spatial joins (SURVEY.md §2.3 J7/J8 scale path).
+
+The reference answers spatial joins with an in-process R-tree
+(query_frame_db.py:111-119: STRtree candidates, exact refine). A single
+shared index does not exist on a cluster; the Spark-native equivalent is
+GRID-CELL BUCKETING: snap every bbox to the fixed cells it covers,
+explode to one row per (cell, row), and EQUI-join on the cell id. The
+join then hash-partitions on the cell key — a plain shuffle exchange —
+instead of a BroadcastNestedLoopJoin whose candidate generation is
+O(N·M) comparisons and whose broadcast side must fit in memory.
+
+Pair dedup is free: a bbox pair can meet in several cells, so a naive
+cell join needs a distinct. Instead each candidate is kept only in the
+cell that contains the intersection's REFERENCE CORNER
+(max(xmin_l, xmin_r), max(ymin_l, ymin_r)) — a point that lies in every
+cell both boxes share, but in exactly ONE cell. Each intersecting pair
+therefore survives in exactly one joined row and no dedup shuffle is
+needed (the standard PBSM/"reference point" trick from parallel spatial
+join literature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cell(col: Column, size: float) -> Column:
+    return F.floor(col / F.lit(size)).cast("long")
+
+
+def explode_bbox_cells(
+    df: DataFrame,
+    xmin: str,
+    ymin: str,
+    xmax: str,
+    ymax: str,
+    cell_size: float,
+    cx: str = "__cx",
+    cy: str = "__cy",
+) -> DataFrame:
+    """One output row per grid cell the bbox [xmin..xmax]×[ymin..ymax]
+    covers. Cells are the half-open squares [i·s,(i+1)·s). Explode factor
+    is ceil(w/s+1)·ceil(h/s+1) — size cells near the typical bbox so it
+    stays ~4."""
+    return df.withColumn(
+        cx,
+        F.explode(
+            F.sequence(_cell(F.col(xmin), cell_size), _cell(F.col(xmax), cell_size))
+        ),
+    ).withColumn(
+        cy,
+        F.explode(
+            F.sequence(_cell(F.col(ymin), cell_size), _cell(F.col(ymax), cell_size))
+        ),
+    )
+
+
+def grid_bbox_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_bbox: tuple[str, str, str, str],
+    right_bbox: tuple[str, str, str, str],
+    cell_size: float,
+) -> DataFrame:
+    """Candidate pairs whose bboxes intersect, one row per pair, via a
+    cell-id EQUI-join (shuffle on hash(cell) — or a broadcast HASH join
+    when one side is small; never a nested-loop). Column names must be
+    disjoint between the two inputs. Follow with an exact-geometry
+    refine for the full two-phase join."""
+    lx1, ly1, lx2, ly2 = left_bbox
+    rx1, ry1, rx2, ry2 = right_bbox
+    l = explode_bbox_cells(left, lx1, ly1, lx2, ly2, cell_size, "__lcx", "__lcy")
+    r = explode_bbox_cells(right, rx1, ry1, rx2, ry2, cell_size, "__rcx", "__rcy")
+    overlap = (
+        (F.col(lx1) <= F.col(rx2))
+        & (F.col(lx2) >= F.col(rx1))
+        & (F.col(ly1) <= F.col(ry2))
+        & (F.col(ly2) >= F.col(ry1))
+    )
+    # reference corner of the bbox intersection — in exactly one cell
+    ref_here = (
+        _cell(F.greatest(F.col(lx1), F.col(rx1)), cell_size) == F.col("__lcx")
+    ) & (_cell(F.greatest(F.col(ly1), F.col(ry1)), cell_size) == F.col("__lcy"))
+    joined = l.join(
+        r,
+        (F.col("__lcx") == F.col("__rcx")) & (F.col("__lcy") == F.col("__rcy")),
+    ).where(overlap & ref_here)
+    return joined.drop("__lcx", "__lcy", "__rcx", "__rcy")
+
+
+def grid_nn_join(
+    probes: DataFrame,
+    points: DataFrame,
+    probe_key: str,
+    probe_xy: tuple[str, str],
+    point_xy: tuple[str, str],
+    cell_size: float,
+    point_cols: tuple[str, ...] = (),
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Exact nearest neighbor per probe without a cross join.
+
+    Stage 1: each probe looks only at points in its 3×3 cell
+    neighborhood (probe explodes to 9 cell keys; points carry ONE cell
+    key — an equi-join, shuffled on hash(cell)). A candidate at squared
+    distance ≤ cell_size² is PROVABLY the global nearest: any point
+    outside the neighborhood is strictly farther than cell_size from
+    anywhere in the probe's cell.
+
+    Stage 2: probes with no provable winner (no neighbor in 9 cells, or
+    nearest candidate beyond the guarantee radius) anti-join out and take
+    the exact broadcast argmin. With cells sized near the point spacing
+    the residual is a vanishing fraction — at 100 TB the heavy side
+    flows through stage 1's hash exchange only.
+
+    ``tie_break`` orders equal distances (required for determinism).
+    """
+    from pyspark.sql import Window
+
+    px, py = probe_xy
+    qx, qy = point_xy
+    tb = tie_break or point_cols[0]
+
+    pts = points.withColumn("__pcx", _cell(F.col(qx), cell_size)).withColumn(
+        "__pcy", _cell(F.col(qy), cell_size)
+    )
+    probe_cells = probes.withColumn(
+        "__ncx", F.explode(F.sequence(_cell(F.col(px), cell_size) - 1,
+                                      _cell(F.col(px), cell_size) + 1))
+    ).withColumn(
+        "__ncy", F.explode(F.sequence(_cell(F.col(py), cell_size) - 1,
+                                      _cell(F.col(py), cell_size) + 1))
+    )
+    dist = (F.col(px) - F.col(qx)) * (F.col(px) - F.col(qx)) + (
+        F.col(py) - F.col(qy)
+    ) * (F.col(py) - F.col(qy))
+    cand = probe_cells.join(
+        pts,
+        (F.col("__ncx") == F.col("__pcx")) & (F.col("__ncy") == F.col("__pcy")),
+    ).withColumn("__dist_sq", dist)
+    w = Window.partitionBy(probe_key).orderBy("__dist_sq", tb)
+    best = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__ncx", "__ncy", "__pcx", "__pcy")
+    )
+    confirmed = best.where(F.col("__dist_sq") <= F.lit(float(cell_size) ** 2))
+
+    # residual: no provable stage-1 winner -> exact argmin on the full
+    # point set. Joined on a constant key so it stays a broadcast HASH
+    # join (never a nested-loop): the residual×M work lands on one task,
+    # which is fine precisely because the stage-1 guarantee makes the
+    # residual a vanishing fraction; at planet scale you widen the ring
+    # (5×5, 9×9 cells) before ever reaching this branch.
+    # the key is column-derived (always 0) so Catalyst can't constant-fold
+    # the condition to `true` and degrade this into a nested-loop join
+    unresolved = probes.join(
+        confirmed.select(probe_key), probe_key, "left_anti"
+    ).withColumn("__one", (F.col(px) * 0).cast("long"))
+    fb = (
+        unresolved.join(
+            F.broadcast(points.withColumn("__one", (F.col(qx) * 0).cast("long"))),
+            "__one",
+        )
+        .withColumn("__dist_sq", dist)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__one")
+    )
+    out_cols = [*probes.columns, *point_cols, "__dist_sq"]
+    return confirmed.select(*out_cols).unionByName(fb.select(*out_cols))

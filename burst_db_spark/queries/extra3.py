@@ -73,9 +73,14 @@ def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-neighbor spatial join: each part point gets its closest
     supplier point (exact integer squared distance, deterministic
-    tie-break). The supplier side broadcasts (the codebook pattern); at
-    planet scale the cross term is cut by grid-cell bucketing first —
-    same shape as knn_cosine_ivf."""
+    tie-break), via GRID-CELL bucketing — probes equi-join points in
+    their 3×3 cell neighborhood (one hash exchange), winners within the
+    cell-size guarantee radius are provably global-nearest, and only the
+    vanishing residual takes the exact fallback. Replaces the broadcast
+    cross join + row_number shape, which was O(N·M) and memory-bound at
+    scale."""
+    from burst_db_spark.operators.spatial_join import grid_nn_join
+
     part = load(spark, sf_dir, "part")
     supp = load(spark, sf_dir, "supplier")
     pc = part.select(
@@ -88,16 +93,18 @@ def j_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("s_suppkey") * 29) % 340 - 170).alias("sx"),
         ((F.col("s_suppkey") * 17) % 160 - 80).alias("sy"),
     )
-    dist = (
-        (F.col("px") - F.col("sx")) * (F.col("px") - F.col("sx"))
-        + (F.col("py") - F.col("sy")) * (F.col("py") - F.col("sy"))
-    ).cast("bigint")
-    scored = pc.join(F.broadcast(sc)).withColumn("dist_sq", dist)
-    w = Window.partitionBy("p_partkey").orderBy("dist_sq", "s_suppkey")
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("p_partkey", "s_suppkey", "dist_sq")
+    out = grid_nn_join(
+        pc,
+        sc,
+        probe_key="p_partkey",
+        probe_xy=("px", "py"),
+        point_xy=("sx", "sy"),
+        cell_size=24.0,
+        point_cols=("s_suppkey",),
+        tie_break="s_suppkey",
+    )
+    return out.select(
+        "p_partkey", "s_suppkey", F.col("__dist_sq").cast("bigint").alias("dist_sq")
     )
 
 

@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from burst_db_spark.catalog import load
-from burst_db_spark.geo.bbox import bbox_intersects_expr, utm_epsg_expr
+from burst_db_spark.geo.bbox import utm_epsg_expr
 from burst_db_spark.geo.udfs import (
     envelope_udf,
     intersects_pair_udf,
@@ -107,8 +107,16 @@ def p9_spatial_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("J7", "J8", "spatial"),
 )
 def j7_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spatial join (gdf.sjoin, get_volcano_frames.py:29-33): broadcast
-    bbox-equi prejoin + exact pairwise Intersects refine."""
+    """Spatial join (gdf.sjoin, get_volcano_frames.py:29-33) as the
+    GRID-CELL two-phase plan: snap bboxes to fixed cells, explode, EQUI
+    join on the cell id (hash exchange — the distributed stand-in for the
+    reference's R-tree, query_frame_db.py:111-119), reference-corner
+    pair dedup, exact pairwise Intersects refine. No nested-loop join
+    anywhere: candidate generation is hash-partitioned, so the plan
+    survives both sides growing 100× (the prior broadcast nested-loop
+    shape was O(N·M) comparisons with a memory-bound broadcast)."""
+    from burst_db_spark.operators.spatial_join import grid_bbox_join
+
     supp = load(spark, sf_dir, "supplier")
     sxmin = ((F.col("s_suppkey") * 29) % 340 - 170).cast("int")
     symin = ((F.col("s_suppkey") * 17) % 160 - 80).cast("int")
@@ -124,17 +132,20 @@ def j7_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sxmin"), F.col("symin"), F.col("sxmax"), F.col("symax")
         ),
     )
-    # spread the fact side: a single-file scan would run the candidate
-    # generation + python refine in one task
+    # spread the fact side: a single-file scan would run the explode +
+    # python refine in one task
     pboxes = _part_boxes(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
-    bbox_cond = bbox_intersects_expr(
-        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
-        F.col("sxmin"), F.col("symin"), F.col("sxmax"), F.col("symax"),
+    # cell ~= the larger (supplier) box: explode factor stays ~4/row
+    pairs = grid_bbox_join(
+        pboxes,
+        sboxes,
+        ("xmin", "ymin", "xmax", "ymax"),
+        ("sxmin", "symin", "sxmax", "symax"),
+        cell_size=32.0,
     )
-    joined = pboxes.join(F.broadcast(sboxes), bbox_cond)
-    refined = joined.where(intersects_pair_udf(F.col("geom_wkt"), F.col("sgeom")))
+    refined = pairs.where(intersects_pair_udf(F.col("geom_wkt"), F.col("sgeom")))
     return refined.groupBy("s_suppkey").agg(F.count("*").alias("n_parts_hit"))
 
 

@@ -112,3 +112,25 @@ def test_asof_join_is_window_not_range_join(spark):
     assert "Window" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_spatial_join_is_grid_cell_equi_join(spark):
+    """J7 candidate generation must be an EQUI join on the grid-cell key
+    (hash exchange / broadcast HASH join), never a nested-loop over a
+    pure range condition — the shape that dies at 100x scale."""
+    plan = _plan("j7_spatial_join", spark)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # Broadcast- or Shuffled-, both equi
+    # the join key is the exploded cell id, not a raw coordinate
+    assert "__lcx" in plan and "__rcx" in plan
+
+
+def test_spatial_knn_is_grid_cell_equi_join(spark):
+    """The NN join's heavy path is the 3x3-neighborhood cell equi-join;
+    the exact fallback must also plan as a hash join (constant key),
+    never nested-loop/cartesian."""
+    plan = _plan("j_spatial_knn", spark)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
