@@ -43,74 +43,30 @@ for _m in _MODULES:
         )
 
 # The driver's correctness gate samples a PREFIX of the registration order
-# (round 1: exactly the first 50 of 80). Front-load the queries that most
-# need driver-green evidence: everything unsampled in round 1 (spatial,
-# text, dedup, similarity, scalar gauntlets), the three queries whose
-# DECIMAL output was re-cast to DOUBLE this round, and one representative
-# per already-green operator family. Names not listed keep their module
-# registration order after the prefix; unknown names are ignored.
+# (rounds 1-2: exactly the first 50). Round-3 rotation policy:
+#   1. everything CHANGED or NEW this round leads (it has no green row
+#      for its current implementation);
+#   2. then the r1-green families the driver has never re-sampled, so
+#      every registered oracle query eventually has a fresh row;
+#   3. then one representative per r2-green family;
+#   4. rows-only queries (no oracle) and already-double-checked r2 rows
+#      sit BEHIND the prefix — a sampled slot spent on a `no_oracle` row
+#      is a wasted slot.
+# Names not listed keep their module registration order after the
+# prefix; unknown names are ignored (lets planned queries pre-register).
 _SAMPLING_PRIORITY = (
-    # spatial kernel (unsampled in r1) + round-2 dissolve
-    "p9_spatial_intersect",
-    "j7_spatial_join",
-    "a3_union_envelope",
-    "a3_dissolve_union_area",
-    "utm_epsg_classify",
-    "ep1_minimal_db",
-    "j_spatial_knn",
-    "a14_spatial_mean",
-    # round-2 decimal→double fixes (previously hash_match: false)
-    "ep2_burst_catalog",
-    "q5_local_supplier_volume",
-    "w_running_sum",
-    # round-2 source-layer round-trips (S1-S7/S9)
-    "s1_sqlite_roundtrip",
-    "s2_csv_infer_roundtrip",
-    "s3_csv_schema_semicolon",
-    "s4_csv_glob_multifile",
-    "s6_geojson_roundtrip",
-    "s7_envelope_roundtrip",
-    "s9_xml_bursts",
-    "k5_partitioned_append_roundtrip",
-    # scalar gauntlets (unsampled in r1)
-    "f_string_gauntlet",
-    "f_date_gauntlet",
-    "f_math_gauntlet",
-    "f_conditional_gauntlet",
-    # text / pipeline operators (unsampled in r1)
-    "t_token_stats",
-    "t_quality_score",
-    "t_lang_guess",
-    "t_fingerprint",
-    "t_top_tfidf",
-    "t_decontaminate",
-    "t_quality_filter",
-    "t_split_assign",
-    "t_pack_sequences",
-    "t_redact_pii",
-    "t_curriculum_buckets",
-    "mm_wav_roundtrip",
-    "stream_daily_counts",
-    # dedup family (unsampled in r1)
-    "dd_exact",
-    "dd_ngram_jaccard",
-    "dd_minhash_lsh",
-    "dd_dedup_clusters",
-    "dd_simhash",
-    "dd_corpus_survivors",
-    "dd_embedding_nn",
-    # similarity + skew (unsampled in r1)
-    "knn_cosine_brute",
-    "knn_cosine_ivf",
-    "knn_cosine_ivf_learned",
-    "skew_salted_count",
-    # remaining unsampled windows/arrays
-    "a13_weekly_window",
-    "a17_cube",
-    "w_rolling_1d",
-    "u2_array_ops",
-    "j12_asof_join",
-    # one representative per r1-green family keeps a fresh row each round
+    # -- changed or new in round 3 --
+    "t_pack_sequences",        # oracle HUGEINT cast fix
+    "j7_spatial_join",         # grid-cell equi-join rewrite
+    "j_spatial_knn",           # grid-cell NN rewrite
+    "j12_asof_join",           # struct-payload rewrite; never sampled
+    "u2_array_ops",            # never sampled
+    "s1_sqlite_roundtrip",     # sink bounds/decimal changes
+    "stream_session_counts",   # new oracle this round
+    "t_curriculum_buckets",    # range-partitioned rewrite
+    "dd_embedding_nn",         # recall retuning
+    "a3_union_polygon",        # new boundary-traced union query
+    # -- r1-green, never re-sampled --
     "frame_lookup",
     "q1_pricing_summary",
     "p2_filter_isin",
@@ -121,6 +77,52 @@ _SAMPLING_PRIORITY = (
     "u1_unpivot_union",
     "f4_missing_dates",
     "f_json_props",
+    # -- r2-green representatives --
+    "p9_spatial_intersect",
+    "a3_union_envelope",
+    "a3_dissolve_union_area",
+    "utm_epsg_classify",
+    "a14_spatial_mean",
+    "ep2_burst_catalog",
+    "q5_local_supplier_volume",
+    "w_running_sum",
+    "s4_csv_glob_multifile",
+    "s9_xml_bursts",
+    "k5_partitioned_append_roundtrip",
+    "f_string_gauntlet",
+    "f_date_gauntlet",
+    "f_math_gauntlet",
+    "f_conditional_gauntlet",
+    "t_token_stats",
+    "t_quality_score",
+    "t_lang_guess",
+    "t_fingerprint",
+    "t_top_tfidf",
+    "t_decontaminate",
+    "t_quality_filter",
+    "t_split_assign",
+    "t_redact_pii",
+    "mm_wav_roundtrip",
+    "stream_daily_counts",
+    "dd_exact",
+    "dd_minhash_lsh",
+    "dd_dedup_clusters",
+    "dd_simhash",
+    # -- behind the 50-slot prefix: r2-green spares, then rows-only --
+    "s2_csv_infer_roundtrip",
+    "s3_csv_schema_semicolon",
+    "s6_geojson_roundtrip",
+    "s7_envelope_roundtrip",
+    "dd_ngram_jaccard",
+    "dd_corpus_survivors",
+    "knn_cosine_brute",
+    "knn_cosine_ivf",
+    "skew_salted_count",
+    "a13_weekly_window",
+    "a17_cube",
+    "w_rolling_1d",
+    "ep1_minimal_db",          # rows-only by design
+    "knn_cosine_ivf_learned",  # rows-only by design
 )
 
 from burst_db_spark.registry import set_order_prefix as _set_order_prefix  # noqa: E402

@@ -4,9 +4,9 @@ check, per the contract): genuinely non-SQL-expressible operators.
 - w5_reference_dates: stateful scan whose emission rule depends on prior
   emissions (reference_dates.py:105-157) → applyInPandas
 - mm_features: multimodal binary plumbing with the stubbed decoder
-- stream_session_counts: Structured Streaming session_window aggregation
-  driven to completion with availableNow (append-mode semantics differ
-  from any batch SQL by design: open sessions are held back)
+(stream_session_counts and stream_daily_counts are NOT rows-only: driven
+in COMPLETE mode their streamed output equals the batch SQL exactly, so
+both carry real oracles.)
 """
 
 from __future__ import annotations
@@ -59,12 +59,41 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session_counts",
-    oracle=None,
-    tags=("streaming", "session_window", "rows-only"),
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS INTEGER) AS session_id
+        FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                        OR epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id))
+                           >= 43200
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        )
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 43200 SECONDS AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session_window", "oracle-checked"),
 )
 def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """session_window streaming aggregation over the events table driven
-    with trigger(availableNow) — the streaming twin of w2_sessionize."""
+    """session_window streaming aggregation driven with
+    trigger(availableNow) in COMPLETE output mode — every session
+    emitted, none held back by a watermark — so the streamed result must
+    equal the batch gap-sessionization bit-for-bit. The oracle is the
+    same lag/cumsum session SQL that anchors w2_sessionize (session end
+    = last event + gap, new session when gap >= 12 h), making this the
+    streaming twin of w2 with a REAL correctness row instead of
+    rows-only."""
     from burst_db_spark.streaming import incremental as st
 
     src = load(spark, sf_dir, "events")
@@ -73,10 +102,21 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.write.parquet(data_dir)
     schema = src.schema
     stream = st.file_stream(spark, data_dir, schema)
-    agg = st.session_counts(stream, "user_id", "ts", gap="12 hours")
+    agg = (
+        stream.groupBy(
+            F.session_window(F.col("ts"), "43200 seconds"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
     name = f"sess_{uuid.uuid4().hex[:8]}"
     q = (
-        agg.writeStream.outputMode("append")
+        agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", f"{tmp}/ckpt")
