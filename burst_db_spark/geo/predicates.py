@@ -452,3 +452,167 @@ def collect_union_wkt(wkts: list[str]) -> str:
         _, coords = parse_wkt(w)
         polys.extend(coords)  # type: ignore[arg-type]
     return to_wkt(polys, force_multi=True)
+
+
+def _axis_rect(ring: Ring) -> tuple[float, float, float, float] | None:
+    """(xmin, ymin, xmax, ymax) if the ring is an axis-aligned rectangle."""
+    pts = ring[:-1] if ring and ring[0] == ring[-1] else list(ring)
+    if len(pts) != 4:
+        return None
+    xs = {x for x, _ in pts}
+    ys = {y for _, y in pts}
+    if len(xs) != 2 or len(ys) != 2:
+        return None
+    if {(x, y) for x in xs for y in ys} != set(pts):
+        return None
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def union_outline(wkts: list[str]) -> str | None:
+    """BOUNDARY-TRACED union of axis-aligned rectangles — the actual
+    dissolved (MULTI)POLYGON geometry (ST_UnaryUnion(ST_Collect),
+    build_frame_db.py:139-148), not just its statistics.
+
+    Rectilinear overlay on a compressed grid: mark covered cells, keep
+    exactly the cell edges where coverage flips (oriented interior-LEFT,
+    so exterior rings come out CCW and holes CW), stitch edges into rings
+    preferring the left turn at degree-4 pinch vertices (keeps rings
+    simple: corner-touching squares become two polygons, not a bowtie),
+    then nest holes into their containing exterior by ray casting.
+
+    Returns None when any member is not an axis-aligned rectangle — the
+    general polygon-overlay case stays with ``dissolve_stats`` (exact
+    stats, no traced geometry), same honesty rule as collect_union_wkt.
+    """
+    rects = []
+    for w in wkts:
+        _, coords = parse_wkt(w)
+        for poly in coords:  # type: ignore[union-attr]
+            r = _axis_rect(poly[0])
+            if r is None:
+                return None
+            if r[0] < r[2] and r[1] < r[3]:
+                rects.append(r)
+    if not rects:
+        return None
+
+    xs = sorted({v for r in rects for v in (r[0], r[2])})
+    ys = sorted({v for r in rects for v in (r[1], r[3])})
+    xi = {v: i for i, v in enumerate(xs)}
+    yi = {v: i for i, v in enumerate(ys)}
+    nx, ny = len(xs) - 1, len(ys) - 1
+    cov = [[False] * ny for _ in range(nx)]
+    for x1, y1, x2, y2 in rects:
+        for i in range(xi[x1], xi[x2]):
+            row = cov[i]
+            for j in range(yi[y1], yi[y2]):
+                row[j] = True
+
+    def covered(i: int, j: int) -> bool:
+        return 0 <= i < nx and 0 <= j < ny and cov[i][j]
+
+    # boundary edges, interior on the LEFT of travel direction
+    edges: list[tuple[tuple[float, float], tuple[float, float]]] = []
+    for i in range(nx + 1):
+        for j in range(ny):
+            west, east = covered(i - 1, j), covered(i, j)
+            if west and not east:   # up-edge (interior west)
+                edges.append(((xs[i], ys[j]), (xs[i], ys[j + 1])))
+            elif east and not west:  # down-edge (interior east)
+                edges.append(((xs[i], ys[j + 1]), (xs[i], ys[j])))
+    for j in range(ny + 1):
+        for i in range(nx):
+            south, north = covered(i, j - 1), covered(i, j)
+            if north and not south:  # east-edge (interior north)
+                edges.append(((xs[i], ys[j]), (xs[i + 1], ys[j])))
+            elif south and not north:  # west-edge (interior south)
+                edges.append(((xs[i + 1], ys[j]), (xs[i], ys[j])))
+
+    out_edges: dict[tuple[float, float], list[tuple[float, float]]] = {}
+    for a, b in edges:
+        out_edges.setdefault(a, []).append(b)
+
+    def _sgn(v: float) -> int:
+        return (v > 0) - (v < 0)
+
+    rings: list[Ring] = []
+    while True:
+        starts = [p for p, ends in out_edges.items() if ends]
+        if not starts:
+            break
+        start = min(starts)
+        cur = start
+        prev_d: tuple[int, int] | None = None
+        ring: Ring = [start]
+        while True:
+            ends = out_edges[cur]
+            if prev_d is None or len(ends) == 1:
+                nxt = min(ends)
+            else:
+                def rank(e, c=cur, pd=prev_d):
+                    d = (_sgn(e[0] - c[0]), _sgn(e[1] - c[1]))
+                    cross = pd[0] * d[1] - pd[1] * d[0]
+                    dot = pd[0] * d[0] + pd[1] * d[1]
+                    if cross > 0:
+                        return 0  # left turn
+                    if cross == 0 and dot > 0:
+                        return 1  # straight
+                    if cross < 0:
+                        return 2  # right turn
+                    return 3      # U-turn
+                nxt = min(ends, key=lambda e: (rank(e), e))
+            ends.remove(nxt)
+            prev_d = (_sgn(nxt[0] - cur[0]), _sgn(nxt[1] - cur[1]))
+            cur = nxt
+            if cur == start:
+                break
+            ring.append(cur)
+        # drop collinear midpoints (consecutive same-direction steps)
+        compact: Ring = []
+        m = len(ring)
+        for k in range(m):
+            px, py = ring[(k - 1) % m]
+            cx_, cy_ = ring[k]
+            qx, qy = ring[(k + 1) % m]
+            if (_sgn(cx_ - px), _sgn(cy_ - py)) != (_sgn(qx - cx_), _sgn(qy - cy_)):
+                compact.append((cx_, cy_))
+        compact.append(compact[0])
+        rings.append(compact)
+
+    outers = [(r, shoelace_area(r)) for r in rings if shoelace_area(r) > 0]
+    holes = [r for r in rings if shoelace_area(r) < 0]
+
+    def _inside(pt: tuple[float, float], ring: Ring) -> bool:
+        x, y = pt
+        n = False
+        for k in range(len(ring) - 1):
+            x1, y1 = ring[k]
+            x2, y2 = ring[k + 1]
+            if (y1 > y) != (y2 > y) and x < x1 + (y - y1) * (x2 - x1) / (y2 - y1):
+                n = not n
+        return n
+
+    polys: MultiPolygonCoords = [[r] for r, _ in outers]
+    for h in holes:
+        # a hole vertex is strictly inside its exterior (pinches were
+        # separated by the left-turn rule); smallest containing wins
+        cands = [
+            (a, idx)
+            for idx, (r, a) in enumerate(outers)
+            if _inside(h[0], r)
+        ]
+        if cands:
+            polys[min(cands)[1]].append(h)
+    return to_wkt(polys, force_multi=len(polys) > 1)
+
+
+def wkt_area_with_holes(wkt: str) -> float:
+    """Area of a (MULTI)POLYGON honoring interior rings, orientation-
+    independent: |exterior| minus |holes| per polygon."""
+    _, coords = parse_wkt(wkt)
+    total = 0.0
+    for rings in coords:  # type: ignore[union-attr]
+        total += abs(shoelace_area(rings[0]))
+        for h in rings[1:]:
+            total -= abs(shoelace_area(h))
+    return total

@@ -246,6 +246,47 @@ def dissolve_union_agg(
     return df.groupBy(key).applyInPandas(_dissolve, schema)
 
 
+@F.pandas_udf(StringType())
+def union_outline_udf(wkts: pd.Series) -> pd.Series:
+    """Boundary-traced union of one (MULTI)POLYGON collection per row
+    (rect members; NULL when tracing doesn't apply — non-rect members or
+    antimeridian-spanning footprints)."""
+    return wkts.map(lambda w: None if w is None else P.union_outline([w]))
+
+
+def dissolve_outline_agg(
+    df: DataFrame, key: str, wkt_col: str = "geom_wkt"
+) -> DataFrame:
+    """Per-key dissolved union GEOMETRY — the boundary-traced
+    (MULTI)POLYGON the reference gets from ST_UnaryUnion(ST_Collect)
+    (build_frame_db.py:139-148) — plus its area recomputed FROM the
+    traced WKT (exterior minus holes), so correctness is checkable
+    against the relational slab-sweep oracle. Members must be
+    axis-aligned rectangles (predicates.union_outline contract);
+    union_wkt is NULL otherwise. Returns (key, union_wkt, union_area,
+    n_members)."""
+    key_field = df.schema[key]
+    schema = StructType(
+        [
+            key_field,
+            StructField("union_wkt", StringType()),
+            StructField("union_area", DoubleType()),
+            StructField("n_members", LongType()),
+        ]
+    )
+
+    def _outline(pdf: pd.DataFrame) -> pd.DataFrame:
+        wkts = [w for w in pdf[wkt_col] if w]
+        outline = P.union_outline(wkts)
+        area = P.wkt_area_with_holes(outline) if outline else None
+        return pd.DataFrame(
+            [[pdf[key].iloc[0], outline, area, len(pdf)]],
+            columns=[key, "union_wkt", "union_area", "n_members"],
+        )
+
+    return df.groupBy(key).applyInPandas(_outline, schema)
+
+
 def two_phase_intersect_filter(
     df: DataFrame,
     probe_wkt: str,

@@ -268,6 +268,15 @@ def enrich_frames(frames: DataFrame, member_geoms: DataFrame | None = None) -> D
     if member_geoms is not None:
         geoms = union_collect_agg(member_geoms, "frame_fid")
         frames = frames.join(geoms, "frame_fid", "left")
+        # the reference's frames.geom is the DISSOLVED union
+        # (build_frame_db.py:139-148 ST_UnaryUnion(ST_Collect)): emit the
+        # boundary-traced polygon alongside the member collection (the
+        # collection stays the lookup/intersect surface — same point set)
+        from burst_db_spark.geo.udfs import union_outline_udf
+
+        frames = frames.withColumn(
+            "geom_dissolved_wkt", union_outline_udf(F.col("geom_wkt"))
+        )
     elif "geom_wkt" not in frames.columns:
         frames = frames.withColumn(
             "geom_wkt",
@@ -333,9 +342,15 @@ def enrich_frames(frames: DataFrame, member_geoms: DataFrame | None = None) -> D
         F.col("__uenv.xmax"), F.col("__uenv.ymax"),
         snap=30.0, margin=5000.0,
     )
+    dissolved = (
+        F.col("geom_dissolved_wkt")
+        if "geom_dissolved_wkt" in frames.columns
+        else F.lit(None).cast("string")
+    )
     return frames.select(
         "frame_fid", "relative_orbit_number", "orbit_pass", "is_land",
-        "n_triplets", "geom_wkt", "epsg",
+        "n_triplets", "geom_wkt", dissolved.alias("geom_dissolved_wkt"),
+        "epsg",
         *[s.alias(n) for s, n in zip(snapped, ["sxmin", "symin", "sxmax", "symax"])],
         *[s.alias(n) for s, n in zip(meter, ["uxmin", "uymin", "uxmax", "uymax"])],
     )

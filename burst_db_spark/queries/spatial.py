@@ -305,6 +305,12 @@ def a3_dissolve_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     by golden pytest (tests/test_geo.py)."""
     from burst_db_spark.geo.udfs import dissolve_union_agg
 
+    rects = _dissolve_rects(spark, sf_dir)
+    out = dissolve_union_agg(rects, "g")
+    return out.select("g", "union_area", "n_members")
+
+
+def _dissolve_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").where(F.col("c_custkey") < 2000)
     r = cust.select(
         (F.col("c_custkey") % 40).alias("g"),
@@ -313,7 +319,7 @@ def a3_dissolve_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c_custkey") * 7) % 100 + 1 + F.col("c_custkey") % 5).alias("rxmax"),
         ((F.col("c_custkey") * 11) % 100 + 1 + F.col("c_custkey") % 7).alias("rymax"),
     )
-    rects = r.select(
+    return r.select(
         "g",
         F.format_string(
             "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
@@ -321,5 +327,71 @@ def a3_dissolve_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rxmin", "rymax", "rxmin", "rymin",
         ).alias("geom_wkt"),
     )
-    out = dissolve_union_agg(rects, "g")
+
+
+@register(
+    "a3_union_polygon",
+    oracle="""
+    WITH rects AS (
+        SELECT c_custkey % 40 AS g,
+               (c_custkey * 7) % 100 AS rxmin,
+               (c_custkey * 11) % 100 AS rymin,
+               (c_custkey * 7) % 100 + 1 + (c_custkey % 5) AS rxmax,
+               (c_custkey * 11) % 100 + 1 + (c_custkey % 7) AS rymax
+        FROM customer WHERE c_custkey < 2000
+    ),
+    xs AS (
+        SELECT DISTINCT g, x FROM (
+            SELECT g, rxmin AS x FROM rects
+            UNION SELECT g, rxmax AS x FROM rects)
+    ),
+    slabs AS (
+        SELECT g, x AS x1, lead(x) OVER (PARTITION BY g ORDER BY x) AS x2
+        FROM xs
+    ),
+    cover AS (
+        SELECT s.g, s.x1, s.x2, r.rymin, r.rymax
+        FROM slabs s JOIN rects r
+          ON r.g = s.g AND r.rxmin <= s.x1 AND r.rxmax >= s.x2
+        WHERE s.x2 IS NOT NULL
+    ),
+    ord_iv AS (
+        SELECT *, max(rymax) OVER (
+            PARTITION BY g, x1 ORDER BY rymin, rymax
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        FROM cover
+    ),
+    isl AS (
+        SELECT *, sum(CASE WHEN prev_max IS NULL OR rymin > prev_max
+                           THEN 1 ELSE 0 END) OVER (
+            PARTITION BY g, x1 ORDER BY rymin, rymax) AS island
+        FROM ord_iv
+    ),
+    ylen AS (
+        SELECT g, x1, x2, island, max(rymax) - min(rymin) AS len
+        FROM isl GROUP BY g, x1, x2, island
+    ),
+    area AS (
+        SELECT g, CAST(sum((x2 - x1) * len) AS DOUBLE) AS union_area
+        FROM ylen GROUP BY g
+    ),
+    members AS (SELECT g, CAST(count(*) AS BIGINT) AS n_members FROM rects GROUP BY g)
+    SELECT a.g, a.union_area, m.n_members
+    FROM area a JOIN members m ON a.g = m.g
+    """,
+    tags=("A3", "F3", "dissolve", "geo", "outline"),
+)
+def a3_union_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDARY-TRACED dissolved geometry (ST_UnaryUnion(ST_Collect),
+    build_frame_db.py:139-148): the per-group union emitted as an actual
+    (MULTI)POLYGON WKT — rectilinear overlay + ring stitching in
+    geo.predicates.union_outline — with the reported area recomputed
+    FROM that traced geometry (exterior minus holes). The relational
+    slab-sweep oracle must match it exactly (integer corners are exact
+    in doubles), so the traced polygon itself is what the driver
+    checks — not just collection statistics."""
+    from burst_db_spark.geo.udfs import dissolve_outline_agg
+
+    rects = _dissolve_rects(spark, sf_dir)
+    out = dissolve_outline_agg(rects, "g")
     return out.select("g", "union_area", "n_members")

@@ -329,3 +329,40 @@ def test_split_antimeridian_degenerate_keeps_input():
     deg = "POLYGON ((-170 0, 5 0, 9 1, -170 0))"
     got = P.split_antimeridian(deg)
     assert "POLYGON" in got  # no assert-crash; some valid geometry back
+
+
+def test_union_outline_area_matches_dissolve_stats_fuzz():
+    import random
+
+    from burst_db_spark.geo.wkt import rect_wkt
+
+    rng = random.Random(3)
+    for trial in range(25):
+        wkts = []
+        for _ in range(rng.randint(1, 18)):
+            x = rng.randint(0, 40)
+            y = rng.randint(0, 40)
+            wkts.append(rect_wkt(x, y, x + rng.randint(1, 9), y + rng.randint(1, 9)))
+        outline = P.union_outline(wkts)
+        area_stats, _, _ = P.dissolve_stats(wkts)
+        assert outline is not None
+        assert abs(P.wkt_area_with_holes(outline) - area_stats) < 1e-9, trial
+
+
+def test_union_outline_hole_and_pinch():
+    from burst_db_spark.geo.wkt import parse_wkt, rect_wkt
+
+    # ring of rects -> polygon with one interior ring
+    frame = [rect_wkt(0, 0, 5, 1), rect_wkt(0, 4, 5, 5),
+             rect_wkt(0, 0, 1, 5), rect_wkt(4, 0, 5, 5)]
+    w = P.union_outline(frame)
+    _, coords = parse_wkt(w)
+    assert len(coords) == 1 and len(coords[0]) == 2  # exterior + hole
+    assert abs(P.wkt_area_with_holes(w) - (25 - 9)) < 1e-12
+    # corner-touching squares -> TWO simple polygons, not a bowtie
+    w2 = P.union_outline([rect_wkt(0, 0, 1, 1), rect_wkt(1, 1, 2, 2)])
+    _, coords2 = parse_wkt(w2)
+    assert len(coords2) == 2
+    # non-rect member -> honest None
+    tri = "POLYGON ((0 0, 2 0, 1 2, 0 0))"
+    assert P.union_outline([tri]) is None

@@ -236,3 +236,27 @@ def test_solver_optimality_vs_bruteforce():
         if expected == float("inf"):
             continue  # covered by the fallback path
         assert dp_cost == expected, f"n={n}: dp {dp_cost} vs brute {expected}"
+
+
+def test_frames_carry_dissolved_union_geometry(spark):
+    """The frames artifact's dissolved geometry (boundary-traced union)
+    covers the same area as the exact dissolve stats of the member
+    collection — the ST_UnaryUnion(ST_Collect) parity the collection
+    alone doesn't give (build_frame_db.py:139-148)."""
+    from burst_db_spark.geo import predicates as P
+    from burst_db_spark.plans import fixtures
+    from burst_db_spark.plans.frame_db import build_frames, enrich_frames
+
+    trip = fixtures.burst_triplets(spark, n_triplets=120, n_tracks=2)
+    bursts = fixtures.burst_id_map(spark, n_triplets=120, n_tracks=2)
+    frames, bridge = build_frames(trip, 9, 5, 10)
+    member_geoms = bridge.join(bursts, "burst_id").select("frame_fid", "geom_wkt")
+    out = enrich_frames(frames, member_geoms=member_geoms)
+    rows = out.select("frame_fid", "geom_wkt", "geom_dissolved_wkt").where(
+        "geom_dissolved_wkt IS NOT NULL"
+    ).collect()
+    assert rows, "expected traced unions for rectangular burst footprints"
+    for r in rows[:10]:
+        traced = P.wkt_area_with_holes(r.geom_dissolved_wkt)
+        stats, _, _ = P.dissolve_stats([r.geom_wkt])
+        assert abs(traced - stats) < 1e-9, r.frame_fid
