@@ -80,12 +80,15 @@ def lsh_params_for(n_docs: int, target_occupancy: int = 256) -> tuple[int, int]:
     N / 2^r → r = ceil(log2(N / target)). The per-bucket pairwise verify
     is occupancy-bounded, which is what keeps the whole pipeline from
     re-quadratifying at 100 TB (SCALING.md records the effect when r is
-    held fixed). Band count stays at 8 — recall is tuned by b, cost by r.
+    held fixed). Band count stays at 16 — recall is tuned by b, cost by
+    r: at r=4 and cos-threshold 0.4, 16 bands give 1-(1-p^4)^16 ≈ 0.94
+    for threshold-grade pairs (p = 1-θ/π ≈ 0.63), measured 93% against
+    the exact audit at sf0.01 (8 bands measured only 71%).
     """
     import math
 
     r = max(4, math.ceil(math.log2(max(n_docs, 1) / target_occupancy)))
-    return 8 * r, r
+    return 16 * r, r
 
 
 def lsh_planes(n_planes: int = 32, dim: int = 64) -> list[list[float]]:
@@ -139,7 +142,7 @@ def lsh_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 32,
+    n_planes: int = 64,
     bits_per_band: int = 4,
     threshold: float = 0.4,
 ) -> DataFrame:
@@ -244,7 +247,7 @@ def lsh_near_dup_pairs(
 
 
 def lsh_oracle_sql(
-    n_planes: int = 32, bits_per_band: int = 4, threshold: float = 0.4
+    n_planes: int = 64, bits_per_band: int = 4, threshold: float = 0.4
 ) -> str:
     """DuckDB SQL computing the identical LSH-pruned pair set (same plane
     literals, same fold order → bit-identical signs and cosines)."""
