@@ -185,11 +185,76 @@ def curriculum_buckets(
 ) -> DataFrame:
     """Curriculum bucketing: ntile over a TOTAL order (score, then a
     unique tiebreak key — without it ntile is nondeterministic across
-    engines/runs). One global sort, the standard curriculum-schedule
-    shape; at 100 TB swap in approx quantile cutoffs computed map-side
-    if the global sort becomes the bottleneck."""
+    engines/runs). One global sort in a SINGLE partition — the simple
+    shape; ``curriculum_buckets_scalable`` computes the identical
+    buckets with range partitioning for the 100 TB path."""
     from pyspark.sql import Window
 
     order = [score_col] + ([order_key] if order_key is not None else [])
     w = Window.orderBy(*order)
     return df.withColumn(out_col, F.ntile(n_buckets).over(w).cast("int"))
+
+
+def curriculum_buckets_scalable(
+    df: DataFrame,
+    score_col: Column,
+    n_buckets: int = 4,
+    order_key: Column | None = None,
+    out_col: str = "bucket",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """EXACT ntile buckets without a single-partition window — the
+    distributed global-rank pattern:
+
+    1. ``repartitionByRange`` on the total order → disjoint, ordered
+       ranges across ``n_parts`` partitions (parallel sort);
+    2. per-partition row counts (tiny: one row per partition) collected
+       and prefix-summed into rank offsets, broadcast back;
+    3. global rank = partition offset + local row_number (window
+       partitioned by partition id — every partition ranks in parallel);
+    4. ntile arithmetic from the global rank: with N rows and n buckets,
+       the first N mod n buckets hold ceil(N/n) rows (Spark's and
+       DuckDB's NTILE rule), so the buckets match the global-window
+       formulation bit-for-bit.
+
+    Cost: one range exchange + one hash(pid) exchange + a 2-action pass
+    (count + offsets), all parallel — no stage ever sees more than one
+    partition's rows. The frame is persisted so the range boundaries are
+    identical across the two passes."""
+    from pyspark.sql import Window
+
+    order = [score_col] + ([order_key] if order_key is not None else [])
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    odf = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*order)
+    rank0 = (F.row_number().over(w) + F.col("__off") - 1)  # 0-based global
+    q, rem = divmod(total, n_buckets)
+    if q == 0:  # fewer rows than buckets: one row per bucket
+        bucket = rank0 + 1
+    else:
+        boundary = rem * (q + 1)
+        bucket = (
+            F.when(rank0 < boundary, F.floor(rank0 / (q + 1)))
+            .otherwise(rem + F.floor((rank0 - boundary) / q))
+            + 1
+        )
+    return (
+        ranged.join(F.broadcast(odf), "__pid")
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("__pid", "__off")
+    )

@@ -107,11 +107,14 @@ def t_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum-schedule bucketing: quartiles of a difficulty proxy
     (text length) under a TOTAL order (score, doc_id) — the unique
-    tiebreak is what makes ntile deterministic across engines."""
-    from burst_db_spark.operators.text import curriculum_buckets
+    tiebreak is what makes ntile deterministic across engines. Runs the
+    SCALABLE formulation (range partitions + offset ranks, no
+    single-partition window); the oracle stays the plain global NTILE,
+    so the driver proves the two formulations identical."""
+    from burst_db_spark.operators.text import curriculum_buckets_scalable
 
     docs = load(spark, sf_dir, "documents")
-    out = curriculum_buckets(
+    out = curriculum_buckets_scalable(
         docs, F.length("text"), n_buckets=4, order_key=F.col("doc_id")
     )
     return out.select("doc_id", "bucket")

@@ -81,3 +81,41 @@ def test_labels_match_spec(spark, series):
             assert got[(key, t)] == lab, (
                 f"key={key} t={t}: got {got[(key, t)]}, spec {lab}"
             )
+
+
+def test_curriculum_scalable_equals_global_ntile(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from burst_db_spark.operators.text import (
+        curriculum_buckets,
+        curriculum_buckets_scalable,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, rng.randint(0, 50)) for i in range(337)]
+    df = spark.createDataFrame(rows, "id long, score int")
+    for n in (4, 7):
+        a = {
+            r.id: r.bucket
+            for r in curriculum_buckets(
+                df, F.col("score"), n_buckets=n, order_key=F.col("id")
+            ).collect()
+        }
+        b = {
+            r.id: r.bucket
+            for r in curriculum_buckets_scalable(
+                df, F.col("score"), n_buckets=n, order_key=F.col("id"), n_parts=5
+            ).collect()
+        }
+        assert a == b, n
+    # fewer rows than buckets: each row its own bucket
+    tiny = spark.createDataFrame([(1, 9), (2, 3)], "id long, score int")
+    got = {
+        r.id: r.bucket
+        for r in curriculum_buckets_scalable(
+            tiny, F.col("score"), n_buckets=4, order_key=F.col("id"), n_parts=3
+        ).collect()
+    }
+    assert got == {2: 1, 1: 2}

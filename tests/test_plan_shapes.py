@@ -134,3 +134,12 @@ def test_spatial_knn_is_grid_cell_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan
+
+
+def test_curriculum_buckets_no_single_partition_window(spark):
+    """The scalable curriculum bucketing must never funnel rows through
+    an Exchange SinglePartition (the global-ntile smell): ranks come from
+    range partitions + broadcast offsets."""
+    plan = _plan("t_curriculum_buckets", spark)
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower() or "RangePartitioning" in plan
