@@ -43,6 +43,11 @@ HEADLINE = [
     "t_top_tfidf",
     "a3_dissolve_union_area",
     "t_pack_sequences",
+    # round-3 operators
+    "j_spatial_knn",
+    "a3_union_polygon",
+    "j12_asof_join",
+    "t_curriculum_buckets",
 ]
 
 

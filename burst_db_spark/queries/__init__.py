@@ -66,6 +66,8 @@ _SAMPLING_PRIORITY = (
     "t_curriculum_buckets",    # range-partitioned rewrite
     "dd_embedding_nn",         # recall retuning
     "a3_union_polygon",        # new boundary-traced union query
+    "s8_rangezip_roundtrip",   # new: partial-zip ranged extraction
+    "s10_stac_paged",          # new: paged catalog walk
     # -- r1-green, never re-sampled --
     "frame_lookup",
     "q1_pricing_summary",
@@ -106,9 +108,9 @@ _SAMPLING_PRIORITY = (
     "stream_daily_counts",
     "dd_exact",
     "dd_minhash_lsh",
+    # -- behind the 50-slot prefix: r2-green spares, then rows-only --
     "dd_dedup_clusters",
     "dd_simhash",
-    # -- behind the 50-slot prefix: r2-green spares, then rows-only --
     "s2_csv_infer_roundtrip",
     "s3_csv_schema_semicolon",
     "s6_geojson_roundtrip",

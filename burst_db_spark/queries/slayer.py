@@ -280,3 +280,95 @@ def s1_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_col="s_suppkey",
         num_partitions=8,
     )
+
+
+@register(
+    "s8_rangezip_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name
+    FROM nation
+    """,
+    tags=("S8", "zip", "range-read"),
+)
+def s8_rangezip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-zip extraction (S8, _land_usgs.py:24-44 RemoteZipFile):
+    nation rows become CSV members inside a zip that also carries much
+    larger decoy members; the range reader parses the end-of-central-
+    directory + central directory, glob-selects only ``data/*.csv``, and
+    extracts exactly those byte ranges — the decoys' bytes are never
+    fetched (asserted in pytest). The transport is the injectable
+    ``fetch(offset, size)``; HTTP Range is a drop-in. Members mix
+    stored and deflated compression on purpose."""
+    import io
+    import zipfile as _zf
+
+    from burst_db_spark.sources.remote import file_fetcher, read_partial_zip
+
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rows = sorted((r.n_nationkey, r.n_name) for r in nation.collect())
+    half = len(rows) // 2
+    path = os.path.join(_tmpdir("s8"), "archive.zip")
+    with _zf.ZipFile(path, "w") as z:
+        for i, chunk in enumerate((rows[:half], rows[half:])):
+            body = "\n".join(f"{k},{n}" for k, n in chunk)
+            z.writestr(
+                f"data/part{i}.csv", body,
+                compress_type=_zf.ZIP_DEFLATED if i % 2 else _zf.ZIP_STORED,
+            )
+        z.writestr("junk/big0.bin", b"\xab" * 300_000)
+        z.writestr("junk/big1.bin", b"\xcd" * 300_000)
+    fetch, size = file_fetcher(path)
+    members = read_partial_zip(spark, fetch, size, ["data/*.csv"])
+    lines = members.select(
+        F.explode(F.split(F.decode("content", "utf-8"), "\n")).alias("line")
+    ).where(F.length("line") > 0)
+    return lines.select(
+        F.split("line", ",")[0].cast("int").alias("n_nationkey"),
+        F.split("line", ",")[1].alias("n_name"),
+    )
+
+
+@register(
+    "s10_stac_paged",
+    oracle="""
+    SELECT 'S1A_IW_SLC__1' ||
+           CASE WHEN s_suppkey % 3 = 0 THEN 'SDV' ELSE 'SSH' END ||
+           '_2021' || lpad(CAST(s_suppkey AS VARCHAR), 8, '0')
+               AS granule
+    FROM supplier
+    WHERE s_suppkey % 4 IN (0, 1) AND s_suppkey % 3 IN (0, 1)
+    """,
+    tags=("S10", "stac", "paged"),
+)
+def s10_stac_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paged STAC/CMR catalog scan (S10,
+    download_asf_granule_list.py:41-128): supplier keys become granule
+    titles spread over linked JSON pages (rel=item entries + rel=next
+    pagination, plus EW/WV beam and disallowed-polarization chaff the
+    name filter must drop). The walker follows the links with bounded
+    retries; the transport is an injectable ``fetch_json`` resolving
+    against local documents — HTTP GET is a drop-in, driver-side like
+    the reference's. The oracle regenerates the kept set relationally."""
+    import json as _json
+
+    from burst_db_spark.sources.remote import asf_safe_names, dir_json_fetcher
+
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey")
+    keys = sorted(r.s_suppkey for r in supp.collect())
+    beams = {0: "IW", 1: "IW", 2: "EW", 3: "WV"}
+    pols = {0: "SDV", 1: "SSH", 2: "ZZZ"}
+    titles = [
+        f"S1A_{beams[k % 4]}_SLC__1{pols[k % 3]}_2021{k:08d}-SLC" for k in keys
+    ]
+    page_dir = _tmpdir("s10")
+    page_size = 40
+    chunks = [titles[i : i + page_size] for i in range(0, len(titles), page_size)]
+    for i, chunk in enumerate(chunks):
+        links = [{"rel": "item", "title": t} for t in chunk]
+        links.append({"rel": "self", "href": f"page{i}.json"})
+        if i + 1 < len(chunks):
+            links.append({"rel": "next", "href": f"page{i + 1}.json"})
+        with open(os.path.join(page_dir, f"page{i}.json"), "w") as f:
+            _json.dump({"links": links}, f)
+    names = asf_safe_names(dir_json_fetcher(page_dir), ["page0.json"])
+    return spark.createDataFrame([(n,) for n in names], "granule string")

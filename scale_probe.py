@@ -38,8 +38,11 @@ PROBE_QUERIES = [
     "q5_local_supplier_volume",
     "dd_embedding_nn",
     "a3_dissolve_union_area",
+    "a3_union_polygon",
     "t_pack_sequences",
     "t_split_assign",
+    "t_curriculum_buckets",
+    "j12_asof_join",
 ]
 
 # keys to shift per replica so replicated rows don't collapse into the
@@ -90,6 +93,61 @@ def time_queries(spark, specs, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _synth_boxes(spark, n: int, side: int, seed_mult: int, wmax: int, hmax: int,
+                 prefix: str):
+    """n pseudo-random integer boxes spread over a side×side domain."""
+    df = spark.range(n).withColumnRenamed("id", f"{prefix}id")
+    kid = F.col(f"{prefix}id")
+    x = (kid * seed_mult) % side
+    y = (kid * (seed_mult + 18)) % side
+    return df.select(
+        f"{prefix}id",
+        x.alias(f"{prefix}xmin"),
+        y.alias(f"{prefix}ymin"),
+        (x + 1 + kid % wmax).alias(f"{prefix}xmax"),
+        (y + 1 + kid % hmax).alias(f"{prefix}ymax"),
+    )
+
+
+def spatial_cd_probe(spark, n_small: int, factor: int) -> dict[str, float]:
+    """Constant-DENSITY scaling for the grid-cell spatial joins: when the
+    corpus grows 10x, the DOMAIN grows 10x too (real data covers more
+    ground), so the matching-pair count grows ~10x, not 100x. A clone-
+    replication probe would stack 10 copies of every box on the same
+    spot, inflating OUTPUT quadratically — that measures the data
+    generator, not the plan. Here linear-ish ratios are plan evidence:
+    candidate generation is bucket-local, not O(N·M)."""
+    from burst_db_spark.operators.spatial_join import grid_bbox_join, grid_nn_join
+
+    out: dict[str, float] = {}
+    for label, n in (("", n_small), ("_big", n_small * factor)):
+        # ~72 units² per left box keeps r2's sf0.1 density
+        side = max(32, int((n * 72) ** 0.5))
+        left = _synth_boxes(spark, n, side, 2654435761 % side or 7, 5, 4, "l")
+        right = _synth_boxes(spark, max(n // 10, 1), side, 40503, 20, 15, "r")
+        t0 = time.perf_counter()
+        grid_bbox_join(
+            left, right, ("lxmin", "lymin", "lxmax", "lymax"),
+            ("rxmin", "rymin", "rxmax", "rymax"), cell_size=32.0,
+        ).write.format("noop").mode("overwrite").save()
+        out[f"j7_grid_cd{label}"] = round(time.perf_counter() - t0, 2)
+
+        probes = left.select(
+            "lid", F.col("lxmin").alias("px"), F.col("lymin").alias("py")
+        )
+        points = right.select(
+            "rid", F.col("rxmin").alias("sx"), F.col("rymin").alias("sy")
+        )
+        t0 = time.perf_counter()
+        grid_nn_join(
+            probes, points, probe_key="lid", probe_xy=("px", "py"),
+            point_xy=("sx", "sy"), cell_size=24.0, point_cols=("rid",),
+            tie_break="rid",
+        ).write.format("noop").mode("overwrite").save()
+        out[f"knn_grid_cd{label}"] = round(time.perf_counter() - t0, 2)
+    return out
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark(app_name="scale_probe")
@@ -100,6 +158,10 @@ def main() -> None:
         replicate(spark, base, big, factor)
         small = time_queries(spark, specs, base)
         large = time_queries(spark, specs, big)
+        cd = spatial_cd_probe(spark, n_small=100_000, factor=factor)
+        for k in [k for k in cd if not k.endswith("_big")]:
+            small[k] = cd[k]
+            large[k] = cd[f"{k}_big"]
         ratio = {
             k: round(large[k] / small[k], 1) if small[k] > 0 else None
             for k in small
