@@ -98,21 +98,29 @@ def grid_nn_join(
     cell_size: float,
     point_cols: tuple[str, ...] = (),
     tie_break: str | None = None,
+    rings: tuple[int, ...] = (1, 4),
 ) -> DataFrame:
     """Exact nearest neighbor per probe without a cross join.
 
-    Stage 1: each probe looks only at points in its 3×3 cell
-    neighborhood (probe explodes to 9 cell keys; points carry ONE cell
-    key — an equi-join, shuffled on hash(cell)). A candidate at squared
-    distance ≤ cell_size² is PROVABLY the global nearest: any point
-    outside the neighborhood is strictly farther than cell_size from
-    anywhere in the probe's cell.
+    Ring escalation: at ring radius k each probe looks only at points
+    within its (2k+1)^2 cell neighborhood (probe explodes to the
+    neighborhood's cell keys; points carry ONE cell key - an equi-join,
+    shuffled on hash(cell)). A candidate at squared distance <=
+    (k*cell)^2 is PROVABLY the global nearest: any point outside the
+    neighborhood is strictly farther than k*cell from anywhere in the
+    probe's cell. Probes without a provable winner anti-join into the
+    next ring - each level multiplies the guarantee radius, so the
+    unresolved set collapses geometrically even when points are sparse
+    relative to the cell. (A single-level design dies exactly there:
+    if most probes miss in 3x3, a direct exact fallback computes
+    residual x M ~ N*M pairs on one task - measured as an 80 GB spill
+    in the first constant-density scale probe.)
 
-    Stage 2: probes with no provable winner (no neighbor in 9 cells, or
-    nearest candidate beyond the guarantee radius) anti-join out and take
-    the exact broadcast argmin. With cells sized near the point spacing
-    the residual is a vanishing fraction — at 100 TB the heavy side
-    flows through stage 1's hash exchange only.
+    Final fallback: whatever survives every ring takes the exact argmin
+    on the full point set, joined on a non-foldable constant key so it
+    plans as a broadcast HASH join (never a nested loop). By
+    construction this input is the geometric tail; the heavy side only
+    ever flows through the ring equi-joins.
 
     ``tie_break`` orders equal distances (required for determinism).
     """
@@ -125,39 +133,42 @@ def grid_nn_join(
     pts = points.withColumn("__pcx", _cell(F.col(qx), cell_size)).withColumn(
         "__pcy", _cell(F.col(qy), cell_size)
     )
-    probe_cells = probes.withColumn(
-        "__ncx", F.explode(F.sequence(_cell(F.col(px), cell_size) - 1,
-                                      _cell(F.col(px), cell_size) + 1))
-    ).withColumn(
-        "__ncy", F.explode(F.sequence(_cell(F.col(py), cell_size) - 1,
-                                      _cell(F.col(py), cell_size) + 1))
-    )
     dist = (F.col(px) - F.col(qx)) * (F.col(px) - F.col(qx)) + (
         F.col(py) - F.col(qy)
     ) * (F.col(py) - F.col(qy))
-    cand = probe_cells.join(
-        pts,
-        (F.col("__ncx") == F.col("__pcx")) & (F.col("__ncy") == F.col("__pcy")),
-    ).withColumn("__dist_sq", dist)
     w = Window.partitionBy(probe_key).orderBy("__dist_sq", tb)
-    best = (
-        cand.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn", "__ncx", "__ncy", "__pcx", "__pcy")
-    )
-    confirmed = best.where(F.col("__dist_sq") <= F.lit(float(cell_size) ** 2))
+    out_cols = [*probes.columns, *point_cols, "__dist_sq"]
 
-    # residual: no provable stage-1 winner -> exact argmin on the full
-    # point set. Joined on a constant key so it stays a broadcast HASH
-    # join (never a nested-loop): the residual×M work lands on one task,
-    # which is fine precisely because the stage-1 guarantee makes the
-    # residual a vanishing fraction; at planet scale you widen the ring
-    # (5×5, 9×9 cells) before ever reaching this branch.
+    remaining = probes
+    resolved = None
+    for k in rings:
+        probe_cells = remaining.withColumn(
+            "__ncx", F.explode(F.sequence(_cell(F.col(px), cell_size) - k,
+                                          _cell(F.col(px), cell_size) + k))
+        ).withColumn(
+            "__ncy", F.explode(F.sequence(_cell(F.col(py), cell_size) - k,
+                                          _cell(F.col(py), cell_size) + k))
+        )
+        cand = probe_cells.join(
+            pts,
+            (F.col("__ncx") == F.col("__pcx")) & (F.col("__ncy") == F.col("__pcy")),
+        ).withColumn("__dist_sq", dist)
+        best = (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__ncx", "__ncy", "__pcx", "__pcy")
+        )
+        confirmed = best.where(
+            F.col("__dist_sq") <= F.lit(float(k * cell_size) ** 2)
+        ).select(*out_cols)
+        resolved = confirmed if resolved is None else resolved.unionByName(confirmed)
+        remaining = remaining.join(
+            resolved.select(probe_key), probe_key, "left_anti"
+        )
+
     # the key is column-derived (always 0) so Catalyst can't constant-fold
     # the condition to `true` and degrade this into a nested-loop join
-    unresolved = probes.join(
-        confirmed.select(probe_key), probe_key, "left_anti"
-    ).withColumn("__one", (F.col(px) * 0).cast("long"))
+    unresolved = remaining.withColumn("__one", (F.col(px) * 0).cast("long"))
     fb = (
         unresolved.join(
             F.broadcast(points.withColumn("__one", (F.col(qx) * 0).cast("long"))),
@@ -168,5 +179,4 @@ def grid_nn_join(
         .where(F.col("__rn") == 1)
         .drop("__rn", "__one")
     )
-    out_cols = [*probes.columns, *point_cols, "__dist_sq"]
-    return confirmed.select(*out_cols).unionByName(fb.select(*out_cols))
+    return resolved.unionByName(fb.select(*out_cols))
