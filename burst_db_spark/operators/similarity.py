@@ -158,28 +158,37 @@ def lsh_near_dup_pairs(
     it (queries: dd_embedding_nn_exact_audit).
     """
     planes = lsh_planes(n_planes, dim=64)
-    # The plane matrix rides in as broadcast DATA (a 1-row frame), not as
-    # a 2048-literal expression tree — Catalyst planning/codegen over the
-    # literal tree was the dominant cold cost. The transform lambda is
-    # identical, so signs and cosines don't change.
-    spark = emb.sparkSession
-    planes_df = spark.createDataFrame(
-        [(planes,)], "planes: array<array<double>>"
-    )
+    # Signs come from an Arrow-batched numpy kernel, NOT the Column-level
+    # transform/aggregate lambdas: higher-order-function folds evaluate
+    # interpreted per element, and at 64 planes × 64 dims they dominated
+    # the query (measured 5.1 s → ~1.5 s at sf0.1). The kernel
+    # accumulates PER POSITION (acc += x_i · p_i across all planes at
+    # once), which is the same addition order as the JVM left fold and
+    # DuckDB's list_reduce — signs stay bit-identical to the oracle.
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    plane_mat = np.array(planes, dtype=np.float64).T  # dim × n_planes
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _bits_udf(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy()).astype(np.float64)  # n × dim
+        acc = np.zeros((x.shape[0], plane_mat.shape[1]), dtype=np.float64)
+        for i in range(x.shape[1]):
+            acc += x[:, i : i + 1] * plane_mat[i : i + 1, :]
+        bits = (acc >= 0).astype(np.int32)
+        return pd.Series(list(bits))
+
     # signature computed once, persisted: it feeds the band explode AND
     # both verify sides (the minhash pattern, operators/dedup.py). The
-    # bits land in a real column first so the plane transform runs once
+    # bits land in a real column first so the plane kernel runs once
     # per row; keys are cheap slices of that column.
     sig = (
-        emb.crossJoin(F.broadcast(planes_df))
-        .select(
+        emb.select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).alias("vec"),
             _norm(F.col(vec_col)).alias("nrm"),
-            F.transform(
-                F.col("planes"),
-                lambda p: (_dot(F.col(vec_col), p) >= 0).cast("int"),
-            ).alias("bits"),
+            _bits_udf(F.col(vec_col)).alias("bits"),
         )
         .select(
             "vid",
