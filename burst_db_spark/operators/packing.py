@@ -49,6 +49,47 @@ def assign_split(
     return df.withColumn(out_col, expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    granularity: int = 10_000,
+    salt: str = "strat",
+    bucket_col: str = "sample_bucket",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-mixing
+    primitive of a training-data pipeline (e.g. keep 50% of English, 20%
+    of everything else).
+
+    Each row's fate is a pure function of (salt, key): md5 → bucket in
+    [0, granularity) → keep iff bucket < fraction·granularity for its
+    stratum. Unlike ``df.sampleBy`` (seeded Bernoulli per partition,
+    resample on retry/re-run), this survives re-runs, engine changes,
+    and cluster resizes unchanged — a map-side filter, zero shuffles,
+    no sampling state. The salt decorrelates it from
+    ``assign_split`` so sampling never biases split membership.
+    """
+    thresholds = {s: int(round(f * granularity)) for s, f in fractions.items()}
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % granularity
+    )
+    thresh: Column = F.lit(int(round(default_fraction * granularity)))
+    for name, t in thresholds.items():
+        thresh = F.when(F.col(strata_col) == name, F.lit(t)).otherwise(thresh)
+    return df.withColumn(bucket_col, b.cast("int")).where(F.col(bucket_col) < thresh)
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -144,6 +144,93 @@ def top_tfidf_terms(df: DataFrame, id_col: str, text_col: str = "text", k: int =
     )
 
 
+def _word_grams(toks: Column, n: int) -> Column:
+    """All word n-grams (with multiplicity) as an array column; empty
+    array for texts shorter than n tokens — mirrors the DuckDB
+    ``range(1, len(t)-(n-2))`` behavior used in the oracles."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)])  # noqa: E731
+    return F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    top_bigram_max: float = 0.2,
+    dup_5gram_max: float = 0.3,
+) -> DataFrame:
+    """Gopher-style intra-document repetition statistics: the fraction of
+    2-gram occurrences claimed by the single most common 2-gram, and the
+    fraction of 5-gram occurrences that are repeats — the two standard
+    "repetitious document" filter signals for pretraining corpora
+    (Rae et al. 2021 §A1.1 use exactly these n-gram families).
+
+    Relational all the way down: explode n-grams → per-(doc, gram)
+    counts → per-doc max/sum. Partial (map-side) aggregation absorbs the
+    gram multiplicity before the shuffle, so at 100 TB the exchange
+    carries one row per distinct (doc, gram), not one per token. The
+    fractions are single BIGINT/BIGINT divisions — bit-identical across
+    engines.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__t"))
+
+    def doc_gram_stats(n: int):
+        g = base.select(id_col, F.explode(_word_grams(F.col("__t"), n)).alias("g"))
+        return g.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+
+    a2 = (
+        doc_gram_stats(2)
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("total_bigrams"),
+            F.max("c").cast("bigint").alias("top_bigram_count"),
+        )
+    )
+    a5 = (
+        doc_gram_stats(5)
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("total_5grams"),
+            F.count("*").cast("bigint").alias("distinct_5grams"),
+        )
+    )
+    out = (
+        df.select(id_col)
+        .join(a2, id_col, "left")
+        .join(a5, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("total_bigrams", F.lit(0)).alias("total_bigrams"),
+            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+            F.coalesce("total_5grams", F.lit(0)).alias("total_5grams"),
+            F.coalesce("distinct_5grams", F.lit(0)).alias("distinct_5grams"),
+        )
+    )
+    top_frac = F.when(
+        F.col("total_bigrams") > 0,
+        F.col("top_bigram_count") / F.col("total_bigrams"),
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        F.col("total_5grams") > 0,
+        (F.col("total_5grams") - F.col("distinct_5grams")) / F.col("total_5grams"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "*",
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_5gram_frac"),
+    ).withColumn(
+        "keep",
+        (
+            (F.col("top_bigram_frac") <= top_bigram_max)
+            & (F.col("dup_5gram_frac") <= dup_5gram_max)
+        ).cast("int"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text."""
     return F.md5(F.lower(F.trim(text)))

@@ -68,6 +68,8 @@ _SAMPLING_PRIORITY = (
     "a3_union_polygon",        # new boundary-traced union query
     "s8_rangezip_roundtrip",   # new: partial-zip ranged extraction
     "s10_stac_paged",          # new: paged catalog walk
+    "t_repetition_stats",      # new: Gopher repetition signals
+    "t_stratified_sample",     # new: deterministic corpus mixing
     # -- r1-green, never re-sampled --
     "frame_lookup",
     "q1_pricing_summary",

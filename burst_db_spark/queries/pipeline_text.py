@@ -115,6 +115,88 @@ def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_repetition_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
+    g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                     t[i+3] || ' ' || t[i+4])) AS g FROM toks),
+    c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+    a2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_bigrams,
+                  CAST(max(c) AS BIGINT) AS top_bigram_count
+           FROM c2 GROUP BY 1),
+    c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+    a5 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_5grams,
+                  CAST(count(*) AS BIGINT) AS distinct_5grams
+           FROM c5 GROUP BY 1),
+    j AS (
+        SELECT d.doc_id,
+               COALESCE(total_bigrams, 0) AS total_bigrams,
+               COALESCE(top_bigram_count, 0) AS top_bigram_count,
+               COALESCE(total_5grams, 0) AS total_5grams,
+               COALESCE(distinct_5grams, 0) AS distinct_5grams
+        FROM documents d
+        LEFT JOIN a2 ON a2.doc_id = d.doc_id
+        LEFT JOIN a5 ON a5.doc_id = d.doc_id
+    ),
+    f AS (
+        SELECT *,
+               CASE WHEN total_bigrams > 0
+                    THEN top_bigram_count / total_bigrams
+                    ELSE 0.0 END AS top_bigram_frac,
+               CASE WHEN total_5grams > 0
+                    THEN (total_5grams - distinct_5grams) / total_5grams
+                    ELSE 0.0 END AS dup_5gram_frac
+        FROM j
+    )
+    SELECT doc_id, total_bigrams, top_bigram_count, total_5grams,
+           distinct_5grams, top_bigram_frac, dup_5gram_frac,
+           CAST(CASE WHEN top_bigram_frac <= 0.2 AND dup_5gram_frac <= 0.3
+                     THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM f
+    """,
+    tags=("text", "repetition", "quality", "pipeline"),
+)
+def t_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals: top-2-gram occupancy and
+    duplicate-5-gram fraction per document, plus the keep decision at the
+    published thresholds (0.2 / 0.3)."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.repetition_features(docs, "doc_id")
+
+
+@register(
+    "t_stratified_sample",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, lang,
+               CAST(CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)),
+                          1, 8)) AS BIGINT) % 10000 AS INTEGER) AS sample_bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, sample_bucket FROM b
+    WHERE sample_bucket < CASE lang WHEN 'en' THEN 5000
+                                    WHEN 'de' THEN 2500
+                                    ELSE 1000 END
+    """,
+    tags=("pipeline", "sampling", "stratified"),
+)
+def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing by deterministic stratified sampling: keep 50% of
+    English, 25% of German, 10% of everything else — each row's fate a
+    pure function of (salt, doc_id), so re-runs and engine changes keep
+    the identical sample. Plan is a map-side filter: zero shuffles."""
+    from burst_db_spark.operators.packing import stratified_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.25}, default_fraction=0.1
+    )
+
+
+@register(
     "t_quality_filter",
     oracle=f"""
     WITH q AS (
