@@ -70,6 +70,7 @@ _SAMPLING_PRIORITY = (
     "s10_stac_paged",          # new: paged catalog walk
     "t_repetition_stats",      # new: Gopher repetition signals
     "t_stratified_sample",     # new: deterministic corpus mixing
+    "s11_zarr_cube",           # new: real zarr store round-trip
     # -- r1-green, never re-sampled --
     "frame_lookup",
     "q1_pricing_summary",

@@ -283,6 +283,73 @@ def s1_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s11_zarr_cube",
+    oracle="""
+    WITH cells AS (
+        SELECT (year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1 AS t,
+               l_suppkey % 8 AS si, l_partkey % 8 AS pi,
+               CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS v
+        FROM lineitem GROUP BY 1, 2, 3
+    )
+    SELECT CAST(t AS BIGINT) AS t,
+           CAST(sum(v) AS BIGINT) AS total_qty,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM cells
+    WHERE t >= 6 AND t < 54 AND si BETWEEN 2 AND 5 AND pi >= 1
+    GROUP BY 1
+    """,
+    tags=("S11", "zarr", "cube"),
+)
+def s11_zarr_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zarr cube round-trip + bbox/time subset (S11 — the reference's
+    ``xr.open_zarr`` GFS subset, egms-snow-comparison-data-prep.ipynb
+    cells 3-9): a (month × supplier-cell × part-cell) quantity cube is
+    materialized through the DISTRIBUTED zarr sink (chunk-grouped
+    applyInPandas, zlib chunks), read back chunk-parallel, subset to a
+    time range and spatial block, and aggregated per month. Fill cells
+    (v=0) are dropped so the result equals the relational aggregate the
+    oracle computes straight from lineitem."""
+    from burst_db_spark.sources.zarr import read_zarr_array, write_zarr_cube
+
+    store = os.path.join(_tmpdir("s11"), "cube")
+    li = load(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            ((F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate") - 1).alias("t"),
+            (F.col("l_suppkey") % 8).alias("si"),
+            (F.col("l_partkey") % 8).alias("pi"),
+            F.floor("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("t", "si", "pi")
+        .agg(F.sum("q").cast("bigint").alias("v"))
+    )
+    write_zarr_cube(
+        cells,
+        store,
+        ["t", "si", "pi"],
+        "v",
+        shape=(84, 8, 8),
+        chunks=(12, 8, 8),
+        compressor={"id": "zlib", "level": 6},
+    )
+    back = read_zarr_array(spark, store, dim_names=["t", "si", "pi"])
+    return (
+        back.where(
+            (F.col("t") >= 6)
+            & (F.col("t") < 54)
+            & F.col("si").between(2, 5)
+            & (F.col("pi") >= 1)
+            & (F.col("value") != 0)
+        )
+        .groupBy("t")
+        .agg(
+            F.sum("value").cast("bigint").alias("total_qty"),
+            F.count("*").cast("bigint").alias("n_cells"),
+        )
+    )
+
+
+@register(
     "s8_rangezip_roundtrip",
     oracle="""
     SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name
