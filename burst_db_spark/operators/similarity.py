@@ -351,6 +351,62 @@ def assign_cells(
     )
 
 
+def probe_cells(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    out_col: str = "probes",
+) -> DataFrame:
+    """Attach the ``nprobe`` nearest cells per vector (1-based ids, by
+    ascending centroid distance) — the IVF multi-probe pattern: querying
+    several adjacent cells recovers most of the recall a single-cell
+    probe loses when the true neighbor sits just across a Voronoi
+    boundary, at nprobe× the candidate cost instead of N².
+
+    Selection is successive-argmin (mask the chosen cell to +inf, take
+    the next min) rather than a sort — each step is array math both
+    engines evaluate identically, so the probed cells are reproducible
+    in the DuckDB oracle.
+    """
+    k = len(centroids)
+    if not 1 <= nprobe <= k:
+        raise ValueError(f"nprobe must be in [1, {k}]")
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame([(centroids,)], "cents: array<array<double>>")
+    dists = F.transform(
+        F.col("cents"),
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    df = emb.crossJoin(F.broadcast(cdf)).withColumn("__d0", dists)
+    tmp = ["__d0"]
+    idx = F.sequence(F.lit(1), F.lit(k))
+    for p in range(nprobe):
+        cur = tmp[-1]
+        cell = F.array_position(F.col(cur), F.array_min(F.col(cur))).cast("int")
+        df = df.withColumn(f"__c{p}", cell)
+        tmp.append(f"__c{p}")
+        if p + 1 < nprobe:
+            masked = F.zip_with(
+                F.col(cur),
+                idx,
+                lambda d, i: F.when(i == F.col(f"__c{p}"), F.lit(float("inf"))).otherwise(d),
+            )
+            df = df.withColumn(f"__d{p + 1}", masked)
+            tmp.append(f"__d{p + 1}")
+    return df.withColumn(
+        out_col, F.array(*[F.col(f"__c{p}") for p in range(nprobe)])
+    ).drop("cents", *tmp)
+
+
 def kmeans_codebook(
     emb: DataFrame,
     id_col: str = "vec_id",

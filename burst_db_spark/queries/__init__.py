@@ -71,6 +71,7 @@ _SAMPLING_PRIORITY = (
     "t_repetition_stats",      # new: Gopher repetition signals
     "t_stratified_sample",     # new: deterministic corpus mixing
     "s11_zarr_cube",           # new: real zarr store round-trip
+    "knn_cosine_ivf_multiprobe",  # new: nprobe=2 IVF search
     # -- r1-green, never re-sampled --
     "frame_lookup",
     "q1_pricing_summary",
