@@ -72,6 +72,7 @@ _SAMPLING_PRIORITY = (
     "t_stratified_sample",     # new: deterministic corpus mixing
     "s11_zarr_cube",           # new: real zarr store round-trip
     "knn_cosine_ivf_multiprobe",  # new: nprobe=2 IVF search
+    "t_decontaminate_bloom",   # new: broadcast-Bloom decontamination
     # -- r1-green, never re-sampled --
     "frame_lookup",
     "q1_pricing_summary",

@@ -114,6 +114,72 @@ def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits
 
 
+_BLOOM_M = 1 << 17
+_BLOOM_K = 3
+
+
+@register(
+    "t_decontaminate_bloom",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    train AS (SELECT DISTINCT s.shingle FROM sh s
+              JOIN documents d ON d.doc_id = s.doc_id
+              WHERE d.source IN ('src0', 'src1', 'src2')),
+    eval_ AS (SELECT DISTINCT s.doc_id, s.shingle FROM sh s
+              JOIN documents d ON d.doc_id = s.doc_id
+              WHERE d.source NOT IN ('src0', 'src1', 'src2')),
+    js AS (SELECT unnest([0, 1, 2]) AS j),
+    tpos AS (SELECT DISTINCT
+                 CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || shingle),
+                       1, 8)) AS BIGINT) % {_BLOOM_M} AS pos
+             FROM train CROSS JOIN js),
+    cand AS (SELECT doc_id, shingle,
+                 CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || shingle),
+                       1, 8)) AS BIGINT) % {_BLOOM_M} AS pos
+             FROM eval_ CROSS JOIN js),
+    flag AS (
+        SELECT doc_id, shingle,
+               count(DISTINCT c.pos) AS np,
+               count(DISTINCT CASE WHEN t.pos IS NOT NULL THEN c.pos END) AS ni
+        FROM cand c LEFT JOIN tpos t ON t.pos = c.pos
+        GROUP BY 1, 2
+    )
+    SELECT doc_id AS eval_doc, CAST(count(*) AS BIGINT) AS n_flagged
+    FROM flag WHERE np = ni
+    GROUP BY 1
+    HAVING count(*) >= 5
+    """,
+    tags=("text", "decontamination", "bloom", "pipeline"),
+)
+def t_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination, the broadcast-Bloom way: train shingles build a
+    128 Kbit array (distributed partial bitsets, OR-reduced, broadcast);
+    eval shingles are tested MAP-SIDE — no train⋈eval shuffle at all,
+    which is what survives when the train side is 100 TB. The md5-seeded
+    bit positions make the filter's false positives deterministic, so the
+    oracle reproduces the flagged set exactly — mistakes included."""
+    from burst_db_spark.operators.bloom import bloom_contains, build_bloom
+
+    docs = load(spark, sf_dir, "documents")
+    sh = dd.doc_shingles(docs, "doc_id")
+    train_ids = docs.where(F.col("source").isin("src0", "src1", "src2")).select(
+        "doc_id"
+    )
+    train_sh = (
+        sh.join(F.broadcast(train_ids), "doc_id").select("shingle").distinct()
+    )
+    bits = build_bloom(train_sh, "shingle", _BLOOM_M, _BLOOM_K)
+    eval_sh = sh.join(F.broadcast(train_ids), "doc_id", "left_anti")
+    flagged = eval_sh.where(
+        bloom_contains(spark, F.col("shingle"), bits, _BLOOM_M, _BLOOM_K)
+    )
+    return (
+        flagged.groupBy(F.col("doc_id").alias("eval_doc"))
+        .agg(F.count("*").alias("n_flagged"))
+        .where(F.col("n_flagged") >= 5)
+    )
+
+
 @register(
     "t_repetition_stats",
     oracle=f"""
