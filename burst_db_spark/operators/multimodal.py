@@ -99,6 +99,70 @@ def decode_bmp(payload: bytes) -> dict:
     return {"kind": "image", "pixels": img, "width": w, "height": abs(h)}
 
 
+def encode_bmp(img) -> bytes:
+    """Uncompressed 24-bit BMP bytes from an (h, w, 3) RGB uint8 array —
+    the inverse of :func:`decode_bmp` (BGR channel order, bottom-up rows,
+    4-byte row padding)."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    row_bytes = (w * 3 + 3) // 4 * 4
+    data_size = row_bytes * h
+    header = b"BM" + struct.pack("<IHHI", 54 + data_size, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    pad = b"\x00" * (row_bytes - w * 3)
+    rows = [img[h - 1 - r][:, ::-1].tobytes() + pad for r in range(h)]
+    return header + dib + b"".join(rows)
+
+
+def resize_nearest(img, out_h: int, out_w: int):
+    """Nearest-neighbor resize with the floor index map
+    ``src = (dst * src_size) // out_size`` — pure integer arithmetic, so
+    an oracle can recompute any resized pixel relationally."""
+    import numpy as np
+
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return img[ri][:, ci]
+
+
+RESIZE_SCHEMA = "doc_id long, sum_px long, min_px int, max_px int"
+
+
+def image_resize_stats(
+    media: DataFrame, out_h: int = 16, out_w: int = 16
+) -> DataFrame:
+    """Decode → resize → integer pixel statistics, Arrow-batched: the
+    standard image-preprocessing stage shape (decode and resample inside
+    the worker, only small typed features cross back)."""
+    import numpy as np
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_media(bytes(payload))
+                small = resize_nearest(d["pixels"], out_h, out_w).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "sum_px": int(small.sum()),
+                        "min_px": int(small.min()),
+                        "max_px": int(small.max()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "sum_px", "min_px", "max_px"])
+
+    return media.mapInPandas(_run, RESIZE_SCHEMA)
+
+
 def decode_media(payload: bytes) -> object:
     """Decode dispatch on magic bytes. WAV (PCM16) and uncompressed
     24-bit BMP decode for REAL with stdlib+numpy; compressed formats

@@ -73,6 +73,7 @@ _SAMPLING_PRIORITY = (
     "s11_zarr_cube",           # new: real zarr store round-trip
     "knn_cosine_ivf_multiprobe",  # new: nprobe=2 IVF search
     "t_decontaminate_bloom",   # new: broadcast-Bloom decontamination
+    "mm_bmp_resize",           # new: real BMP encode→decode→resize
     # -- r1-green, never re-sampled --
     "frame_lookup",
     "q1_pricing_summary",

@@ -159,6 +159,68 @@ def mm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_bmp_resize",
+    oracle="""
+    WITH s AS (
+        SELECT s_suppkey AS doc_id,
+               5 + s_suppkey % 7 AS h, 6 + s_suppkey % 5 AS w
+        FROM supplier
+    ),
+    g AS (
+        SELECT doc_id, h, w, r.r, c.c, k.k
+        FROM s
+        CROSS JOIN (SELECT unnest(range(16)) AS r) r
+        CROSS JOIN (SELECT unnest(range(16)) AS c) c
+        CROSS JOIN (SELECT unnest(range(3)) AS k) k
+    ),
+    v AS (
+        SELECT doc_id,
+               (doc_id * 7 + ((r * h) // 16) * 5 + ((c * w) // 16) * 3 + k)
+                   % 256 AS px
+        FROM g
+    )
+    SELECT doc_id, CAST(sum(px) AS BIGINT) AS sum_px,
+           CAST(min(px) AS INTEGER) AS min_px,
+           CAST(max(px) AS INTEGER) AS max_px
+    FROM v GROUP BY doc_id
+    """,
+    tags=("multimodal", "image", "resize", "real-decode"),
+)
+def mm_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image pipeline end-to-end: deterministic RGB images (pixel =
+    affine function of doc id and coordinates) are encoded into actual
+    24-bit BMP containers, carried as a binary column, decoded by
+    decode_media's magic-byte dispatch, nearest-neighbor resized to
+    16×16 with the integer floor index map, and reduced to pixel stats.
+    The oracle recomputes every resized pixel relationally — the hash
+    match proves container encode, decode, and resample are all exact."""
+    import numpy as np
+    import pandas as pd
+
+    from burst_db_spark.operators.multimodal import encode_bmp, image_resize_stats
+
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("doc_id"),
+        (5 + F.col("s_suppkey") % 7).cast("int").alias("h"),
+        (6 + F.col("s_suppkey") % 5).cast("int").alias("w"),
+    )
+
+    def _make(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, h, w in zip(pdf["doc_id"], pdf["h"], pdf["w"]):
+                r = np.arange(h).reshape(h, 1, 1)
+                c = np.arange(w).reshape(1, w, 1)
+                k = np.arange(3).reshape(1, 1, 3)
+                img = ((int(doc_id) * 7 + r * 5 + c * 3 + k) % 256).astype(np.uint8)
+                rows.append({"doc_id": doc_id, "payload": encode_bmp(img)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = supp.mapInPandas(_make, "doc_id long, payload binary")
+    return image_resize_stats(media, 16, 16)
+
+
+@register(
     "stream_daily_counts",
     oracle="""
     SELECT user_id,

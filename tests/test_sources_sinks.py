@@ -311,3 +311,33 @@ def test_read_sqlite_non_numeric_partition_col_raises(spark, tmp_path):
     con.close()
     with _pytest.raises(ValueError, match="numeric"):
         read_sqlite(spark, db, "t", "k string", partition_col="k")
+
+
+def test_encode_bmp_decode_roundtrip_unit():
+    import numpy as np
+
+    from burst_db_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(11)
+    for h, w in [(5, 6), (7, 3), (1, 9)]:  # odd widths exercise row padding
+        img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        back = decode_bmp(encode_bmp(img))
+        assert back["width"] == w and back["height"] == h
+        assert (back["pixels"] == img).all()
+
+
+def test_resize_nearest_semantics():
+    import numpy as np
+
+    from burst_db_spark.operators.multimodal import resize_nearest
+
+    img = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    same = resize_nearest(img, 6, 4)
+    assert (same == img).all()  # identity at equal size
+    up = resize_nearest(img, 12, 8)
+    for r in range(12):
+        for c in range(8):
+            assert (up[r, c] == img[(r * 6) // 12, (c * 4) // 8]).all()
+    down = resize_nearest(img, 2, 2)
+    assert down.shape == (2, 2, 3)
+    assert (down[0, 0] == img[0, 0]).all()
