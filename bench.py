@@ -48,6 +48,11 @@ HEADLINE = [
     "a3_union_polygon",
     "j12_asof_join",
     "t_curriculum_buckets",
+    "s11_zarr_cube",
+    "t_decontaminate_bloom",
+    "t_repetition_stats",
+    "knn_cosine_ivf_multiprobe",
+    "mm_bmp_resize",
 ]
 
 

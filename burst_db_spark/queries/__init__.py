@@ -74,6 +74,7 @@ _SAMPLING_PRIORITY = (
     "knn_cosine_ivf_multiprobe",  # new: nprobe=2 IVF search
     "t_decontaminate_bloom",   # new: broadcast-Bloom decontamination
     "mm_bmp_resize",           # new: real BMP encode→decode→resize
+    "k7_bucketed_colocated_join",  # new: exchange-free bucketed join
     # -- r1-green, never re-sampled --
     "frame_lookup",
     "q1_pricing_summary",

@@ -283,6 +283,49 @@ def s1_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "k7_bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("K7", "bucketing", "join"),
+)
+def k7_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-co-located fact join: orders and lineitem are written as
+    managed tables bucketed (and sorted) on the order key with matching
+    bucket counts, then joined WITHOUT any exchange — the write-time
+    shuffle is paid once, every subsequent join on that key is
+    bucket-to-bucket. This is the Spark-native equivalent of the
+    reference keeping its tables pre-indexed on the join key. The
+    aggregate over the bucketed join must equal the oracle's plain
+    join over the raw tables."""
+    import uuid as _uuid
+
+    from burst_db_spark.sinks import write_bucketed
+
+    tag = _uuid.uuid4().hex[:8]
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.floor("l_quantity").cast("bigint").alias("q")
+    )
+    t_o, t_l = f"bds_orders_{tag}", f"bds_lineitem_{tag}"
+    write_bucketed(orders, t_o, "o_orderkey", 8, sort_col="o_orderkey")
+    write_bucketed(li, t_l, "l_orderkey", 8, sort_col="l_orderkey")
+    bo, bl = spark.table(t_o), spark.table(t_l)
+    out = (
+        bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("q").cast("bigint").alias("sum_qty"),
+        )
+    )
+    return out
+
+
+@register(
     "s11_zarr_cube",
     oracle="""
     WITH cells AS (

@@ -40,6 +40,30 @@ def append_partitioned(df: DataFrame, path: str, partition_by: list[str]) -> Non
     df.write.mode("append").partitionBy(*partition_by).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed (optionally sorted) managed parquet table.
+
+    Bucketing is THE recurring-join amortization at scale: two tables
+    bucketed on the same key with the same bucket count join
+    bucket-to-bucket — the scan itself reports the hash partitioning, so
+    the join plans with NO Exchange on either side (and with ``sortBy``,
+    no Sort either). One write-time shuffle replaces a shuffle per join
+    for the table's lifetime. ``tests/test_plan_shapes.py`` pins the
+    exchange-free plan.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 def write_metadata_table(
     spark: SparkSession, params: dict, path: str
 ) -> None:

@@ -143,3 +143,39 @@ def test_curriculum_buckets_no_single_partition_window(spark):
     plan = _plan("t_curriculum_buckets", spark)
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan.lower() or "RangePartitioning" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join bucket-to-bucket: no Exchange on either input — the write-time
+    shuffle is the only shuffle the key ever pays."""
+    import contextlib
+    import io
+    import uuid
+
+    from burst_db_spark.catalog import load
+    from burst_db_spark.sinks import write_bucketed
+
+    tag = uuid.uuid4().hex[:8]
+    orders = load(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, f"po_{tag}", "o_orderkey", 4, sort_col="o_orderkey")
+    write_bucketed(li, f"pl_{tag}", "l_orderkey", 4, sort_col="l_orderkey")
+    bo, bl = spark.table(f"po_{tag}"), spark.table(f"pl_{tag}")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path so the assertion is about bucketing,
+        # not about one side being broadcast-small
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS po_{tag}")
+        spark.sql(f"DROP TABLE IF EXISTS pl_{tag}")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "Bucketed: true" in plan
