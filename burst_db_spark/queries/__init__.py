@@ -75,6 +75,8 @@ _SAMPLING_PRIORITY = (
     "t_decontaminate_bloom",   # new: broadcast-Bloom decontamination
     "mm_bmp_resize",           # new: real BMP encode→decode→resize
     "k7_bucketed_colocated_join",  # new: exchange-free bucketed join
+    "mm_frame_sample",         # new: frame-sampling plan query
+    "k8_compact_roundtrip",    # new: small-file compaction
     # -- r1-green, never re-sampled --
     "frame_lookup",
     "q1_pricing_summary",

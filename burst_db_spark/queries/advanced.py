@@ -159,6 +159,30 @@ def mm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           unnest(generate_series(0,
+               greatest(octet_length(encode(text)) // 100 - 1, 0), 10))
+               AS frame_idx
+    FROM documents
+    """,
+    tags=("multimodal", "video", "frame-sample"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling PLAN for video-like payloads: every 10th frame
+    index, derived from byte-length metadata alone — the cheap planning
+    pass that decides which frames a later decode stage touches (the
+    decode itself never runs here). Pure column arithmetic, so the
+    oracle reproduces the sampled index set exactly."""
+    docs = load(spark, sf_dir, "documents")
+    media = mm.attach_binary_payload(docs, "doc_id")
+    return mm.frame_sample_plan(media, every_n=10).select(
+        "doc_id", F.col("frame_idx").cast("bigint").alias("frame_idx")
+    )
+
+
+@register(
     "mm_bmp_resize",
     oracle="""
     WITH s AS (

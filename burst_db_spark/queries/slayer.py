@@ -326,6 +326,35 @@ def k7_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "k8_compact_roundtrip",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+    tags=("K8", "compaction", "parquet"),
+)
+def k8_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip (the maintenance pass every
+    append/streaming pipeline needs): events deliberately shattered into
+    64 tiny files, compacted with the shuffle-free coalesce rewrite,
+    read back — per-day aggregates prove the compaction lost and
+    duplicated nothing. The pytest side additionally pins the file-count
+    reduction and the no-Exchange plan."""
+    from burst_db_spark.sinks import compact_parquet
+
+    base = _tmpdir("k8")
+    src, dst = os.path.join(base, "small"), os.path.join(base, "compact")
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ev.repartition(64).write.mode("overwrite").parquet(src)
+    compact_parquet(spark, src, dst, target_file_bytes=256 << 20)
+    got = spark.read.parquet(dst)
+    return got.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("sum_id")
+    )
+
+
+@register(
     "s11_zarr_cube",
     oracle="""
     WITH cells AS (

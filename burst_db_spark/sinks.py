@@ -64,6 +64,42 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ``ceil(total_bytes / target)`` files via ``coalesce`` — a map-side
+    partition merge, NO shuffle (the files were already partitioned;
+    compaction shouldn't pay an exchange to glue them). Returns the
+    output file count.
+
+    Small files are the silent killer of 100 TB scans (one task + one
+    footer read per file); a streaming/append pipeline compacts each
+    closed partition with exactly this call. Local-path size probe here;
+    on a cluster the same arithmetic reads FileSystem.listStatus.
+    """
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src).coalesce(n).write.mode("overwrite").parquet(dst)
+    return sum(
+        1
+        for _, _, files in os.walk(dst)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
 def write_metadata_table(
     spark: SparkSession, params: dict, path: str
 ) -> None:

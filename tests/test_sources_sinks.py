@@ -341,3 +341,30 @@ def test_resize_nearest_semantics():
     down = resize_nearest(img, 2, 2)
     assert down.shape == (2, 2, 3)
     assert (down[0, 0] == img[0, 0]).all()
+
+
+def test_compact_parquet_reduces_files_without_shuffle(spark, tmp_path):
+    from burst_db_spark.catalog import load
+    from burst_db_spark.sinks import compact_parquet
+    from tests.conftest import SF_DIR
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compact")
+    ev = load(spark, SF_DIR, "events").select("event_id", "ts")
+    ev.repartition(16).write.parquet(src)
+    import os
+
+    n_src = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    n_out = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert n_src == 16 and n_out == 1
+    # coalesce plan: no exchange anywhere in the rewrite
+    plan = (
+        spark.read.parquet(src)
+        .coalesce(1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    a = spark.read.parquet(dst).groupBy().sum("event_id").collect()[0][0]
+    b = ev.groupBy().sum("event_id").collect()[0][0]
+    assert a == b
