@@ -77,6 +77,7 @@ _SAMPLING_PRIORITY = (
     "k7_bucketed_colocated_join",  # new: exchange-free bucketed join
     "mm_frame_sample",         # new: frame-sampling plan query
     "k8_compact_roundtrip",    # new: small-file compaction
+    "mm_features",             # changed: promoted rows-only -> oracle
     # -- r1-green, never re-sampled --
     "frame_lookup",
     "q1_pricing_summary",

@@ -40,20 +40,31 @@ def w5_reference_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_features",
-    oracle=None,
-    tags=("multimodal", "mapInPandas", "rows-only"),
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(('0x' || substr(md5(text || chr(0)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS f0,
+           CAST(('0x' || substr(md5(text || chr(3)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS f3
+    FROM documents
+    """,
+    tags=("multimodal", "mapInPandas"),
 )
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload + metadata + deterministic (stub) feature vectors;
-    arrays surfaced as scalar columns for stable checking."""
+    """Binary payload + metadata + deterministic (stub) feature vectors —
+    now ORACLE-CHECKED: the md5-derived fake features are integers over
+    2^32 (an exact power-of-two quotient, so the doubles are identical),
+    and DuckDB reproduces the byte-level md5 seeding with chr(i)
+    concatenation over the same UTF-8 payload bytes."""
     docs = load(spark, sf_dir, "documents")
     media = mm.attach_binary_payload(docs, "doc_id")
     feats = mm.extract_features(media, dim=4)
     return feats.select(
         "doc_id",
         "n_bytes",
-        F.round(F.element_at("features", 1), 9).alias("f0"),
-        F.round(F.element_at("features", 4), 9).alias("f3"),
+        F.element_at("features", 1).alias("f0"),
+        F.element_at("features", 4).alias("f3"),
     )
 
 

@@ -43,6 +43,12 @@ PROBE_QUERIES = [
     "t_split_assign",
     "t_curriculum_buckets",
     "j12_asof_join",
+    # round-3 session operators
+    "t_repetition_stats",
+    "t_stratified_sample",
+    "t_decontaminate_bloom",
+    "s11_zarr_cube",
+    "knn_cosine_ivf_multiprobe",
 ]
 
 # keys to shift per replica so replicated rows don't collapse into the
