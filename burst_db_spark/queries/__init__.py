@@ -78,6 +78,7 @@ _SAMPLING_PRIORITY = (
     "mm_frame_sample",         # new: frame-sampling plan query
     "k8_compact_roundtrip",    # new: small-file compaction
     "mm_features",             # changed: promoted rows-only -> oracle
+    "dd_embedding_nn_multiprobe",  # new: Hamming-1 probed LSH bands
     # -- r1-green, never re-sampled --
     "frame_lookup",
     "q1_pricing_summary",

@@ -125,6 +125,24 @@ def dd_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_embedding_nn_multiprobe",
+    oracle=sim_ops.lsh_multiprobe_oracle_sql(),
+    tags=("dedup", "embedding", "similarity", "lsh", "multiprobe"),
+)
+def dd_embedding_nn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via MULTI-PROBE sign-bit LSH: half the
+    bands of ``dd_embedding_nn`` (8×4 bits vs 16), each vector also
+    probing every 1-bit flip of its band keys — Hamming-1 band matches
+    become candidates, so the smaller signature keeps the recall. The
+    probe explode is bounded (b·(r+1) rows/vector) and the join stays a
+    hash equi-join on (band_idx, key). Oracle replicates planes, folds,
+    keys, and probe masks bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    n_parts = spark.sparkContext.defaultParallelism
+    return sim_ops.lsh_near_dup_pairs_multiprobe(emb.repartition(n_parts))
+
+
+@register(
     "dd_embedding_nn_exact_audit",
     oracle="""
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
