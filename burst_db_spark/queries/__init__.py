@@ -79,6 +79,7 @@ _SAMPLING_PRIORITY = (
     "k8_compact_roundtrip",    # new: small-file compaction
     "mm_features",             # changed: promoted rows-only -> oracle
     "dd_embedding_nn_multiprobe",  # new: Hamming-1 probed LSH bands
+    "k1_gpkg_roundtrip",       # new: real GeoPackage artifact
     # -- r1-green, never re-sampled --
     "frame_lookup",
     "q1_pricing_summary",

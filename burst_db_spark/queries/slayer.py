@@ -283,6 +283,49 @@ def s1_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "k1_gpkg_roundtrip",
+    oracle="""
+    SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
+           CAST((r_regionkey * 3) % 50 AS DOUBLE) AS gxmin,
+           CAST((r_regionkey * 3) % 50 + 2 + r_regionkey AS DOUBLE) AS gxmax
+    FROM region
+    """,
+    tags=("K1", "gpkg", "wkb"),
+)
+def k1_gpkg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GeoPackage round-trip (K1 — the reference's primary artifact,
+    build_frame_db.py frames/bursts layers): rect footprints → WKB
+    GeoPackageBinary blobs + full GPKG metadata tables (stdlib sqlite3,
+    no GDAL) → blob decode back to WKT → envelope coordinates reproduce
+    the source formula. Same fixture shapes as the GeoJSON round-trip so
+    the two container formats are directly comparable."""
+    from burst_db_spark.geo.udfs import envelope_udf
+    from burst_db_spark.sources.gpkg import read_gpkg, write_gpkg
+
+    out = os.path.join(_tmpdir("k1"), "regions.gpkg")
+    region = load(spark, sf_dir, "region")
+    rects = region.select(
+        F.col("r_regionkey").cast("bigint").alias("r_regionkey"),
+        F.format_string(
+            "POLYGON ((%d 0, %d 0, %d 5, %d 5, %d 0))",
+            ((F.col("r_regionkey") * 3) % 50).cast("int"),
+            ((F.col("r_regionkey") * 3) % 50 + 2 + F.col("r_regionkey")).cast("int"),
+            ((F.col("r_regionkey") * 3) % 50 + 2 + F.col("r_regionkey")).cast("int"),
+            ((F.col("r_regionkey") * 3) % 50).cast("int"),
+            ((F.col("r_regionkey") * 3) % 50).cast("int"),
+        ).alias("geom_wkt"),
+    )
+    write_gpkg(rects, out, "regions", properties=["r_regionkey"])
+    got = read_gpkg(spark, out, "regions")
+    env = envelope_udf(F.col("geom_wkt"))
+    return got.select(
+        F.col("r_regionkey").cast("bigint").alias("r_regionkey"),
+        env["xmin"].alias("gxmin"),
+        env["xmax"].alias("gxmax"),
+    )
+
+
+@register(
     "k7_bucketed_colocated_join",
     oracle="""
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
