@@ -14,6 +14,8 @@ native store; the JSON document maps keep their envelope format):
 - ``minimal.sqlite``    queryable relational artifact (K1): the
   reference's minimal DB (make_minimal_db: id, epsg, meter-snapped int
   bbox) via the stdlib sqlite sink
+- ``frames.gpkg``       REAL GeoPackage (K1): frames layer with WKB
+  geometry blobs + OGC metadata tables (sources/gpkg.py, no GDAL)
 """
 
 from __future__ import annotations
@@ -25,6 +27,7 @@ from burst_db_spark.operators.joins import update_join
 from burst_db_spark.plans.frame_db import build_frames, enrich_frames
 from burst_db_spark.sinks import write_metadata_table, write_parquet, write_sqlite
 from burst_db_spark.sources.geojson import write_geojson
+from burst_db_spark.sources.gpkg import write_gpkg
 from burst_db_spark.sources.json_docs import write_envelope
 
 
@@ -91,5 +94,15 @@ def create(
         ),
         f"{out_dir}/minimal.sqlite",
         "frames",
+    )
+    # K1 geospatial parity: the frames layer as a REAL GeoPackage
+    # (the reference's primary artifact, build_frame_db.py frames table)
+    write_gpkg(
+        frames_full.where(F.col("geom_wkt").isNotNull()).select(
+            "geom_wkt", "frame_fid", "epsg", "is_land"
+        ),
+        f"{out_dir}/frames.gpkg",
+        "frames",
+        properties=["frame_fid", "epsg", "is_land"],
     )
     return {"frames": frames_full, "bridge": bridge, "bursts": bursts_out}

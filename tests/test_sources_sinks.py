@@ -204,6 +204,16 @@ def test_create_pipeline_emits_sqlite(spark, tmp_path):
     ).fetchone()
     assert row[0] > 0 and row[2] > row[1]
     con.close()
+    # the frames layer also lands as a REAL GeoPackage
+    gcon = sqlite3.connect(f"{out}/frames.gpkg")
+    assert gcon.execute("PRAGMA application_id").fetchone()[0] == 0x47504B47
+    n_gpkg = gcon.execute("SELECT count(*) FROM frames").fetchone()[0]
+    assert n_gpkg > 0
+    blob = gcon.execute("SELECT geom FROM frames LIMIT 1").fetchone()[0]
+    from burst_db_spark.sources.gpkg import wkt_from_gpkg_blob
+
+    assert wkt_from_gpkg_blob(blob).startswith(("POLYGON", "MULTIPOLYGON"))
+    gcon.close()
 
 
 def test_decode_wav_roundtrip_unit():
