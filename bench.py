@@ -53,6 +53,7 @@ HEADLINE = [
     "t_repetition_stats",
     "knn_cosine_ivf_multiprobe",
     "mm_bmp_resize",
+    "dd_embedding_nn_multiprobe",
 ]
 
 

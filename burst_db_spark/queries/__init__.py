@@ -80,6 +80,7 @@ _SAMPLING_PRIORITY = (
     "mm_features",             # changed: promoted rows-only -> oracle
     "dd_embedding_nn_multiprobe",  # new: Hamming-1 probed LSH bands
     "k1_gpkg_roundtrip",       # new: real GeoPackage artifact
+    "stream_corpus_dedup",     # new: streaming == batch dedup manifest
     # -- r1-green, never re-sampled --
     "frame_lookup",
     "q1_pricing_summary",

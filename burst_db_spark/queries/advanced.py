@@ -170,6 +170,52 @@ def mm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_corpus_dedup",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS digest,
+           min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    tags=("streaming", "dedup", "pipeline", "oracle-checked"),
+)
+def stream_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion + exact dedup: the documents table
+    arrives as files, the digest groupBy runs as a streaming aggregation
+    in COMPLETE mode driven to completion with trigger(availableNow) —
+    and must equal the BATCH dd_exact manifest bit-for-bit. This is the
+    ingest shape of a continuously-fed training corpus: the dedup
+    manifest stays current as shards land, with state keyed by digest."""
+    import uuid as _uuid
+
+    from burst_db_spark.streaming import incremental as st
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="bds_corpus_stream_")
+    data_dir = f"{tmp}/in"
+    docs.write.parquet(data_dir)
+    stream = st.file_stream(spark, data_dir, docs.schema)
+    agg = (
+        stream.select(
+            "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("digest")
+        )
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+    name = f"corpus_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "mm_frame_sample",
     oracle="""
     SELECT doc_id,

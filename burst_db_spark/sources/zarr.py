@@ -232,6 +232,10 @@ def write_zarr_cube(
     overlap, so tasks need no coordination. Cells nobody wrote stay
     ``fill_value``; wholly-empty chunks are never materialized (reads
     synthesize them), which is what keeps a sparse 100 TB cube cheap.
+
+    ``store`` must be a filesystem every task can reach (shared mount /
+    NFS here; swap the ``open()`` calls for an fsspec filesystem to
+    target S3/HDFS — the chunk-grouping plan is unchanged).
     """
     shape = tuple(int(s) for s in shape)
     chunks_t = tuple(int(c) for c in chunks)
