@@ -81,6 +81,7 @@ _SAMPLING_PRIORITY = (
     "dd_embedding_nn_multiprobe",  # new: Hamming-1 probed LSH bands
     "k1_gpkg_roundtrip",       # new: real GeoPackage artifact
     "stream_corpus_dedup",     # new: streaming == batch dedup manifest
+    "s11_zarr_coords",         # new: zarr group + coord-value subset
     # -- r1-green, never re-sampled --
     "frame_lookup",
     "q1_pricing_summary",

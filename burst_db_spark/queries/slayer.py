@@ -465,6 +465,79 @@ def s11_zarr_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s11_zarr_coords",
+    oracle="""
+    WITH cells AS (
+        SELECT year(l_shipdate) * 100 + month(l_shipdate) AS t,
+               l_suppkey % 8 AS si, l_partkey % 8 AS pi,
+               CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS v
+        FROM lineitem GROUP BY 1, 2, 3
+    )
+    SELECT CAST(t AS BIGINT) AS t,
+           CAST(sum(v) AS BIGINT) AS total_qty,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM cells
+    WHERE t BETWEEN 199507 AND 199906 AND si <= 3
+    GROUP BY 1
+    """,
+    tags=("S11", "zarr", "group", "coords"),
+)
+def s11_zarr_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zarr GROUP open with coordinate-VALUE subsetting — the reference's
+    actual xr.open_zarr workflow (filter GFS by lat/lon/time values):
+    the quantity cube is stored under a group whose time dimension
+    carries a yyyymm coordinate array; the query filters on the
+    coordinate values (July 1995 – June 1999), not raw indices, with the
+    coord riding in as a broadcast join onto the chunk-parallel read."""
+    import numpy as np
+
+    from burst_db_spark.sources.zarr import (
+        read_zarr_group,
+        write_zarr_cube,
+        write_zarr_group,
+    )
+
+    store = os.path.join(_tmpdir("s11c"), "group")
+    yyyymm = np.array(
+        [(1995 + m // 12) * 100 + m % 12 + 1 for m in range(84)], dtype="<i8"
+    )
+    write_zarr_group(store, {"t": yyyymm}, compressor={"id": "zlib", "level": 6})
+    li = load(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            ((F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate") - 1).alias("t"),
+            (F.col("l_suppkey") % 8).alias("si"),
+            (F.col("l_partkey") % 8).alias("pi"),
+            F.floor("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("t", "si", "pi")
+        .agg(F.sum("q").cast("bigint").alias("v"))
+    )
+    write_zarr_cube(
+        cells,
+        os.path.join(store, "qty"),
+        ["t", "si", "pi"],
+        "v",
+        shape=(84, 8, 8),
+        chunks=(12, 8, 8),
+        compressor={"id": "zlib", "level": 6},
+    )
+    back = read_zarr_group(spark, store, "qty", ["t", "si", "pi"])
+    return (
+        back.where(
+            F.col("t").between(199507, 199906)
+            & (F.col("si") <= 3)
+            & (F.col("value") != 0)
+        )
+        .groupBy("t")
+        .agg(
+            F.sum("value").cast("bigint").alias("total_qty"),
+            F.count("*").cast("bigint").alias("n_cells"),
+        )
+    )
+
+
+@register(
     "s8_rangezip_roundtrip",
     oracle="""
     SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name

@@ -171,6 +171,82 @@ def read_zarr_array(
     return cdf.mapInPandas(decode, out_schema)
 
 
+def read_zarr_coord(store: str, name: str):
+    """Driver-side read of a 1-D coordinate array (``<store>/<name>``) —
+    coords are metadata-scale (one value per grid line), never data-scale,
+    so reading them on the driver mirrors xarray's lazy-open behavior."""
+    import numpy as np
+
+    sub = os.path.join(store, name)
+    meta = _load_meta(sub)
+    if len(meta["shape"]) != 1:
+        raise ValueError(f"coordinate {name!r} is not 1-D")
+    (n,) = meta["shape"]
+    (c,) = meta["chunks"]
+    dtype = np.dtype(meta["dtype"])
+    comp = meta.get("compressor")
+    sep = meta.get("dimension_separator", ".")
+    out = np.full(n, meta.get("fill_value", 0), dtype=dtype.newbyteorder("="))
+    for ci in range((n + c - 1) // c):
+        path = _chunk_path(sub, (ci,), sep)
+        if not os.path.exists(path):
+            continue
+        with open(path, "rb") as f:
+            arr = np.frombuffer(_decompress(f.read(), comp), dtype=dtype)
+        lo = ci * c
+        out[lo : min(lo + c, n)] = arr[: min(c, n - lo)]
+    return out
+
+
+def read_zarr_group(
+    spark: SparkSession,
+    store: str,
+    var: str,
+    dims: Sequence[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """xarray-style open of a zarr GROUP: the data variable
+    (``<store>/<var>``) plus its 1-D coordinate arrays (``<store>/<dim>``
+    where present) → long-form DataFrame with COORDINATE VALUES as
+    columns (the reference subsets GFS cubes by lat/lon/time values,
+    not indices). Chunk-parallel data read; each coord rides in as a
+    broadcast (idx, value) frame joined on the index — tiny by
+    construction, so the joins never shuffle the data side."""
+    if not os.path.exists(os.path.join(store, ".zgroup")):
+        raise ValueError(f"not a zarr group: {store}")
+    df = read_zarr_array(
+        spark, os.path.join(store, var), dim_names=[f"__i_{d}" for d in dims],
+        value_col=value_col,
+    )
+    for d in dims:
+        sub = os.path.join(store, d)
+        if not os.path.exists(_meta_path(sub)):
+            df = df.withColumnRenamed(f"__i_{d}", d)  # no coord: keep index
+            continue
+        coord = read_zarr_coord(store, d)
+        cdf = spark.createDataFrame(
+            [(i, v.item()) for i, v in enumerate(coord)],
+            f"__i_{d} long, {d} {'double' if coord.dtype.kind == 'f' else 'bigint'}",
+        )
+        df = df.join(F.broadcast(cdf), f"__i_{d}").drop(f"__i_{d}")
+    return df
+
+
+def write_zarr_group(
+    store: str, coords: dict[str, "np.ndarray"], compressor: dict | None = None
+) -> None:
+    """Create the group skeleton: ``.zgroup`` + 1-D coordinate arrays.
+    The data variable is written separately (``write_zarr_cube`` into
+    ``<store>/<var>`` for the distributed path)."""
+    os.makedirs(store, exist_ok=True)
+    with open(os.path.join(store, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    for name, arr in coords.items():
+        write_zarr_array(
+            os.path.join(store, name), arr, chunks=(len(arr),), compressor=compressor
+        )
+
+
 def write_zarr_array(
     store: str,
     arr: "np.ndarray",

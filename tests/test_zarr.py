@@ -106,3 +106,25 @@ class TestReadWrite:
         # decode happens in python workers over the chunk list — no join,
         # no extra exchange beyond the chunk-id repartition
         assert "MapInPandas" in plan
+
+    def test_group_with_coords(self, spark):
+        import json
+
+        from burst_db_spark.sources.zarr import (
+            read_zarr_coord,
+            read_zarr_group,
+            write_zarr_group,
+        )
+
+        st = _store("grp")
+        times = np.array([100, 200, 300, 400], dtype="<i8")
+        write_zarr_group(st, {"t": times})
+        a = np.arange(4 * 3, dtype="<f8").reshape(4, 3)
+        write_zarr_array(os.path.join(st, "v"), a, chunks=(2, 3))
+        assert json.load(open(os.path.join(st, ".zgroup")))["zarr_format"] == 2
+        assert list(read_zarr_coord(st, "t")) == [100, 200, 300, 400]
+        df = read_zarr_group(spark, st, "v", ["t", "y"])
+        got = {(r["t"], r["y"]): r["value"] for r in df.collect()}
+        # time carries coordinate VALUES; y (no coord array) keeps indices
+        assert got[(100, 0)] == 0.0 and got[(400, 2)] == 11.0
+        assert len(got) == 12
