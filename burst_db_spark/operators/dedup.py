@@ -62,26 +62,31 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> Data
 def doc_shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
     """(id, shingle) long form — distinct n-gram shingles per doc.
 
-    posexplode + window-lead instead of array-index expressions: the text
-    is split exactly once per document (array F.get re-evaluates the
-    split per element — measured 6× slower), and the window shuffle by id
-    spreads shingle/hash work across all cores even when the input scan
-    is a single file/partition.
+    MAP-ONLY construction: n shifted ``slice``s of the token array are
+    ``zip_with``-concatenated (the split evaluates n times per ROW, not
+    per element — array_index expressions re-inline the split per
+    element, measured 6× slower), ``array_distinct`` dedups inside the
+    document, and the explode emits already-distinct (id, shingle) rows.
+    No window, no sort, no global ``distinct`` — the only exchange is a
+    round-robin repartition of the compact doc rows so a single-file
+    scan still fans out across all cores. (The earlier posexplode +
+    window-lead formulation paid a doc-id shuffle + sort + a global
+    distinct shuffle for the same output.)
     """
-    from pyspark.sql import Window
-
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    t = tokens(F.col(text_col))
+    sz = F.size(t)
+    n_grams = sz - (n - 1)
+    parts = [F.slice(t, j + 1, n_grams) for j in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat_ws(" ", a, b))
+    arr = F.when(sz >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
-    sh = (
-        toks.withColumn("__last", leads[-1])
-        .withColumn("shingle", F.concat_ws(" ", *leads))
-        .where(F.col("__last").isNotNull())
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n_parts).select(
+        F.col(id_col), F.explode(arr).alias("shingle")
     )
-    return sh.select(F.col(id_col), "shingle").distinct()
 
 
 def ngram_jaccard_pairs(
