@@ -90,6 +90,31 @@ def stratified_sample(
     return df.withColumn(bucket_col, b.cast("int")).where(F.col(bucket_col) < thresh)
 
 
+def cap_per_group(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    k: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Per-group contribution cap — the web-corpus "at most N documents
+    per domain" rule. Survivors are the k rows with the smallest salted
+    md5 of their key: a deterministic reservoir, so re-runs, engine
+    changes, and late-arriving reprocessing pick the identical sample
+    (a seeded random sample would re-roll). One bounded window per
+    group; groups larger than k never materialize more than their rank
+    prefix past the exchange (WindowGroupLimit prunes map-side)."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(key).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

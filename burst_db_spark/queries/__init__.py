@@ -82,6 +82,7 @@ _SAMPLING_PRIORITY = (
     "k1_gpkg_roundtrip",       # new: real GeoPackage artifact
     "stream_corpus_dedup",     # new: streaming == batch dedup manifest
     "s11_zarr_coords",         # new: zarr group + coord-value subset
+    "t_cap_per_source",        # new: per-domain contribution cap
     # -- r1-green, never re-sampled --
     "frame_lookup",
     "q1_pricing_summary",

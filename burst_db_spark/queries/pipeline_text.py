@@ -263,6 +263,33 @@ def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_cap_per_source",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source FROM r WHERE rk <= 10
+    """,
+    tags=("pipeline", "sampling", "cap"),
+)
+def t_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap (keep ≤10 docs per source): a
+    deterministic reservoir ordered by salted md5 — the standard rule
+    that stops a single domain from dominating a web corpus, stable
+    across re-runs and engines. WindowGroupLimit prunes beyond rank k
+    map-side, so oversized groups never cross the exchange whole."""
+    from burst_db_spark.operators.packing import cap_per_group
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, "doc_id", "source", k=10)
+
+
+@register(
     "t_quality_filter",
     oracle=f"""
     WITH q AS (
