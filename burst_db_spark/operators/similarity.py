@@ -393,10 +393,29 @@ def lsh_near_dup_pairs_multiprobe(
     b = sig.select(
         F.col("vid").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
     )
+
+    # Arrow-batched verify: accumulate PER POSITION (acc += a_i·b_i over
+    # the whole batch), the same addition order as the JVM left fold and
+    # DuckDB's list_reduce — cosines stay bit-identical to the oracle,
+    # without the interpreted higher-order-function fold per candidate.
+    @F.pandas_udf("double")
+    def _cos_pairs(
+        va: pd.Series, vb: pd.Series, na: pd.Series, nb: pd.Series
+    ) -> pd.Series:
+        A = np.vstack(va.to_numpy()).astype(np.float64)
+        B = np.vstack(vb.to_numpy()).astype(np.float64)
+        acc = np.zeros(len(va), dtype=np.float64)
+        for i in range(A.shape[1]):
+            acc += A[:, i] * B[:, i]
+        return pd.Series(acc / (na.to_numpy() * nb.to_numpy()))
+
     scored = (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("cos", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .withColumn(
+            "cos",
+            _cos_pairs(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+        )
     )
     return scored.where(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
 
