@@ -90,6 +90,57 @@ def stratified_sample(
     return df.withColumn(bucket_col, b.cast("int")).where(F.col(bucket_col) < thresh)
 
 
+def temperature_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    granularity: int = 10_000,
+    salt: str = "temp",
+    bucket_col: str = "sample_bucket",
+) -> DataFrame:
+    """Temperature-based corpus rebalancing: keep stratum s with
+    probability (n_s / max_n)^alpha — the multilingual-LM mixing rule
+    that upweights tail languages (alpha<1 flattens the distribution;
+    alpha=1 keeps it; alpha=0 uniform). Fractions are computed
+    RELATIONALLY (group counts → broadcast max → per-stratum threshold),
+    no driver round-trip, and the keep decision is the same salted-md5
+    bucket as ``stratified_sample`` — deterministic across runs and
+    engines. alpha=0.5 uses sqrt, which IEEE requires to be correctly
+    rounded, so thresholds are bit-identical in the oracle."""
+    if alpha != 0.5:
+        raise NotImplementedError(
+            "only alpha=0.5 (sqrt) is oracle-portable; pow(x, a) is not "
+            "correctly-rounded across engines"
+        )
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    mx = counts.agg(F.max("__n").alias("__mx"))
+    thr = counts.crossJoin(F.broadcast(mx)).select(
+        strata_col,
+        F.floor(F.sqrt(F.col("__n") / F.col("__mx")) * granularity)
+        .cast("int")
+        .alias("__thr"),
+    )
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % granularity
+    )
+    return (
+        df.withColumn(bucket_col, b.cast("int"))
+        .join(F.broadcast(thr), strata_col)
+        .where(F.col(bucket_col) < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     key: str,

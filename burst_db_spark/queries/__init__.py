@@ -83,6 +83,7 @@ _SAMPLING_PRIORITY = (
     "stream_corpus_dedup",     # new: streaming == batch dedup manifest
     "s11_zarr_coords",         # new: zarr group + coord-value subset
     "t_cap_per_source",        # new: per-domain contribution cap
+    "t_temperature_mix",       # new: sqrt temperature rebalancing
     # -- r1-green, never re-sampled --
     "frame_lookup",
     "q1_pricing_summary",

@@ -263,6 +263,40 @@ def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_temperature_mix",
+    oracle="""
+    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY lang),
+    m AS (SELECT max(n) AS mx FROM c),
+    thr AS (SELECT lang,
+                   CAST(floor(sqrt(n / mx) * 10000) AS INTEGER) AS t
+            FROM c CROSS JOIN m),
+    b AS (SELECT doc_id, lang,
+                 CAST(CAST(('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)),
+                            1, 8)) AS BIGINT) % 10000 AS INTEGER) AS sample_bucket
+          FROM documents)
+    SELECT b.doc_id, b.lang, b.sample_bucket
+    FROM b JOIN thr ON thr.lang = b.lang
+    WHERE b.sample_bucket < thr.t
+    """,
+    tags=("pipeline", "sampling", "temperature"),
+)
+def t_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature rebalancing over the corpus: each language keeps
+    sqrt(n_lang / n_largest) of its documents — the standard multilingual
+    upweighting of tail languages, computed entirely relationally (counts
+    → broadcast max → thresholds) with the deterministic salted-bucket
+    keep rule. English (largest) keeps everything; tails keep more than
+    their proportional share."""
+    from burst_db_spark.operators.packing import temperature_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_sample(docs, "doc_id", "lang").select(
+        "doc_id", "lang", "sample_bucket"
+    )
+
+
+@register(
     "t_cap_per_source",
     oracle="""
     WITH r AS (
