@@ -352,3 +352,75 @@ def simhash_fingerprints(
         F.col("ones") * 2 > F.col("n"), F.pow(F.lit(2.0), F.col("bit")).cast("bigint")
     ).otherwise(F.lit(0).cast("bigint"))
     return per_bit.groupBy(id_col).agg(F.sum(fp_bit).alias("simhash"))
+
+
+def doc_token_spans(
+    df: DataFrame, id_col: str, text_col: str = "text", span_len: int = 10
+) -> DataFrame:
+    """Fixed-width token spans: (id, span_idx, span) for every complete
+    non-overlapping ``span_len``-token window, plus the trailing partial
+    window so short docs aren't invisible to span dedup.
+
+    This is paragraph-level dedup (Dolma / RefinedWeb style) adapted to a
+    corpus with no paragraph delimiters: the "paragraph" is a fixed token
+    window. Map-side only — the expensive part (corpus-wide span counts)
+    happens in :func:`span_dup_stats`.
+    """
+    t = tokens(F.col(text_col))
+    n_spans = F.ceil(F.size(t) / F.lit(span_len)).cast("int")
+    # guard: sequence(0, -1) would DESCEND for a 0-token doc
+    spans = F.when(F.size(t) == 0, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("span_idx"),
+                F.concat_ws(
+                    " ", F.slice(t, i * span_len + 1, span_len)
+                ).alias("span"),
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.explode(spans).alias("s"))
+        .select(id_col, "s.span_idx", "s.span")
+    )
+
+
+def span_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    span_len: int = 10,
+    max_dup_frac: float = 0.5,
+) -> DataFrame:
+    """Per-doc duplicated-span fraction + keep decision.
+
+    A span is duplicated when its text occurs in >= 2 DISTINCT docs
+    (within-doc repeats are the repetition filter's job, not dedup's).
+    Shape: spans → distinct (span, doc) → groupBy span (corpus span
+    frequency) → join back → per-doc ratio. Two shuffles on the span key,
+    both with map-side partial aggregation; the frequency table is
+    span-distinct-sized.  ``dup_frac`` is one double division of two
+    bigints — bit-portable; the keep threshold compares against an exact
+    decimal literal, so the row set stays deterministic.
+    """
+    spans = doc_token_spans(df, id_col, text_col, span_len)
+    span_docs = spans.select(id_col, "span").distinct()
+    freq = span_docs.groupBy("span").agg(
+        F.count("*").cast("bigint").alias("n_docs_with")
+    )
+    marked = spans.join(freq, "span")
+    per_doc = marked.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(
+            F.when(F.col("n_docs_with") >= 2, 1).otherwise(0)
+        ).cast("bigint").alias("n_dup_spans"),
+    )
+    dup_frac = F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double")
+    return per_doc.select(
+        id_col,
+        "n_spans",
+        "n_dup_spans",
+        dup_frac.alias("dup_frac"),
+        (dup_frac <= F.lit(max_dup_frac)).alias("keep"),
+    )

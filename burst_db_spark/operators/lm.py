@@ -1,0 +1,135 @@
+"""Corpus-trained bigram language-model scoring — the CCNet-style
+"perplexity bucket" quality signal, re-expressed relationally.
+
+Train and score are ONE pass each over the corpus:
+- train: explode adjacent token pairs → two groupBy counts (unigram,
+  bigram). At 100 TB the model tables are corpus-distinct-sized (word
+  types, not tokens) and shuffle on their own keys; partial aggregation
+  does the heavy lifting map-side.
+- score: re-derive each doc's bigrams with positions, equi-join the two
+  count tables (broadcast when the vocabulary is small, shuffle join when
+  not), and fold the per-bigram probabilities per doc.
+
+Cross-engine determinism (the DuckDB oracle): add-one-smoothed
+``P(w2|w1) = (c12 + 1) / (c1 + V)`` is a single double division of
+integers — bit-exact in both engines. The per-doc mean folds the
+probabilities in POSITION order (``F.aggregate`` over an array ordered by
+position ≡ DuckDB ``list_reduce(list(p ORDER BY pos))``), so float
+addition order is pinned and the mean is bit-identical, not merely close.
+
+We score mean transition probability rather than log-perplexity: ``ln``
+differs in the last ulp between JVM and libm, while the mean is
+rank-equivalent for same-length filtering buckets and exactly portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from burst_db_spark.operators.text import tokens
+
+
+def doc_bigrams(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, pos, w1, w2) for every adjacent token pair; docs with < 2
+    tokens contribute no rows. pos is 1-based."""
+    t = tokens(F.col(text_col))
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.struct(
+                (i + 1).cast("int").alias("pos"),
+                F.get(t, i).alias("w1"),
+                F.get(t, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,w1:string,w2:string>>"))
+    return (
+        df.select(F.col(id_col), F.explode(pairs).alias("bg"))
+        .select(id_col, "bg.pos", "bg.w1", "bg.w2")
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(unigram counts, bigram counts, 1-row vocab size) from the corpus."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    uni = toks.groupBy("w").agg(F.count("*").cast("bigint").alias("c1"))
+    bg = doc_bigrams(df, id_col, text_col)
+    bi = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
+    vocab = uni.agg(F.count("*").cast("bigint").alias("v"))
+    return uni, bi, vocab
+
+
+def bigram_lm_scores(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-doc mean add-one-smoothed transition probability.
+
+    Output: (id, n_bigrams, mean_p) for every doc with >= 1 bigram —
+    a deterministic row set (no float threshold in the row predicate).
+    """
+    uni, bi, vocab = train_bigram_lm(df, id_col, text_col)
+    bg = doc_bigrams(df, id_col, text_col)
+    joined = (
+        bg.join(bi, ["w1", "w2"])  # every (w1,w2) of a doc exists in the model
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .join(F.broadcast(vocab))
+    )
+    p = (F.col("c12") + F.lit(1)).cast("double") / (
+        (F.col("c1") + F.col("v")).cast("double")
+    )
+    contrib = joined.select(F.col(id_col), F.col("pos"), p.alias("p"))
+    return (
+        contrib.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.array_sort(F.collect_list(F.struct("pos", "p"))).alias("__c"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            (
+                F.aggregate("__c", F.lit(0.0), lambda acc, x: acc + x["p"])
+                / F.col("n_bigrams").cast("double")
+            ).alias("mean_p"),
+        )
+    )
+
+
+def bigram_lm_oracle_sql(toks_expr: str) -> str:
+    """DuckDB twin of :func:`bigram_lm_scores` — same smoothing, same
+    position-ordered fold, same final division."""
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({toks_expr}) AS w FROM documents
+    ),
+    uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY w),
+    vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+    t AS (SELECT doc_id, {toks_expr} AS t FROM documents),
+    bg AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos,
+               t[i] AS w1, t[i + 1] AS w2
+        FROM t, unnest(range(1, len(t))) AS r(i)
+        WHERE len(t) >= 2
+    ),
+    bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+           FROM bg GROUP BY w1, w2),
+    contrib AS (
+        SELECT bg.doc_id, bg.pos,
+               CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE) AS p
+        FROM bg JOIN bi USING (w1, w2)
+        JOIN uni ON bg.w1 = uni.w
+        CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
+                       (x, y) -> x + y)
+               / CAST(count(*) AS DOUBLE) AS mean_p
+    FROM contrib GROUP BY doc_id
+    """

@@ -664,3 +664,56 @@ def cosine_topk_partitioned(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos")
     )
+
+
+def semdedup_flags(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by within-cluster
+    cosine similarity, re-expressed relationally.
+
+    Assign every embedding to its nearest coarse centroid (broadcast
+    codebook argmin — :func:`assign_cells`), then compare pairs ONLY
+    within a cell: a vector is dropped when some same-cell vector with a
+    SMALLER id is >= tau cosine-similar (the min-id member of every
+    near-dup group survives — deterministic, engine-portable).
+
+    Scale shape: the pair join is a self-equi-join on the cell id, so
+    candidate work is Σ|cell|² rather than N² — the same banded-join
+    discipline as MinHash-LSH, with k chosen so cells stay executor-sized
+    (k ∝ N / target_cell). No driver state, no cartesian.
+    """
+    cells = assign_cells(emb, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cell"
+    )
+    a = cells.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "cell"
+    )
+    b = cells.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "cell"
+    )
+    sim_pairs = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("va"), F.col("vb")) >= F.lit(tau))
+        .select("id_b")
+        .distinct()
+    )
+    return (
+        cells.join(
+            sim_pairs.withColumnRenamed("id_b", "id").withColumn(
+                "__drop", F.lit(True)
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cell"),
+            F.coalesce(F.col("__drop"), F.lit(False)).alias("dropped"),
+        )
+    )

@@ -21,8 +21,10 @@ _MODULES = (
     "extra2",
     "extra3",
     "extra4",
+    "extra5",
     "pipeline_pack",
     "pipeline_text",
+    "retrieval",
     "scalars",
     "similarity",
     "skewq",

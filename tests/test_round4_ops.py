@@ -1,0 +1,276 @@
+"""Round-4 operator tests: retrieval (inverted index / BM25), bigram LM,
+span dedup, SemDeDup, product quantization, Z-order, BPE training."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from burst_db_spark.catalog import load
+from burst_db_spark.operators import pq as pqo
+from burst_db_spark.operators import retrieval as ret
+from burst_db_spark.operators import similarity as sim
+from burst_db_spark.operators import zorder as zo
+from burst_db_spark.operators.bpe import bpe_reference, train_bpe, word_types
+from burst_db_spark.operators.dedup import span_dup_stats
+from burst_db_spark.operators.lm import bigram_lm_scores
+from tests.conftest import SF_DIR
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# -- inverted index / BM25 --------------------------------------------------
+
+
+def test_inverted_index_postings(spark):
+    df = _docs(
+        spark,
+        [(1, "a b a"), (2, "b c"), (3, "a")],
+    )
+    out = {
+        r["term"]: r
+        for r in ret.inverted_index(df, "doc_id").collect()
+    }
+    assert out["a"]["postings"] == "1:2,3:1"
+    assert out["a"]["df"] == 2 and out["a"]["total_tf"] == 3
+    assert out["b"]["postings"] == "1:1,2:1"
+    assert out["c"]["postings"] == "2:1"
+
+
+def test_bm25_hand_computed(spark):
+    # 2 docs, query {"a"}: df(a)=1, N=2, dl=(2,1), avgdl=1.5
+    df = _docs(spark, [(1, "a b"), (2, "c")])
+    rows = ret.bm25_scores(df, ["a"], "doc_id").collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 1
+    idf = (2 - 1 + 0.5) / (1 + 0.5) + 1.0
+    expect = idf * (1.0 * 2.2) / (1.0 + 1.2 * (1 - 0.75 + 0.75 * (2 / 1.5)))
+    assert math.isclose(rows[0]["bm25"], expect, rel_tol=1e-12)
+
+
+def test_bm25_monotone_in_tf(spark):
+    # more matches of a rare term → higher score at equal length
+    df = _docs(spark, [(1, "x x y y"), (2, "x y y y"), (3, "z z z z")])
+    got = {r["doc_id"]: r["bm25"] for r in ret.bm25_scores(df, ["x"], "doc_id").collect()}
+    assert got[1] > got[2]
+    assert 3 not in got
+
+
+# -- bigram LM --------------------------------------------------------------
+
+
+def test_bigram_lm_vs_python(spark):
+    rows = [(1, "a b a b"), (2, "a b c"), (3, "c c")]
+    df = _docs(spark, rows)
+    got = {r["doc_id"]: r for r in bigram_lm_scores(df, "doc_id").collect()}
+
+    # independent python model
+    toks = {i: t.split() for i, t in rows}
+    uni: dict[str, int] = {}
+    bi: dict[tuple[str, str], int] = {}
+    for t in toks.values():
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    v = len(uni)
+    for i, t in toks.items():
+        ps = [
+            (bi[(a, b)] + 1) / (uni[a] + v) for a, b in zip(t, t[1:])
+        ]
+        assert got[i]["n_bigrams"] == len(ps)
+        assert math.isclose(got[i]["mean_p"], sum(ps) / len(ps), rel_tol=1e-12)
+
+
+def test_bigram_lm_short_docs_excluded(spark):
+    df = _docs(spark, [(1, "one"), (2, "two words")])
+    got = {r["doc_id"] for r in bigram_lm_scores(df, "doc_id").collect()}
+    assert got == {2}
+
+
+# -- span dedup -------------------------------------------------------------
+
+
+def test_span_dup_stats_known(spark):
+    shared = " ".join(f"w{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    df = _docs(
+        spark,
+        [
+            (1, shared + " " + uniq_a),   # 1 of 2 spans duplicated
+            (2, shared + " " + uniq_b),   # 1 of 2 spans duplicated
+            (3, uniq_b),                  # duplicated with doc 2's tail
+        ],
+    )
+    got = {r["doc_id"]: r for r in span_dup_stats(df, "doc_id", span_len=10).collect()}
+    assert got[1]["n_spans"] == 2 and got[1]["n_dup_spans"] == 1
+    assert got[1]["keep"] is True
+    assert got[3]["n_spans"] == 1 and got[3]["n_dup_spans"] == 1
+    assert got[3]["dup_frac"] == 1.0 and got[3]["keep"] is False
+
+
+# -- SemDeDup ---------------------------------------------------------------
+
+
+def test_semdedup_min_id_survives(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+            (3, [0.0, 1.0, 0.0, 0.0]),      # distinct
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    got = {
+        r["vec_id"]: r["dropped"]
+        for r in sim.semdedup_flags(emb, cents, tau=0.95).collect()
+    }
+    assert got == {1: False, 2: True, 3: False}
+
+
+# -- product quantization ---------------------------------------------------
+
+
+def test_pq_encode_matches_numpy(spark):
+    import numpy as np
+
+    books = pqo.pq_codebooks(m=4, dim=64, k=16)
+    emb = load(spark, SF_DIR, "embeddings").limit(20)
+    rows = emb.select("vec_id", "embedding").collect()
+    got = {
+        r["vec_id"]: [r[f"code_{j}"] for j in range(4)]
+        for r in pqo.pq_encode(emb, books).collect()
+    }
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        for j in range(4):
+            seg = v[j * 16 : (j + 1) * 16]
+            d = [float(((seg - np.asarray(e)) ** 2).sum()) for e in books[j]]
+            assert got[r["vec_id"]][j] == d.index(min(d)) + 1
+
+
+def test_pq_adc_approximates_exact(spark):
+    books = pqo.pq_codebooks()
+    q = sim.lsh_planes(65, dim=64)[-1]
+    emb = load(spark, SF_DIR, "embeddings")
+    adc = pqo.pq_adc_topk(emb, q, books, k=5).collect()
+    assert len(adc) == 5
+    # adc distance is a nonnegative approximation of the true distance
+    assert all(r["adc_dist"] >= 0.0 for r in adc)
+    # plan: encode+search is shuffle-free (TakeOrdered, no Exchange)
+    plan = pqo.pq_adc_topk(emb, q, books, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "TakeOrdered" in plan
+
+
+# -- Z-order ----------------------------------------------------------------
+
+
+def test_morton_code_golden(spark):
+    df = spark.createDataFrame([(3, 5)], "x bigint, y bigint")
+    # interleave: x=0b011, y=0b101 → bits (y2 x2 y1 x1 y0 x0) = 100111 = 39
+    got = df.select(zo.morton_code(F.col("x"), F.col("y"), 3).alias("z")).first()["z"]
+    assert got == 39
+
+
+def test_morton_sql_matches_spark(spark, ddb):
+    vals = [(x, y) for x in range(0, 50, 7) for y in range(0, 50, 11)]
+    df = spark.createDataFrame(vals, "x bigint, y bigint")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zo.morton_code(F.col("x"), F.col("y"), 8).alias("z")
+        ).collect()
+    }
+    sql = zo.morton_sql("x", "y", 8)
+    for (x, y), z in got.items():
+        dz = ddb.execute(f"SELECT {sql} FROM (SELECT {x} AS x, {y} AS y)").fetchone()[0]
+        assert dz == z, (x, y)
+
+
+def test_zorder_write_prunes_files(spark, tmp_path):
+    import pyarrow.parquet as papq
+    import glob
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id"),
+        ((F.col("id") * 131) % 360 - 180 + 0.5).cast("double").alias("lon"),
+        ((F.col("id") * 173) % 170 - 85 + 0.5).cast("double").alias("lat"),
+    )
+    zpath = str(tmp_path / "zorder")
+    rpath = str(tmp_path / "plain")
+    zo.zorder_write(df, zpath, "lon", "lat", -180.0, 180.0, n_files=8)
+    df.repartition(8).write.mode("overwrite").parquet(rpath)
+
+    def files_touching(path, box):
+        xmin, ymin, xmax, ymax = box
+        touched = 0
+        total = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = papq.ParquetFile(f).metadata
+            cols = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            fxmin = min(
+                md.row_group(g).column(cols["lon"]).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            fxmax = max(
+                md.row_group(g).column(cols["lon"]).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            fymin = min(
+                md.row_group(g).column(cols["lat"]).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            fymax = max(
+                md.row_group(g).column(cols["lat"]).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            total += 1
+            if fxmin <= xmax and fxmax >= xmin and fymin <= ymax and fymax >= ymin:
+                touched += 1
+        return touched, total
+
+    box = (-170.0, -80.0, -100.0, -20.0)  # ~1/8 of the plane
+    zt, ztot = files_touching(zpath, box)
+    rt, rtot = files_touching(rpath, box)
+    assert rt == rtot  # random layout: every file overlaps the box
+    assert zt < ztot  # z-order: min/max stats exclude files
+    # correctness: same rows either way
+    q = (
+        (F.col("lon") >= box[0]) & (F.col("lon") <= box[2])
+        & (F.col("lat") >= box[1]) & (F.col("lat") <= box[3])
+    )
+    assert (
+        spark.read.parquet(zpath).where(q).count()
+        == spark.read.parquet(rpath).where(q).count()
+    )
+
+
+# -- BPE --------------------------------------------------------------------
+
+
+def test_bpe_matches_reference(spark):
+    docs = load(spark, SF_DIR, "documents").limit(100)
+    got = train_bpe(docs, n_merges=6)
+    wc = {
+        r["word"]: r["n"] for r in word_types(docs).collect()
+    }
+    expect = bpe_reference(wc, 6)
+    assert got == expect
+
+
+def test_bpe_greedy_nonoverlap(spark):
+    # "aaa" with merge (a,a) must yield ["aa","a"], so the second merge
+    # is (aa, a) — not a double-merge of overlapping pairs
+    df = _docs(spark, [(1, "aaa aaa")])
+    merges = train_bpe(df, n_merges=2)
+    assert merges[0][1:3] == ("a", "a")
+    assert merges[1][1:3] == ("aa", "a")
