@@ -345,30 +345,33 @@ def lsh_near_dup_pairs_multiprobe(
 
     planes = lsh_planes(n_planes, dim=64)
     plane_mat = np.array(planes, dtype=np.float64).T
+    r = bits_per_band
+    n_bands = n_planes // r
 
+    # One Arrow pass computes the BAND KEYS directly (sign bits packed
+    # little-endian per band — bit j of band b is plane b·r+j, the exact
+    # packing of lsh_band_keys / the oracle's CASE sum). Doing the pack
+    # in numpy instead of a nested fold expression removes the dominant
+    # cold cost (codegen/JIT of an 8-band aggregate-of-zip_with tree).
     @F.pandas_udf(ArrayType(IntegerType()))
-    def _bits_udf(vecs: pd.Series) -> pd.Series:
+    def _keys_udf(vecs: pd.Series) -> pd.Series:
         x = np.vstack(vecs.to_numpy()).astype(np.float64)
         acc = np.zeros((x.shape[0], plane_mat.shape[1]), dtype=np.float64)
         for i in range(x.shape[1]):
             acc += x[:, i : i + 1] * plane_mat[i : i + 1, :]
-        return pd.Series(list((acc >= 0).astype(np.int32)))
+        bits = (acc >= 0).astype(np.int32)
+        keys = np.zeros((x.shape[0], n_bands), dtype=np.int32)
+        for b in range(n_bands):
+            for j in range(r):
+                keys[:, b] |= bits[:, b * r + j] << j
+        return pd.Series(list(keys))
 
-    sig = (
-        emb.select(
-            F.col(id_col).alias("vid"),
-            F.col(vec_col).alias("vec"),
-            _norm(F.col(vec_col)).alias("nrm"),
-            _bits_udf(F.col(vec_col)).alias("bits"),
-        )
-        .select(
-            "vid",
-            "vec",
-            "nrm",
-            lsh_band_keys(F.col("bits"), n_planes, bits_per_band).alias("keys"),
-        )
-        .persist()
-    )
+    sig = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        _keys_udf(F.col(vec_col)).alias("keys"),
+    ).persist()
     stored = sig.select("vid", F.posexplode("keys").alias("band_idx", "key"))
     masks = F.array(*[F.lit(m) for m in _PROBE_MASKS])
     probes = stored.select(
@@ -378,20 +381,29 @@ def lsh_near_dup_pairs_multiprobe(
             F.transform(masks, lambda m: F.col("key").bitwiseXOR(m))
         ).alias("key"),
     )
+    # XOR-mask matching is symmetric (key_a ^ m == key_b ⟺ key_b ^ m ==
+    # key_a), so generating only the pvid < vid direction HALVES the
+    # candidate volume with an identical post-distinct pair set.
     cand = (
         probes.join(stored, ["band_idx", "key"])
-        .where(F.col("pvid") != F.col("vid"))
-        .select(
-            F.least("pvid", "vid").alias("id_a"),
-            F.greatest("pvid", "vid").alias("id_b"),
-        )
+        .where(F.col("pvid") < F.col("vid"))
+        .select(F.col("pvid").alias("id_a"), F.col("vid").alias("id_b"))
         .distinct()
     )
-    a = sig.select(
-        F.col("vid").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+    # verify joins: the signature frame is rows × (64 floats + keys) —
+    # broadcast it while it fits (bench scales); past the gate the joins
+    # fall back to hash exchanges, the 100 TB shape.
+    n_sig = sig.count()
+    pick = F.broadcast if n_sig <= 100_000 else (lambda d: d)
+    a = pick(
+        sig.select(
+            F.col("vid").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+        )
     )
-    b = sig.select(
-        F.col("vid").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    b = pick(
+        sig.select(
+            F.col("vid").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+        )
     )
 
     # Arrow-batched verify: accumulate PER POSITION (acc += a_i·b_i over
