@@ -69,36 +69,48 @@ def main() -> None:
     specs = all_queries()
 
     # warm up the JVM + parquet footer caches with a trivial action
-    specs["p10_dedup_distinct"].build(spark, sf_dir).count()
+    try:
+        specs["p10_dedup_distinct"].build(spark, sf_dir).count()
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: warmup failed: {e}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name in HEADLINE:
-        best = None
-        for _ in range(runs):
-            # isolate queries: drop persisted intermediates so timings
-            # don't absorb eviction/GC pressure from earlier queries
-            spark.catalog.clearCache()
-            df = specs[name].build(spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        total += best
+        # failure isolation: one broken query must cost ONE entry, not the
+        # whole round's perf record (round 3 lost all numbers to a single
+        # AnalysisException at query 7)
+        try:
+            best = None
+            for _ in range(runs):
+                # isolate queries: drop persisted intermediates so timings
+                # don't absorb eviction/GC pressure from earlier queries
+                spark.catalog.clearCache()
+                df = specs[name].build(spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+            total += best
+        except Exception as e:  # noqa: BLE001 - record and move on
+            msg = f"{type(e).__name__}: {e}"
+            timings[name] = {"err": msg[:300]}
+            errors[name] = msg[:300]
+            print(f"bench: {name} failed: {msg[:300]}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if errors:
+        out["errors"] = len(errors)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

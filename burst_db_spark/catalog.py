@@ -14,6 +14,7 @@ from functools import lru_cache
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 TABLES = (
     "region",
@@ -57,6 +58,25 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     return tuple(out)
 
 
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every top-level TIMESTAMP_NTZ column to TIMESTAMP (ltz).
+
+    Parquet written with ``isAdjustedToUTC=false`` is inferred by Spark ≥3.4
+    as ``TIMESTAMP_NTZ`` (``spark.sql.parquet.inferTimestampNTZ.enabled``
+    defaults true), and NTZ is illegal in ``unix_micros`` / numeric casts —
+    the reference tz-normalizes on ingest
+    (create_cslc_burst_catalog.py:144-147), so we do the equivalent here,
+    once, at the scan. The session tz is UTC, so NTZ→ltz is a reinterpret,
+    not a wall-clock shift, and DuckDB reads the same parquet as naive
+    timestamps — oracle parity is unaffected. The cast sits directly above
+    the scan, so column pruning / predicate pushdown still reach parquet.
+    """
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if not ntz:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Parquet scan → columnar, pushdown-capable (SURVEY S5)."""
     if name not in TABLES:
@@ -82,8 +102,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT))")
             )
-        return df
-    return spark.read.parquet(path)
+        return _normalize_ntz(df)
+    return _normalize_ntz(spark.read.parquet(path))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -35,7 +35,11 @@ def sessionize(
     (reconcile_and_label_db.py:322-334 uses ``gap >= gap_threshold``)."""
     order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order)
-    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    # unix_micros over a timestamp-cast column: legal for TIMESTAMP, DATE,
+    # and TIMESTAMP_NTZ inputs alike (a direct cast-to-double is illegal on
+    # NTZ — the round-3 driver parquet regression).
+    sec = F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double") / 1e6
+    gap = sec - F.lag(sec).over(w)
     new_session = F.when(gap.isNull() | (gap >= gap_seconds), F.lit(1)).otherwise(F.lit(0))
     return df.withColumn(
         session_col,
