@@ -45,59 +45,116 @@ for _m in _MODULES:
         )
 
 # The driver's correctness gate samples a PREFIX of the registration order
-# (rounds 1-2: exactly the first 50). Round-3 rotation policy:
-#   1. everything CHANGED or NEW this round leads (it has no green row
-#      for its current implementation);
-#   2. then the r1-green families the driver has never re-sampled, so
-#      every registered oracle query eventually has a fresh row;
-#   3. then one representative per r2-green family;
-#   4. rows-only queries (no oracle) and already-double-checked r2 rows
-#      sit BEHIND the prefix — a sampled slot spent on a `no_oracle` row
-#      is a wasted slot.
+# (rounds 1-3: exactly the first 50). Round-4 rotation policy:
+#   1. NEW round-4 queries lead (no green row exists for them at all);
+#   2. then the 9 queries that have NEVER received a driver row (the 8
+#      late-round-3 additions + the embedding-audit baseline);
+#   3. then the 5 NTZ-repaired window queries (their r4 implementation
+#      path — catalog normalization — has no driver evidence, and
+#      w2_sessionize is the round-3 red row to flip);
+#   4. then the r1-green rows the driver has never re-sampled, so every
+#      registered oracle query eventually gets a fresh row;
+#   5. one multimodal row stays in every round's prefix (codec
+#      regressions must surface).
 # Names not listed keep their module registration order after the
 # prefix; unknown names are ignored (lets planned queries pre-register).
 _SAMPLING_PRIORITY = (
-    # -- changed or new in round 3 --
-    "t_pack_sequences",        # oracle HUGEINT cast fix
-    "j7_spatial_join",         # grid-cell equi-join rewrite
-    "j_spatial_knn",           # grid-cell NN rewrite
-    "j12_asof_join",           # struct-payload rewrite; never sampled
-    "u2_array_ops",            # never sampled
-    "s1_sqlite_roundtrip",     # sink bounds/decimal changes
-    "stream_session_counts",   # new oracle this round
-    "t_curriculum_buckets",    # range-partitioned rewrite
-    "dd_embedding_nn",         # recall retuning
-    "a3_union_polygon",        # new boundary-traced union query
-    "s8_rangezip_roundtrip",   # new: partial-zip ranged extraction
-    "s10_stac_paged",          # new: paged catalog walk
-    "t_repetition_stats",      # new: Gopher repetition signals
-    "t_stratified_sample",     # new: deterministic corpus mixing
-    "s11_zarr_cube",           # new: real zarr store round-trip
-    "knn_cosine_ivf_multiprobe",  # new: nprobe=2 IVF search
-    "t_decontaminate_bloom",   # new: broadcast-Bloom decontamination
-    "mm_bmp_resize",           # new: real BMP encode→decode→resize
-    "k7_bucketed_colocated_join",  # new: exchange-free bucketed join
-    "mm_frame_sample",         # new: frame-sampling plan query
-    "k8_compact_roundtrip",    # new: small-file compaction
-    "mm_features",             # changed: promoted rows-only -> oracle
-    "dd_embedding_nn_multiprobe",  # new: Hamming-1 probed LSH bands
-    "k1_gpkg_roundtrip",       # new: real GeoPackage artifact
-    "stream_corpus_dedup",     # new: streaming == batch dedup manifest
-    "s11_zarr_coords",         # new: zarr group + coord-value subset
-    "t_cap_per_source",        # new: per-domain contribution cap
-    "t_temperature_mix",       # new: sqrt temperature rebalancing
-    # -- r1-green, never re-sampled --
+    # -- new in round 4 --
+    "dd_lsh_cluster_dedup",    # new: LSH pairs -> clusters -> survivors end-to-end
+    "t_docs_minhash_pipeline", # new: full corpus-clean composition
+    "j13_range_interval_join", # new: binned interval join (no IN-list expand)
+    "a18_hll_distinct",        # new: approx_count_distinct vs exact oracle bound
+    "t_ngram_lm_perplexity",   # new: trigram backoff scoring
+    "w9_cume_dist_family",     # new: cumulative-distribution window gauntlet
+    "q3_shipping_priority",    # new: TPC-H Q3 3-way join + top-k
+    "q10_returned_items",      # new: TPC-H Q10 revenue rollup
+    # -- never driver-checked (8 late-r3 + the audit baseline) --
+    "dd_semdedup",
+    "dd_span_dedup",
+    "t_inverted_index",
+    "t_bm25_search",
+    "t_bigram_lm_score",
+    "knn_pq_adc",
+    "geo_zorder_code",
+    "dd_embedding_nn_exact_audit",
+    "t_bpe_merges",            # rows-only: weaker check, but first evidence
+    # -- NTZ-repaired this round (w2 = the r3 red row) --
+    "w2_sessionize",
+    "w3_batch_labels",
+    "w_lag_delta",
+    "w_rolling_1d",
+    "a13_weekly_window",
+    "w2b_session_window_batch",
+    # -- multimodal rotation slot --
+    "mm_wav_roundtrip",
+    # -- r1-green, never re-sampled since round 1 --
+    "group_by_all",
+    "pivot_by_type",
+    "p1_projection_minimal",
+    "p3_filter_range",
+    "p4_filter_bool_combo",
+    "p7_blackout_anti_join",
+    "p10_dedup_distinct",
+    "j1_region_rollup",
+    "j4_join_using",
+    "j6_left_join_fillna",
+    "j9_update_join",
+    "j10_range_join",
+    "a1_dedup_latest",
+    "a4_round_avg_cast",
+    "a5_string_agg_distinct",
+    "a8_first_seen",
+    "a9_count_per_day",
+    "a10_multi_minmax",
+    "a11_named_agg_pct",
+    "a15_summary_stats",
+    "o1_topk_orders",
+    "u2_reconcile_snapshots",
+    "u3_union_all",
+    "w1_first_value",
+    "w4_run_length",
+    "w6_water_year",
+    "w7_first_significant_block",
+    "a16_percentiles",
+    "f_regex_extract",
+    # -- behind the 50-slot prefix: r2/r3-green spares, then rows-only --
+    "t_pack_sequences",
+    "j7_spatial_join",
+    "j_spatial_knn",
+    "j12_asof_join",
+    "u2_array_ops",
+    "s1_sqlite_roundtrip",
+    "stream_session_counts",
+    "t_curriculum_buckets",
+    "dd_embedding_nn",
+    "a3_union_polygon",
+    "s8_rangezip_roundtrip",
+    "s10_stac_paged",
+    "t_repetition_stats",
+    "t_stratified_sample",
+    "s11_zarr_cube",
+    "knn_cosine_ivf_multiprobe",
+    "t_decontaminate_bloom",
+    "mm_bmp_resize",
+    "k7_bucketed_colocated_join",
+    "mm_frame_sample",
+    "k8_compact_roundtrip",
+    "mm_features",
+    "dd_embedding_nn_multiprobe",
+    "k1_gpkg_roundtrip",
+    "stream_corpus_dedup",
+    "s11_zarr_coords",
+    "t_cap_per_source",
+    "t_temperature_mix",
     "frame_lookup",
     "q1_pricing_summary",
     "p2_filter_isin",
     "j2_fact_dim_broadcast",
     "a2_dissolve_multiagg",
-    "w2_sessionize",
     "o5_topk_per_group",
     "u1_unpivot_union",
     "f4_missing_dates",
     "f_json_props",
-    # -- r2-green representatives --
     "p9_spatial_intersect",
     "a3_union_envelope",
     "a3_dissolve_union_area",
@@ -110,37 +167,6 @@ _SAMPLING_PRIORITY = (
     "s9_xml_bursts",
     "k5_partitioned_append_roundtrip",
     "f_string_gauntlet",
-    "f_date_gauntlet",
-    "f_math_gauntlet",
-    "f_conditional_gauntlet",
-    "t_token_stats",
-    "t_quality_score",
-    "t_lang_guess",
-    "t_fingerprint",
-    "t_top_tfidf",
-    "t_decontaminate",
-    "t_quality_filter",
-    "t_split_assign",
-    "t_redact_pii",
-    "mm_wav_roundtrip",
-    "stream_daily_counts",
-    "dd_exact",
-    "dd_minhash_lsh",
-    # -- behind the 50-slot prefix: r2-green spares, then rows-only --
-    "dd_dedup_clusters",
-    "dd_simhash",
-    "s2_csv_infer_roundtrip",
-    "s3_csv_schema_semicolon",
-    "s6_geojson_roundtrip",
-    "s7_envelope_roundtrip",
-    "dd_ngram_jaccard",
-    "dd_corpus_survivors",
-    "knn_cosine_brute",
-    "knn_cosine_ivf",
-    "skew_salted_count",
-    "a13_weekly_window",
-    "a17_cube",
-    "w_rolling_1d",
     "ep1_minimal_db",          # rows-only by design
     "knn_cosine_ivf_learned",  # rows-only by design
 )
