@@ -54,6 +54,13 @@ HEADLINE = [
     "knn_cosine_ivf_multiprobe",
     "mm_bmp_resize",
     "dd_embedding_nn_multiprobe",
+    # round-4 operators
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "j13_range_interval_join",
+    "t_ngram_lm_perplexity",
+    "dd_lsh_cluster_dedup",
+    "t_docs_minhash_pipeline",
 ]
 
 

@@ -68,6 +68,50 @@ def range_join(
     return joined.drop(intervals[key])
 
 
+def binned_interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bin_us: int = 6 * 3600 * 1_000_000,
+) -> DataFrame:
+    """J13: interval containment join WITHOUT an equi key — the shape
+    Spark would otherwise execute as a BroadcastNestedLoopJoin (or, when
+    the interval side outgrows the broadcast threshold, a full cartesian
+    product: the classic range-join scale killer).
+
+    Binned rewrite: each interval explodes into the fixed-width time
+    bins it overlaps (``sequence`` over bin ids — pure JVM, no UDF);
+    each fact row computes its single bin id. The join becomes an
+    EQUI-join on bin id plus a residual containment filter — a plain
+    shuffled hash join that partitions on bin, so both sides scale out
+    and skew lands in AQE's lap. Cost is O(intervals × span/bin) rows of
+    expansion, tunable via ``bin_us``.
+
+    Semantics: ts ∈ [start, end) — half-open, so abutting intervals
+    never double-match. Each (fact, interval) pair appears exactly once:
+    the fact's bin is deterministic and the interval lists each bin id
+    once.
+    """
+    f_ts = F.col(ts_col).cast("timestamp")
+    fact_bin = (F.unix_micros(f_ts) / F.lit(bin_us)).cast("bigint")
+    # end is exclusive: a zero-length interval still occupies its start bin
+    iv_bins = F.sequence(
+        (F.unix_micros(F.col(start_col).cast("timestamp")) / F.lit(bin_us)).cast("bigint"),
+        (
+            F.unix_micros(F.col(end_col).cast("timestamp") - F.expr("INTERVAL 1 MICROSECOND"))
+            / F.lit(bin_us)
+        ).cast("bigint"),
+    )
+    iv = intervals.withColumn("__bin", F.explode(iv_bins))
+    fx = facts.withColumn("__bin", fact_bin)
+    joined = fx.join(iv, "__bin").where(
+        (f_ts >= F.col(start_col)) & (f_ts < F.col(end_col))
+    )
+    return joined.drop("__bin")
+
+
 def update_join(
     target: DataFrame,
     source: DataFrame,

@@ -101,6 +101,132 @@ def bigram_lm_scores(
     )
 
 
+def doc_trigrams(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, pos, w1, w2, w3) for every adjacent token triple; pos 1-based."""
+    t = tokens(F.col(text_col))
+    triples = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 3),
+            lambda i: F.struct(
+                (i + 1).cast("int").alias("pos"),
+                F.get(t, i).alias("w1"),
+                F.get(t, i + 1).alias("w2"),
+                F.get(t, i + 2).alias("w3"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<pos:int,w1:string,w2:string,w3:string>>")
+    )
+    return (
+        df.select(F.col(id_col), F.explode(triples).alias("tg"))
+        .select(id_col, "tg.pos", "tg.w1", "tg.w2", "tg.w3")
+    )
+
+
+def trigram_backoff_scores(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Held-out trigram scoring with stupid backoff (Brants et al. 2007):
+
+        p(w3|w1,w2) = c123/c12              if the trigram is in the model
+                    = α · c23/c2            else if the (w2,w3) bigram is
+                    = α² · c3/N             else (unigram; 0 if unseen)
+
+    All model tables come from ``train`` only, so scoring ``score`` docs
+    genuinely exercises every backoff level. Counts are exact integers;
+    each probability is one double division (+ a constant multiply), and
+    the per-doc mean folds in POSITION order — bit-identical across
+    engines, same as :func:`bigram_lm_scores`. No logs on purpose: ``ln``
+    drifts in the last ulp between JVM and libm (module docstring).
+
+    Scale shape: three groupBy counts over the train corpus (model-sized
+    outputs), then the score side equi-joins the model tables — broadcast
+    when the vocabulary is small, shuffled hash join when it isn't. No
+    driver state, no UDFs.
+
+    Output: (id, n_trigrams, n_tri_hits, n_bigram_backoffs, mean_p).
+    """
+    tg_train = doc_trigrams(train, id_col, text_col)
+    tri = tg_train.groupBy("w1", "w2", "w3").agg(
+        F.count("*").cast("bigint").alias("c123")
+    )
+    bg_train = doc_bigrams(train, id_col, text_col)
+    bi = bg_train.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c12")
+    )
+    toks = train.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").cast("bigint").alias("c3"))
+    total = toks.agg(F.count("*").cast("bigint").alias("n_tok"))
+
+    tg = doc_trigrams(score, id_col, text_col)
+    joined = (
+        tg.join(tri, ["w1", "w2", "w3"], "left")
+        .join(bi, ["w1", "w2"], "left")
+        .join(
+            bi.select(
+                F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+                F.col("c12").alias("c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(uni.select(F.col("w").alias("w3"), "c3"), "w3", "left")
+        .join(F.broadcast(total))
+    )
+    a = F.lit(alpha)
+    p = (
+        F.when(
+            F.col("c123").isNotNull(),
+            F.col("c123").cast("double") / F.col("c12").cast("double"),
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            a * F.col("c23").cast("double") / F.col("c2").cast("double"),
+        )
+        .otherwise(
+            a * a * F.coalesce(F.col("c3"), F.lit(0)).cast("double")
+            / F.col("n_tok").cast("double")
+        )
+    )
+    # c2 = train unigram count of w2 (the backoff context)
+    joined = joined.join(
+        uni.select(F.col("w").alias("w2"), F.col("c3").alias("c2")), "w2", "left"
+    )
+    contrib = joined.select(
+        F.col(id_col),
+        F.col("pos"),
+        p.alias("p"),
+        F.col("c123").isNotNull().alias("tri_hit"),
+        (F.col("c123").isNull() & F.col("c23").isNotNull()).alias("bi_backoff"),
+    )
+    return (
+        contrib.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_trigrams"),
+            F.sum(F.col("tri_hit").cast("int")).cast("bigint").alias("n_tri_hits"),
+            F.sum(F.col("bi_backoff").cast("int")).cast("bigint").alias(
+                "n_bigram_backoffs"
+            ),
+            F.array_sort(F.collect_list(F.struct("pos", "p"))).alias("__c"),
+        )
+        .select(
+            id_col,
+            "n_trigrams",
+            "n_tri_hits",
+            "n_bigram_backoffs",
+            (
+                F.aggregate("__c", F.lit(0.0), lambda acc, x: acc + x["p"])
+                / F.col("n_trigrams").cast("double")
+            ).alias("mean_p"),
+        )
+    )
+
+
 def bigram_lm_oracle_sql(toks_expr: str) -> str:
     """DuckDB twin of :func:`bigram_lm_scores` — same smoothing, same
     position-ordered fold, same final division."""

@@ -25,6 +25,7 @@ _MODULES = (
     "pipeline_pack",
     "pipeline_text",
     "retrieval",
+    "round4",
     "scalars",
     "similarity",
     "skewq",

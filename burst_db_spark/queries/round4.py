@@ -1,0 +1,466 @@
+"""Round-4 queries: TPC-H Q3/Q10 join shapes, the cumulative-distribution
+window family, HLL distinct-count sketching, the keyless binned interval
+join, trigram stupid-backoff LM scoring, and two end-to-end corpus-clean
+compositions (LSH cluster dedup; quality→exact→fuzzy pipeline).
+
+Determinism conventions (same as the rest of the suite):
+- every aggregate double that crosses a shuffle is summed as
+  DECIMAL(18,6) → DECIMAL(28,6) → DOUBLE on BOTH engines (ulp drift);
+- every float fold is position-ordered (array_sort / list ORDER BY);
+- every hash is md5-derived so DuckDB reproduces it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from burst_db_spark.catalog import load
+from burst_db_spark.operators import dedup as dd
+from burst_db_spark.operators import joins as jn
+from burst_db_spark.operators import lm
+from burst_db_spark.operators import text as tx
+from burst_db_spark.queries.textops import _SHINGLES_CTE, _TOKS
+from burst_db_spark.registry import register
+
+# revenue expression, decimal-exact on both engines ------------------------
+
+_REV_SQL = (
+    "CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) "
+    "AS DECIMAL(18, 6))) AS DECIMAL(28, 6)) AS DOUBLE)"
+)
+
+
+def _rev_spark() -> F.Column:
+    return (
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+        .cast("decimal(28,6)")
+        .cast("double")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {_REV_SQL} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("J1", "O5", "bench", "tpch"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: segment-filtered 3-way join → per-order revenue →
+    top-10. Customer filter prunes before the join (broadcast the filtered
+    dim); the LIMIT is a TakeOrdered on the agg output — no global sort
+    materializes. Total order (revenue DESC, l_orderkey) keeps the top-k
+    deterministic; decimal-summed revenue keeps the sort key exact."""
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1998-06-01"
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-06-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_rev_spark().alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name AS nation,
+           {_REV_SQL} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("J1", "O5", "bench", "tpch"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped: returned-item revenue per customer, top-20.
+    lineitem's returnflag filter is pushed to the scan; nation broadcasts;
+    the orders date filter prunes before the fact join."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            _rev_spark().alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "w9_cume_dist_family",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("W", "window"),
+)
+def w9_cume_dist_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-distribution window gauntlet: rank / dense_rank /
+    percent_rank / cume_dist / ntile over one partitioning — ONE window
+    exchange serves all five functions. The orderkey tiebreak makes every
+    rank single-peer, so the distributions are deterministic."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+@register(
+    "a18_hll_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS hll_within_15pct
+    FROM events GROUP BY event_type
+    """,
+    tags=("A", "sketch", "hll"),
+)
+def a18_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count sketching: exact count_distinct next to an HLL++
+    bound check. At 100 TB the exact count is a full shuffle of the key
+    set; approx_count_distinct is ONE pass, fixed memory, mergeable —
+    the oracle pins the sketch's error inside 15% (3σ of the default
+    rsd=0.05) by asserting the flag, so a broken sketch fails the gate."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id").alias("__approx"),
+    )
+    ok = (
+        F.abs(F.col("__approx") - F.col("n_users_exact"))
+        <= 0.15 * F.col("n_users_exact")
+    )
+    return agg.select("event_type", "n_users_exact", ok.alias("hll_within_15pct"))
+
+
+_IV_N = 20
+_IV_STEP_H = 36
+_IV_LEN_H = 18
+
+
+@register(
+    "j13_range_interval_join",
+    oracle=f"""
+    WITH iv AS (
+        SELECT CAST(i AS BIGINT) AS interval_id,
+               TIMESTAMP '2024-01-01 00:00:00'
+                   + INTERVAL ({_IV_STEP_H}) HOUR * i AS start_ts,
+               TIMESTAMP '2024-01-01 00:00:00'
+                   + INTERVAL ({_IV_STEP_H}) HOUR * i
+                   + INTERVAL ({_IV_LEN_H}) HOUR AS end_ts
+        FROM range({_IV_N}) r(i)
+    )
+    SELECT e.event_id, iv.interval_id
+    FROM events e JOIN iv
+      ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+    """,
+    tags=("J13", "range-join", "binned"),
+)
+def j13_range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval-containment join via fixed-width time binning —
+    the equi-join rewrite of the range join Spark would otherwise run as
+    BroadcastNestedLoopJoin (and as a cartesian product once the interval
+    side outgrows broadcast). See operators.joins.binned_interval_join."""
+    ev = load(spark, sf_dir, "events").select("event_id", "ts")
+    base_us = 1_704_067_200 * 1_000_000  # 2024-01-01T00:00:00Z
+    step_us = _IV_STEP_H * 3600 * 1_000_000
+    len_us = _IV_LEN_H * 3600 * 1_000_000
+    iv = spark.range(_IV_N).select(
+        F.col("id").alias("interval_id"),
+        F.timestamp_micros(F.lit(base_us) + F.col("id") * F.lit(step_us)).alias(
+            "start_ts"
+        ),
+        F.timestamp_micros(
+            F.lit(base_us) + F.col("id") * F.lit(step_us) + F.lit(len_us)
+        ).alias("end_ts"),
+    )
+    out = jn.binned_interval_join(ev, iv, "ts")
+    return out.select("event_id", "interval_id")
+
+
+@register(
+    "t_ngram_lm_perplexity",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tr AS (SELECT * FROM t WHERE doc_id % 5 != 0),
+    sc AS (SELECT * FROM t WHERE doc_id % 5 = 0),
+    tg_tr AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+        FROM tr, unnest(range(1, len(t) - 1)) AS r(i)
+        WHERE len(t) >= 3
+    ),
+    tri AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123
+            FROM tg_tr GROUP BY 1, 2, 3),
+    bg_tr AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM tr, unnest(range(1, len(t))) AS r(i)
+        WHERE len(t) >= 2
+    ),
+    bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+           FROM bg_tr GROUP BY 1, 2),
+    toks_tr AS (SELECT unnest(t) AS w FROM tr),
+    uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks_tr GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM toks_tr),
+    tg AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos,
+               t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+        FROM sc, unnest(range(1, len(t) - 1)) AS r(i)
+        WHERE len(t) >= 3
+    ),
+    j AS (
+        SELECT tg.doc_id, tg.pos,
+               CASE WHEN tri.c123 IS NOT NULL
+                    THEN CAST(tri.c123 AS DOUBLE) / CAST(bi.c12 AS DOUBLE)
+                    WHEN b2.c12 IS NOT NULL
+                    THEN 0.4 * CAST(b2.c12 AS DOUBLE) / CAST(u2.c AS DOUBLE)
+                    ELSE 0.4 * 0.4 * CAST(coalesce(u3.c, 0) AS DOUBLE)
+                         / CAST(tot.n_tok AS DOUBLE)
+               END AS p,
+               (tri.c123 IS NOT NULL) AS tri_hit,
+               (tri.c123 IS NULL AND b2.c12 IS NOT NULL) AS bi_backoff
+        FROM tg
+        LEFT JOIN tri ON tri.w1 = tg.w1 AND tri.w2 = tg.w2 AND tri.w3 = tg.w3
+        LEFT JOIN bi ON bi.w1 = tg.w1 AND bi.w2 = tg.w2
+        LEFT JOIN bi b2 ON b2.w1 = tg.w2 AND b2.w2 = tg.w3
+        LEFT JOIN uni u2 ON u2.w = tg.w2
+        LEFT JOIN uni u3 ON u3.w = tg.w3
+        CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(CASE WHEN tri_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tri_hits,
+           CAST(sum(CASE WHEN bi_backoff THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bigram_backoffs,
+           list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
+                       (x, y) -> x + y)
+               / CAST(count(*) AS DOUBLE) AS mean_p
+    FROM j GROUP BY doc_id
+    """,
+    tags=("text", "lm", "backoff", "pipeline"),
+)
+def t_ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out trigram stupid-backoff scoring (Brants et al. 2007): the
+    model trains on 80% of the corpus (doc_id % 5 != 0) and scores the
+    held-out 20%, so unseen trigrams genuinely exercise the bigram and
+    unigram backoff levels. Mean probability, not log-perplexity — rank-
+    equivalent and exactly portable (operators.lm module docstring)."""
+    docs = load(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    score = docs.where(F.col("doc_id") % 5 == 0)
+    return lm.trigram_backoff_scores(train, score, "doc_id")
+
+
+def _minhash_pair_ctes(restrict: str | None, threshold: float = 0.5) -> str:
+    """DuckDB CTE chain (appended after ``sh`` from _SHINGLES_CTE) ending
+    in ``lsh_pairs(id_a, id_b)`` — the exact twin of
+    operators.dedup.minhash_lsh_dedup (same md5 seeds, same 4×4 banding).
+    ``restrict``: name of a CTE with a doc_id column to limit the corpus.
+    """
+    nh, br = dd.NUM_HASHES, dd.BAND_ROWS
+    n_bands = nh // br
+    src = (
+        "sh"
+        if restrict is None
+        else f"(SELECT s.doc_id, s.shingle FROM sh s "
+        f"JOIN {restrict} USING (doc_id))"
+    )
+    h_cols = ",\n           ".join(
+        f"min(CAST(('0x' || substr(md5('{j // 4}:' || shingle), "
+        f"{1 + 8 * (j % 4)}, 8)) AS BIGINT)) AS h{j}"
+        for j in range(nh)
+    )
+    band_cols = ",\n           ".join(
+        "md5(concat_ws(','"
+        + "".join(f", CAST(h{b * br + r} AS VARCHAR)" for r in range(br))
+        + f")) AS band{b}"
+        for b in range(n_bands)
+    )
+    band_joins = "\n        UNION ALL\n".join(
+        f"        SELECT l.doc_id AS id_a, r.doc_id AS id_b FROM bands l "
+        f"JOIN bands r ON l.band{b} = r.band{b} AND l.doc_id < r.doc_id"
+        for b in range(n_bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END" for j in range(nh)
+    )
+    return f"""
+    sig AS (
+        SELECT doc_id,
+           {h_cols}
+        FROM {src} AS s2 GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id,
+           {band_cols}
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT id_a, id_b FROM (
+{band_joins}
+        )
+    ),
+    lsh_pairs AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.id_a
+        JOIN sig b ON b.doc_id = c.id_b
+        WHERE ({agree}) / {float(nh)} >= {threshold}
+    )"""
+
+
+@register(
+    "dd_lsh_cluster_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_minhash_pair_ctes(None)},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+              UNION SELECT id_b, id_a FROM lsh_pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    assign AS (SELECT src AS doc_id, min(dst) AS cluster_id
+               FROM reach GROUP BY src)
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) - 1 AS BIGINT) AS n_removed
+    FROM assign GROUP BY cluster_id
+    """,
+    tags=("dedup", "lsh", "clustering", "pipeline"),
+)
+def dd_lsh_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end sketch-based dedup: MinHash+LSH candidate pairs →
+    min-label connected components → per-cluster survivor summary (the
+    cluster_id IS the surviving min doc_id). This is the whole
+    deduplicate-a-corpus flow on the sub-quadratic scale path — banded
+    equi-joins and O(log diameter) label rounds, no all-pairs anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_dedup(docs, "doc_id", threshold=0.5)
+    cc = dd.connected_components(pairs, docs, "doc_id")
+    return cc.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.count("*") - 1).cast("bigint").alias("n_removed"),
+    )
+
+
+@register(
+    "t_docs_minhash_pipeline",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    q AS (
+        SELECT doc_id,
+               CASE WHEN len({_TOKS}) < 5 THEN 0.0
+                    ELSE 1.0 - least(1.0,
+                         length(regexp_replace(text, '[^.!?,;]', '', 'g'))
+                         / greatest(len({_TOKS}), 1))
+               END AS quality_score
+        FROM documents
+    ),
+    kept0 AS (SELECT doc_id FROM q WHERE quality_score >= 0.5),
+    kept1 AS (
+        SELECT min(d.doc_id) AS doc_id
+        FROM documents d JOIN kept0 USING (doc_id)
+        GROUP BY md5(lower(trim(d.text)))
+    ),
+    {_minhash_pair_ctes("kept1")},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+              UNION SELECT id_b, id_a FROM lsh_pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM kept1
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    assign AS (SELECT src AS doc_id, min(dst) AS cluster_id
+               FROM reach GROUP BY src),
+    kept2 AS (SELECT doc_id FROM assign WHERE doc_id = cluster_id)
+    SELECT d.lang, d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+    FROM documents d JOIN kept2 USING (doc_id)
+    GROUP BY d.lang, d.source
+    """,
+    tags=("text", "dedup", "pipeline", "composition"),
+)
+def t_docs_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-clean composition a training-data pipeline runs:
+    quality gate (score ≥ 0.5) → exact dedup (min doc_id per content
+    digest) → fuzzy dedup (MinHash-LSH clusters, min-id survivor) →
+    per-(lang, source) doc/token accounting. Every stage is the scale
+    path of its standalone query; stages chain without materialization
+    so Catalyst sees one plan."""
+    docs = load(spark, sf_dir, "documents")
+    q = tx.quality_features(docs.select("doc_id", "text"))
+    kept0 = q.where(F.col("quality_score") >= 0.5).select("doc_id")
+    d0 = docs.join(kept0, "doc_id", "left_semi")
+    kept1 = (
+        dd.exact_duplicates(d0, "doc_id")
+        .select(F.col("keep_id").alias("doc_id"))
+    )
+    d1 = docs.join(kept1, "doc_id", "left_semi")
+    pairs = dd.minhash_lsh_dedup(d1, "doc_id", threshold=0.5)
+    cc = dd.connected_components(pairs, d1, "doc_id")
+    kept2 = cc.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return (
+        docs.join(kept2, "doc_id", "left_semi")
+        .select("lang", "source", tx.token_count(F.col("text")).alias("__nt"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("__nt").cast("bigint").alias("n_tokens"),
+        )
+    )
