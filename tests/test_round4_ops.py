@@ -13,7 +13,12 @@ from burst_db_spark.operators import pq as pqo
 from burst_db_spark.operators import retrieval as ret
 from burst_db_spark.operators import similarity as sim
 from burst_db_spark.operators import zorder as zo
-from burst_db_spark.operators.bpe import bpe_reference, train_bpe, word_types
+from burst_db_spark.operators.bpe import (
+    bpe_reference,
+    bpe_reference_batched,
+    train_bpe,
+    word_types,
+)
 from burst_db_spark.operators.dedup import span_dup_stats
 from burst_db_spark.operators.lm import bigram_lm_scores
 from tests.conftest import SF_DIR
@@ -274,3 +279,40 @@ def test_bpe_greedy_nonoverlap(spark):
     merges = train_bpe(df, n_merges=2)
     assert merges[0][1:3] == ("a", "a")
     assert merges[1][1:3] == ("aa", "a")
+
+
+def test_bpe_batched_matches_batched_reference(spark):
+    docs = load(spark, SF_DIR, "documents").limit(100)
+    wc = {r["word"]: r["n"] for r in word_types(docs).collect()}
+    for k in (2, 4):
+        got = train_bpe(docs, n_merges=8, batch_size=k)
+        expect = bpe_reference_batched(wc, 8, k)
+        assert got == expect, f"batch_size={k}"
+
+
+def test_bpe_batched_counts_are_exact(spark):
+    # every reported count must equal the TRUE pair count at the moment
+    # the merge is applied — the disjointness rule's whole guarantee.
+    # Replay the batched merge list sequentially through the exact
+    # single-process engine and recount before each application.
+    docs = load(spark, SF_DIR, "documents").limit(60)
+    wc = {r["word"]: r["n"] for r in word_types(docs).collect()}
+    merges = bpe_reference_batched(wc, 8, 4)
+    state = {tuple(w): n for w, n in wc.items()}
+    for _, left, right, count in merges:
+        counts = {}
+        for sym, n in state.items():
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        assert counts.get((left, right), 0) == count
+        new_state = {}
+        for sym, n in state.items():
+            out = []
+            for s in sym:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            key = tuple(out)
+            new_state[key] = new_state.get(key, 0) + n
+        state = new_state
