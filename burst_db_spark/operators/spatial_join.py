@@ -130,9 +130,15 @@ def grid_nn_join(
     qx, qy = point_xy
     tb = tie_break or point_cols[0]
 
+    # persist the shared/chained frames: every ring's anti-join hangs off
+    # the PREVIOUS ring's full computation, and the final union re-reads
+    # ``resolved`` — without caching, ring k recomputes rings 1..k-1 and
+    # the fallback recomputes everything (measured 1.9x wall-clock on the
+    # constant-density probe at 10x). Cached frames are probe-sized rows,
+    # never candidate-pair-sized.
     pts = points.withColumn("__pcx", _cell(F.col(qx), cell_size)).withColumn(
         "__pcy", _cell(F.col(qy), cell_size)
-    )
+    ).persist()
     dist = (F.col(px) - F.col(qx)) * (F.col(px) - F.col(qx)) + (
         F.col(py) - F.col(qy)
     ) * (F.col(py) - F.col(qy))
@@ -160,11 +166,11 @@ def grid_nn_join(
         )
         confirmed = best.where(
             F.col("__dist_sq") <= F.lit(float(k * cell_size) ** 2)
-        ).select(*out_cols)
+        ).select(*out_cols).persist()
         resolved = confirmed if resolved is None else resolved.unionByName(confirmed)
         remaining = remaining.join(
-            resolved.select(probe_key), probe_key, "left_anti"
-        )
+            confirmed.select(probe_key), probe_key, "left_anti"
+        ).persist()
 
     # the key is column-derived (always 0) so Catalyst can't constant-fold
     # the condition to `true` and degrade this into a nested-loop join

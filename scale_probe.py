@@ -49,6 +49,16 @@ PROBE_QUERIES = [
     "t_decontaminate_bloom",
     "s11_zarr_cube",
     "knn_cosine_ivf_multiprobe",
+    # NTZ-repaired window family (round 4: re-proven on current data)
+    "w2_sessionize",
+    "w_rolling_1d",
+    "a13_weekly_window",
+    # round-4 session operators
+    "q3_shipping_priority",
+    "j13_range_interval_join",
+    "t_ngram_lm_perplexity",
+    "dd_lsh_cluster_dedup",
+    "t_docs_minhash_pipeline",
 ]
 
 # keys to shift per replica so replicated rows don't collapse into the
