@@ -32,8 +32,14 @@ from burst_db_spark.operators.text import tokens
 
 def doc_bigrams(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """(id, pos, w1, w2) for every adjacent token pair; docs with < 2
-    tokens contribute no rows. pos is 1-based."""
-    t = tokens(F.col(text_col))
+    tokens contribute no rows. pos is 1-based.
+
+    The token array is materialized as a projected column BEFORE the
+    transform: referencing the raw ``tokens(text)`` expression inside the
+    lambda makes codegen re-evaluate the regex split per ``F.get`` — 2-3
+    splits per n-gram, measured ~9× slower at sf0.1."""
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    t = F.col("__toks")
     pairs = F.when(
         F.size(t) >= 2,
         F.transform(
@@ -46,7 +52,7 @@ def doc_bigrams(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,w1:string,w2:string>>"))
     return (
-        df.select(F.col(id_col), F.explode(pairs).alias("bg"))
+        base.select(F.col(id_col), F.explode(pairs).alias("bg"))
         .select(id_col, "bg.pos", "bg.w1", "bg.w2")
     )
 
@@ -102,8 +108,10 @@ def bigram_lm_scores(
 
 
 def doc_trigrams(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """(id, pos, w1, w2, w3) for every adjacent token triple; pos 1-based."""
-    t = tokens(F.col(text_col))
+    """(id, pos, w1, w2, w3) for every adjacent token triple; pos 1-based.
+    Token array materialized first — see :func:`doc_bigrams`."""
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    t = F.col("__toks")
     triples = F.when(
         F.size(t) >= 3,
         F.transform(
@@ -119,7 +127,7 @@ def doc_trigrams(df: DataFrame, id_col: str, text_col: str = "text") -> DataFram
         F.array().cast("array<struct<pos:int,w1:string,w2:string,w3:string>>")
     )
     return (
-        df.select(F.col(id_col), F.explode(triples).alias("tg"))
+        base.select(F.col(id_col), F.explode(triples).alias("tg"))
         .select(id_col, "tg.pos", "tg.w1", "tg.w2", "tg.w3")
     )
 
