@@ -30,6 +30,7 @@ golden against an independent pure-Python BPE on the same corpus.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -173,6 +174,47 @@ def train_bpe(
         state = new_state
     state.unpersist()
     return merges
+
+
+def encode_words(
+    words: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    word_col: str = "word",
+    pieces_col: str = "pieces",
+) -> DataFrame:
+    """Apply a learned merge list to a word-type table — the
+    subword-nmt-style encoder (Sennrich et al. 2016, apply_bpe): start
+    from characters and apply each merge in RANK order with the same
+    greedy left-to-right non-overlapping scan as training.
+
+    Scale shape: encoding runs over word TYPES (Heaps-law bounded), not
+    the token stream — tokenize a 100 TB corpus by encoding the distinct
+    words once and broadcast-joining the pieces back onto the stream.
+    The merge list is model-sized and ships in the UDF closure; the
+    per-word loop is an Arrow-batched pandas UDF (a rank-priority
+    iterate-to-fixpoint per word is the honest UDF case — expressing k
+    merges as k nested JVM folds grows the plan linearly in vocab size,
+    the exact lineage blowup train_bpe checkpoints away).
+    """
+    merge_seq = [(left, right) for _, left, right, _ in sorted(merges)]
+
+    @F.pandas_udf("array<string>")
+    def _enc(col: pd.Series) -> pd.Series:
+        out = []
+        for w in col:
+            sym = list(w)
+            for left, right in merge_seq:
+                res: list[str] = []
+                for s in sym:
+                    if res and res[-1] == left and s == right:
+                        res[-1] = left + right
+                    else:
+                        res.append(s)
+                sym = res
+            out.append(sym)
+        return pd.Series(out)
+
+    return words.withColumn(pieces_col, _enc(F.col(word_col)))
 
 
 def bpe_reference_batched(

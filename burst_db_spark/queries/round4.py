@@ -304,6 +304,33 @@ def t_ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.trigram_backoff_scores(train, score, "doc_id")
 
 
+@register(
+    "t_bpe_encode",
+    oracle=None,  # the trained merge list threads through the encoder —
+    # not one-query SQL; pinned by cross-implementation pytest (pandas-UDF
+    # encoder == JVM fold chain) and the concat-reconstruction invariant
+    tags=("text", "tokenizer", "bpe"),
+)
+def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: train 12 BPE merges (batched recounts),
+    then encode the corpus word-type table with them — word types only
+    (Heaps-law bounded), the way a 100 TB corpus is tokenized once per
+    distinct word. Output: word, piece count, and the fertility-audit
+    pieces string."""
+    from burst_db_spark.operators.bpe import encode_words, train_bpe, word_types
+
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=12, batch_size=4)
+    wt = word_types(docs)
+    enc = encode_words(wt, merges)
+    return enc.select(
+        "word",
+        F.col("n").alias("word_count"),
+        F.size("pieces").cast("int").alias("n_pieces"),
+        F.concat_ws(" ", "pieces").alias("pieces_str"),
+    )
+
+
 def _minhash_pair_ctes(restrict: str | None, threshold: float = 0.5) -> str:
     """DuckDB CTE chain (appended after ``sh`` from _SHINGLES_CTE) ending
     in ``lsh_pairs(id_a, id_b)`` — the exact twin of

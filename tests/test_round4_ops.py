@@ -316,3 +316,40 @@ def test_bpe_batched_counts_are_exact(spark):
             key = tuple(out)
             new_state[key] = new_state.get(key, 0) + n
         state = new_state
+
+
+def test_bpe_encode_cross_implementation(spark):
+    # pandas-UDF encoder must equal the JVM fold chain (_merge_pair
+    # applied per merge in rank order) — two independent executions of
+    # the same algorithm, one Python, one codegen
+    from burst_db_spark.operators.bpe import _merge_pair, encode_words
+
+    docs = load(spark, SF_DIR, "documents").limit(80)
+    merges = train_bpe(docs, n_merges=6)
+    wt = word_types(docs)
+    via_udf = encode_words(wt, merges).select("word", "pieces")
+    sym = F.split(F.col("word"), "")
+    for _, left, right, _ in sorted(merges):
+        sym = _merge_pair(sym, left, right)
+    via_fold = wt.select("word", sym.alias("pieces_fold"))
+    joined = via_udf.join(via_fold, "word")
+    bad = joined.where(F.col("pieces") != F.col("pieces_fold")).count()
+    assert bad == 0
+    # reconstruction invariant: concat(pieces) == word
+    rec = via_udf.where(
+        F.concat_ws("", F.col("pieces")) != F.col("word")
+    ).count()
+    assert rec == 0
+
+
+def test_bpe_encode_fertility_decreases(spark):
+    from burst_db_spark.operators.bpe import encode_words
+
+    docs = load(spark, SF_DIR, "documents").limit(80)
+    wt = word_types(docs)
+    m4 = train_bpe(docs, n_merges=4)
+    m8 = train_bpe(docs, n_merges=8)
+    p4 = encode_words(wt, m4).agg(F.sum(F.size("pieces"))).first()[0]
+    p8 = encode_words(wt, m8).agg(F.sum(F.size("pieces"))).first()[0]
+    chars = wt.agg(F.sum(F.length("word"))).first()[0]
+    assert p8 <= p4 <= chars
