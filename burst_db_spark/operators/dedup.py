@@ -321,6 +321,9 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    # labels is materialized (the changed-count action ran), so the edge
+    # cache can be dropped — it otherwise leaks for the session lifetime
+    edges.unpersist()
     return labels.select(F.col("src").alias(id_col), "cluster_id")
 
 
