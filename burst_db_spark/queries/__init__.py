@@ -69,6 +69,8 @@ _SAMPLING_PRIORITY = (
     "w9_cume_dist_family",     # new: cumulative-distribution window gauntlet
     "q3_shipping_priority",    # new: TPC-H Q3 3-way join + top-k
     "q10_returned_items",      # new: TPC-H Q10 revenue rollup
+    "stream_interval_counts",  # new: stream-static binned interval join
+    "t_bpe_encode",            # new: tokenizer application (rows-only)
     # -- never driver-checked (8 late-r3 + the audit baseline) --
     "dd_semdedup",
     "dd_span_dedup",

@@ -305,6 +305,74 @@ def t_ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_counts",
+    oracle=f"""
+    WITH iv AS (
+        SELECT CAST(i AS BIGINT) AS interval_id,
+               TIMESTAMP '2024-01-01 00:00:00'
+                   + INTERVAL ({_IV_STEP_H}) HOUR * i AS start_ts,
+               TIMESTAMP '2024-01-01 00:00:00'
+                   + INTERVAL ({_IV_STEP_H}) HOUR * i
+                   + INTERVAL ({_IV_LEN_H}) HOUR AS end_ts
+        FROM range({_IV_N}) r(i)
+    )
+    SELECT iv.interval_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events e JOIN iv
+      ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+    GROUP BY iv.interval_id
+    """,
+    tags=("Str", "stream-static", "J13"),
+)
+def stream_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: the events stream equi-joins the static binned
+    interval table (stateless — no watermark, no stream-side state; the
+    static side is just a broadcast per micro-batch), then aggregates per
+    interval in COMPLETE mode under trigger(availableNow). The streamed
+    result must equal the batch range-join SQL bit-for-bit — the
+    streaming twin of j13_range_interval_join with a real oracle row.
+    This is the maintenance-window / blackout-tagging shape run as a
+    continuous pipeline at scale."""
+    import tempfile
+    import uuid
+
+    from burst_db_spark.streaming import incremental as st
+
+    src = load(spark, sf_dir, "events").select("event_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="bds_stream_iv_")
+    data_dir = f"{tmp}/in"
+    src.write.parquet(data_dir)
+    stream = st.file_stream(spark, data_dir, src.schema)
+
+    base_us = 1_704_067_200 * 1_000_000
+    step_us = _IV_STEP_H * 3600 * 1_000_000
+    len_us = _IV_LEN_H * 3600 * 1_000_000
+    iv = spark.range(_IV_N).select(
+        F.col("id").alias("interval_id"),
+        F.timestamp_micros(F.lit(base_us) + F.col("id") * F.lit(step_us)).alias(
+            "start_ts"
+        ),
+        F.timestamp_micros(
+            F.lit(base_us) + F.col("id") * F.lit(step_us) + F.lit(len_us)
+        ).alias("end_ts"),
+    )
+    joined = jn.binned_interval_join(stream, iv, "ts")
+    agg = joined.groupBy("interval_id").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    name = f"ivc_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "t_bpe_encode",
     oracle=None,  # the trained merge list threads through the encoder —
     # not one-query SQL; pinned by cross-implementation pytest (pandas-UDF
