@@ -71,6 +71,8 @@ _SAMPLING_PRIORITY = (
     "q10_returned_items",      # new: TPC-H Q10 revenue rollup
     "stream_interval_counts",  # new: stream-static binned interval join
     "t_bpe_encode",            # new: tokenizer application (rows-only)
+    "a19_approx_percentile",   # new: GK quantile sketch rank-bound check
+    "a20_heavy_hitters",       # new: freqItems no-false-negative check
     # -- never driver-checked (8 late-r3 + the audit baseline) --
     "dd_semdedup",
     "dd_span_dedup",

@@ -186,6 +186,92 @@ def a18_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("event_type", "n_users_exact", ok.alias("hll_within_15pct"))
 
 
+@register(
+    "a19_approx_percentile",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS median_exact,
+           TRUE AS gk_rank_ok
+    FROM events GROUP BY event_type
+    """,
+    tags=("A", "sketch", "quantile"),
+)
+def a19_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketching: percentile_approx (Greenwald-Khanna, accuracy
+    a → rank error ε = n/a) next to the exact interpolated median. The
+    GK guarantee — the returned element's RANK lies within ±εn of the
+    target — is checked exactly by recounting the element's rank against
+    the full column, and the oracle pins the flag TRUE. At 100 TB the
+    exact quantile needs a full sort; the sketch is one pass, fixed
+    memory, mergeable."""
+    acc = 1000
+    ev = load(spark, sf_dir, "events")
+    apx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, acc).alias("__apx"),
+        F.expr("percentile(value, 0.5)").alias("median_exact"),
+        F.count("*").alias("__n"),
+    )
+    ranks = (
+        ev.join(F.broadcast(apx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("value") < F.col("__apx")).cast("long")).alias("__lt"),
+            F.sum((F.col("value") <= F.col("__apx")).cast("long")).alias("__le"),
+        )
+    )
+    # integer rank bounds (the GK guarantee is on ranks): the returned
+    # element's feasible rank interval [__lt+1, __le] must intersect
+    # [floor((p-ε)n), ceil((p+ε)n)]
+    eps_n = F.col("__n").cast("double") / acc
+    target = 0.5 * F.col("__n").cast("double")
+    ok = (F.col("__le") >= F.floor(target - eps_n)) & (
+        F.col("__lt") + 1 <= F.ceil(target + eps_n)
+    )
+    return (
+        apx.join(ranks, "event_type")
+        .select("event_type", "median_exact", ok.alias("gk_rank_ok"))
+    )
+
+
+@register(
+    "a20_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_TOKS}) AS token FROM documents
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM toks)
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt, TRUE AS in_sketch
+    FROM toks CROSS JOIN n
+    GROUP BY token, n_tok
+    HAVING count(*) * 50 > n_tok
+    """,
+    tags=("A", "sketch", "heavy-hitters"),
+)
+def a20_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: exact tokens with frequency > 2% of the stream,
+    each checked against stat.freqItems (distributed Karp misra-gries
+    style summary). The sketch's NO-FALSE-NEGATIVE guarantee — every
+    item above the support threshold appears — holds for any partition
+    layout, so the flag is deterministically TRUE even though the
+    sketch's false-positive set is not. Exact side is one groupBy with
+    map-side partials; the sketch is one pass, fixed memory."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tx.tokens(F.col("text"))).alias("token")
+    )
+    n_tok = toks.count()
+    hh = (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .where(F.col("cnt") * 50 > F.lit(n_tok))
+    )
+    sketch = list(toks.stat.freqItems(["token"], 0.02).first()[0])
+    in_sketch = (
+        F.col("token").isin(sketch) if sketch else F.lit(False)
+    )
+    return hh.select("token", "cnt", in_sketch.alias("in_sketch"))
+
+
 _IV_N = 20
 _IV_STEP_H = 36
 _IV_LEN_H = 18
