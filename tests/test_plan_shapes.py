@@ -179,3 +179,31 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
     assert "Bucketed: true" in plan
+
+
+def test_binned_interval_join_is_equi_join(spark):
+    plan = _plan("j13_range_interval_join", spark)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the bin key carries the join; containment is only a residual
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q3_q10_broadcast_dims_no_nested_loop(spark):
+    for name in ("q3_shipping_priority", "q10_returned_items"):
+        plan = _plan(name, spark)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        # top-k plans as TakeOrdered, not a global Sort+Limit
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_cume_dist_family_single_window_exchange(spark):
+    plan = _plan("w9_cume_dist_family", spark)
+    n_exchanges = sum(
+        1 for l in plan.splitlines()
+        if l.strip().startswith("Exchange") and "Broadcast" not in l
+    )
+    # one hashpartitioning exchange feeds all five window functions
+    # (formatted mode prints tree + details, so each node appears twice)
+    assert n_exchanges <= 2, plan
