@@ -73,6 +73,8 @@ _SAMPLING_PRIORITY = (
     "t_bpe_encode",            # new: tokenizer application (rows-only)
     "a19_approx_percentile",   # new: GK quantile sketch rank-bound check
     "a20_heavy_hitters",       # new: freqItems no-false-negative check
+    "t_phrase_search",         # new: positional phrase match
+    "a21_hopping_window",      # new: native sliding windows
     # -- never driver-checked (8 late-r3 + the audit baseline) --
     "dd_semdedup",
     "dd_span_dedup",

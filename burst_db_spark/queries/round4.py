@@ -186,6 +186,94 @@ def a18_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("event_type", "n_users_exact", ok.alias("hll_within_15pct"))
 
 
+_PHRASE = ("table", "hash")
+
+
+@register(
+    "t_phrase_search",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    p AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS term
+        FROM t, unnest(range(1, len(t) + 1)) AS r(i)
+    )
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+    FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = '{_PHRASE[0]}' AND b.term = '{_PHRASE[1]}'
+    GROUP BY a.doc_id
+    """,
+    tags=("text", "retrieval", "phrase"),
+)
+def t_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search — the exact-phrase layer a positional
+    inverted index serves. Each phrase term's postings are filtered
+    BEFORE any shuffle (a k-term phrase moves only k terms' postings,
+    same pre-shuffle pruning as BM25), then adjacency is a per-doc
+    equi-join on (doc, pos+1). No full-text scan crosses the exchange."""
+    docs = load(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(tx.tokens(F.col("text"))).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    out = None
+    for i, term in enumerate(_PHRASE):
+        side = pos.where(F.col("term") == term).select(
+            "doc_id", (F.col("pos") - i).alias("__anchor")
+        )
+        out = side if out is None else out.join(side, ["doc_id", "__anchor"])
+    return out.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_matches")
+    )
+
+
+_HOP_US = 6 * 3600 * 1_000_000
+_WIN_US = 24 * 3600 * 1_000_000
+
+
+@register(
+    "a21_hopping_window",
+    oracle=f"""
+    WITH w AS (
+        SELECT event_type, value,
+               make_timestamp((epoch_us(ts) // {_HOP_US}) * {_HOP_US}
+                              - k.k * {_HOP_US}) AS window_start
+        FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+    )
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DECIMAL(28, 6))
+                AS DOUBLE) AS total_value
+    FROM w GROUP BY window_start, event_type
+    """,
+    tags=("A", "window", "hopping", "streaming-adjacent"),
+)
+def a21_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows via Spark's NATIVE window() operator —
+    24 h windows every 6 h, so each event lands in exactly 4 windows.
+    The oracle expands the same 4 epoch-aligned starts arithmetically.
+    Complements a13's tumbling windows; the same expression drives the
+    Structured Streaming hopping aggregation."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "24 hours", "6 hours"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 @register(
     "a19_approx_percentile",
     oracle="""
