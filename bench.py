@@ -61,6 +61,12 @@ HEADLINE = [
     "t_ngram_lm_perplexity",
     "dd_lsh_cluster_dedup",
     "t_docs_minhash_pipeline",
+    "a19_approx_percentile",
+    "a20_heavy_hitters",
+    "t_phrase_search",
+    "a21_hopping_window",
+    # (t_bpe_encode / stream_interval_counts run their work inside
+    # build() — a noop-sink timing would misstate them; excluded)
 ]
 
 
