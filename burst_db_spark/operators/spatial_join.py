@@ -123,6 +123,11 @@ def grid_nn_join(
     ever flows through the ring equi-joins.
 
     ``tie_break`` orders equal distances (required for determinism).
+
+    Caching note: the per-ring frames are persisted and stay referenced
+    by the returned (lazy) DataFrame, so they live until the result is
+    computed and the caller drops it / clears the cache — probe-sized
+    rows, bounded by the input, never candidate-pair-sized.
     """
     from pyspark.sql import Window
 

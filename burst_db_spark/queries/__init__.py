@@ -75,6 +75,7 @@ _SAMPLING_PRIORITY = (
     "a20_heavy_hitters",       # new: freqItems no-false-negative check
     "t_phrase_search",         # new: positional phrase match
     "a21_hopping_window",      # new: native sliding windows
+    "dd_lsh_quality_audit",    # new: driver-checked LSH recall
     # -- never driver-checked (8 late-r3 + the audit baseline) --
     "dd_semdedup",
     "dd_span_dedup",

@@ -668,6 +668,70 @@ def dd_lsh_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_lsh_quality_audit",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_minhash_pair_ctes(None)},
+    shf AS (
+        SELECT * FROM sh WHERE shingle IN (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50)
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+              FROM shf GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS common
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    exact_pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.5
+    ),
+    hits AS (SELECT * FROM exact_pairs INTERSECT SELECT * FROM lsh_pairs)
+    SELECT CAST((SELECT count(*) FROM lsh_pairs) AS BIGINT) AS n_lsh,
+           CAST((SELECT count(*) FROM exact_pairs) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_common,
+           CAST((SELECT count(*) FROM hits) AS DOUBLE)
+               / CAST((SELECT count(*) FROM exact_pairs) AS DOUBLE)
+               AS recall
+    """,
+    tags=("dedup", "lsh", "audit"),
+)
+def dd_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-CHECKED sketch quality: MinHash-LSH near-dup pairs
+    (est_sim ≥ 0.5) measured against the exact 3-gram-Jaccard ≥ 0.5 pair
+    set — n_lsh / n_exact / n_common and the recall ratio as one audited
+    row. Recall claims for the 100 TB dedup path stop being a
+    pytest-only assertion and land in the correctness gate. The exact
+    side runs the df≤50 guarded audit path; the LSH side is the
+    production banded join."""
+    docs = load(spark, sf_dir, "documents")
+    lsh = dd.minhash_lsh_dedup(docs, "doc_id", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    exact = dd.ngram_jaccard_pairs(
+        docs, "doc_id", threshold=0.5, max_df=50
+    ).select("id_a", "id_b")
+    hits = exact.intersect(lsh)
+    n = (
+        lsh.agg(F.count("*").alias("n_lsh"))
+        .crossJoin(exact.agg(F.count("*").alias("n_exact")))
+        .crossJoin(hits.agg(F.count("*").alias("n_common")))
+    )
+    return n.select(
+        F.col("n_lsh").cast("bigint").alias("n_lsh"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("n_common").cast("bigint").alias("n_common"),
+        (
+            F.col("n_common").cast("double") / F.col("n_exact").cast("double")
+        ).alias("recall"),
+    )
+
+
+@register(
     "t_docs_minhash_pipeline",
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_CTE},
