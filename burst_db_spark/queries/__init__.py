@@ -76,6 +76,7 @@ _SAMPLING_PRIORITY = (
     "t_phrase_search",         # new: positional phrase match
     "a21_hopping_window",      # new: native sliding windows
     "dd_lsh_quality_audit",    # new: driver-checked LSH recall
+    "a22_rollup",              # new: ROLLUP + GROUPING bit vector
     # -- never driver-checked (8 late-r3 + the audit baseline) --
     "dd_semdedup",
     "dd_span_dedup",

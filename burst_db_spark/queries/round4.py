@@ -186,6 +186,43 @@ def a18_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("event_type", "n_users_exact", ok.alias("hll_within_15pct"))
 
 
+@register(
+    "a22_rollup",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT)
+               AS grouping_level,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18, 6)))
+                     AS DECIMAL(28, 6)) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    tags=("A", "rollup", "grouping-sets"),
+)
+def a22_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (detail → per-priority subtotal → grand
+    total) with the GROUPING bit vector distinguishing real NULLs from
+    subtotal rows — one pass, partial-aggregated before the exchange;
+    completes the grouping-sets family next to a17_cube."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("grouping_level"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            "o_orderpriority", "o_orderstatus", "grouping_level",
+            "n_orders", "total_price",
+        )
+    )
+
+
 _PHRASE = ("table", "hash")
 
 
