@@ -77,6 +77,7 @@ _SAMPLING_PRIORITY = (
     "a21_hopping_window",      # new: native sliding windows
     "dd_lsh_quality_audit",    # new: driver-checked LSH recall
     "a22_rollup",              # new: ROLLUP + GROUPING bit vector
+    "w10_scd2_intervals",      # new: SCD2 validity intervals
     # -- never driver-checked (8 late-r3 + the audit baseline) --
     "dd_semdedup",
     "dd_span_dedup",

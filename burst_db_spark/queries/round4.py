@@ -187,6 +187,71 @@ def a18_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w10_scd2_intervals",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                    OR event_type != lag(event_type) OVER w
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT user_id, ts, event_type,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM flagged
+    ),
+    collapsed AS (
+        SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+               min(event_type) AS event_type,
+               min(ts) AS valid_from,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id, run_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+               AS valid_to,
+           n_events
+    FROM collapsed
+    """,
+    tags=("W", "scd2", "run-length"),
+)
+def w10_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 interval building: collapse consecutive same-value
+    runs per key into (value, valid_from, valid_to) validity intervals,
+    open-ended for the current run — the change-data-capture shape every
+    warehouse dimension load runs. One partitionBy(user) exchange serves
+    the change flag, the run id, and the valid_to lead."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = ev.withColumn(
+        "run_id",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    collapsed = runs.groupBy("user_id", F.col("run_id").cast("bigint").alias("run_id")).agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("run_id")
+    return collapsed.select(
+        "user_id",
+        "run_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_run).alias("valid_to"),
+        "n_events",
+    )
+
+
+@register(
     "a22_rollup",
     oracle="""
     SELECT o_orderpriority, o_orderstatus,

@@ -128,3 +128,49 @@ def test_trigram_bigram_backoff_branch(spark):
     r = trigram_backoff_scores(train, score, "doc_id").collect()[0]
     assert r.n_tri_hits == 0 and r.n_bigram_backoffs == 1
     assert abs(r.mean_p - 0.4) < 1e-12
+
+
+def test_binned_interval_join_property(spark):
+    """Hypothesis: binned join == naive range join for arbitrary
+    micro-offset facts and overlapping/abutting/zero-length intervals."""
+    from hypothesis import given, settings, strategies as st
+
+    base = 1_704_067_200_000_000
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        fact_offs=st.lists(
+            st.integers(min_value=0, max_value=400_000_000_000),
+            min_size=1, max_size=30,
+        ),
+        ivs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=380_000_000_000),
+                st.integers(min_value=0, max_value=30_000_000_000),
+            ),
+            min_size=1, max_size=8,
+        ),
+        bin_us=st.sampled_from([3_600_000_000, 6 * 3_600_000_000]),
+    )
+    def check(fact_offs, ivs, bin_us):
+        facts = spark.createDataFrame(
+            [(i, base + off) for i, off in enumerate(fact_offs)],
+            "event_id long, us long",
+        ).select("event_id", F.timestamp_micros(F.col("us")).alias("ts"))
+        iv = spark.createDataFrame(
+            [(i, base + s, base + s + d) for i, (s, d) in enumerate(ivs)],
+            "interval_id long, s long, e long",
+        ).select(
+            "interval_id",
+            F.timestamp_micros(F.col("s")).alias("start_ts"),
+            F.timestamp_micros(F.col("e")).alias("end_ts"),
+        )
+        fast = binned_interval_join(facts, iv, "ts", bin_us=bin_us)
+        naive = facts.join(iv, (facts.ts >= iv.start_ts) & (facts.ts < iv.end_ts))
+        key = lambda df: sorted(
+            (r.event_id, r.interval_id)
+            for r in df.select("event_id", "interval_id").collect()
+        )
+        assert key(fast) == key(naive)
+
+    check()
