@@ -65,6 +65,8 @@ HEADLINE = [
     "a20_heavy_hitters",
     "t_phrase_search",
     "a21_hopping_window",
+    "a22_rollup",
+    "w10_scd2_intervals",
     # (t_bpe_encode / stream_interval_counts run their work inside
     # build() — a noop-sink timing would misstate them; excluded)
 ]
