@@ -78,6 +78,7 @@ _SAMPLING_PRIORITY = (
     "dd_lsh_quality_audit",    # new: driver-checked LSH recall
     "a22_rollup",              # new: ROLLUP + GROUPING bit vector
     "w10_scd2_intervals",      # new: SCD2 validity intervals
+    "g1_pagerank3",            # new: bit-exact bounded PageRank
     # -- never driver-checked (8 late-r3 + the audit baseline) --
     "dd_semdedup",
     "dd_span_dedup",

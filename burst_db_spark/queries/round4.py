@@ -288,6 +288,49 @@ def a22_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_EDGES_SQL = (
+    "SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src, "
+    "'s' || CAST(l_suppkey AS VARCHAR) AS dst "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+)
+_PR_NODES_SQL = "SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges"
+
+from burst_db_spark.operators.graph import pagerank_oracle_sql  # noqa: E402
+
+
+@register(
+    "g1_pagerank3",
+    oracle=pagerank_oracle_sql(
+        _PR_EDGES_SQL, _PR_NODES_SQL, iterations=3, damping=0.85
+    ),
+    tags=("graph", "pagerank", "iterative"),
+)
+def g1_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-iteration PageRank over the customer→supplier purchase
+    graph (distinct bipartite edges via orders⋈lineitem): 3 power steps,
+    d=0.85, source-ordered contribution folds → bit-identical ranks vs
+    the oracle's unrolled-CTE twin. The graph-analytics family next to
+    connected components; each step is one join+groupBy shuffle."""
+    from burst_db_spark.operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return pagerank(edges, nodes, iterations=3, damping=0.85)
+
+
 _PHRASE = ("table", "hash")
 
 

@@ -353,3 +353,24 @@ def test_bpe_encode_fertility_decreases(spark):
     p8 = encode_words(wt, m8).agg(F.sum(F.size("pieces"))).first()[0]
     chars = wt.agg(F.sum(F.length("word"))).first()[0]
     assert p8 <= p4 <= chars
+
+
+def test_pagerank_dangling_redistribution_conserves_mass(spark):
+    from burst_db_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
+    # with dangling redistribution the total rank mass stays 1.0
+    pr = pagerank(edges, nodes, iterations=5, damping=0.85,
+                  redistribute_dangling=True)
+    total = pr.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-9
+    # plain (oracle-mirrored) semantics leak dangling mass -> total < 1
+    pr_leak = pagerank(edges, nodes, iterations=5, damping=0.85)
+    total_leak = pr_leak.agg(F.sum("rank")).first()[0]
+    assert total_leak < 1.0
+    # sink node c (no out-edges, two in-edges) must rank highest
+    ranks = {r.id: r.rank for r in pr.collect()}
+    assert ranks["c"] == max(ranks.values())
