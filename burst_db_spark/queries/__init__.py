@@ -79,6 +79,8 @@ _SAMPLING_PRIORITY = (
     "a22_rollup",              # new: ROLLUP + GROUPING bit vector
     "w10_scd2_intervals",      # new: SCD2 validity intervals
     "g1_pagerank3",            # new: bit-exact bounded PageRank
+    "w11_funnel",              # new: ordered conversion funnel
+    "a23_cohort_retention",    # new: cohort-retention matrix
     # -- never driver-checked (8 late-r3 + the audit baseline) --
     "dd_semdedup",
     "dd_span_dedup",

@@ -288,6 +288,121 @@ def a22_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w11_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t1 AS first_view, s2.t2 AS first_click,
+           s3.t3 AS first_purchase
+    FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+            LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """,
+    tags=("W", "funnel", "product-analytics"),
+)
+def w11_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: per user, the first view, the first
+    click strictly AFTER that view, and the first purchase strictly
+    after that click — the sequential-pattern shape behind every
+    conversion dashboard. Three chained min-aggregations; each stage's
+    events filter BEFORE its shuffle, and the stage tables are
+    user-sized (broadcastable) after the first."""
+    ev = load(spark, sf_dir, "events")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t1").alias("first_view"),
+            F.col("t2").alias("first_click"),
+            F.col("t3").alias("first_purchase"),
+        )
+    )
+
+
+_WEEK_US_R4 = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "a23_cohort_retention",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT user_id,
+               (epoch_us(min(ts)) // {_WEEK_US_R4}) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               f.cohort_week,
+               (epoch_us(e.ts) // {_WEEK_US_R4}) - f.cohort_week
+                   AS week_offset
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+    tags=("A", "cohort", "retention", "product-analytics"),
+)
+def a23_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix: users bucketed by first-seen week, then
+    counted distinct per (cohort, week-offset) — first-touch attribution
+    plus a triangular retention rollup. The firsts table is user-sized
+    and broadcasts back onto the stream; integer epoch-week arithmetic
+    keeps both engines exact."""
+    ev = load(spark, sf_dir, "events")
+    week = lambda c: F.floor(F.unix_micros(c) / F.lit(_WEEK_US_R4))  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(
+        week(F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (week(F.col("ts")) - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("bigint").alias("n_active_users")
+    )
+
+
 _PR_EDGES_SQL = (
     "SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src, "
     "'s' || CAST(l_suppkey AS VARCHAR) AS dst "
