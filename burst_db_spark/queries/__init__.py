@@ -60,6 +60,25 @@ for _m in _MODULES:
 # Names not listed keep their module registration order after the
 # prefix; unknown names are ignored (lets planned queries pre-register).
 _SAMPLING_PRIORITY = (
+    # -- NTZ-repaired this round (w2 = the r3 red row to flip) --
+    "w2_sessionize",
+    "w3_batch_labels",
+    "w_lag_delta",
+    "w_rolling_1d",
+    "a13_weekly_window",
+    "w2b_session_window_batch",
+    # -- never driver-checked (8 late-r3 + the audit baseline) --
+    "dd_semdedup",
+    "dd_span_dedup",
+    "t_inverted_index",
+    "t_bm25_search",
+    "t_bigram_lm_score",
+    "knn_pq_adc",
+    "geo_zorder_code",
+    "dd_embedding_nn_exact_audit",
+    "t_bpe_merges",            # rows-only: weaker check, but first evidence
+    # -- multimodal rotation slot --
+    "mm_wav_roundtrip",
     # -- new in round 4 --
     "dd_lsh_cluster_dedup",    # new: LSH pairs -> clusters -> survivors end-to-end
     "t_docs_minhash_pipeline", # new: full corpus-clean composition
@@ -81,25 +100,6 @@ _SAMPLING_PRIORITY = (
     "g1_pagerank3",            # new: bit-exact bounded PageRank
     "w11_funnel",              # new: ordered conversion funnel
     "a23_cohort_retention",    # new: cohort-retention matrix
-    # -- never driver-checked (8 late-r3 + the audit baseline) --
-    "dd_semdedup",
-    "dd_span_dedup",
-    "t_inverted_index",
-    "t_bm25_search",
-    "t_bigram_lm_score",
-    "knn_pq_adc",
-    "geo_zorder_code",
-    "dd_embedding_nn_exact_audit",
-    "t_bpe_merges",            # rows-only: weaker check, but first evidence
-    # -- NTZ-repaired this round (w2 = the r3 red row) --
-    "w2_sessionize",
-    "w3_batch_labels",
-    "w_lag_delta",
-    "w_rolling_1d",
-    "a13_weekly_window",
-    "w2b_session_window_batch",
-    # -- multimodal rotation slot --
-    "mm_wav_roundtrip",
     # -- r1-green, never re-sampled since round 1 --
     "group_by_all",
     "pivot_by_type",
