@@ -47,11 +47,12 @@ def pagerank(
     n_nodes = nodes.count()  # driver scalar: one number, sizes the teleport
     teleport = (1.0 - damping) / n_nodes
 
-    deg = edges.groupBy(src).agg(F.count("*").cast("long").alias("__deg"))
+    deg = edges.groupBy(src).agg(F.count("*").cast("long").alias("__deg")).persist()
     ranks = nodes.select(
         F.col(id_col).alias("__v"),
         F.lit(1.0 / n_nodes).alias("__p"),
     )
+    prev = None
     for _ in range(iterations):
         contribs = (
             edges.join(ranks.withColumnRenamed("__v", src), src)
@@ -99,7 +100,15 @@ def pagerank(
                     F.col("__p") + F.lit(damping * dangling / n_nodes)
                 ).alias("__p"),
             )
+        # materialize each step: without this, step k's lazy plan
+        # recomputes steps 1..k-1 (O(k²) shuffles total instead of O(k))
+        new_ranks = new_ranks.persist()
+        new_ranks.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = new_ranks
         ranks = new_ranks
+    deg.unpersist()
     return ranks.select(F.col("__v").alias(id_col), F.col("__p").alias("rank"))
 
 
