@@ -59,6 +59,15 @@ PROBE_QUERIES = [
     "t_ngram_lm_perplexity",
     "dd_lsh_cluster_dedup",
     "t_docs_minhash_pipeline",
+    # round-4 late-session operators (a20/g1 excluded: they act in
+    # build(), so a noop-write timing would misstate them)
+    "a19_approx_percentile",
+    "t_phrase_search",
+    "a21_hopping_window",
+    "a22_rollup",
+    "w10_scd2_intervals",
+    "w11_funnel",
+    "a23_cohort_retention",
 ]
 
 # keys to shift per replica so replicated rows don't collapse into the
