@@ -15,21 +15,62 @@ formulation as pure DataFrame ops:
   (both engines compute the identical thing) — callers wanting the
   stochastic-matrix variant pass ``redistribute_dangling=True`` (not
   SQL-mirrored; pytest-covered).
-- Cross-engine determinism: the per-target sum folds contributions in
-  SOURCE-ID order (array_sort + F.aggregate ≡ DuckDB list_reduce over
-  list(... ORDER BY src)), so float addition order is pinned and the
-  ranks are bit-identical, not merely close — same discipline as the
-  BM25/LM scorers.
+- Cross-engine determinism WITHOUT skew: the per-target sum is a
+  TWO-LEVEL ordered fold. Contributions first group by (dst, bucket)
+  where bucket = md5(src) % N_BUCKETS — a portable sub-key both engines
+  compute identically — and fold in src order; then the per-bucket sums
+  group by dst and fold in bucket order. Addition order is fully pinned
+  (bucket-major, src-minor), so ranks are bit-identical to the DuckDB
+  twin, not merely close. The skew win: a celebrity node's in-degree-D
+  contribution list never materializes on one reducer — level 1 spreads
+  it over N_BUCKETS reducers and level 2's row is exactly ≤ N_BUCKETS
+  elements wide, vs the single collect_list(D) row that risked OOM on
+  power-law graphs.
 
 At 100 TB scale the rank table is node-sized and the edge table
-edge-sized; k iterations = k bounded shuffles. No driver state beyond
-the iteration counter.
+edge-sized; k iterations = k bounded shuffle pairs. No driver state
+beyond the iteration counter. The returned frame is persisted (it IS the
+final materialized iteration) — call ``release_pagerank(df)`` when done,
+or rely on session ``clearCache``.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Sub-bucket fan-out for the deterministic contribution fold. 32 bounds
+# the level-2 row width and splits any skewed destination's reduce work
+# 32 ways; raise it for graphs with 10^8+-degree hubs (any value works —
+# the oracle twin takes the same constant).
+PR_FOLD_BUCKETS = 32
+
+
+def _src_bucket(col: Column, n_buckets: int) -> Column:
+    """Portable deterministic sub-bucket: first 4 md5 hex digits of the
+    source id, mod n_buckets. DuckDB computes the identical value via
+    CAST(('0x' || substr(md5(src),1,4)) AS BIGINT) % n."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("bigint")
+        % n_buckets
+    )
+
+
+def _kv(key: Column, val: Column) -> Column:
+    return F.struct(key.alias("k"), val.alias("v"))
+
+
+def _ordered_fold(pairs: Column) -> Column:
+    """Bit-exact sum of an array<struct<k,v>> in k order."""
+    return F.aggregate(
+        F.array_sort(pairs), F.lit(0.0), lambda acc, x: acc + x["v"]
+    )
+
+
+def release_pagerank(ranks: DataFrame) -> None:
+    """Drop the persisted final-iteration cache backing ``pagerank``'s
+    returned frame (safe to call after the caller has materialized it)."""
+    ranks.unpersist()
 
 
 def pagerank(
@@ -41,10 +82,15 @@ def pagerank(
     dst: str = "dst",
     id_col: str = "id",
     redistribute_dangling: bool = False,
+    n_buckets: int = PR_FOLD_BUCKETS,
 ) -> DataFrame:
     """(id, rank) after ``iterations`` power steps from the uniform
     start. ``edges`` rows must be distinct (dedup upstream)."""
     n_nodes = nodes.count()  # driver scalar: one number, sizes the teleport
+    if n_nodes == 0:
+        return nodes.select(
+            F.col(id_col), F.lit(0.0).alias("rank")
+        )  # empty graph: empty (id, rank) frame, same schema
     teleport = (1.0 - damping) / n_nodes
 
     deg = edges.groupBy(src).agg(F.count("*").cast("long").alias("__deg")).persist()
@@ -52,63 +98,73 @@ def pagerank(
         F.col(id_col).alias("__v"),
         F.lit(1.0 / n_nodes).alias("__p"),
     )
-    prev = None
-    for _ in range(iterations):
-        contribs = (
-            edges.join(ranks.withColumnRenamed("__v", src), src)
-            .join(deg, src)
-            .select(
-                F.col(dst).alias("__v"),
-                F.col(src).alias("__src"),
-                (F.col("__p") / F.col("__deg")).alias("__c"),
+    prev: DataFrame | None = None
+    try:
+        for _ in range(iterations):
+            contribs = (
+                edges.join(ranks.withColumnRenamed("__v", src), src)
+                .join(deg, src)
+                .select(
+                    F.col(dst).alias("__v"),
+                    F.col(src).cast("string").alias("__src"),
+                    _src_bucket(F.col(src), n_buckets).alias("__b"),
+                    (F.col("__p") / F.col("__deg")).alias("__c"),
+                )
             )
-        )
-        summed = (
-            contribs.groupBy("__v")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("__src", "__c"))
-                ).alias("__cs")
+            # level 1: per (dst, bucket), fold contributions in src order —
+            # the skewed dst key fans out over n_buckets reducers
+            bucket_sums = (
+                contribs.groupBy("__v", "__b")
+                .agg(
+                    _ordered_fold(
+                        F.collect_list(_kv(F.col("__src"), F.col("__c")))
+                    ).alias("__bs")
+                )
             )
-            .select(
-                "__v",
-                F.aggregate(
-                    "__cs", F.lit(0.0), lambda acc, x: acc + x["__c"]
-                ).alias("__in"),
+            # level 2: per dst, fold the ≤ n_buckets bucket sums in
+            # bucket order — bounded row width by construction
+            summed = bucket_sums.groupBy("__v").agg(
+                _ordered_fold(
+                    F.collect_list(_kv(F.col("__b"), F.col("__bs")))
+                ).alias("__in")
             )
-        )
-        new_ranks = (
-            ranks.join(summed, "__v", "left")
-            .select(
-                "__v",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
-                ).alias("__p"),
+            new_ranks = (
+                ranks.join(summed, "__v", "left")
+                .select(
+                    "__v",
+                    (
+                        F.lit(teleport)
+                        + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+                    ).alias("__p"),
+                )
             )
-        )
-        if redistribute_dangling:
-            dangling = (
-                ranks.join(deg.withColumnRenamed(src, "__v"), "__v", "left_anti")
-                .agg(F.sum("__p"))
-                .first()[0]
-                or 0.0
-            )
-            new_ranks = new_ranks.select(
-                "__v",
-                (
-                    F.col("__p") + F.lit(damping * dangling / n_nodes)
-                ).alias("__p"),
-            )
-        # materialize each step: without this, step k's lazy plan
-        # recomputes steps 1..k-1 (O(k²) shuffles total instead of O(k))
-        new_ranks = new_ranks.persist()
-        new_ranks.count()
-        if prev is not None:
+            if redistribute_dangling:
+                dangling = (
+                    ranks.join(deg.withColumnRenamed(src, "__v"), "__v", "left_anti")
+                    .agg(F.sum("__p"))
+                    .first()[0]
+                    or 0.0
+                )
+                new_ranks = new_ranks.select(
+                    "__v",
+                    (
+                        F.col("__p") + F.lit(damping * dangling / n_nodes)
+                    ).alias("__p"),
+                )
+            # materialize each step: without this, step k's lazy plan
+            # recomputes steps 1..k-1 (O(k²) shuffles total instead of O(k))
+            new_ranks = new_ranks.persist()
+            new_ranks.count()
+            if prev is not None:
+                prev.unpersist()
+            prev = new_ranks
+            ranks = new_ranks
+    except Exception:
+        if prev is not None:  # mid-loop failure: drop the cached step
             prev.unpersist()
-        prev = new_ranks
-        ranks = new_ranks
-    deg.unpersist()
+        raise
+    finally:
+        deg.unpersist()
     return ranks.select(F.col("__v").alias(id_col), F.col("__p").alias("rank"))
 
 
@@ -117,10 +173,12 @@ def pagerank_oracle_sql(
     nodes_sql: str,
     iterations: int = 3,
     damping: float = 0.85,
+    n_buckets: int = PR_FOLD_BUCKETS,
 ) -> str:
     """DuckDB twin: the power iteration unrolled into ``iterations``
-    CTE layers, contributions folded in src order (list_reduce) so the
-    doubles match Spark's bit-for-bit."""
+    CTE layers, contributions folded with the SAME two-level order
+    (md5-bucket-major, src-minor) so the doubles match Spark's
+    bit-for-bit."""
     # CAST the damping literal to DOUBLE: DuckDB parses bare `0.85` as
     # DECIMAL(3,2), making `1.0 - 0.85` EXACTLY 0.15 — while Spark/Python
     # compute the IEEE double 0.15000000000000002. The cast reproduces
@@ -131,14 +189,22 @@ def pagerank_oracle_sql(
     for k in range(1, iterations + 1):
         it_ctes.append(f"""
     s{k} AS (
-        SELECT e.dst AS v,
-               list_reduce(list_prepend(0.0,
-                   list(p.p / d.deg ORDER BY e.src)), (a, b) -> a + b)
-                   AS inflow
-        FROM edges e
-        JOIN {prev} p ON p.v = e.src
-        JOIN deg d ON d.src = e.src
-        GROUP BY e.dst
+        SELECT v,
+               list_reduce(list_prepend(0.0, list(bs ORDER BY b)),
+                   (a, c) -> a + c) AS inflow
+        FROM (
+            SELECT e.dst AS v,
+                   CAST(('0x' || substr(md5(CAST(e.src AS VARCHAR)), 1, 4))
+                        AS BIGINT) % {n_buckets} AS b,
+                   list_reduce(list_prepend(0.0,
+                       list(p.p / d.deg ORDER BY CAST(e.src AS VARCHAR))),
+                       (a, c) -> a + c) AS bs
+            FROM edges e
+            JOIN {prev} p ON p.v = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst, b
+        )
+        GROUP BY v
     ),
     p{k} AS (
         SELECT n.v,

@@ -319,8 +319,11 @@ def w11_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     click strictly AFTER that view, and the first purchase strictly
     after that click — the sequential-pattern shape behind every
     conversion dashboard. Three chained min-aggregations; each stage's
-    events filter BEFORE its shuffle, and the stage tables are
-    user-sized (broadcastable) after the first."""
+    events filter BEFORE its shuffle. The stage tables are USER-sized —
+    at 100x users an unconditional broadcast hint is an OOM, so no hint:
+    AQE upgrades the shuffled join to broadcast at runtime exactly when
+    the stage table measures small (the static plan stays an exchange —
+    plan-shape-tested)."""
     ev = load(spark, sf_dir, "events")
     s1 = (
         ev.where(F.col("event_type") == "view")
@@ -329,14 +332,14 @@ def w11_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = (
         ev.where(F.col("event_type") == "click")
-        .join(F.broadcast(s1), "user_id")
+        .join(s1, "user_id")
         .where(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     s3 = (
         ev.where(F.col("event_type") == "purchase")
-        .join(F.broadcast(s2), "user_id")
+        .join(s2, "user_id")
         .where(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
@@ -381,16 +384,18 @@ _WEEK_US_R4 = 7 * 24 * 3600 * 1_000_000
 def a23_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort-retention matrix: users bucketed by first-seen week, then
     counted distinct per (cohort, week-offset) — first-touch attribution
-    plus a triangular retention rollup. The firsts table is user-sized
-    and broadcasts back onto the stream; integer epoch-week arithmetic
-    keeps both engines exact."""
+    plus a triangular retention rollup. The firsts table is USER-sized,
+    so it joins back un-hinted (both sides already shuffle on user_id —
+    a co-partitioned exchange; AQE broadcasts at runtime only when the
+    measured size allows); integer epoch-week arithmetic keeps both
+    engines exact."""
     ev = load(spark, sf_dir, "events")
     week = lambda c: F.floor(F.unix_micros(c) / F.lit(_WEEK_US_R4))  # noqa: E731
     firsts = ev.groupBy("user_id").agg(
         week(F.min("ts")).alias("cohort_week")
     )
     activity = (
-        ev.join(F.broadcast(firsts), "user_id")
+        ev.join(firsts, "user_id")
         .select(
             "user_id",
             "cohort_week",

@@ -207,3 +207,25 @@ def test_cume_dist_family_single_window_exchange(spark):
     # one hashpartitioning exchange feeds all five window functions
     # (formatted mode prints tree + details, so each node appears twice)
     assert n_exchanges <= 2, plan
+
+
+def test_user_sized_aggregates_not_statically_broadcast(spark):
+    """w11_funnel / a23_cohort_retention join per-user aggregates back
+    onto the event stream. Those tables grow with the user count, so the
+    STATIC plan must not force a broadcast (at 100x users that is a
+    driver/executor OOM) — the join stays an exchange and only AQE's
+    runtime size measurement may upgrade it. Regression guard for the
+    round-4 unconditional F.broadcast hints.
+
+    A HINT forces broadcast regardless of spark.sql.autoBroadcastJoinThreshold;
+    the cost model obeys it. So with the threshold disabled, any surviving
+    BroadcastHashJoin proves an unconditional hint is back."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name in ("w11_funnel", "a23_cohort_retention"):
+            plan = _plan(name, spark)
+            assert "BroadcastHashJoin" not in plan, (name, plan)
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)

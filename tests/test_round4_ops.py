@@ -374,3 +374,51 @@ def test_pagerank_dangling_redistribution_conserves_mass(spark):
     # sink node c (no out-edges, two in-edges) must rank highest
     ranks = {r.id: r.rank for r in pr.collect()}
     assert ranks["c"] == max(ranks.values())
+
+
+def test_pagerank_star_graph_bounded_fold(spark):
+    """Skew shape: a hub with in-degree == n_nodes-1. The two-level fold
+    must (a) match an exact NumPy power iteration and (b) keep the
+    level-2 fold row at <= n_buckets elements (the level-1 groupBy key
+    (dst, bucket) is what bounds any single reducer's collect size)."""
+    import math
+
+    from burst_db_spark.operators.graph import (
+        PR_FOLD_BUCKETS,
+        pagerank,
+        release_pagerank,
+    )
+
+    n = 500  # every spoke points at the hub -> hub in-degree 499
+    edges = spark.createDataFrame(
+        [(f"s{i}", "hub") for i in range(n - 1)], "src string, dst string"
+    )
+    nodes = spark.createDataFrame(
+        [("hub",)] + [(f"s{i}",) for i in range(n - 1)], "id string"
+    )
+    pr = pagerank(edges, nodes, iterations=3, damping=0.85)
+    ranks = {r.id: r.rank for r in pr.collect()}
+    release_pagerank(pr)
+
+    # reference: exact sequential power iteration (leak semantics)
+    d, p = 0.85, {v: 1.0 / n for v in ranks}
+    for _ in range(3):
+        inflow = sum(p[f"s{i}"] for i in range(n - 1))
+        nxt = {v: (1 - d) / n for v in p}
+        nxt["hub"] += d * inflow
+        p = nxt
+    assert math.isclose(ranks["hub"], p["hub"], rel_tol=1e-12)
+    for i in (0, 123, n - 2):
+        assert math.isclose(ranks[f"s{i}"], p[f"s{i}"], rel_tol=1e-12)
+
+    # structural guarantee: the hub's contributions spread over the full
+    # bucket range, so no single level-1 group exceeds ~in_degree/buckets
+    from pyspark.sql import functions as F  # noqa: F811
+    from burst_db_spark.operators.graph import _src_bucket
+
+    occupancy = (
+        edges.select(_src_bucket(F.col("src"), PR_FOLD_BUCKETS).alias("b"))
+        .groupBy("b").count().collect()
+    )
+    assert len(occupancy) == PR_FOLD_BUCKETS  # every bucket used
+    assert max(r["count"] for r in occupancy) < 3 * (n // PR_FOLD_BUCKETS)
