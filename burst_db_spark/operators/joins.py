@@ -96,14 +96,22 @@ def binned_interval_join(
     """
     f_ts = F.col(ts_col).cast("timestamp")
     fact_bin = (F.unix_micros(f_ts) / F.lit(bin_us)).cast("bigint")
-    # end is exclusive: a zero-length interval still occupies its start bin
-    iv_bins = F.sequence(
-        (F.unix_micros(F.col(start_col).cast("timestamp")) / F.lit(bin_us)).cast("bigint"),
-        (
-            F.unix_micros(F.col(end_col).cast("timestamp") - F.expr("INTERVAL 1 MICROSECOND"))
-            / F.lit(bin_us)
-        ).cast("bigint"),
-    )
+    # end is exclusive, so the last covered bin is bin(end - 1µs). For a
+    # ZERO-LENGTH interval that lands BELOW the start bin, and Spark's
+    # sequence(start, stop) with start > stop silently counts DOWN —
+    # two spurious bins instead of none. Clamp stop to the start bin:
+    # the degenerate interval then emits one candidate row, which the
+    # residual containment filter (ts < end == start) always removes.
+    start_bin = (
+        F.unix_micros(F.col(start_col).cast("timestamp")) / F.lit(bin_us)
+    ).cast("bigint")
+    stop_bin = (
+        F.unix_micros(
+            F.col(end_col).cast("timestamp") - F.expr("INTERVAL 1 MICROSECOND")
+        )
+        / F.lit(bin_us)
+    ).cast("bigint")
+    iv_bins = F.sequence(start_bin, F.greatest(stop_bin, start_bin))
     iv = intervals.withColumn("__bin", F.explode(iv_bins))
     fx = facts.withColumn("__bin", fact_bin)
     joined = fx.join(iv, "__bin").where(

@@ -124,10 +124,12 @@ def grid_nn_join(
 
     ``tie_break`` orders equal distances (required for determinism).
 
-    Caching note: the per-ring frames are persisted and stay referenced
-    by the returned (lazy) DataFrame, so they live until the result is
-    computed and the caller drops it / clears the cache — probe-sized
-    rows, bounded by the input, never candidate-pair-sized.
+    Caching note: the per-ring frames are persisted and must stay cached
+    until the returned (lazy) DataFrame is materialized — probe-sized
+    rows, bounded by the input, never candidate-pair-sized. They are
+    tracked on the result as ``result._grid_nn_cached``; call
+    ``release_grid_nn(result)`` AFTER the action (or clearCache) so a
+    long-lived session doesn't accumulate dead cached blocks.
     """
     from pyspark.sql import Window
 
@@ -141,9 +143,17 @@ def grid_nn_join(
     # the fallback recomputes everything (measured 1.9x wall-clock on the
     # constant-density probe at 10x). Cached frames are probe-sized rows,
     # never candidate-pair-sized.
-    pts = points.withColumn("__pcx", _cell(F.col(qx), cell_size)).withColumn(
-        "__pcy", _cell(F.col(qy), cell_size)
-    ).persist()
+    cached: list[DataFrame] = []
+
+    def _persist(df: DataFrame) -> DataFrame:
+        cached.append(df.persist())
+        return df
+
+    pts = _persist(
+        points.withColumn("__pcx", _cell(F.col(qx), cell_size)).withColumn(
+            "__pcy", _cell(F.col(qy), cell_size)
+        )
+    )
     dist = (F.col(px) - F.col(qx)) * (F.col(px) - F.col(qx)) + (
         F.col(py) - F.col(qy)
     ) * (F.col(py) - F.col(qy))
@@ -169,13 +179,15 @@ def grid_nn_join(
             .where(F.col("__rn") == 1)
             .drop("__rn", "__ncx", "__ncy", "__pcx", "__pcy")
         )
-        confirmed = best.where(
-            F.col("__dist_sq") <= F.lit(float(k * cell_size) ** 2)
-        ).select(*out_cols).persist()
+        confirmed = _persist(
+            best.where(
+                F.col("__dist_sq") <= F.lit(float(k * cell_size) ** 2)
+            ).select(*out_cols)
+        )
         resolved = confirmed if resolved is None else resolved.unionByName(confirmed)
-        remaining = remaining.join(
-            confirmed.select(probe_key), probe_key, "left_anti"
-        ).persist()
+        remaining = _persist(
+            remaining.join(confirmed.select(probe_key), probe_key, "left_anti")
+        )
 
     # the key is column-derived (always 0) so Catalyst can't constant-fold
     # the condition to `true` and degrade this into a nested-loop join
@@ -190,4 +202,14 @@ def grid_nn_join(
         .where(F.col("__rn") == 1)
         .drop("__rn", "__one")
     )
-    return resolved.unionByName(fb.select(*out_cols))
+    result = resolved.unionByName(fb.select(*out_cols))
+    result._grid_nn_cached = cached  # released via release_grid_nn
+    return result
+
+
+def release_grid_nn(result: DataFrame) -> None:
+    """Unpersist the ring-state frames backing a ``grid_nn_join`` result.
+    Call after the result has been materialized (a second action would
+    recompute from scratch, correctly but uncached)."""
+    for df in getattr(result, "_grid_nn_cached", ()):
+        df.unpersist()

@@ -26,6 +26,7 @@ _MODULES = (
     "pipeline_text",
     "retrieval",
     "round4",
+    "round5",
     "scalars",
     "similarity",
     "skewq",
@@ -46,28 +47,83 @@ for _m in _MODULES:
         )
 
 # The driver's correctness gate samples a PREFIX of the registration order
-# (rounds 1-3: exactly the first 50). Round-4 rotation policy:
-#   1. NEW round-4 queries lead (no green row exists for them at all);
-#   2. then the 9 queries that have NEVER received a driver row (the 8
-#      late-round-3 additions + the embedding-audit baseline);
-#   3. then the 5 NTZ-repaired window queries (their r4 implementation
-#      path — catalog normalization — has no driver evidence, and
-#      w2_sessionize is the round-3 red row to flip);
-#   4. then the r1-green rows the driver has never re-sampled, so every
-#      registered oracle query eventually gets a fresh row;
-#   5. one multimodal row stays in every round's prefix (codec
-#      regressions must surface).
+# (~50 rows/round). Round-5 rotation policy:
+#   1. the 7 new round-5 queries lead (no driver evidence exists);
+#   2. one multimodal slot stays in every round's prefix (codec
+#      regressions must surface) — mm_features this round;
+#   3. then the 46 stale rows VERDICT r4 flagged (last green r1/r2):
+#      the 17 r1-latest first, then the 29 r2-latest — after this round
+#      nothing in the registry should be older than r3;
+#   4. r3/r4-green names stay behind the prefix in rough risk order.
 # Names not listed keep their module registration order after the
 # prefix; unknown names are ignored (lets planned queries pre-register).
 _SAMPLING_PRIORITY = (
-    # -- NTZ-repaired this round (w2 = the r3 red row to flip) --
+    # -- new in round 5 --
+    "q4_order_priority",        # EXISTS decorrelation (TPC-H Q4 flavor)
+    "q17_small_qty_revenue",    # correlated scalar subquery (Q17 flavor)
+    "q21_suppliers_waiting",    # EXISTS + NOT EXISTS (Q21 flavor)
+    "t_bpe_reconstruction",     # derived BPE invariant — closes the
+                                # t_bpe_merges/t_bpe_encode no_oracle gap
+    "k6_metadata_roundtrip",    # K6 promoted to an oracle row
+    "k4_geojson_simplified",    # K4 promoted to an oracle row
+    "stream_watermark_append",  # rows-only: append-mode watermark drop
+    # -- multimodal rotation slot --
+    "mm_features",
+    # -- stale: last green r1 --
+    "a5_string_agg_distinct",
+    "a8_first_seen",
+    "a9_count_per_day",
+    "a10_multi_minmax",
+    "a11_named_agg_pct",
+    "a15_summary_stats",
+    "a16_percentiles",
+    "o1_topk_orders",
+    "u2_reconcile_snapshots",
+    "u3_union_all",
+    "w1_first_value",
+    "w4_run_length",
+    "w6_water_year",
+    "w7_first_significant_block",
+    "f_regex_extract",
+    "ep1_frame_partition",
+    "w5_reference_dates",       # rows-only by design
+    # -- stale: last green r2 (riskier families first) --
+    "dd_exact",
+    "dd_minhash_lsh",
+    "dd_ngram_jaccard",
+    "dd_simhash",
+    "dd_corpus_survivors",
+    "dd_dedup_clusters",
+    "knn_cosine_brute",
+    "knn_cosine_ivf",
+    "knn_cosine_ivf_learned",   # rows-only by design
+    "f_conditional_gauntlet",
+    "f_date_gauntlet",
+    "f_math_gauntlet",
+    "s2_csv_infer_roundtrip",
+    "s3_csv_schema_semicolon",
+    "s6_geojson_roundtrip",
+    "s7_envelope_roundtrip",
+    "stream_daily_counts",
+    "a17_cube",
+    "t_decontaminate",
+    "t_fingerprint",
+    "t_lang_guess",
+    "t_quality_filter",
+    "t_quality_score",
+    "t_redact_pii",
+    "t_top_tfidf",
+    "ep1_minimal_db",           # rows-only by design
+    "skew_salted_count",
+    "t_token_stats",
+    "t_split_assign",
+    # -- behind the 50-slot prefix: r3/r4-green spares --
     "w2_sessionize",
     "w3_batch_labels",
     "w_lag_delta",
     "w_rolling_1d",
     "a13_weekly_window",
     "w2b_session_window_batch",
-    # -- never driver-checked (8 late-r3 + the audit baseline) --
     "dd_semdedup",
     "dd_span_dedup",
     "t_inverted_index",
@@ -76,31 +132,28 @@ _SAMPLING_PRIORITY = (
     "knn_pq_adc",
     "geo_zorder_code",
     "dd_embedding_nn_exact_audit",
-    "t_bpe_merges",            # rows-only: weaker check, but first evidence
-    # -- multimodal rotation slot --
+    "t_bpe_merges",
     "mm_wav_roundtrip",
-    # -- new in round 4 --
-    "dd_lsh_cluster_dedup",    # new: LSH pairs -> clusters -> survivors end-to-end
-    "t_docs_minhash_pipeline", # new: full corpus-clean composition
-    "j13_range_interval_join", # new: binned interval join (no IN-list expand)
-    "a18_hll_distinct",        # new: approx_count_distinct vs exact oracle bound
-    "t_ngram_lm_perplexity",   # new: trigram backoff scoring
-    "w9_cume_dist_family",     # new: cumulative-distribution window gauntlet
-    "q3_shipping_priority",    # new: TPC-H Q3 3-way join + top-k
-    "q10_returned_items",      # new: TPC-H Q10 revenue rollup
-    "stream_interval_counts",  # new: stream-static binned interval join
-    "t_bpe_encode",            # new: tokenizer application (rows-only)
-    "a19_approx_percentile",   # new: GK quantile sketch rank-bound check
-    "a20_heavy_hitters",       # new: freqItems no-false-negative check
-    "t_phrase_search",         # new: positional phrase match
-    "a21_hopping_window",      # new: native sliding windows
-    "dd_lsh_quality_audit",    # new: driver-checked LSH recall
-    "a22_rollup",              # new: ROLLUP + GROUPING bit vector
-    "w10_scd2_intervals",      # new: SCD2 validity intervals
-    "g1_pagerank3",            # new: bit-exact bounded PageRank
-    "w11_funnel",              # new: ordered conversion funnel
-    "a23_cohort_retention",    # new: cohort-retention matrix
-    # -- r1-green, never re-sampled since round 1 --
+    "dd_lsh_cluster_dedup",
+    "t_docs_minhash_pipeline",
+    "j13_range_interval_join",
+    "a18_hll_distinct",
+    "t_ngram_lm_perplexity",
+    "w9_cume_dist_family",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "stream_interval_counts",
+    "t_bpe_encode",
+    "a19_approx_percentile",
+    "a20_heavy_hitters",
+    "t_phrase_search",
+    "a21_hopping_window",
+    "dd_lsh_quality_audit",
+    "a22_rollup",
+    "w10_scd2_intervals",
+    "g1_pagerank3",
+    "w11_funnel",
+    "a23_cohort_retention",
     "group_by_all",
     "pivot_by_type",
     "p1_projection_minimal",
@@ -115,22 +168,6 @@ _SAMPLING_PRIORITY = (
     "j10_range_join",
     "a1_dedup_latest",
     "a4_round_avg_cast",
-    "a5_string_agg_distinct",
-    "a8_first_seen",
-    "a9_count_per_day",
-    "a10_multi_minmax",
-    "a11_named_agg_pct",
-    "a15_summary_stats",
-    "o1_topk_orders",
-    "u2_reconcile_snapshots",
-    "u3_union_all",
-    "w1_first_value",
-    "w4_run_length",
-    "w6_water_year",
-    "w7_first_significant_block",
-    "a16_percentiles",
-    "f_regex_extract",
-    # -- behind the 50-slot prefix: r2/r3-green spares, then rows-only --
     "t_pack_sequences",
     "j7_spatial_join",
     "j_spatial_knn",
@@ -152,7 +189,6 @@ _SAMPLING_PRIORITY = (
     "k7_bucketed_colocated_join",
     "mm_frame_sample",
     "k8_compact_roundtrip",
-    "mm_features",
     "dd_embedding_nn_multiprobe",
     "k1_gpkg_roundtrip",
     "stream_corpus_dedup",
@@ -180,8 +216,6 @@ _SAMPLING_PRIORITY = (
     "s9_xml_bursts",
     "k5_partitioned_append_roundtrip",
     "f_string_gauntlet",
-    "ep1_minimal_db",          # rows-only by design
-    "knn_cosine_ivf_learned",  # rows-only by design
 )
 
 from burst_db_spark.registry import set_order_prefix as _set_order_prefix  # noqa: E402

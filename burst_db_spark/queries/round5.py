@@ -1,0 +1,364 @@
+"""Round-5 queries: correlated-subquery shapes (TPC-H Q4/Q17/Q21
+flavors — EXISTS, scalar subquery, EXISTS + NOT EXISTS), the derived
+BPE-reconstruction oracle, watermarked append-mode streaming, and the
+K6/K4 sink round-trips promoted to driver-checkable rows.
+
+The three TPC-H flavors run through ``spark.sql`` with the IDENTICAL
+correlated SQL the DuckDB oracle executes — the point is decorrelation
+evidence: Catalyst must rewrite the correlated EXISTS / NOT EXISTS /
+scalar subquery into semi/anti/aggregate joins with no nested-loop or
+cartesian fallback (plan-shape-tested in tests/test_plan_shapes.py).
+The synthetic lineitem has no commitdate/receiptdate, so "late" is
+l_shipdate > o_orderdate + a fixed interval (same spirit, same shape).
+
+Determinism: l_quantity is integer-valued in the synthetic data, so
+sums/averages of it are exact in doubles on both engines; money sums
+cross shuffles as DECIMAL(18,6) → DECIMAL(28,6) per the suite-wide
+convention; top-k orderings always carry a unique tie-break column.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from burst_db_spark.catalog import load, register_views
+from burst_db_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 flavor: EXISTS → left-semi join
+
+
+_Q4_SQL = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q4_order_priority",
+    oracle=_Q4_SQL,
+    tags=("TPCH", "Q4", "exists", "subquery"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 flavor: orders in one quarter having at least one line
+    item shipped >30 days after the order date, counted per priority.
+    The correlated EXISTS (with a NON-equality correlated conjunct on
+    o_orderdate) must decorrelate to a LeftSemi hash join — the filter
+    on orders pushes to the scan, the semi join shuffles on orderkey."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q4_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 flavor: correlated scalar subquery → aggregate + join
+
+
+_Q17_SQL = """
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 6)))
+                AS DECIMAL(28, 6)) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#23'
+      AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey
+      )
+"""
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle=_Q17_SQL,
+    tags=("TPCH", "Q17", "scalar-subquery"),
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 flavor: revenue lost to small-quantity orders of one
+    brand. The correlated scalar subquery (per-part average quantity)
+    must decorrelate into ONE aggregate over lineitem joined back on
+    partkey — not a per-row re-scan. l_quantity is integer-valued so
+    the avg is double-exact on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q17_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 flavor: EXISTS + NOT EXISTS → semi + anti join
+
+
+_Q21_SQL = """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+      AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_7'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+"""
+
+
+@register(
+    "q21_suppliers_waiting",
+    oracle=_Q21_SQL,
+    tags=("TPCH", "Q21", "exists", "not-exists", "anti-join"),
+)
+def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 flavor: suppliers in one nation who were the SOLE late
+    shipper on a multi-supplier finalized order. EXISTS → left-semi,
+    NOT EXISTS → left-anti, both on orderkey with non-equality residual
+    conjuncts; the top-k carries s_name as the tie-break so LIMIT is
+    deterministic across engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)
+
+
+# ---------------------------------------------------------------------------
+# BPE: derived reconstruction oracle (closes the t_bpe_* no_oracle gap)
+
+
+@register(
+    "t_bpe_reconstruction",
+    oracle=r"""
+    WITH wt AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                AS word
+            FROM documents
+        )
+        WHERE len(word) > 0
+        GROUP BY word
+    )
+    SELECT CAST(least(len(word), 12) AS BIGINT) AS len_bucket,
+           CAST(count(*) AS BIGINT) AS n_word_types,
+           CAST(sum(n) AS BIGINT) AS corpus_occurrences,
+           CAST(sum(len(word)) AS BIGINT) AS total_chars
+    FROM wt GROUP BY len_bucket
+    """,
+    tags=("text", "tokenizer", "bpe", "invariant"),
+)
+def t_bpe_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable BPE invariant: train 12 merges, encode the
+    word-type table, then aggregate over the RECONSTRUCTED words
+    (concat of pieces) — length-bucket counts, corpus occurrences, and
+    total characters. The oracle recomputes the same aggregates from
+    the raw word table: they match iff every word's pieces concatenate
+    back to exactly the word (no piece lost, duplicated, or mangled by
+    training or encoding). This turns the non-SQL-expressible iterative
+    trainer into a hash-checkable derived query — the evidence gap
+    VERDICT r4 flagged for t_bpe_merges/t_bpe_encode."""
+    from burst_db_spark.operators.bpe import encode_words, train_bpe, word_types
+
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=12, batch_size=4)
+    wt = word_types(docs)
+    enc = encode_words(wt, merges)
+    recon = enc.select(F.concat_ws("", "pieces").alias("w"), "n")
+    return recon.groupBy(
+        F.least(F.length("w"), F.lit(12)).cast("bigint").alias("len_bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_word_types"),
+        F.sum("n").cast("bigint").alias("corpus_occurrences"),
+        F.sum(F.length("w")).cast("bigint").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9: watermarked APPEND-mode streaming (late rows dropped)
+
+
+@register(
+    "stream_watermark_append",
+    oracle=None,  # append-mode emission depends on per-batch watermark
+    # progression (a runtime property, not a relation over the input);
+    # the batch-equivalence + late-drop semantics are pinned by
+    # tests/test_streaming.py::test_watermark_append_drops_late_rows
+    tags=("Str", "watermark", "append"),
+)
+def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + APPEND-mode tumbling aggregation — the §2.9 semantics
+    complete-mode runs can't show: windows are emitted exactly once,
+    when the watermark passes their end, and rows older than the
+    watermark are dropped instead of reopening state. Two deterministic
+    micro-batches (file mtimes force the order): the bulk of the events
+    stream, then a tail batch whose arrival advances the watermark and
+    flushes every closed window. State is bounded by the watermark
+    horizon — the 100 TB always-on shape."""
+    import tempfile
+    import uuid
+
+    from burst_db_spark.streaming import incremental as st
+
+    src = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="bds_stream_wm_")
+    cutoff = "2024-01-28 00:00:00"
+    main = src.where(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+    tail = src.where(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+    main.coalesce(4).write.parquet(f"{tmp}/in/b0")
+    tail.coalesce(1).write.parquet(f"{tmp}/in/b1")
+    # file-source batch order follows modification time: pin it
+    now = 1_700_000_000
+    for sub, t in (("b0", now), ("b1", now + 3600)):
+        d = f"{tmp}/in/{sub}"
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (t, t))
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(f"{tmp}/in/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.col("window.start").alias("day_start"), "n")
+    )
+    name = f"wma_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# K6: metadata-table sink round-trip, promoted to an oracle row
+
+
+@register(
+    "k6_metadata_roundtrip",
+    oracle="""
+    SELECT 'max_shipdate' AS param,
+           CAST(CAST(max(l_shipdate) AS DATE) AS VARCHAR) AS value
+    FROM lineitem
+    UNION ALL
+    SELECT 'min_orderdate',
+           CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'n_lineitem', CAST(count(*) AS VARCHAR) FROM lineitem
+    UNION ALL
+    SELECT 'n_orders', CAST(count(*) AS VARCHAR) FROM orders
+    """,
+    tags=("K6", "sink", "metadata"),
+)
+def k6_metadata_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 (build_frame_db.py:548-573 analog): provenance params —
+    derived from the actual inputs, as the reference embeds its run
+    parameters — written as a one-row parquet metadata table next to an
+    output, read back, and unpivoted to (param, value) rows the oracle
+    recomputes straight from the sources. Dates round-trip as ISO
+    strings (DATE → VARCHAR on both engines)."""
+    import tempfile
+
+    from burst_db_spark.sinks import write_metadata_table
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    row = (
+        li.agg(
+            F.count("*").alias("n_lineitem"),
+            F.max(F.col("l_shipdate").cast("date")).alias("max_shipdate"),
+        )
+        .crossJoin(
+            orders.agg(
+                F.count("*").alias("n_orders"),
+                F.min(F.col("o_orderdate").cast("date")).alias("min_orderdate"),
+            )
+        )
+        .first()
+    )
+    params = {
+        "max_shipdate": row["max_shipdate"],
+        "min_orderdate": row["min_orderdate"],
+        "n_lineitem": row["n_lineitem"],
+        "n_orders": row["n_orders"],
+    }
+    out = os.path.join(tempfile.mkdtemp(prefix="bds_k6_"), "meta.parquet")
+    write_metadata_table(spark, params, out)
+    got = spark.read.parquet(out)
+    stack_expr = ", ".join(f"'{c}', `{c}`" for c in got.columns)
+    return got.select(
+        F.expr(f"stack({len(got.columns)}, {stack_expr}) AS (param, value)")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K4: simplified-GeoJSON export, promoted to an oracle row
+
+
+@register(
+    "k4_geojson_simplified",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           CAST((n_nationkey * 7) % 40 AS DOUBLE) AS gxmin,
+           CAST((n_nationkey * 7) % 40 + 4 AS DOUBLE) AS gxmax,
+           CAST(5 AS BIGINT) AS n_points
+    FROM nation
+    """,
+    tags=("K4", "geojson", "simplify"),
+)
+def k4_geojson_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 (simplified GeoJSON export): rectangles with a redundant
+    COLLINEAR midpoint on the bottom edge go through the simplifying
+    FeatureCollection writer and back. The oracle pins both fidelity
+    (the envelope survives) and the simplification itself: the ring
+    must come back with exactly 5 coordinates — 6 would mean the
+    collinear vertex survived, i.e. simplify never ran."""
+    from burst_db_spark.geo.udfs import envelope_udf
+    from burst_db_spark.sources.geojson import read_geojson, write_geojson
+    import tempfile
+
+    out = os.path.join(tempfile.mkdtemp(prefix="bds_k4_"), "nations.geojson")
+    nation = load(spark, sf_dir, "nation")
+    x0 = (F.col("n_nationkey") * 7) % 40
+    rects = nation.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        F.format_string(
+            "POLYGON ((%d 0, %d 0, %d 0, %d 6, %d 6, %d 0))",
+            x0.cast("int"),
+            (x0 + 2).cast("int"),  # collinear midpoint — simplify removes
+            (x0 + 4).cast("int"),
+            (x0 + 4).cast("int"),
+            x0.cast("int"),
+            x0.cast("int"),
+        ).alias("geom_wkt"),
+    )
+    write_geojson(rects, out, properties=["n_nationkey"], simplify_tolerance=0.1)
+    got = read_geojson(spark, out)
+    env = envelope_udf(F.col("geom_wkt"))
+    return got.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        env["xmin"].alias("gxmin"),
+        env["xmax"].alias("gxmax"),
+        F.size(F.split(F.col("geom_wkt"), ",")).cast("bigint").alias("n_points"),
+    )

@@ -229,3 +229,21 @@ def test_user_sized_aggregates_not_statically_broadcast(spark):
             assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_correlated_subqueries_decorrelate(spark):
+    """q4/q17/q21 run the literal correlated SQL through spark.sql —
+    Catalyst must decorrelate: EXISTS -> LeftSemi, NOT EXISTS ->
+    LeftAnti, the correlated scalar avg -> one aggregate joined back.
+    Any BroadcastNestedLoopJoin/CartesianProduct means a per-row
+    re-scan shipped to a 100 TB table."""
+    q4 = _plan("q4_order_priority", spark)
+    assert "LeftSemi" in q4, q4
+    q17 = _plan("q17_small_qty_revenue", spark)
+    assert "HashAggregate" in q17
+    q21 = _plan("q21_suppliers_waiting", spark)
+    assert "LeftSemi" in q21, q21
+    assert "LeftAnti" in q21, q21
+    for name, plan in (("q4", q4), ("q17", q17), ("q21", q21)):
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -87,3 +87,61 @@ def test_dedup_stream(spark, tmp_path):
     st.run_available_now(dd, "dedup_out", str(tmp_path / "ckpt3"))
     out = spark.sql("SELECT * FROM dedup_out").collect()
     assert sorted(r.k for r in out) == [1, 2]  # one row per key survives
+
+
+def test_watermark_append_drops_late_rows(spark, tmp_path):
+    """The §2.9 semantics complete-mode can't show: a row arriving after
+    the watermark passed its window is DROPPED (its already-emitted
+    window does not reopen), while on-time rows aggregate normally.
+    Watermark advancement lags one micro-batch (batch N filters with the
+    watermark derived from batches <= N-1), so the late row arrives TWO
+    batches after its window closed. Append-mode tumbling 1h counts,
+    1h watermark, three mtime-ordered batches."""
+    import datetime
+    import os
+
+    batches = [
+        [(1, "2024-03-01 07:10:00"), (2, "2024-03-01 07:40:00"),
+         (3, "2024-03-01 08:20:00"), (4, "2024-03-01 10:30:00")],
+        [(5, "2024-03-01 12:15:00")],            # advances wm to 09:30->11:15
+        [(6, "2024-03-01 07:50:00"),             # LATE: wm 11:15 -> dropped
+         (7, "2024-03-01 14:00:00")],
+    ]
+    schema = "event_id long, ts timestamp"
+    in_dir = tmp_path / "wm_in"
+    for i, rows in enumerate(batches):
+        d = str(in_dir / f"b{i}")
+        spark.createDataFrame(
+            [(e, datetime.datetime.fromisoformat(t)) for e, t in rows], schema
+        ).coalesce(1).write.parquet(d)
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (1_700_000_000 + i * 3600,) * 2)
+
+    agg = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(in_dir / "*"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").cast("string").alias("h"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append").format("memory")
+        .queryName("wm_append_test")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r.h: r.n for r in spark.sql("SELECT * FROM wm_append_test").collect()}
+
+    # batch equivalent over the ON-TIME subset: the 07:00 window holds
+    # only batch-0's two rows — row 6 arrived after the watermark
+    # (11:15) closed it and must not reopen the emitted window.
+    assert got == {
+        "2024-03-01 07:00:00": 2,   # late row 6 NOT counted
+        "2024-03-01 08:00:00": 1,
+        "2024-03-01 10:00:00": 1,
+        "2024-03-01 12:00:00": 1,   # end 13:00 <= final wm 13:00
+        # 14:00 window still open at termination -> not emitted
+    }
