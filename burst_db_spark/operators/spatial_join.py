@@ -89,13 +89,68 @@ def grid_bbox_join(
     return joined.drop("__lcx", "__lcy", "__rcx", "__rcy")
 
 
+def auto_cell_size(
+    points: DataFrame,
+    x: str,
+    y: str,
+    target_per_neighborhood: float = 8.0,
+    skew_p99_cap: float = 256.0,
+) -> float:
+    """Choose a ``grid_nn_join`` cell size from the data instead of a
+    hand-picked constant — the knob that decides whether the join is
+    linear (bounded candidates per probe) or quadratic (one fat cell).
+
+    Pass 1 (extent + count, one map-side aggregation): under a uniform
+    density λ = n/area, a 3×3 ring-1 neighborhood of cells sized
+    ``s = sqrt(target/(9λ))`` holds ~``target`` expected points — at
+    target=8 the chance a probe's neighborhood is EMPTY is
+    exp(-πλs²) ≈ 6 %, so ~94 % of probes confirm in ring 1 while the
+    candidate join stays ~9·λ·s² = target rows per probe. (The r4/r5
+    constant-density probes hand-picked 24.0; this formula reproduces
+    25.2 on the same data.)
+
+    Pass 2 (occupancy histogram, one groupBy + approxQuantile on the
+    per-cell counts): real data is NOT uniform — under clustering, p99
+    occupancy explodes while the mean stays flat, and one hot cell
+    turns the per-cell candidate block quadratic. If p99 exceeds
+    ``skew_p99_cap``, shrink the cell by sqrt(p99/cap): halving the
+    side quarters a dense cell's occupancy while sparse regions just
+    escalate one more (geometrically collapsing) ring.
+    """
+    import math
+
+    ext = points.agg(
+        F.min(x).alias("x0"), F.max(x).alias("x1"),
+        F.min(y).alias("y0"), F.max(y).alias("y1"),
+        F.count("*").alias("n"),
+    ).first()
+    n = ext["n"] or 0
+    if n == 0:
+        return 1.0
+    area = max(
+        (float(ext["x1"]) - float(ext["x0"]))
+        * (float(ext["y1"]) - float(ext["y0"])),
+        1e-12,
+    )
+    lam = n / area
+    size = math.sqrt(target_per_neighborhood / (9.0 * lam))
+    occ = (
+        points.groupBy(_cell(F.col(x), size), _cell(F.col(y), size))
+        .count()
+    )
+    [p99] = occ.approxQuantile("count", [0.99], 0.01)
+    if p99 > skew_p99_cap:
+        size /= math.sqrt(p99 / skew_p99_cap)
+    return size
+
+
 def grid_nn_join(
     probes: DataFrame,
     points: DataFrame,
     probe_key: str,
     probe_xy: tuple[str, str],
     point_xy: tuple[str, str],
-    cell_size: float,
+    cell_size: float | None,
     point_cols: tuple[str, ...] = (),
     tie_break: str | None = None,
     rings: tuple[int, ...] = (1, 4),
@@ -136,6 +191,8 @@ def grid_nn_join(
     px, py = probe_xy
     qx, qy = point_xy
     tb = tie_break or point_cols[0]
+    if cell_size is None:  # data-driven: see auto_cell_size
+        cell_size = auto_cell_size(points, qx, qy)
 
     # persist the shared/chained frames: every ring's anti-join hangs off
     # the PREVIOUS ring's full computation, and the final union re-reads

@@ -362,3 +362,189 @@ def k4_geojson_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
         env["xmax"].alias("gxmax"),
         F.size(F.split(F.col("geom_wkt"), ",")).cast("bigint").alias("n_points"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 flavor: join + conditional (CASE) aggregation
+
+
+@register(
+    "q12_late_priority",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+    tags=("TPCH", "Q12", "conditional-agg"),
+)
+def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 flavor (no l_shipmode in the synthetic schema, so the
+    class is lateness x priority): late-shipped line items split into
+    high/low-priority counts per return flag — the join + CASE-pivot
+    aggregation shape. Year filter pushes to the orders scan; the CASE
+    terms fold into map-side partial sums."""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 flavor: NOT IN subquery → null-aware anti join
+
+
+_Q16_SQL = """
+    SELECT p_brand, p_type,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_size IN (1, 4, 7)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type
+"""
+
+
+@register(
+    "q16_supplier_cnt",
+    oracle=_Q16_SQL,
+    tags=("TPCH", "Q16", "not-in", "null-aware-anti-join"),
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 flavor: distinct supplier counts per (brand, type) for
+    selected sizes, excluding complained-about suppliers via NOT IN —
+    the null-aware anti-join shape (NOT IN must treat a NULL in the
+    subquery as 'exclude everything', which Spark plans as a null-aware
+    BroadcastHashJoin LeftAnti, never a nested loop)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q16_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 flavor: IN over a grouped HAVING subquery (semi join on agg)
+
+
+_Q18_SQL = """
+    SELECT c_name, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(sum(l_quantity) AS BIGINT) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c_name, o_orderkey, o_totalprice
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+"""
+
+
+@register(
+    "q18_large_volume",
+    oracle=_Q18_SQL,
+    tags=("TPCH", "Q18", "in-subquery", "having"),
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 flavor: customers holding the largest-volume orders.
+    The IN over a grouped HAVING subquery plans as a semi join against
+    the aggregate (one extra pass over lineitem, shuffled on orderkey —
+    the same key the main join uses, so AQE can reuse the exchange).
+    l_quantity is integer-valued, so the sums are double-exact; the
+    top-k carries o_orderkey as the tie-break."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q18_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 flavor: nested IN subqueries → stacked semi joins
+
+
+_Q20_SQL = """
+    SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'
+        )
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 400
+    )
+    ORDER BY s_name
+"""
+
+
+@register(
+    "q20_part_shippers",
+    oracle=_Q20_SQL,
+    tags=("TPCH", "Q20", "nested-in"),
+)
+def q20_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 flavor: suppliers who moved serious volume of a named
+    part family — IN nested inside IN, planning as two stacked semi
+    joins (part filter semi-joins lineitem BEFORE its groupBy, so the
+    aggregate only sees matching rows; the outer semi join then prunes
+    supplier). The LIKE prefix filter pushes to the part scan as a
+    StartsWith."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q20_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 flavor: NOT EXISTS + uncorrelated scalar subqueries
+
+
+_Q22_SQL = """
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18, 6)))
+                AS DECIMAL(28, 6)) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal * (
+            SELECT count(*) FROM customer WHERE c_acctbal > 0.0
+          ) > (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18, 6))) AS DOUBLE)
+            FROM customer WHERE c_acctbal > 0.0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          )
+    GROUP BY c_nationkey
+"""
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle=_Q22_SQL,
+    tags=("TPCH", "Q22", "not-exists", "scalar-subquery"),
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 flavor: well-funded customers who never ordered,
+    rolled up per nation. The above-average test avoids cross-engine
+    avg division (a boundary ulp could flip membership) by comparing
+    balance x count > decimal-exact sum — bit-identical on both
+    engines. NOT EXISTS decorrelates to a left-anti join on custkey;
+    the two uncorrelated scalars are one-row broadcasts."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q22_SQL)

@@ -59,8 +59,7 @@ PROBE_QUERIES = [
     "t_ngram_lm_perplexity",
     "dd_lsh_cluster_dedup",
     "t_docs_minhash_pipeline",
-    # round-4 late-session operators (a20/g1 excluded: they act in
-    # build(), so a noop-write timing would misstate them)
+    # round-4 late-session operators
     "a19_approx_percentile",
     "t_phrase_search",
     "a21_hopping_window",
@@ -111,8 +110,10 @@ def time_queries(spark, specs, sf_dir: str) -> dict[str, float]:
     out = {}
     for name in PROBE_QUERIES:
         spark.catalog.clearCache()
-        df = specs[name].build(spark, sf_dir)
+        # bracket build()+write (same convention as bench.py since r5):
+        # in-build driver actions are part of the cost being probed
         t0 = time.perf_counter()
+        df = specs[name].build(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 2)
     return out
@@ -120,11 +121,31 @@ def time_queries(spark, specs, sf_dir: str) -> dict[str, float]:
 
 def _synth_boxes(spark, n: int, side: int, seed_mult: int, wmax: int, hmax: int,
                  prefix: str):
-    """n pseudo-random integer boxes spread over a side×side domain."""
+    """n pseudo-random integer boxes spread over a side×side domain.
+
+    Coordinates are md5-derived (seeded by ``seed_mult``), NOT the
+    former modular stride ``(id·m) mod side``: stride x/y are linearly
+    related mod side, so every point sat on evenly-spaced diagonal
+    stripes — cells were either empty or dense, and at the 100× rung a
+    shared factor (gcd(m, side)=39) additionally collapsed y onto 688
+    distinct values, leaving 99.3 % of cells empty and stampeding every
+    probe into the exact fallback. That measured the GENERATOR as a
+    fake quadratic blowup. md5 mixing gives Poisson cell occupancy at
+    every rung, so the ladder measures the operator."""
     df = spark.range(n).withColumnRenamed("id", f"{prefix}id")
     kid = F.col(f"{prefix}id")
-    x = (kid * seed_mult) % side
-    y = (kid * (seed_mult + 18)) % side
+
+    def h(tag: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed_mult}:{tag}:"), kid.cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+
+    x = h("x") % side
+    y = h("y") % side
     return df.select(
         f"{prefix}id",
         x.alias(f"{prefix}xmin"),

@@ -69,3 +69,67 @@ def test_grid_nn_join_matches_naive_incl_fallback(spark):
     for pid, px, py in probes:
         d, qid = nn(px, py)
         assert got[pid] == (qid, d), pid
+
+
+def test_auto_cell_size_uniform_and_skewed(spark):
+    """Uniform points: the analytic sqrt(target/9λ) size (±30%: extent
+    estimation + quantile sketch). Skewed points (90% in one clump):
+    the occupancy-histogram pass must SHRINK the cell vs the uniform
+    formula on the same extent, or one hot cell goes quadratic."""
+    import math
+
+    from burst_db_spark.operators.spatial_join import auto_cell_size
+
+    n, side = 20_000, 1_000
+    uni = spark.range(n).select(
+        ((F.col("id") * 48271) % side).cast("double").alias("x"),
+        ((F.col("id") * 69621) % side).cast("double").alias("y"),
+    )
+    got = auto_cell_size(uni, "x", "y", target_per_neighborhood=8.0)
+    lam = n / (side * side)
+    expect = math.sqrt(8.0 / (9.0 * lam))
+    assert 0.7 * expect < got < 1.3 * expect
+
+    clump = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, (F.col("id") % 40).cast("double"))
+        .otherwise(((F.col("id") * 48271) % side).cast("double"))
+        .alias("x"),
+        F.when(F.col("id") % 10 < 9, (F.col("id") % 37).cast("double"))
+        .otherwise(((F.col("id") * 69621) % side).cast("double"))
+        .alias("y"),
+    )
+    got_skew = auto_cell_size(clump, "x", "y", target_per_neighborhood=8.0)
+    # hot clump forces finer cells: shrink = sqrt(p99/cap) > 1
+    assert got_skew < 0.8 * got
+    # and a tighter cap shrinks harder
+    got_tight = auto_cell_size(clump, "x", "y", target_per_neighborhood=8.0,
+                               skew_p99_cap=32.0)
+    assert got_tight < 0.5 * got_skew
+
+
+def test_grid_nn_join_auto_cell_matches_fixed(spark):
+    """cell_size=None must give the identical exact-NN answer (the grid
+    only changes the search schedule, never the result)."""
+    from burst_db_spark.operators.spatial_join import grid_nn_join, release_grid_nn
+
+    probes = spark.range(200).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") * 131) % 300).cast("double").alias("px"),
+        ((F.col("id") * 197) % 300).cast("double").alias("py"),
+    )
+    points = spark.range(50).select(
+        F.col("id").alias("sid"),
+        ((F.col("id") * 241) % 300).cast("double").alias("sx"),
+        ((F.col("id") * 89) % 300).cast("double").alias("sy"),
+    )
+    kw = dict(probe_key="pid", probe_xy=("px", "py"), point_xy=("sx", "sy"),
+              point_cols=("sid",), tie_break="sid")
+    fixed = grid_nn_join(probes, points, cell_size=40.0, **kw)
+    auto = grid_nn_join(probes, points, cell_size=None, **kw)
+    rf = sorted((r["pid"], r["sid"], round(r["__dist_sq"], 9))
+                for r in fixed.collect())
+    ra = sorted((r["pid"], r["sid"], round(r["__dist_sq"], 9))
+                for r in auto.collect())
+    release_grid_nn(fixed)
+    release_grid_nn(auto)
+    assert rf == ra
