@@ -75,6 +75,16 @@ HEADLINE = [
     # are included in the timing bracket since round 5
     "t_bpe_encode",
     "stream_interval_counts",
+    # round-5 operators
+    "q4_order_priority",
+    "q12_late_priority",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_volume",
+    "q20_part_shippers",
+    "q21_suppliers_waiting",
+    "q22_global_sales_opportunity",
+    "t_bpe_reconstruction",
 ]
 
 

@@ -48,7 +48,7 @@ for _m in _MODULES:
 
 # The driver's correctness gate samples a PREFIX of the registration order
 # (~50 rows/round). Round-5 rotation policy:
-#   1. the 7 new round-5 queries lead (no driver evidence exists);
+#   1. the 12 new round-5 queries lead (no driver evidence exists);
 #   2. one multimodal slot stays in every round's prefix (codec
 #      regressions must surface) — mm_features this round;
 #   3. then the 46 stale rows VERDICT r4 flagged (last green r1/r2):
@@ -67,6 +67,11 @@ _SAMPLING_PRIORITY = (
     "k6_metadata_roundtrip",    # K6 promoted to an oracle row
     "k4_geojson_simplified",    # K4 promoted to an oracle row
     "stream_watermark_append",  # rows-only: append-mode watermark drop
+    "q12_late_priority",        # CASE-pivot conditional aggregation
+    "q16_supplier_cnt",         # NOT IN -> null-aware anti join
+    "q18_large_volume",         # IN over grouped HAVING -> semi join
+    "q20_part_shippers",        # nested IN -> stacked semi joins
+    "q22_global_sales_opportunity",  # NOT EXISTS + uncorrelated scalars
     # -- multimodal rotation slot --
     "mm_features",
     # -- stale: last green r1 --

@@ -528,7 +528,9 @@ _Q22_SQL = """
             FROM customer WHERE c_acctbal > 0.0
           )
       AND NOT EXISTS (
-            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2001-01-01'
           )
     GROUP BY c_nationkey
 """
@@ -540,8 +542,9 @@ _Q22_SQL = """
     tags=("TPCH", "Q22", "not-exists", "scalar-subquery"),
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 flavor: well-funded customers who never ordered,
-    rolled up per nation. The above-average test avoids cross-engine
+    """TPC-H Q22 flavor: well-funded customers with NO RECENT orders
+    (every synthetic customer has some order, so the dormancy window
+    keeps the anti-join non-trivially selective), rolled up per nation. The above-average test avoids cross-engine
     avg division (a boundary ulp could flip membership) by comparing
     balance x count > decimal-exact sum — bit-identical on both
     engines. NOT EXISTS decorrelates to a left-anti join on custkey;

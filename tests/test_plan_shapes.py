@@ -244,6 +244,16 @@ def test_correlated_subqueries_decorrelate(spark):
     q21 = _plan("q21_suppliers_waiting", spark)
     assert "LeftSemi" in q21, q21
     assert "LeftAnti" in q21, q21
-    for name, plan in (("q4", q4), ("q17", q17), ("q21", q21)):
+    q16 = _plan("q16_supplier_cnt", spark)   # NOT IN -> null-aware anti
+    assert "LeftAnti" in q16, q16
+    q18 = _plan("q18_large_volume", spark)    # IN over HAVING -> semi
+    assert "LeftSemi" in q18, q18
+    q20 = _plan("q20_part_shippers", spark)   # nested IN -> stacked semis
+    assert q20.count("LeftSemi") >= 2, q20
+    q22 = _plan("q22_global_sales_opportunity", spark)
+    assert "LeftAnti" in q22, q22
+    for name, plan in (("q4", q4), ("q17", q17), ("q21", q21),
+                       ("q16", q16), ("q18", q18), ("q20", q20),
+                       ("q22", q22)):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
