@@ -48,7 +48,7 @@ for _m in _MODULES:
 
 # The driver's correctness gate samples a PREFIX of the registration order
 # (~50 rows/round). Round-5 rotation policy:
-#   1. the 12 new round-5 queries lead (no driver evidence exists);
+#   1. the 13 new round-5 queries lead (no driver evidence exists);
 #   2. one multimodal slot stays in every round's prefix (codec
 #      regressions must surface) — mm_features this round;
 #   3. then the 46 stale rows VERDICT r4 flagged (last green r1/r2):
@@ -72,6 +72,7 @@ _SAMPLING_PRIORITY = (
     "q18_large_volume",         # IN over grouped HAVING -> semi join
     "q20_part_shippers",        # nested IN -> stacked semi joins
     "q22_global_sales_opportunity",  # NOT EXISTS + uncorrelated scalars
+    "p6_epsg_sentinel_filter",  # P6 promoted to an oracle row
     # -- multimodal rotation slot --
     "mm_features",
     # -- stale: last green r1 --

@@ -551,3 +551,70 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two uncorrelated scalars are one-row broadcasts."""
     register_views(spark, sf_dir)
     return spark.sql(_Q22_SQL)
+
+
+# ---------------------------------------------------------------------------
+# P6: non-zero sentinel filter, promoted to an oracle row
+
+
+_P6_ZONE_SQL = """CASE
+         WHEN lat >= 56 AND lat < 64 AND lon >= 3 AND lon < 12 THEN 32
+         WHEN lat >= 72 AND lat <= 84 AND lon >= 0 AND lon < 9 THEN 31
+         WHEN lat >= 72 AND lat <= 84 AND lon >= 9 AND lon < 21 THEN 33
+         WHEN lat >= 72 AND lat <= 84 AND lon >= 21 AND lon < 33 THEN 35
+         WHEN lat >= 72 AND lat <= 84 AND lon >= 33 AND lon < 42 THEN 37
+         ELSE least(greatest(CAST(floor((lon + 180) / 6) AS INTEGER) + 1,
+                             1), 60)
+       END"""
+
+
+@register(
+    "p6_epsg_sentinel_filter",
+    oracle=f"""
+    WITH pts AS (
+        SELECT s_suppkey,
+               CAST((s_suppkey * 13) % 400 - 200 + 0.5 AS DOUBLE) AS lon,
+               CAST((s_suppkey * 17) % 160 - 80 + 0.5 AS DOUBLE) AS lat
+        FROM supplier
+    ),
+    coded AS (
+        SELECT s_suppkey,
+               CAST(CASE
+                 WHEN lon < -180 OR lon >= 180 THEN 0
+                 WHEN lat > 75 THEN 3413
+                 WHEN lat < -60 THEN 3031
+                 WHEN lat >= 0 THEN 32600 + {_P6_ZONE_SQL}
+                 ELSE 32700 + {_P6_ZONE_SQL}
+               END AS INTEGER) AS epsg
+        FROM pts
+    )
+    SELECT epsg, CAST(count(*) AS BIGINT) AS n_frames
+    FROM coded WHERE epsg != 0 GROUP BY epsg
+    """,
+    tags=("P6", "filter", "sentinel", "geo"),
+)
+def p6_epsg_sentinel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 (build_frame_db.py:429 `WHERE epsg != 0`): frames whose
+    geometry couldn't be classified carry the 0 sentinel instead of a
+    NULL, and every consumer filters them out before zone rollups. Here
+    ~45 % of the synthetic points land outside the valid longitude
+    domain and take the sentinel; the filter (which pushes to the
+    projection, no shuffle before the aggregate) must drop exactly
+    those."""
+    from burst_db_spark.geo.bbox import utm_epsg_expr
+
+    supp = load(spark, sf_dir, "supplier")
+    lon = ((F.col("s_suppkey") * 13) % 400 - 200 + 0.5).cast("double")
+    lat = ((F.col("s_suppkey") * 17) % 160 - 80 + 0.5).cast("double")
+    coded = supp.select(
+        "s_suppkey",
+        F.when((lon < -180) | (lon >= 180), F.lit(0))
+        .otherwise(utm_epsg_expr(lon, lat))
+        .cast("int")
+        .alias("epsg"),
+    )
+    return (
+        coded.where(F.col("epsg") != 0)
+        .groupBy("epsg")
+        .agg(F.count("*").cast("bigint").alias("n_frames"))
+    )

@@ -67,6 +67,18 @@ PROBE_QUERIES = [
     "w10_scd2_intervals",
     "w11_funnel",
     "a23_cohort_retention",
+    # round-5 operators (subquery decorrelation + BPE invariant); g1
+    # joins now that the timing bracket includes in-build actions
+    "q4_order_priority",
+    "q12_late_priority",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_volume",
+    "q20_part_shippers",
+    "q21_suppliers_waiting",
+    "q22_global_sales_opportunity",
+    "t_bpe_reconstruction",
+    "g1_pagerank3",
 ]
 
 # keys to shift per replica so replicated rows don't collapse into the
@@ -163,7 +175,11 @@ def spatial_cd_probe(spark, n_small: int, factor: int) -> dict[str, float]:
     spot, inflating OUTPUT quadratically — that measures the data
     generator, not the plan. Here linear-ish ratios are plan evidence:
     candidate generation is bucket-local, not O(N·M)."""
-    from burst_db_spark.operators.spatial_join import grid_bbox_join, grid_nn_join
+    from burst_db_spark.operators.spatial_join import (
+        grid_bbox_join,
+        grid_nn_join,
+        release_grid_nn,
+    )
 
     out: dict[str, float] = {}
     for label, n in (("", n_small), ("_big", n_small * factor)):
@@ -185,12 +201,14 @@ def spatial_cd_probe(spark, n_small: int, factor: int) -> dict[str, float]:
             "rid", F.col("rxmin").alias("sx"), F.col("rymin").alias("sy")
         )
         t0 = time.perf_counter()
-        grid_nn_join(
+        res = grid_nn_join(
             probes, points, probe_key="lid", probe_xy=("px", "py"),
             point_xy=("sx", "sy"), cell_size=24.0, point_cols=("rid",),
             tie_break="rid",
-        ).write.format("noop").mode("overwrite").save()
+        )
+        res.write.format("noop").mode("overwrite").save()
         out[f"knn_grid_cd{label}"] = round(time.perf_counter() - t0, 2)
+        release_grid_nn(res)
     return out
 
 
