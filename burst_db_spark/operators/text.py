@@ -345,3 +345,37 @@ def curriculum_buckets_scalable(
         .withColumn(out_col, bucket.cast("int"))
         .drop("__pid", "__off")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """RAG-style character-window chunking with overlap: chunk k covers
+    [k*stride, k*stride + size); starts are 0, stride, 2*stride, ...
+    while start < len(text), so every character lands in >= 1 chunk and
+    consecutive chunks overlap by (size - stride).
+
+    Scale shape: a pure map — sequence+explode (no UDF, no shuffle);
+    the chunk count per doc is ceil-bounded by len/stride, so output
+    size is a fixed multiple of input size. Downstream embedding or
+    indexing stages shuffle on their own keys; chunking itself adds no
+    exchange (plan-testable).
+    """
+    n_chunks = (F.greatest(F.length(text_col), F.lit(1)) - 1) / F.lit(stride)
+    return (
+        df.withColumn(
+            "chunk_idx",
+            F.explode(F.sequence(F.lit(0), n_chunks.cast("int"))),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.expr(
+                f"substring({text_col}, chunk_idx * {stride} + 1, {size})"
+            ).alias("chunk"),
+        )
+    )

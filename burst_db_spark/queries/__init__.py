@@ -48,7 +48,7 @@ for _m in _MODULES:
 
 # The driver's correctness gate samples a PREFIX of the registration order
 # (~50 rows/round). Round-5 rotation policy:
-#   1. the 13 new round-5 queries lead (no driver evidence exists);
+#   1. the 16 new round-5 queries lead (no driver evidence exists);
 #   2. one multimodal slot stays in every round's prefix (codec
 #      regressions must surface) — mm_features this round;
 #   3. then the 46 stale rows VERDICT r4 flagged (last green r1/r2):
@@ -73,6 +73,9 @@ _SAMPLING_PRIORITY = (
     "q20_part_shippers",        # nested IN -> stacked semi joins
     "q22_global_sales_opportunity",  # NOT EXISTS + uncorrelated scalars
     "p6_epsg_sentinel_filter",  # P6 promoted to an oracle row
+    "t_chunk_documents",        # RAG chunking (map-only, overlap windows)
+    "t_lm_quality_gate",        # LM-score corpus filter composition
+    "stream_stream_join",       # rows-only: two-sided watermarked join
     # -- multimodal rotation slot --
     "mm_features",
     # -- stale: last green r1 --

@@ -618,3 +618,161 @@ def p6_epsg_sentinel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("epsg")
         .agg(F.count("*").cast("bigint").alias("n_frames"))
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG-style document chunking (map-only, no exchange)
+
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 200, 150
+
+
+@register(
+    "t_chunk_documents",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           CAST(len(substr(text, CAST(i * {_CHUNK_STRIDE} + 1 AS INTEGER),
+                           {_CHUNK_SIZE})) AS INTEGER) AS chunk_len,
+           md5(substr(text, CAST(i * {_CHUNK_STRIDE} + 1 AS INTEGER),
+                      {_CHUNK_SIZE})) AS chunk_md5
+    FROM documents,
+         unnest(range(0, ((greatest(len(text), 1) - 1)
+                          // {_CHUNK_STRIDE}) + 1)) AS r(i)
+    """,
+    tags=("text", "rag", "chunking"),
+)
+def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking: overlapping character windows (size 200,
+    stride 150) per document — every char covered, consecutive chunks
+    overlap by 50. Pure sequence+explode map (no UDF, no shuffle —
+    plan-tested); md5 stands in for the chunk payload so the driver
+    compare hashes fixed-width values."""
+    from burst_db_spark.operators.text import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, "doc_id", size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.length("chunk").cast("int").alias("chunk_len"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LM-score quality gate: model-based corpus filtering composition
+
+
+_LM_GATE_THRESHOLD = 0.0339  # ≈ corpus median mean_p — keeps ~half
+
+
+def _lm_gate_oracle() -> str:
+    from burst_db_spark.operators import lm
+    from burst_db_spark.queries.retrieval import _TOKS
+
+    return f"""
+    WITH scores AS ({lm.bigram_lm_oracle_sql(_TOKS)})
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(s.n_bigrams) AS BIGINT) AS total_bigrams
+    FROM documents d JOIN scores s ON s.doc_id = d.doc_id
+    WHERE s.mean_p >= {_LM_GATE_THRESHOLD}
+    GROUP BY d.source
+    """
+
+
+@register(
+    "t_lm_quality_gate",
+    oracle=_lm_gate_oracle(),
+    tags=("text", "lm", "quality", "pipeline"),
+)
+def t_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style model-based filtering: score every doc with the
+    corpus-trained bigram LM, keep docs at/above the median-ish
+    threshold, roll survivors up per source. The score is a
+    position-ordered fold (bit-identical across engines), so the
+    threshold comparison — normally a cross-engine hazard — is exact
+    by construction. At 100 TB this is score-broadcast + map-side
+    filter; the only exchange is the final per-source rollup."""
+    from burst_db_spark.operators import lm
+
+    docs = load(spark, sf_dir, "documents")
+    scores = lm.bigram_lm_scores(docs, "doc_id")
+    kept = scores.where(F.col("mean_p") >= _LM_GATE_THRESHOLD)
+    return (
+        docs.join(kept, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs_kept"),
+            F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9: STREAM-STREAM windowed join (two watermarked sides)
+
+
+@register(
+    "stream_stream_join",
+    oracle=None,  # two live stream sides; pair-complete equivalence vs
+    # the batch interval join is pinned by
+    # tests/test_streaming.py::test_stream_stream_join_matches_batch
+    tags=("Str", "stream-stream", "interval-join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join — the §2.9 shape none of the suite's
+    stream-static queries exercise: views and purchases arrive as two
+    independent watermarked streams and join on user within a 1-hour
+    event-time range (purchase after the view, within an hour). State
+    on both sides is bounded by watermark + range — the always-on
+    attribution pipeline at 100 TB. availableNow drain; the pair set
+    must equal the batch interval join (pytest-pinned)."""
+    import tempfile
+    import uuid
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id",
+                                              "event_type")
+    tmp = tempfile.mkdtemp(prefix="bds_ss_join_")
+    views = ev.where(F.col("event_type") == "view")
+    buys = ev.where(F.col("event_type") == "purchase")
+    views.coalesce(2).write.parquet(f"{tmp}/views")
+    buys.coalesce(2).write.parquet(f"{tmp}/buys")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    vs = (
+        spark.readStream.format("parquet").schema(schema)
+        .load(f"{tmp}/views")
+        .withWatermark("ts", "2 hours")
+        .select(F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"), "user_id")
+    )
+    bs = (
+        spark.readStream.format("parquet").schema(schema)
+        .load(f"{tmp}/buys")
+        .withWatermark("ts", "2 hours")
+        .select(F.col("event_id").alias("buy_id"),
+                F.col("ts").alias("buy_ts"),
+                F.col("user_id").alias("buyer_id"))
+    )
+    joined = vs.join(
+        bs,
+        (F.col("user_id") == F.col("buyer_id"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "view_id", "buy_id")
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -257,3 +257,12 @@ def test_correlated_subqueries_decorrelate(spark):
                        ("q22", q22)):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_chunking_is_map_only(spark):
+    """RAG chunking must be a pure map: sequence+explode+substring, no
+    Exchange, no Join, no UDF — it streams at scan speed."""
+    plan = _plan("t_chunk_documents", spark)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Generate" in plan  # the explode

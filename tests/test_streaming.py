@@ -145,3 +145,37 @@ def test_watermark_append_drops_late_rows(spark, tmp_path):
         "2024-03-01 12:00:00": 1,   # end 13:00 <= final wm 13:00
         # 14:00 window still open at termination -> not emitted
     }
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Stream-STREAM inner join (views x purchases, 1h event-time range,
+    both sides watermarked) must produce exactly the batch interval
+    join's pair set when all data is drained with availableNow."""
+    from burst_db_spark.catalog import load
+    from burst_db_spark.registry import all_queries
+
+    got = all_queries()["stream_stream_join"].build(spark, SF_DIR)
+    stream_pairs = {(r.user_id, r.view_id, r.buy_id) for r in got.collect()}
+
+    ev = load(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts"),
+        "user_id",
+    )
+    b = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"), F.col("ts").alias("buy_ts"),
+        F.col("user_id").alias("buyer_id"),
+    )
+    batch = v.join(
+        b,
+        (F.col("user_id") == F.col("buyer_id"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    batch_pairs = {
+        (r.user_id, r.view_id, r.buy_id) for r in batch.collect()
+    }
+    assert stream_pairs == batch_pairs
+    assert len(stream_pairs) > 0
