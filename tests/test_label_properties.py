@@ -119,3 +119,24 @@ def test_curriculum_scalable_equals_global_ntile(spark):
         ).collect()
     }
     assert got == {2: 1, 1: 2}
+
+
+def test_cc_local_and_iterative_paths_agree(spark):
+    """The gated local union-find and the distributed min-label loop
+    must produce the identical (id, cluster_id) relation."""
+    from burst_db_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long",
+    )
+    verts = spark.createDataFrame([(i,) for i in
+        [1, 2, 3, 10, 11, 20, 21, 22, 99]], "doc_id long")
+    local = {(r.doc_id, r.cluster_id) for r in
+             connected_components(pairs, verts, "doc_id").collect()}
+    dist = {(r.doc_id, r.cluster_id) for r in
+            connected_components(pairs, verts, "doc_id",
+                                 local_edge_gate=0).collect()}
+    assert local == dist
+    assert (99, 99) in local          # isolated vertex labels itself
+    assert (3, 1) in local and (22, 20) in local
