@@ -52,8 +52,10 @@ for _m in _MODULES:
 #   2. one multimodal slot stays in every round's prefix (codec
 #      regressions must surface) — mm_features this round;
 #   3. then the 46 stale rows VERDICT r4 flagged (last green r1/r2):
-#      the 17 r1-latest first, then the 29 r2-latest — after this round
-#      nothing in the registry should be older than r3;
+#      the 17 r1-latest first, then the 29 r2-latest. With 16 new
+#      queries ahead of them, the ~51-row sample covers the new set +
+#      mm + ~34 stale; the ~12 that slip lead round 6's prefix (all 46
+#      are strict-green locally on current data this session);
 #   4. r3/r4-green names stay behind the prefix in rough risk order.
 # Names not listed keep their module registration order after the
 # prefix; unknown names are ignored (lets planned queries pre-register).

@@ -79,6 +79,8 @@ PROBE_QUERIES = [
     "q22_global_sales_opportunity",
     "t_bpe_reconstruction",
     "g1_pagerank3",
+    "t_chunk_documents",
+    "t_lm_quality_gate",
 ]
 
 # keys to shift per replica so replicated rows don't collapse into the
