@@ -223,3 +223,63 @@ def pagerank_oracle_sql(
     {",".join(it_ctes)}
     SELECT v AS id, p AS rank FROM {prev}
     """
+
+
+def triangle_stats(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """One-row (n_vertices, n_edges, n_wedges, n_triangles) for an
+    undirected simple graph given as canonical edges (a < b, distinct).
+
+    Degree-ORIENTED counting (Suri & Vassilvitskii's "curse of the last
+    reducer" fix): each edge is directed from its lower-(degree, id)
+    endpoint to the higher one, wedges are enumerated only at each
+    wedge's minimum-rank vertex, and a wedge closes iff the canonical
+    edge between its two out-endpoints exists. Every triangle is counted
+    exactly once, and the per-vertex enumeration cost is
+    O(out_deg²) where out-degree is bounded by O(sqrt(E)) — a star
+    graph's hub emits NO wedges (all its edges point outward-by-degree),
+    so the classic skew blowup (hub deg² wedges on one reducer) never
+    materializes. Triangle count is orientation-invariant, so the naive
+    SQL oracle reproduces the identical integer.
+
+    n_wedges is the UNORIENTED path-of-length-2 count Σ_v C(deg_v, 2) —
+    with n_triangles it yields the global clustering coefficient
+    3·T/W without ever materializing the wedge set.
+    """
+    va = F.col(a)
+    vb = F.col(b)
+    verts = edges.select(va.alias("v")).unionByName(edges.select(vb.alias("v")))
+    deg = verts.groupBy("v").agg(F.count("*").cast("long").alias("deg"))
+
+    ed = (
+        edges.join(deg.withColumnRenamed("v", a).withColumnRenamed("deg", "__da"), a)
+        .join(deg.withColumnRenamed("v", b).withColumnRenamed("deg", "__db"), b)
+    )
+    a_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (va < vb)
+    )
+    oriented = ed.select(
+        F.when(a_first, va).otherwise(vb).alias("src"),
+        F.when(a_first, vb).otherwise(va).alias("dst"),
+    )
+    o1 = oriented.select(F.col("src"), F.col("dst").alias("__w1"))
+    o2 = oriented.select(F.col("src"), F.col("dst").alias("__w2"))
+    wedges_o = o1.join(o2, "src").where(F.col("__w1") < F.col("__w2"))
+    closing = edges.select(F.col(a).alias("__w1"), F.col(b).alias("__w2"))
+    tri = wedges_o.join(closing, ["__w1", "__w2"], "left_semi")
+
+    n_edges = edges.count()
+    n_verts = deg.count()
+    n_wedges = (
+        deg.agg(F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long")).first()[0]
+        or 0
+    )
+    n_tri = tri.count()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(int(n_verts), int(n_edges), int(n_wedges), int(n_tri))],
+        "n_vertices bigint, n_edges bigint, n_wedges bigint, n_triangles bigint",
+    )

@@ -776,3 +776,184 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Graph: degree-oriented triangle counting
+
+
+@register(
+    "g2_triangle_stats",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        WHERE l_orderkey % 20 = 0
+    ),
+    e AS (
+        SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        FROM li x JOIN li y
+          ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    ),
+    deg AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_vertices,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT)
+               AS n_wedges,
+           CAST((SELECT count(*)
+                 FROM e e1
+                 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                 JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS BIGINT)
+               AS n_triangles
+    """,
+    tags=("graph", "triangles", "clustering-coefficient"),
+)
+def g2_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the supplier co-occurrence graph (suppliers
+    linked when they ship in the same sampled order). Spark counts with
+    the degree-ORIENTED wedge join (each wedge enumerated only at its
+    minimum-(degree,id) vertex, out-degree bounded by O(sqrt E)) — the
+    skew-proof formulation; the oracle counts naively. Triangle count
+    is orientation-invariant, so the integers match exactly. n_wedges
+    with n_triangles gives the global clustering coefficient without
+    materializing wedges."""
+    from burst_db_spark.operators.graph import triangle_stats
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    x = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("a"))
+    y = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("b"))
+    edges = (
+        x.join(y, "k")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return triangle_stats(edges)
+
+
+# ---------------------------------------------------------------------------
+# W12: calendar gap-fill + linear interpolation (time-series repair)
+
+
+@register(
+    "w12_linear_interpolation",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS day,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18, 6)))
+                    AS DECIMAL(28, 6)) AS DOUBLE) AS val
+        FROM events
+        WHERE user_id % 53 = 0
+        GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    cal AS (
+        SELECT t.event_type, CAST(d.day AS DATE) AS day
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN (SELECT unnest(generate_series(DATE '2024-01-01',
+                                DATE '2024-01-30', INTERVAL 1 DAY)) AS day) d
+    ),
+    joined AS (
+        SELECT c.event_type, c.day, daily.val
+        FROM cal c LEFT JOIN daily
+          ON daily.event_type = c.event_type AND daily.day = c.day
+    ),
+    ctx AS (
+        SELECT event_type, day, val,
+               last_value(val IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN val IS NOT NULL THEN day END
+                          IGNORE NULLS) OVER w_prev AS pd,
+               first_value(val IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN val IS NOT NULL THEN day END
+                           IGNORE NULLS) OVER w_next AS nd
+        FROM joined
+        WINDOW w_prev AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, day,
+           CASE
+             WHEN val IS NOT NULL THEN val
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv)
+                  * (CAST(datediff('day', pd, day) AS DOUBLE)
+                     / CAST(datediff('day', pd, nd) AS DOUBLE))
+           END AS filled,
+           (val IS NULL) AS was_gap
+    FROM ctx
+    """,
+    tags=("W12", "timeseries", "interpolation", "gap-fill"),
+)
+def w12_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series repair: a sparse per-type daily series (a thin user
+    cohort leaves missing days) is joined onto the full calendar and
+    gaps are LINEARLY interpolated between the nearest observed
+    neighbors (edges extend the nearest value). Two windows per key —
+    running last-non-null backward and first-non-null forward — give
+    prev/next anchors in one partition pass each; the weight is an
+    exact integer-day ratio, so the doubles match the oracle
+    bit-for-bit."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") % 53 == 0)
+    daily = (
+        ev.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("val")
+        )
+    )
+    types = daily.select("event_type").distinct()
+    cal = types.crossJoin(
+        spark.sql(
+            "SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-30', "
+            "INTERVAL 1 DAY)) AS day"
+        )
+    )
+    joined = cal.join(daily, ["event_type", "day"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("val").isNotNull(), F.col("day"))
+    ctx = joined.select(
+        "event_type",
+        "day",
+        "val",
+        F.last("val", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("val", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    frac = F.datediff("day", "pd").cast("double") / F.datediff(
+        "nd", "pd"
+    ).cast("double")
+    return ctx.select(
+        "event_type",
+        "day",
+        F.when(F.col("val").isNotNull(), F.col("val"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .alias("filled"),
+        F.col("val").isNull().alias("was_gap"),
+    )

@@ -422,3 +422,26 @@ def test_pagerank_star_graph_bounded_fold(spark):
     )
     assert len(occupancy) == PR_FOLD_BUCKETS  # every bucket used
     assert max(r["count"] for r in occupancy) < 3 * (n // PR_FOLD_BUCKETS)
+
+
+def test_triangle_stats_known_graphs(spark):
+    from burst_db_spark.operators.graph import triangle_stats
+
+    # K4: 4 triangles + a pendant vertex; wedges = 3*C(3,2)+C(4,2)... 
+    # compute directly: degs = [3,3,3,4,1] -> wedges = 3+3+3+6+0 = 15
+    k4_plus = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    e = spark.createDataFrame(k4_plus, "a long, b long")
+    r = triangle_stats(e).first()
+    assert (r.n_vertices, r.n_edges, r.n_triangles) == (5, 7, 4)
+    assert r.n_wedges == 15
+
+    # star graph: the skew case — hub degree n-1, ZERO triangles, and
+    # the oriented formulation enumerates no wedge at the hub (all hub
+    # edges point outward by degree), so no reducer sees deg^2 work
+    n = 200
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, n)], "a long, b long"
+    )
+    rs = triangle_stats(star).first()
+    assert rs.n_triangles == 0
+    assert rs.n_wedges == (n - 1) * (n - 2) // 2  # unoriented count
