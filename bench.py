@@ -85,6 +85,10 @@ HEADLINE = [
     "q21_suppliers_waiting",
     "q22_global_sales_opportunity",
     "t_bpe_reconstruction",
+    "t_chunk_documents",
+    "t_lm_quality_gate",
+    "g2_triangle_stats",
+    "w12_linear_interpolation",
 ]
 
 

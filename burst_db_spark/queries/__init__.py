@@ -48,7 +48,7 @@ for _m in _MODULES:
 
 # The driver's correctness gate samples a PREFIX of the registration order
 # (~50 rows/round). Round-5 rotation policy:
-#   1. the 18 new round-5 queries lead (no driver evidence exists);
+#   1. the 19 new round-5 queries lead (no driver evidence exists);
 #   2. one multimodal slot stays in every round's prefix (codec
 #      regressions must surface) — mm_features this round;
 #   3. then the 46 stale rows VERDICT r4 flagged (last green r1/r2):
@@ -80,6 +80,7 @@ _SAMPLING_PRIORITY = (
     "stream_stream_join",       # rows-only: two-sided watermarked join
     "g2_triangle_stats",        # degree-oriented triangle census
     "w12_linear_interpolation", # calendar gap-fill + linear interp
+    "stream_upsert_snapshot",   # foreachBatch keyed MERGE, oracle-checked
     # -- multimodal rotation slot --
     "mm_features",
     # -- stale: last green r1 --

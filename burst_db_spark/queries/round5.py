@@ -957,3 +957,61 @@ def w12_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("filled"),
         F.col("val").isNull().alias("was_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9: foreachBatch keyed upsert (SCD1 streaming MERGE) — oracle-checked
+
+
+@register(
+    "stream_upsert_snapshot",
+    oracle="""
+    SELECT user_id,
+           CAST(max(event_id) AS BIGINT) AS version,
+           arg_max(event_type, event_id) AS payload
+    FROM events GROUP BY user_id
+    """,
+    tags=("Str", "upsert", "merge", "foreachBatch"),
+)
+def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE (SCD1): per-user event deliveries arrive as two
+    mtime-ordered micro-batches and foreachBatch-upsert into a parquet
+    snapshot — highest version (the unique event_id) wins per key. The
+    final snapshot must equal the batch per-key arg-max over ALL
+    deliveries, which IS the DuckDB oracle — so the streaming merge
+    path gets a real hash-checked row, not just a pytest."""
+    import tempfile
+
+    from burst_db_spark.streaming.upsert import upsert_stream_to_parquet
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.col("event_id").alias("version"),
+        F.col("event_type").alias("payload"),
+    )
+    tmp = tempfile.mkdtemp(prefix="bds_upsert_")
+    ev.where(F.col("version") % 2 == 0).coalesce(2).write.parquet(f"{tmp}/in/b0")
+    ev.where(F.col("version") % 2 == 1).coalesce(2).write.parquet(f"{tmp}/in/b1")
+    now = 1_700_000_000
+    for sub, t in (("b0", now), ("b1", now + 3600)):
+        d = f"{tmp}/in/{sub}"
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (t, t))
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("user_id long, version long, payload string")
+        .option("maxFilesPerTrigger", "1")
+        .load(f"{tmp}/in/*")
+    )
+    snap = f"{tmp}/snapshot"
+    q = upsert_stream_to_parquet(
+        stream, snap, key="user_id", version_col="version",
+        checkpoint=f"{tmp}/ckpt",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(snap).select(
+        "user_id",
+        F.col("version").cast("bigint").alias("version"),
+        "payload",
+    )

@@ -81,6 +81,8 @@ PROBE_QUERIES = [
     "g1_pagerank3",
     "t_chunk_documents",
     "t_lm_quality_gate",
+    "g2_triangle_stats",
+    "w12_linear_interpolation",
 ]
 
 # keys to shift per replica so replicated rows don't collapse into the

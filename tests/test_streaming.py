@@ -179,3 +179,50 @@ def test_stream_stream_join_matches_batch(spark):
     }
     assert stream_pairs == batch_pairs
     assert len(stream_pairs) > 0
+
+
+def test_foreachbatch_upsert_scd1(spark, tmp_path):
+    """Keyed streaming MERGE: three mtime-ordered micro-batches upsert
+    into a parquet snapshot; latest version per key wins, redelivery of
+    the same version overwrites, unseen keys insert. Final snapshot
+    must equal the batch per-key winner over all deliveries."""
+    import os
+
+    from burst_db_spark.streaming.upsert import upsert_stream_to_parquet
+
+    batches = [
+        [(1, 1, "a1"), (2, 1, "b1"), (3, 1, "c1")],
+        [(2, 2, "b2"), (4, 1, "d1")],          # update k2, insert k4
+        [(1, 1, "a1-redelivered"), (3, 3, "c3")],  # same-version redelivery
+    ]
+    in_dir = tmp_path / "up_in"
+    for i, rows in enumerate(batches):
+        d = str(in_dir / f"b{i}")
+        spark.createDataFrame(rows, "k long, version long, payload string") \
+            .coalesce(1).write.parquet(d)
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (1_700_000_000 + i * 3600,) * 2)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("k long, version long, payload string")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(in_dir / "*"))
+    )
+    snap_dir = str(tmp_path / "snapshot")
+    q = upsert_stream_to_parquet(
+        stream, snap_dir, key="k", version_col="version",
+        checkpoint=str(tmp_path / "up_ckpt"),
+    )
+    q.awaitTermination()
+
+    got = {
+        r.k: (r.version, r.payload)
+        for r in spark.read.parquet(snap_dir).collect()
+    }
+    assert got == {
+        1: (1, "a1-redelivered"),  # same version: incoming row wins
+        2: (2, "b2"),
+        3: (3, "c3"),
+        4: (1, "d1"),
+    }
