@@ -89,6 +89,17 @@ HEADLINE = [
     "t_lm_quality_gate",
     "g2_triangle_stats",
     "w12_linear_interpolation",
+    # round-5b: the ten TPC-H shapes completing all 22
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q19_discounted_revenue",
 ]
 
 

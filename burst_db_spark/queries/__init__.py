@@ -33,6 +33,7 @@ _MODULES = (
     "slayer",
     "spatial",
     "textops",
+    "tpch2",
     "windows",
     "windows2",
 )
@@ -81,6 +82,17 @@ _SAMPLING_PRIORITY = (
     "g2_triangle_stats",        # degree-oriented triangle census
     "w12_linear_interpolation", # calendar gap-fill + linear interp
     "stream_upsert_snapshot",   # foreachBatch keyed MERGE, oracle-checked
+    # -- round-5b: the ten TPC-H shapes completing all 22 --
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q19_discounted_revenue",
     # -- multimodal rotation slot --
     "mm_features",
     # -- stale: last green r1 --

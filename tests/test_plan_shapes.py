@@ -266,3 +266,78 @@ def test_chunking_is_map_only(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Generate" in plan  # the explode
+
+
+def test_q6_all_predicates_pushed_single_agg(spark):
+    """TPC-H Q6 is the canonical pushdown probe: every predicate (two
+    timestamp bounds, the discount range, the quantity cap) must reach
+    the parquet scan, and the plan is scan -> partial agg -> one
+    exchange -> final agg."""
+    plan = _plan("q6_forecast_revenue", spark)
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate,1997-01-01",
+        "LessThan(l_shipdate,1998-01-01",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in pushed, (frag, pushed)
+    assert plan.count("HashAggregate (") == 2  # partial + final
+
+
+def test_q19_disjunction_decomposes_per_table(spark):
+    """TPC-H Q19's cross-table OR can't push down whole, but Catalyst
+    must derive the single-table residues: a quantity-bounds OR on the
+    lineitem scan and a (brand,size) OR on the part scan. Losing either
+    means scanning the full fact for a ~1% selection."""
+    plan = _plan("q19_discounted_revenue", spark)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    li_push = next(l for l in pushed if "l_quantity" in l)
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in li_push
+    assert "LessThanOrEqual(l_quantity,30.0)" in li_push
+    p_push = next(l for l in pushed if "p_brand" in l)
+    assert "EqualTo(p_brand,Brand#12)" in p_push
+    assert "GreaterThanOrEqual(p_size,1)" in p_push
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_outer_join_preserved_with_pushed_residual(spark):
+    """Q13's priority predicate lives in the JOIN condition; it must
+    (a) not turn the outer join inner and (b) still push to the orders
+    scan (it references only the inner side)."""
+    plan = _plan("q13_order_count_distribution", spark)
+    assert "LeftOuter" in plan
+    assert any(
+        "Not(EqualTo(o_orderpriority,1-URGENT))" in l
+        for l in plan.splitlines()
+        if "PushedFilters" in l
+    ), plan
+
+
+def test_scalar_aggregate_broadcasts_one_row(spark):
+    """q11/q15 compare per-group aggregates against a global scalar.
+    The scalar must arrive as a 1-row broadcast (BNLJ build side is the
+    1-row aggregate), never a CartesianProduct, and the fact side must
+    not re-shuffle for it."""
+    for name in ("q11_important_stock", "q15_top_supplier"):
+        plan = _plan(name, spark)
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_q7_semi_reduces_before_fact_join(spark):
+    """Q7's nation pair filter must reach supplier/customer BEFORE the
+    fact joins (the data-dependent reduction Catalyst can't derive):
+    both nation scans carry the 2-nation OR pushed filter, and the
+    lineitem side joins the reduced supplier slice as a broadcast."""
+    plan = _plan("q7_volume_shipping", spark)
+    nation_pushes = [
+        l
+        for l in plan.splitlines()
+        if "PushedFilters" in l and "n_name" in l
+    ]
+    assert len(nation_pushes) >= 2, plan
+    for l in nation_pushes:
+        assert "NATION_1" in l and "NATION_2" in l
+    assert "BroadcastHashJoin" in plan
