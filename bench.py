@@ -100,6 +100,10 @@ HEADLINE = [
     "q14_promo_revenue",
     "q15_top_supplier",
     "q19_discounted_revenue",
+    "a24_moment_stats",
+    "a25_grouping_sets",
+    "t_token_budget_mix",
+    "t_ngram_overlap_score",
 ]
 
 

@@ -27,6 +27,7 @@ _MODULES = (
     "retrieval",
     "round4",
     "round5",
+    "round5b",
     "scalars",
     "similarity",
     "skewq",
@@ -93,6 +94,10 @@ _SAMPLING_PRIORITY = (
     "q14_promo_revenue",
     "q15_top_supplier",
     "q19_discounted_revenue",
+    "a24_moment_stats",
+    "a25_grouping_sets",
+    "t_token_budget_mix",
+    "t_ngram_overlap_score",
     # -- multimodal rotation slot --
     "mm_features",
     # -- stale: last green r1 --

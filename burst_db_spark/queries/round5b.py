@@ -1,0 +1,309 @@
+"""Round-5b widening: moment statistics from decimal-exact power sums,
+explicit GROUPING SETS, and two training-data-pipeline operators —
+token-budget mixture sampling and n-gram-overlap contamination scoring.
+
+Determinism notes (the reason these shapes look the way they do):
+- corr/variance are NOT computed with the engines' native stddev/corr
+  aggregates — those fold doubles in shuffle order and drift by ulps
+  between engines (and between runs). Instead the power sums
+  (n, Σx, Σx², Σy, Σy², Σxy) are folded as decimals (exact, any
+  order), and the moments come out of ONE double expression written
+  identically on both engines. This is also the scalable plan: six
+  partial-aggregated sums in one pass, no second scan, no sort.
+- the mixture sampler's keep decision is a salted-md5 order + running
+  token cumsum — a pure function of (salt, doc_id), so re-runs and
+  engines agree bit-for-bit (same convention as operators/packing.py).
+
+Reference parity: extends the reference's summary-stats surface
+(reference src/burst_db/utils.py summary queries) the way a Spark
+engine should — power sums, grouping sets, windowed budgets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from burst_db_spark.catalog import load
+from burst_db_spark.operators import dedup as dd
+from burst_db_spark.operators.text import token_count
+from burst_db_spark.queries.textops import _TOKS
+from burst_db_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# A24: moment statistics (variance / stddev / correlation) via power sums
+
+
+_MOMENTS_FINAL = """
+    SELECT event_type,
+           n_events,
+           sx / n AS mean_v,
+           (n * sxx - sx * sx) / (n * n) AS var_pop_v,
+           sqrt(n * sxx - sx * sx) / n AS std_pop_v,
+           (n * sxy - sx * sy)
+               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+               AS corr_vh
+    FROM sums
+    ORDER BY event_type
+"""
+
+
+@register(
+    "a24_moment_stats",
+    oracle=f"""
+    WITH sums AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18, 6)))
+                    AS DECIMAL(28, 6)) AS DOUBLE) AS sx,
+               CAST(CAST(sum(CAST(value * value AS DECIMAL(28, 10)))
+                    AS DECIMAL(38, 10)) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(hour(ts) AS BIGINT)) AS DOUBLE) AS sy,
+               CAST(sum(CAST(hour(ts) * hour(ts) AS BIGINT)) AS DOUBLE)
+                   AS syy,
+               CAST(CAST(sum(CAST(value * hour(ts) AS DECIMAL(18, 6)))
+                    AS DECIMAL(28, 6)) AS DOUBLE) AS sxy
+        FROM events
+        GROUP BY event_type
+    )
+    {_MOMENTS_FINAL}
+    """,
+    tags=("A24", "stats", "moments", "corr", "stddev"),
+)
+def a24_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mean / population variance / stddev / corr(value,
+    hour-of-day) from decimal-exact power sums: one scan, one exchange,
+    six partially-aggregated sums, and a single identical double
+    expression on both engines for the final moments. Native
+    stddev/corr would shuffle-order-drift; this is exact."""
+    ev = load(spark, sf_dir, "events")
+    hr = F.hour("ts")
+
+    def dsum(col: F.Column, p: str = "18,6", w: str = "28,6") -> F.Column:
+        return (
+            F.sum(col.cast(f"decimal({p})")).cast(f"decimal({w})").cast("double")
+        )
+
+    sums = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count("*").cast("double").alias("n"),
+        dsum(F.col("value")).alias("sx"),
+        dsum(F.col("value") * F.col("value"), "28,10", "38,10").alias("sxx"),
+        F.sum(hr.cast("bigint")).cast("double").alias("sy"),
+        F.sum((hr * hr).cast("bigint")).cast("double").alias("syy"),
+        dsum(F.col("value") * hr).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return (
+        sums.select(
+            "event_type",
+            "n_events",
+            (sx / n).alias("mean_v"),
+            ((n * sxx - sx * sx) / (n * n)).alias("var_pop_v"),
+            (F.sqrt(n * sxx - sx * sx) / n).alias("std_pop_v"),
+            (
+                (n * sxy - sx * sy)
+                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+            ).alias("corr_vh"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A25: explicit GROUPING SETS (completes ROLLUP / CUBE / GROUP BY ALL)
+
+
+@register(
+    "a25_grouping_sets",
+    oracle="""
+    SELECT r_name, o_orderpriority,
+           CAST(GROUPING(r_name, o_orderpriority) AS BIGINT)
+               AS grouping_level,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18, 6)))
+                AS DECIMAL(28, 6)) AS DOUBLE) AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name), ())
+    """,
+    tags=("A25", "grouping-sets", "rollup-family"),
+)
+def a25_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — (region, priority) detail, per-region
+    subtotal, grand total in one pass (an Expand node feeding ONE
+    partial-aggregated exchange, not three scans). The GROUPING bit
+    vector disambiguates subtotal NULLs; nation/region broadcast."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return (
+        joined.groupingSets(
+            [["r_name", "o_orderpriority"], ["r_name"], []],
+            "r_name",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("grouping_level"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            "r_name", "o_orderpriority", "grouping_level",
+            "n_orders", "total_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T: token-budget mixture sampling (per-domain budgets in TOKENS)
+
+
+_MIX_SALT = "mix5"
+_MIX_BUDGET = 1200
+
+
+@register(
+    "t_token_budget_mix",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+               md5(concat('{_MIX_SALT}:', CAST(doc_id AS VARCHAR))) AS h
+        FROM documents
+    ), cum AS (
+        SELECT source, doc_id, n_tok,
+               sum(n_tok) OVER (
+                   PARTITION BY source ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tok
+        FROM toks
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS kept_docs,
+           CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+    FROM cum
+    WHERE cum_tok <= {_MIX_BUDGET}
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("pipeline", "sampling", "token-budget", "mixture"),
+)
+def t_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling under a TOKEN budget (the unit that
+    matters for a training run, not doc counts): docs are ordered by a
+    salted md5 (deterministic shuffle), a per-source running token
+    cumsum admits docs while the budget lasts. One window per source
+    partition (range-partitioned by the window key — no global sort,
+    no skew: budgets bound each partition's useful prefix), then a tiny
+    per-source rollup. The keep decision is a pure function of
+    (salt, doc_id) — re-runs and engines agree exactly."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tok"),
+        F.md5(
+            F.concat_ws(":", F.lit(_MIX_SALT), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .where(F.col("cum_tok") <= _MIX_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("kept_docs"),
+            F.sum("n_tok").cast("bigint").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T: n-gram-overlap contamination scoring (graded, not just member/not)
+
+
+_BENCH_SOURCES = ("src0", "src1")
+
+
+@register(
+    "t_ngram_overlap_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, source,
+                  unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+           FROM toks),
+    bench AS (
+        SELECT DISTINCT shingle FROM sh
+        WHERE source IN {_BENCH_SOURCES!r}
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(b.shingle) AS BIGINT) AS n_matched,
+           CAST(count(b.shingle) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS overlap_frac
+    FROM sh s
+    LEFT JOIN bench b ON s.shingle = b.shingle
+    WHERE s.source NOT IN {_BENCH_SOURCES!r}
+    GROUP BY s.doc_id
+    ORDER BY overlap_frac DESC, s.doc_id
+    LIMIT 100
+    """,
+    tags=("pipeline", "decontamination", "ngram-overlap"),
+)
+def t_ngram_overlap_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded contamination score: for every training doc, the fraction
+    of its distinct trigram shingles that appear anywhere in the
+    held-out benchmark sources — the graded sibling of t_decontaminate's
+    binary verdict (thresholding is then a policy choice, not baked in).
+    The benchmark shingle set is eval-suite-sized by nature, so its
+    broadcast is a legitimate dim broadcast (same design as the Bloom
+    decontaminator); the per-doc aggregate runs on the training side's
+    existing (doc, shingle) partitioning. overlap_frac is an int/int
+    division in double — exact on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    # The source filter splits BEFORE shingling (pushed to the scan) —
+    # no doc-cardinality lookup join is ever needed.
+    bench = (
+        dd.doc_shingles(
+            docs.where(F.col("source").isin(*_BENCH_SOURCES)), "doc_id", n=3
+        )
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train = dd.doc_shingles(
+        docs.where(~F.col("source").isin(*_BENCH_SOURCES)), "doc_id", n=3
+    )
+    return (
+        train.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.count("__hit").cast("bigint").alias("n_matched"),
+            (
+                F.count("__hit").cast("double") / F.count("*").cast("double")
+            ).alias("overlap_frac"),
+        )
+        .orderBy(F.desc("overlap_frac"), "doc_id")
+        .limit(100)
+    )
