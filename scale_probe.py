@@ -83,6 +83,21 @@ PROBE_QUERIES = [
     "t_lm_quality_gate",
     "g2_triangle_stats",
     "w12_linear_interpolation",
+    # round-5b: TPC-H completion + stats/pipeline widening
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q19_discounted_revenue",
+    "a24_moment_stats",
+    "a25_grouping_sets",
+    "t_token_budget_mix",
+    "t_ngram_overlap_score",
 ]
 
 # keys to shift per replica so replicated rows don't collapse into the
