@@ -104,6 +104,8 @@ HEADLINE = [
     "a25_grouping_sets",
     "t_token_budget_mix",
     "t_ngram_overlap_score",
+    "f_array_gauntlet",
+    "w13_ntile_quartiles",
 ]
 
 

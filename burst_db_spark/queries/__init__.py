@@ -50,14 +50,16 @@ for _m in _MODULES:
 
 # The driver's correctness gate samples a PREFIX of the registration order
 # (~50 rows/round). Round-5 rotation policy:
-#   1. the 19 new round-5 queries lead (no driver evidence exists);
+#   1. the 33 new round-5 queries lead (no driver evidence exists yet):
+#      19 from the first half of the session, then the 10 TPC-H
+#      completions + 4 stats/pipeline queries from the second half;
 #   2. one multimodal slot stays in every round's prefix (codec
 #      regressions must surface) — mm_features this round;
-#   3. then the 46 stale rows VERDICT r4 flagged (last green r1/r2):
-#      the 17 r1-latest first, then the 29 r2-latest. With 16 new
-#      queries ahead of them, the ~51-row sample covers the new set +
-#      mm + ~34 stale; the ~12 that slip lead round 6's prefix (all 46
-#      are strict-green locally on current data this session);
+#   3. then the 46 stale rows VERDICT r4 flagged (last green r1/r2),
+#      r1-latest first. With 33 new queries ahead of them the ~51-row
+#      sample only reaches ~16 of the stale; the rest lead round 6's
+#      prefix (all 46 are strict-green locally on current data —
+#      new-query evidence outranks refreshing already-verified rows);
 #   4. r3/r4-green names stay behind the prefix in rough risk order.
 # Names not listed keep their module registration order after the
 # prefix; unknown names are ignored (lets planned queries pre-register).
@@ -98,6 +100,8 @@ _SAMPLING_PRIORITY = (
     "a25_grouping_sets",
     "t_token_budget_mix",
     "t_ngram_overlap_score",
+    "f_array_gauntlet",
+    "w13_ntile_quartiles",
     # -- multimodal rotation slot --
     "mm_features",
     # -- stale: last green r1 --

@@ -307,3 +307,149 @@ def t_ngram_overlap_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("overlap_frac"), "doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# F: higher-order array-function gauntlet over the embedding column
+
+
+@register(
+    "f_array_gauntlet",
+    oracle="""
+    WITH el AS (
+        SELECT vec_id,
+               CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                    AS DECIMAL(28, 10)) AS sq
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+    ), sums AS (
+        SELECT vec_id,
+               CAST(CAST(sum(sq) AS DECIMAL(38, 10)) AS DOUBLE) AS l2sq
+        FROM el GROUP BY vec_id
+    ), pairs AS (
+        SELECT vec_id,
+               unnest(embedding) AS a,
+               unnest(list_reverse(embedding)) AS b
+        FROM embeddings
+    ), rev AS (
+        SELECT vec_id,
+               CAST(CAST(sum(CAST(
+                   CAST(a AS DOUBLE) * CAST(b AS DOUBLE)
+                   AS DECIMAL(28, 10))) AS DECIMAL(38, 10)) AS DOUBLE)
+                   AS dot_rev
+        FROM pairs
+        GROUP BY vec_id
+    )
+    SELECT e.vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_v,
+           CAST(embedding[-1] AS DOUBLE) AS last_v,
+           CAST(list_min(embedding) AS DOUBLE) AS min_v,
+           CAST(list_max(embedding) AS DOUBLE) AS max_v,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           sums.l2sq,
+           rev.dot_rev
+    FROM embeddings e
+    JOIN sums ON e.vec_id = sums.vec_id
+    JOIN rev ON e.vec_id = rev.vec_id
+    ORDER BY e.vec_id
+    """,
+    tags=("F-array", "higher-order", "lambda"),
+)
+def f_array_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions staying entirely JVM-side (the fast
+    path for vector columns — no UDF, no Arrow hop): transform + filter
+    + aggregate + zip_with/reverse over array<float>. The float sums
+    fold through a DECIMAL accumulator inside F.aggregate, so l2sq and
+    the reversed-self dot product are bit-identical to the oracle's
+    unnest-and-sum — order-independent, shuffle-safe. All map-only:
+    zero exchanges except the output sort."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+
+    def dec_fold(arr: F.Column) -> F.Column:
+        # accumulator is (37,10), NOT (38,10): adding (38,10)+(28,10)
+        # would exceed precision 38 and Spark silently TRUNCATES THE
+        # SCALE to 9 to fit — a 1-ulp-per-element loss the oracle
+        # doesn't share. (37,10)+(28,10) -> (38,10) stays exact, and
+        # the cast back to (37,10) is lossless at these magnitudes.
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("decimal(37,10)"),
+            lambda acc, x: (acc + x).cast("decimal(37,10)"),
+        ).cast("double")
+
+    sq = F.transform(
+        v, lambda x: (x.cast("double") * x.cast("double")).cast("decimal(28,10)")
+    )
+    pr = F.zip_with(
+        v,
+        F.reverse(v),
+        lambda a, b: (a.cast("double") * b.cast("double")).cast("decimal(28,10)"),
+    )
+    return (
+        emb.select(
+            "vec_id",
+            F.size(v).alias("dim"),
+            F.element_at(v, 1).cast("double").alias("first_v"),
+            F.element_at(v, -1).cast("double").alias("last_v"),
+            F.array_min(v).cast("double").alias("min_v"),
+            F.array_max(v).cast("double").alias("max_v"),
+            F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+            dec_fold(sq).alias("l2sq"),
+            dec_fold(pr).alias("dot_rev"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W13: NTILE bucketing (completes the rank-family windows)
+
+
+@register(
+    "w13_ntile_quartiles",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_mktsegment,
+               c_acctbal,
+               ntile(4) OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal, c_custkey
+               ) AS quartile
+        FROM customer
+    )
+    SELECT c_mktsegment, CAST(quartile AS INTEGER) AS quartile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18, 6)))
+                AS DECIMAL(28, 6)) AS DOUBLE) AS balance_sum,
+           min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+    FROM ranked
+    GROUP BY c_mktsegment, quartile
+    ORDER BY c_mktsegment, quartile
+    """,
+    tags=("W13", "ntile", "window-rank-family"),
+)
+def w13_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) balance quartiles per market segment, rolled up to
+    per-bucket counts/sums. The window partitions by segment (5 keys —
+    acceptable width per partition here because the downstream agg
+    shares the same partitioning: one exchange total; for a
+    high-cardinality frame the range-partitioned rank in
+    t_curriculum_buckets is the scale path). c_custkey tie-break makes
+    bucket edges deterministic across engines."""
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("balance_sum"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )

@@ -78,7 +78,13 @@ def _norm(v):
     if isinstance(v, decimal.Decimal):
         return ("dec", str(v))
     if isinstance(v, float):
-        return round(v, 6)
+        # EXACT — the driver value-hashes str() of every cell, so the
+        # local mirror must not be more tolerant than the real gate.
+        # (A 6-dp round here once passed a query whose Spark decimal
+        # fold silently truncated scale 10 -> 9 on precision overflow;
+        # the driver hash would have caught it. rows_close() still
+        # classifies near-misses as ULP warnings for diagnosis.)
+        return v
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):
@@ -172,9 +178,17 @@ def main() -> int:
             print(f"WARN {name}: type-family mismatch {tmis}")
             n_warn += 1
         sn, dn = norm_rows(sp_tbl), norm_rows(du_tbl)
-        if not rows_close(sn, dn):
-            diffs = [(x, y) for x, y in zip(sn, dn) if x != y][:3]
-            print(f"FAIL {name}: values differ, e.g. {diffs}")
+        if sn != dn:
+            if rows_close(sn, dn):
+                # numerically near but NOT bit-exact: the driver's
+                # value hash WILL fail this — treat as a failure with
+                # a clearer label than a value diff.
+                diffs = [(x, y) for x, y in zip(sn, dn) if x != y][:3]
+                print(f"FAIL {name}: ULP drift (close, not exact), "
+                      f"e.g. {diffs}")
+            else:
+                diffs = [(x, y) for x, y in zip(sn, dn) if x != y][:3]
+                print(f"FAIL {name}: values differ, e.g. {diffs}")
             n_fail += 1
             continue
         print(f"ok   {name}: {sp_tbl.num_rows} rows, {time.time()-t0:.1f}s")
