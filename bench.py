@@ -106,6 +106,8 @@ HEADLINE = [
     "t_ngram_overlap_score",
     "f_array_gauntlet",
     "w13_ntile_quartiles",
+    "u4_full_outer_reconcile",
+    "s12_orc_roundtrip",
 ]
 
 

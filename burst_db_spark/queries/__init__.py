@@ -102,6 +102,8 @@ _SAMPLING_PRIORITY = (
     "t_ngram_overlap_score",
     "f_array_gauntlet",
     "w13_ntile_quartiles",
+    "u4_full_outer_reconcile",
+    "s12_orc_roundtrip",
     # -- multimodal rotation slot --
     "mm_features",
     # -- stale: last green r1 --

@@ -453,3 +453,122 @@ def w13_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "quartile")
     )
+
+
+# ---------------------------------------------------------------------------
+# U4: FULL OUTER reconciliation (completes the join-type family)
+
+
+@register(
+    "u4_full_outer_reconcile",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+    ), b AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '2001-01-01'
+    )
+    SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'dropped'
+                ELSE 'common' END AS delta_class,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(CAST(sum(CAST(coalesce(a.o_totalprice, b.o_totalprice)
+                AS DECIMAL(18, 6))) AS DECIMAL(28, 6)) AS DOUBLE)
+               AS total_price
+    FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    GROUP BY delta_class
+    ORDER BY delta_class
+    """,
+    tags=("U4", "full-outer", "reconcile"),
+)
+def u4_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation via FULL OUTER join — the join type the
+    suite hadn't demonstrated (U2 does the same workflow with
+    inner+anti forms): two overlapping order windows, rows classified
+    added/dropped/common by null side. The full outer shuffles both
+    sides on orderkey once; the classification and rollup ride the
+    join's partitioning."""
+    orders = load(spark, sf_dir, "orders")
+    a = orders.where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1999-01-01")
+    ).select(
+        F.col("o_orderkey").alias("a_key"), F.col("o_totalprice").alias("a_price")
+    )
+    b = orders.where(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "2001-01-01")
+    ).select(
+        F.col("o_orderkey").alias("b_key"), F.col("o_totalprice").alias("b_price")
+    )
+    return (
+        a.join(b, a.a_key == b.b_key, "full_outer")
+        .select(
+            F.when(F.col("a_key").isNull(), "added")
+            .when(F.col("b_key").isNull(), "dropped")
+            .otherwise("common")
+            .alias("delta_class"),
+            F.coalesce("a_price", "b_price").alias("price"),
+        )
+        .groupBy("delta_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("price").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("delta_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S12: ORC round-trip (columnar format breadth next to parquet/CSV/zarr)
+
+
+@register(
+    "s12_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 6)))
+                AS DECIMAL(28, 6)) AS DOUBLE) AS price_sum
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-07-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("S12", "orc", "roundtrip", "sink"),
+)
+def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip: a half-year lineitem slice is
+    written to ORC (zlib, Spark-native writer) and aggregated from the
+    ORC scan — the oracle recomputes from the original parquet, so the
+    row proves the round-trip is lossless including the NTZ timestamp
+    normalization. ORC predicate pushdown works like parquet's
+    (min/max stripes); the slice filter is applied pre-write so the
+    on-disk file is the pruned data."""
+    import tempfile
+
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-07-01")
+    ).select("l_returnflag", "l_extendedprice", "l_shipdate")
+    out = tempfile.mkdtemp(prefix="bds_orc_") + "/slice.orc"
+    li.write.format("orc").mode("overwrite").save(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("price_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
