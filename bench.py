@@ -108,6 +108,7 @@ HEADLINE = [
     "w13_ntile_quartiles",
     "u4_full_outer_reconcile",
     "s12_orc_roundtrip",
+    "f_udtf_sentences",
 ]
 
 

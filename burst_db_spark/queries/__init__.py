@@ -104,6 +104,7 @@ _SAMPLING_PRIORITY = (
     "w13_ntile_quartiles",
     "u4_full_outer_reconcile",
     "s12_orc_roundtrip",
+    "f_udtf_sentences",
     # -- multimodal rotation slot --
     "mm_features",
     # -- stale: last green r1 --

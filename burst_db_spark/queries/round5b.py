@@ -572,3 +572,68 @@ def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# F9b: a REAL Python UDTF (table function API surface, Spark 4)
+
+
+@register(
+    "f_udtf_sentences",
+    oracle=r"""
+    WITH s AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(
+                       string_split_regex(text, '[.!?]+'),
+                       x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))
+                   ),
+                   x -> x <> ''
+               ) AS sents
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(sents, 1) AS INTEGER) AS sent_idx,
+           unnest(sents) AS sentence
+    FROM s
+    ORDER BY doc_id, sent_idx
+    LIMIT 500
+    """,
+    tags=("F9", "udtf", "lateral"),
+)
+def f_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (the @udtf table-function API, used via LATERAL in
+    SQL): sentence-splits every document into (sent_idx, sentence)
+    rows. This row exists to exercise the UDTF API surface itself — the
+    engine's fast path for this job is the relational explode
+    (t_chunk_documents: sequence+explode, zero Python) — so the
+    docstring's scale advice is 'use the explode twin'; the UDTF is for
+    logic that genuinely needs per-row Python. The regex/trim semantics
+    are pinned to match DuckDB's RE2 split + explicit whitespace trim
+    exactly."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sent_idx int, sentence string")
+    class SentenceSplit:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF protocol
+            idx = 0
+            for piece in re.split(r"[.!?]+", text or ""):
+                piece = piece.strip(" \t\n\r")
+                if piece:
+                    idx += 1
+                    yield doc_id, idx, piece
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.sent_idx, t.sentence
+        FROM __docs_for_udtf d,
+             LATERAL sentence_split(d.doc_id, d.text) t
+        ORDER BY t.doc_id, t.sent_idx
+        LIMIT 500
+        """
+    )
