@@ -109,6 +109,7 @@ HEADLINE = [
     "u4_full_outer_reconcile",
     "s12_orc_roundtrip",
     "f_udtf_sentences",
+    "w2c_dynamic_gap_sessions",
 ]
 
 

@@ -105,6 +105,7 @@ _SAMPLING_PRIORITY = (
     "u4_full_outer_reconcile",
     "s12_orc_roundtrip",
     "f_udtf_sentences",
+    "w2c_dynamic_gap_sessions",
     # -- multimodal rotation slot --
     "mm_features",
     # -- stale: last green r1 --

@@ -637,3 +637,72 @@ def f_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 500
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# W2c: DYNAMIC-gap sessionization (per-event gap column)
+
+
+@register(
+    "w2c_dynamic_gap_sessions",
+    oracle="""
+    WITH g AS (
+        SELECT event_id, user_id, ts,
+               ts + CASE WHEN event_type = 'purchase'
+                         THEN INTERVAL 86400 SECONDS
+                         ELSE INTERVAL 21600 SECONDS END AS win_end
+        FROM events
+    ), marked AS (
+        SELECT event_id, user_id, ts, win_end,
+               CASE WHEN max(win_end) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR ts >= max(win_end) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+               THEN 1 ELSE 0 END AS new_session
+        FROM g
+    ), lab AS (
+        -- SAME total order (ts, event_id) as `marked`: with a
+        -- different tie-break, two equal-ts events could land on
+        -- opposite sides of the session-start row and split a session
+        -- Spark merges
+        SELECT user_id, ts, win_end,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, max(win_end) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM lab GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("W2c", "session_window", "dynamic-gap"),
+)
+def w2c_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window with a PER-EVENT gap expression (purchases hold a
+    session open 24 h, everything else 6 h) — the dynamic-gap variant
+    w2/w2b don't cover. Spark merges an event into the session when its
+    ts precedes the running max of earlier events' (ts + own gap); the
+    oracle states exactly that as an interval-island window (running
+    max of win_end over the preceding frame). One exchange on user_id,
+    same as fixed-gap sessionization."""
+    ev = load(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("86400 seconds")
+    ).otherwise(F.lit("21600 seconds"))
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), gap), F.col("user_id"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
