@@ -110,6 +110,7 @@ HEADLINE = [
     "s12_orc_roundtrip",
     "f_udtf_sentences",
     "w2c_dynamic_gap_sessions",
+    "t_curation_mix_pipeline",
 ]
 
 

@@ -106,6 +106,7 @@ _SAMPLING_PRIORITY = (
     "s12_orc_roundtrip",
     "f_udtf_sentences",
     "w2c_dynamic_gap_sessions",
+    "t_curation_mix_pipeline",
     # -- multimodal rotation slot --
     "mm_features",
     # -- stale: last green r1 --

@@ -706,3 +706,136 @@ def w2c_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# T: curation composition v2 — gate -> decontaminate(graded) -> budget mix
+
+
+_CUR_SALT = "cur5"
+_CUR_BUDGET = 800
+_CUR_MAX_OVERLAP = 0.5
+
+
+@register(
+    "t_curation_mix_pipeline",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    q AS (
+        SELECT doc_id,
+               CASE WHEN len({_TOKS}) < 5 THEN 0.0
+                    ELSE 1.0 - least(1.0,
+                         length(regexp_replace(text, '[^.!?,;]', '', 'g'))
+                         / greatest(len({_TOKS}), 1))
+               END AS quality_score
+        FROM documents
+    ),
+    kept0 AS (SELECT doc_id FROM q WHERE quality_score >= 0.5),
+    sh AS (SELECT doc_id, source,
+                  unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+           FROM toks),
+    bench AS (
+        SELECT DISTINCT shingle FROM sh
+        WHERE source IN {_BENCH_SOURCES!r}
+    ),
+    overlap AS (
+        SELECT s.doc_id,
+               CAST(count(b.shingle) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS frac
+        FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+        WHERE s.source NOT IN {_BENCH_SOURCES!r}
+        GROUP BY s.doc_id
+    ),
+    kept1 AS (
+        SELECT d.doc_id, d.source,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tok
+        FROM documents d
+        JOIN kept0 USING (doc_id)
+        LEFT JOIN overlap o ON d.doc_id = o.doc_id
+        WHERE d.source NOT IN {_BENCH_SOURCES!r}
+          AND coalesce(o.frac, 0.0) <= {_CUR_MAX_OVERLAP}
+    ),
+    cum AS (
+        SELECT source, doc_id, n_tok,
+               sum(n_tok) OVER (
+                   PARTITION BY source
+                   ORDER BY md5(concat('{_CUR_SALT}:',
+                                       CAST(doc_id AS VARCHAR)))
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tok
+        FROM kept1
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS kept_docs,
+           CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+    FROM cum
+    WHERE cum_tok <= {_CUR_BUDGET}
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("pipeline", "composition", "decontamination", "mixture"),
+)
+def t_curation_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5b curation chain as ONE Catalyst plan: quality gate
+    (score >= 0.5) -> graded trigram-overlap decontamination vs the
+    held-out benchmark sources (drop frac > 0.5; short docs with no
+    shingles pass) -> per-source TOKEN-budget mixture sampling (salted
+    cumsum) -> per-source accounting. Every stage is the scale path of
+    its standalone row; nothing materializes between stages. The only
+    broadcast is the benchmark shingle set (eval-suite-sized)."""
+    from burst_db_spark.operators import text as tx
+
+    docs = load(spark, sf_dir, "documents")
+    q = tx.quality_features(docs.select("doc_id", "text"))
+    kept0 = q.where(F.col("quality_score") >= 0.5).select("doc_id")
+    train = docs.where(~F.col("source").isin(*_BENCH_SOURCES))
+
+    bench_sh = (
+        dd.doc_shingles(
+            docs.where(F.col("source").isin(*_BENCH_SOURCES)), "doc_id", n=3
+        )
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    overlap = (
+        dd.doc_shingles(train, "doc_id", n=3)
+        .join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.count("__hit").cast("double") / F.count("*").cast("double")
+            ).alias("frac")
+        )
+    )
+    kept1 = (
+        train.join(kept0, "doc_id", "left_semi")
+        .join(overlap, "doc_id", "left")
+        .where(F.coalesce(F.col("frac"), F.lit(0.0)) <= _CUR_MAX_OVERLAP)
+        .select(
+            "source",
+            "doc_id",
+            token_count(F.col("text")).cast("bigint").alias("n_tok"),
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(_CUR_SALT), F.col("doc_id").cast("string")
+                )
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        kept1.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .where(F.col("cum_tok") <= _CUR_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("kept_docs"),
+            F.sum("n_tok").cast("bigint").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
