@@ -341,3 +341,33 @@ def test_q7_semi_reduces_before_fact_join(spark):
     for l in nation_pushes:
         assert "NATION_1" in l and "NATION_2" in l
     assert "BroadcastHashJoin" in plan
+
+
+def test_u4_full_outer_preserved(spark):
+    plan = _plan("u4_full_outer_reconcile", spark)
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_w2c_dynamic_gap_single_user_exchange(spark):
+    """Dynamic-gap sessionization must cost the same as fixed-gap: one
+    hash exchange on user_id feeding the session-window aggregate (plus
+    the output sort) — no extra shuffle for the per-event gap column."""
+    plan = _plan("w2c_dynamic_gap_sessions", spark)
+    # formatted mode puts partitioning on the Arguments line under the
+    # numbered Exchange node
+    hash_exchanges = [
+        l for l in plan.splitlines()
+        if l.startswith("Arguments: hashpartitioning")
+    ]
+    assert len(hash_exchanges) == 1, plan
+    assert "user_id" in hash_exchanges[0]
+
+
+def test_curation_pipeline_one_broadcast_no_cartesian(spark):
+    """The composed curation chain: benchmark shingles are the only
+    broadcast build, everything else exchanges on doc/source keys."""
+    plan = _plan("t_curation_mix_pipeline", spark)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
