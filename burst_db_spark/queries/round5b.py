@@ -1,6 +1,9 @@
 """Round-5b widening: moment statistics from decimal-exact power sums,
-explicit GROUPING SETS, and two training-data-pipeline operators —
-token-budget mixture sampling and n-gram-overlap contamination scoring.
+explicit GROUPING SETS, training-data-pipeline operators (token-budget
+mixture sampling, n-gram-overlap contamination scoring, and the
+end-to-end curation composition), the higher-order array gauntlet,
+NTILE quartiles, FULL OUTER reconciliation, the ORC round-trip, a real
+Python UDTF, and dynamic-gap sessionization.
 
 Determinism notes (the reason these shapes look the way they do):
 - corr/variance are NOT computed with the engines' native stddev/corr
