@@ -111,6 +111,8 @@ HEADLINE = [
     "f_udtf_sentences",
     "w2c_dynamic_gap_sessions",
     "t_curation_mix_pipeline",
+    "a26_bool_aggregates",
+    "j14_fuzzy_name_join",
 ]
 
 

@@ -111,6 +111,8 @@ _SAMPLING_PRIORITY = (
     "f_udtf_sentences",
     "w2c_dynamic_gap_sessions",
     "t_curation_mix_pipeline",
+    "a26_bool_aggregates",
+    "j14_fuzzy_name_join",
     # -- multimodal rotation slot --
     "mm_features",
     # -- stale: last green r1 --

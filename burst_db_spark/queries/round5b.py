@@ -842,3 +842,89 @@ def t_curation_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# A26: boolean / conditional / bitwise aggregate family
+
+
+@register(
+    "a26_bool_aggregates",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE value > 100.0) AS BIGINT)
+               AS n_big,
+           bool_and(value > 0.0) AS all_positive,
+           bool_or(value > 400.0) AS any_huge,
+           CAST(bit_and(CAST(user_id AS BIGINT)) AS BIGINT) AS uid_and,
+           CAST(bit_or(CAST(user_id AS BIGINT)) AS BIGINT) AS uid_or,
+           CAST(bit_xor(CAST(event_id AS BIGINT)) AS BIGINT) AS eid_xor
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("A26", "count_if", "bool-agg", "bit-agg"),
+)
+def a26_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boolean/conditional/bitwise aggregate family in one row:
+    count_if, bool_and/bool_or (every/some), bit_and/bit_or/bit_xor.
+    All integer/boolean-exact (no float folds), all partial-aggregated
+    map-side — xor in particular is the order-independent checksum used
+    for content fingerprint reconciliation at scale."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 100.0).cast("bigint").alias("n_big"),
+            F.bool_and(F.col("value") > 0.0).alias("all_positive"),
+            F.bool_or(F.col("value") > 400.0).alias("any_huge"),
+            F.bit_and(F.col("user_id").cast("bigint")).alias("uid_and"),
+            F.bit_or(F.col("user_id").cast("bigint")).alias("uid_or"),
+            F.bit_xor(F.col("event_id").cast("bigint")).alias("eid_xor"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J14: Levenshtein fuzzy self-join over the name vocabulary
+
+
+@register(
+    "j14_fuzzy_name_join",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY name_a, name_b
+    """,
+    tags=("J14", "fuzzy-join", "levenshtein"),
+)
+def j14_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join: near-identical part names (edit distance <= 2).
+    The join input is the DISTINCT NAME VOCABULARY, not the part table —
+    vocabulary grows ~log-scale with the corpus (Heaps), so the
+    quadratic stays bounded the same way the BPE word-type table does;
+    for corpus-scale fuzzy matching the LSH/banded paths
+    (dd_minhash_lsh) are the candidate generators and levenshtein is
+    the verify step. Edit distance is integer-exact on both engines."""
+    part = load(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("name_a") < F.col("name_b"))
+            & (F.levenshtein("name_a", "name_b") <= 2),
+        )
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+        )
+        .orderBy("name_a", "name_b")
+    )
