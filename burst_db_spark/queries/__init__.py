@@ -50,16 +50,17 @@ for _m in _MODULES:
 
 # The driver's correctness gate samples a PREFIX of the registration order
 # (~50 rows/round). Round-5 rotation policy:
-#   1. the 40 new round-5 queries lead (no driver evidence exists yet):
+#   1. the 42 new round-5 queries lead (no driver evidence exists yet):
 #      19 from the first half of the session, then the 10 TPC-H
-#      completions and 11 widening rows (stats, grouping sets, mixture,
+#      completions and 13 widening rows (stats, grouping sets, mixture,
 #      contamination, array gauntlet, ntile, full-outer, ORC, UDTF,
-#      dynamic-gap sessions, curation composition);
+#      dynamic-gap sessions, curation composition, bool/bit aggregates,
+#      fuzzy name join);
 #   2. one multimodal slot stays in every round's prefix (codec
 #      regressions must surface) — mm_features this round;
 #   3. then the 46 stale rows VERDICT r4 flagged (last green r1/r2),
-#      r1-latest first. With 40 new queries ahead of them the ~51-row
-#      sample only reaches ~10 of the stale; the rest lead round 6's
+#      r1-latest first. With 42 new queries ahead of them the ~51-row
+#      sample only reaches ~8 of the stale; the rest lead round 6's
 #      prefix (all 46 are strict-green locally on current data —
 #      new-query evidence outranks refreshing already-verified rows;
 #      a local driver-prefix simulation of the exact first 51 rows is
