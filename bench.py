@@ -113,6 +113,14 @@ HEADLINE = [
     "t_curation_mix_pipeline",
     "a26_bool_aggregates",
     "j14_fuzzy_name_join",
+    # round-5c operators
+    "dd_jaccard_prefix_join",
+    "a27_hll_union_merge",
+    "a28_zscore_outliers",
+    "w14_ewma_halflife",
+    "j15_null_safe_join",
+    "u5_intersect_except",
+    "a29_value_histogram",
 ]
 
 
