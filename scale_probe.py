@@ -98,6 +98,14 @@ PROBE_QUERIES = [
     "a25_grouping_sets",
     "t_token_budget_mix",
     "t_ngram_overlap_score",
+    # round-5c
+    "dd_jaccard_prefix_join",
+    "a27_hll_union_merge",
+    "a28_zscore_outliers",
+    "w14_ewma_halflife",
+    "j15_null_safe_join",
+    "u5_intersect_except",
+    "a29_value_histogram",
 ]
 
 # keys to shift per replica so replicated rows don't collapse into the
@@ -231,6 +239,45 @@ def spatial_cd_probe(spark, n_small: int, factor: int) -> dict[str, float]:
     return out
 
 
+def jaccard_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Constant near-dup-DENSITY scaling for the prefix-filter Jaccard
+    join: clone replication (the table probe above) makes every replica
+    a jaccard-1.0 near-dup of its 9 siblings, so TRUE OUTPUT pairs grow
+    ~factor² and any exact similarity join — prefix-filtered or not —
+    must do quadratically more verify work by construction. Real
+    corpora don't grow that way: 10x the data brings mostly NEW
+    documents with the same dup-group sizes. Model that by giving each
+    replica a disjoint token space (every token gets a per-replica
+    suffix): within-replica near-dup structure is preserved, cross-
+    replica pairs are impossible, output and candidates grow ~factor.
+    Linear-ish wall ratios here are the plan evidence."""
+    from burst_db_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = load(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    out: dict[str, float] = {}
+    for label, f in (("", 1), ("_big", factor)):
+        reps = []
+        for r in range(f):
+            reps.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(r * SHIFT)).alias("doc_id"),
+                    F.regexp_replace("text", r"(\S+)", f"$1x{r}").alias("text"),
+                )
+            )
+        corpus = reps[0]
+        for c in reps[1:]:
+            corpus = corpus.unionByName(c)
+        t0 = time.perf_counter()
+        jaccard_prefix_pairs(corpus, "doc_id", threshold=0.5).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        out[f"dd_jaccard_prefix_cd{label}"] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+    return out
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark(app_name="scale_probe")
@@ -242,6 +289,7 @@ def main() -> None:
         small = time_queries(spark, specs, base)
         large = time_queries(spark, specs, big)
         cd = spatial_cd_probe(spark, n_small=100_000, factor=factor)
+        cd.update(jaccard_cd_probe(spark, factor))
         for k in [k for k in cd if not k.endswith("_big")]:
             small[k] = cd[k]
             large[k] = cd[f"{k}_big"]
