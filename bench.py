@@ -121,6 +121,8 @@ HEADLINE = [
     "j15_null_safe_join",
     "u5_intersect_except",
     "a29_value_histogram",
+    "s13_zarr_python_datasource",
+    "f_variant_props",
 ]
 
 

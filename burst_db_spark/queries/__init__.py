@@ -125,6 +125,8 @@ _SAMPLING_PRIORITY = (
     "j15_null_safe_join",
     "u5_intersect_except",
     "a29_value_histogram",
+    "s13_zarr_python_datasource",
+    "f_variant_props",
     # -- multimodal rotation slot --
     "mm_features",
     # -- stale: last green r1 --

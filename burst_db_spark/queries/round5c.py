@@ -409,3 +409,145 @@ def a29_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+# ---------------------------------------------------------------------------
+# S13: Spark 4 Python DataSource API — zarr store as a registered format
+
+
+@register(
+    "s13_zarr_python_datasource",
+    oracle="""
+    WITH cells AS (
+        SELECT (year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1 AS t,
+               l_suppkey % 8 AS si, l_partkey % 8 AS pi,
+               CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS v
+        FROM lineitem GROUP BY 1, 2, 3
+    )
+    SELECT CAST(si AS BIGINT) AS si,
+           CAST(sum(v) AS BIGINT) AS total_qty,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM cells
+    WHERE t < 36 AND pi <= 4
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("S13", "zarr", "datasource-api", "python-datasource"),
+)
+def s13_zarr_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API (sources/pyds.py): the quantity
+    cube is written through the distributed zarr sink, then read back
+    via ``spark.read.format("zarr_py")`` — a REGISTERED source whose
+    schema() is inferred from .zarray on the driver and whose
+    partitions() declare one InputPartition per chunk (executors stream
+    Arrow batches). Fill cells are dropped and a different subset than
+    s11 is aggregated per supplier-cell, so this row proves the V2
+    source path end-to-end against the relational oracle."""
+    import os
+
+    from burst_db_spark.queries.slayer import _tmpdir
+    from burst_db_spark.sources.pyds import register_zarr_py
+    from burst_db_spark.sources.zarr import write_zarr_cube
+
+    store = os.path.join(_tmpdir("s13"), "cube")
+    li = load(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            ((F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate") - 1).alias(
+                "t"
+            ),
+            (F.col("l_suppkey") % 8).alias("si"),
+            (F.col("l_partkey") % 8).alias("pi"),
+            F.floor("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("t", "si", "pi")
+        .agg(F.sum("q").cast("bigint").alias("v"))
+    )
+    write_zarr_cube(
+        cells,
+        store,
+        ["t", "si", "pi"],
+        "v",
+        shape=(84, 8, 8),
+        chunks=(12, 8, 8),
+        compressor={"id": "zlib", "level": 6},
+    )
+    register_zarr_py(spark)
+    back = (
+        spark.read.format("zarr_py")
+        .option("store", store)
+        .option("dims", "t,si,pi")
+        .load()
+    )
+    return (
+        back.where(
+            (F.col("t") < 36)
+            & (F.col("pi") <= 4)
+            & (F.col("value") != 0)
+        )
+        .groupBy("si")
+        .agg(
+            F.sum("value").cast("bigint").alias("total_qty"),
+            F.count("*").cast("bigint").alias("n_cells"),
+        )
+        .orderBy("si")
+    )
+
+# ---------------------------------------------------------------------------
+# F10: VARIANT semi-structured type (Spark 4) over events.props
+
+
+@register(
+    "f_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_min,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_max,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.x') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_x,
+           CAST(sum(CAST(json_extract_string('{"w":' || props || '}',
+                                             '$.w.k') AS BIGINT))
+                AS BIGINT) AS nested_k_sum
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("F10", "variant", "semi-structured", "json"),
+)
+def f_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type over the semi-structured props column:
+    ``parse_json`` once into a variant, typed extraction via
+    ``variant_get`` (JVM-side, no regex/JSON re-parse per path),
+    ``try_variant_get`` returning NULL for a missing path instead of
+    failing, and a nested path through a wrapped object. At 100 TB
+    variant's binary encoding beats string-JSON re-parsing per
+    expression — the shape every telemetry/props pipeline needs. The
+    oracle recomputes every figure with DuckDB's JSON path functions."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    nested = F.parse_json(F.concat(F.lit('{"w":'), F.col("props"), F.lit("}")))
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        ev.select(
+            "event_type",
+            k.alias("__k"),
+            F.try_variant_get(v, "$.x", "bigint").alias("__x"),
+            F.variant_get(nested, "$.w.k", "bigint").alias("__wk"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("__k").alias("k_sum"),
+            F.min("__k").alias("k_min"),
+            F.max("__k").alias("k_max"),
+            F.sum(F.when(F.col("__x").isNull(), 1).otherwise(0)).alias(
+                "n_missing_x"
+            ),
+            F.sum("__wk").alias("nested_k_sum"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,89 @@
+"""Python DataSource API (sources/pyds.py): the zarr_py registered
+format must infer the schema from .zarray, declare one InputPartition
+per chunk, and return exactly what the mapInPandas reader returns."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from burst_db_spark.catalog import load
+from burst_db_spark.sources.pyds import ZarrPyDataSource, register_zarr_py
+from burst_db_spark.sources.zarr import read_zarr_array, write_zarr_cube
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def cube_store(spark):
+    store = os.path.join(tempfile.mkdtemp(prefix="pyds_"), "cube")
+    li = load(spark, SF_DIR, "lineitem")
+    cells = (
+        li.select(
+            ((F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate") - 1).alias(
+                "t"
+            ),
+            (F.col("l_suppkey") % 8).alias("si"),
+            (F.col("l_partkey") % 8).alias("pi"),
+            F.floor("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("t", "si", "pi")
+        .agg(F.sum("q").cast("bigint").alias("v"))
+    )
+    write_zarr_cube(
+        cells,
+        store,
+        ["t", "si", "pi"],
+        "v",
+        shape=(84, 8, 8),
+        chunks=(12, 8, 8),
+        compressor={"id": "zlib", "level": 6},
+    )
+    register_zarr_py(spark)
+    return store
+
+
+def test_schema_inferred_and_partition_per_chunk(spark, cube_store):
+    df = (
+        spark.read.format("zarr_py")
+        .option("store", cube_store)
+        .option("dims", "t,si,pi")
+        .load()
+    )
+    assert df.schema.simpleString() == (
+        "struct<t:bigint,si:bigint,pi:bigint,value:bigint>"
+    )
+    # 84/12 = 7 time chunks, 1 chunk per other dim
+    assert df.rdd.getNumPartitions() == 7
+    assert df.count() == 84 * 8 * 8
+
+
+def test_matches_mapinpandas_reader(spark, cube_store):
+    via_ds = (
+        spark.read.format("zarr_py")
+        .option("store", cube_store)
+        .option("dims", "t,si,pi")
+        .load()
+    )
+    via_fn = read_zarr_array(spark, cube_store, dim_names=["t", "si", "pi"])
+    assert sorted(map(tuple, via_ds.collect())) == sorted(
+        map(tuple, via_fn.collect())
+    )
+
+
+def test_value_col_and_missing_store_errors(spark, cube_store):
+    df = (
+        spark.read.format("zarr_py")
+        .option("store", cube_store)
+        .option("value_col", "qty")
+        .load()
+    )
+    assert df.columns == ["i0", "i1", "i2", "qty"]
+    with pytest.raises(Exception):
+        spark.read.format("zarr_py").load().collect()
+
+
+def test_datasource_name():
+    assert ZarrPyDataSource.name() == "zarr_py"
