@@ -123,6 +123,7 @@ HEADLINE = [
     "a29_value_histogram",
     "s13_zarr_python_datasource",
     "f_variant_props",
+    "g3_bfs_hops",
 ]
 
 

@@ -127,6 +127,7 @@ _SAMPLING_PRIORITY = (
     "a29_value_histogram",
     "s13_zarr_python_datasource",
     "f_variant_props",
+    "g3_bfs_hops",
     # -- multimodal rotation slot --
     "mm_features",
     # -- stale: last green r1 --

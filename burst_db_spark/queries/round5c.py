@@ -551,3 +551,97 @@ def f_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+# ---------------------------------------------------------------------------
+# G3: bounded multi-source BFS (hop distance <= 3) with an unrolled oracle
+
+_BFS_EDGES_SQL = """
+    dir_edges AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM dir_edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM dir_edges
+    ),
+    seeds AS (
+        SELECT DISTINCT src AS v FROM dir_edges
+        WHERE CAST(substr(src, 2) AS BIGINT) % 100 = 0
+    )
+"""
+
+
+def _bfs_level_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+        SELECT v, CAST(min(hop) AS INTEGER) AS hop FROM (
+            SELECT v, hop FROM {prev}
+            UNION ALL
+            SELECT e.dst AS v, p.hop + 1 AS hop
+            FROM edges e JOIN {prev} p ON e.src = p.v
+        ) GROUP BY v
+    )"""
+
+
+@register(
+    "g3_bfs_hops",
+    oracle=f"""
+    WITH {_BFS_EDGES_SQL},
+    d0 AS (SELECT v, CAST(0 AS INTEGER) AS hop FROM seeds),
+    {_bfs_level_sql("d0", "d1")},
+    {_bfs_level_sql("d1", "d2")},
+    {_bfs_level_sql("d2", "d3")}
+    SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
+           min(v) AS first_node, max(v) AS last_node
+    FROM d3 GROUP BY hop ORDER BY hop
+    """,
+    tags=("graph", "bfs", "iterative", "shortest-path"),
+)
+def g3_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS on the UNDIRECTED customer↔supplier
+    purchase graph: hop-0 seeds are every 100th customer, and three
+    relaxation rounds compute min-hop distances (the bounded-iteration
+    sibling of connected components / PageRank). Each round is ONE
+    join shuffle + one min-aggregate — dist_k = min(dist_{{k-1}},
+    1 + min over in-neighbors), a deterministic integer fold, so the
+    unrolled-CTE oracle is bit-exact. At 100 TB the frontier join is a
+    hash equi-join on node id per round; nothing driver-side."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    dir_edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = dir_edges.unionByName(
+        dir_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        dir_edges.select(F.col("src").alias("v"))
+        .where(F.substring("v", 2, 100).cast("bigint") % 100 == 0)
+        .distinct()
+    )
+    dist = seeds.select("v", F.lit(0).cast("int").alias("hop"))
+    for _ in range(3):
+        nbr = edges.join(dist, edges.src == dist.v).select(
+            F.col("dst").alias("v"), (F.col("hop") + 1).alias("hop")
+        )
+        dist = (
+            dist.unionByName(nbr)
+            .groupBy("v")
+            .agg(F.min("hop").cast("int").alias("hop"))
+        )
+    return (
+        dist.groupBy("hop")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("v").alias("first_node"),
+            F.max("v").alias("last_node"),
+        )
+        .orderBy("hop")
+    )

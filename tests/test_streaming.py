@@ -226,3 +226,74 @@ def test_foreachbatch_upsert_scd1(spark, tmp_path):
         3: (3, "c3"),
         4: (1, "d1"),
     }
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Kill-and-restart semantics: run an availableNow aggregation to a
+    fault-tolerant parquet sink, add more input, restart from the SAME
+    checkpoint — the second run must process only the new files (no
+    re-emission of batch-1 windows, no duplicates), and the union of
+    both runs must equal the batch aggregate under the watermark cut.
+    This is the exactly-once story a 100 TB incremental pipeline rests
+    on: offsets in the checkpoint, outputs in the sink manifest."""
+    from burst_db_spark.catalog import load
+
+    src = load(spark, SF_DIR, "events")
+    cut = src.selectExpr("unix_micros(ts) AS u").approxQuantile("u", [0.6], 0.0)[0]
+    in_dir, sink, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "sink"),
+        str(tmp_path / "ckpt"),
+    )
+    b1 = src.where(F.expr(f"unix_micros(ts) <= {int(cut)}"))
+    b2 = src.where(F.expr(f"unix_micros(ts) > {int(cut)}"))
+    b1.coalesce(1).write.parquet(in_dir)
+
+    def run_once():
+        stream = st.file_stream(spark, in_dir, EVENTS_SCHEMA)
+        agg = st.daily_counts(stream, "event_type", "ts")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_first = spark.read.parquet(sink).count()
+    assert n_first > 0
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()  # restart from the same checkpoint
+
+    got_df = spark.read.parquet(sink)
+    # exactly-once: no (key, window) emitted twice across the restart
+    dups = (
+        got_df.groupBy("event_type", "day_start")
+        .count()
+        .where("count > 1")
+        .count()
+    )
+    assert dups == 0
+    assert got_df.count() > n_first  # run 2 emitted the newly-closed windows
+
+    # equals the batch aggregate under the final watermark cut
+    full = spark.read.parquet(in_dir)
+    max_ts = full.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        full.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    )
+    expected = {
+        (r.event_type, str(r.w.start)): (r.n, round(r.v, 6))
+        for r in batch
+        if (max_ts - r.w.end).total_seconds() >= 86400
+    }
+    got = {
+        (r.event_type, str(r.day_start)): (r.n, round(r.total_value, 6))
+        for r in got_df.collect()
+    }
+    assert got == expected
