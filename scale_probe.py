@@ -106,6 +106,9 @@ PROBE_QUERIES = [
     "j15_null_safe_join",
     "u5_intersect_except",
     "a29_value_histogram",
+    "s13_zarr_python_datasource",
+    "f_variant_props",
+    "g3_bfs_hops",
 ]
 
 # keys to shift per replica so replicated rows don't collapse into the

@@ -260,3 +260,42 @@ def test_hll_union_flag_and_days(spark):
     }
     for r in rows:
         assert r.n_days_merged == days[r.event_type]
+
+
+# ---------------------------------------------------------------------------
+# plan shapes for the round-5c second half
+
+
+def test_null_safe_join_stays_equi_join(spark):
+    plan = _plan("j15_null_safe_join", spark)
+    # Catalyst rewrites <=> into a hashable key: must NOT degrade to a
+    # nested-loop join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_intersect_except_pushes_date_filters(spark):
+    plan = _plan("u5_intersect_except", spark)
+    assert "PushedFilters" in plan
+    # both date-range predicates reach their parquet scans
+    assert plan.count("GreaterThanOrEqual") >= 2
+
+
+def test_bfs_no_cartesian_and_bounded_joins(spark):
+    plan = _plan("g3_bfs_hops", spark)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_variant_single_aggregation_pass(spark):
+    plan = _plan("f_variant_props", spark)
+    # all variant extraction is expression-level: ONE scan, no join, one
+    # partial+final aggregate pair (the only exchanges are the agg hash
+    # exchange and the output sort's range exchange)
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+    tree = plan.split("\n\n")[0]
+    n_exchanges = sum(
+        1 for line in tree.splitlines() if "Exchange" in line and "Reused" not in line
+    )
+    assert n_exchanges <= 2, tree
