@@ -214,11 +214,11 @@ def jaccard_prefix_pairs(
             ),
         )
     )
-    # persisted because four plan subtrees hang off it (two prefix
-    # explodes + two verify sides); doc-count-sized metadata rows, same
-    # cache policy as ngram_jaccard_pairs' shingle frame (bench and
-    # tests clearCache between queries)
-    docs = docs.persist()
+    # four plan subtrees hang off `docs` (two prefix explodes + two
+    # verify sides) but NO persist: Spark's ReusedExchange dedupes the
+    # identical shuffle subtrees (measured: same wall as persist at
+    # sf0.1), and skipping the cache means nothing leaks into a
+    # long-lived session
     a = docs.select(
         F.col(id_col).alias("id_a"),
         F.col("n_sh").alias("__na"),
