@@ -145,3 +145,56 @@ def test_embedding_lsh_recall_at_driver_sf(spark):
     }
     assert got <= exact  # LSH candidates are verified: no false pairs
     assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join evidence: a join with one hot key (80% of rows)
+    gets its skewed shuffle partition SPLIT at runtime — the final
+    adaptive plan marks the join ``skew=true``. Negative case: when the
+    downstream aggregate requires the join's partitioning (groupBy on
+    the join key), AQE skips the split rather than pay an extra
+    exchange (forceOptimizeSkewedJoin=false default) — the reason
+    explicit salting (above) still exists for skewed-key aggregation."""
+    from pyspark.sql import functions as F
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "50KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        left = spark.range(400000).select(
+            F.when(F.col("id") % 5 < 4, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(2000).select(
+            F.col("id").alias("k2"), F.lit("x").alias("tag")
+        )
+        joined = left.join(right, left.k == right.k2 % 100)
+
+        df = joined.agg(F.sum("payload").alias("s"), F.count("*").alias("n"))
+        df.collect()  # same QueryExecution -> final adaptive plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+
+        df2 = joined.groupBy("k").count()
+        df2.collect()
+        plan2 = df2._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan2
+        assert "skew=true" not in plan2  # split skipped: agg reuses the
+        # join's hash partitioning; splitting would force a re-shuffle
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
