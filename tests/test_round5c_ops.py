@@ -11,7 +11,6 @@ import io
 import math
 from collections import Counter
 
-import pytest
 from pyspark.sql import functions as F
 
 from burst_db_spark.catalog import load
