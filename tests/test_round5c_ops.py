@@ -298,3 +298,48 @@ def test_variant_single_aggregation_pass(spark):
         1 for line in tree.splitlines() if "Exchange" in line and "Reused" not in line
     )
     assert n_exchanges <= 2, tree
+
+
+# ---------------------------------------------------------------------------
+# property: prefix filtering is lossless on ARBITRARY corpora
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+
+@st.composite
+def _corpus(draw):
+    n_docs = draw(st.integers(min_value=2, max_value=8))
+    docs = []
+    for i in range(n_docs):
+        n_tok = draw(st.integers(min_value=0, max_value=12))
+        toks = [
+            _WORDS[draw(st.integers(min_value=0, max_value=len(_WORDS) - 1))]
+            for _ in range(n_tok)
+        ]
+        docs.append((i, " ".join(toks)))
+    return docs
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=_corpus(), threshold=st.sampled_from([0.3, 0.5, 0.8]))
+def test_prefix_join_lossless_property(spark, docs, threshold):
+    """Prefix-filter theorem on arbitrary corpora: tiny docs, empty
+    docs, all-identical docs, repeated shingles, every threshold — the
+    prefix join must equal the quadratic baseline exactly."""
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fast = {
+        (r.id_a, r.id_b, r.common, r.jaccard)
+        for r in dd.jaccard_prefix_pairs(
+            df, "doc_id", threshold=threshold
+        ).collect()
+    }
+    slow = {
+        (r.id_a, r.id_b, r.common, r.jaccard)
+        for r in dd.ngram_jaccard_pairs(
+            df, "doc_id", threshold=threshold, max_df=None
+        ).collect()
+    }
+    assert fast == slow
