@@ -214,11 +214,14 @@ def jaccard_prefix_pairs(
             ),
         )
     )
-    # four plan subtrees hang off `docs` (two prefix explodes + two
-    # verify sides) but NO persist: Spark's ReusedExchange dedupes the
-    # identical shuffle subtrees (measured: same wall as persist at
-    # sf0.1), and skipping the cache means nothing leaks into a
-    # long-lived session
+    # persisted: four plan subtrees hang off `docs` (two prefix explodes
+    # + two verify sides) and in a cold session ReusedExchange does NOT
+    # reliably dedupe them across the AQE stage boundaries (measured:
+    # 2.9 s with persist vs 5.1 s without in bench context at sf0.1).
+    # Doc-count-sized metadata rows; same cache policy as
+    # ngram_jaccard_pairs' shingle frame (bench/tests clearCache
+    # between queries)
+    docs = docs.persist()
     a = docs.select(
         F.col(id_col).alias("id_a"),
         F.col("n_sh").alias("__na"),
