@@ -25,7 +25,12 @@ from __future__ import annotations
 
 from typing import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class ZarrPyDataSource(DataSource):
@@ -78,6 +83,12 @@ class ZarrPyDataSource(DataSource):
             self.options["store"], meta, dims, self.options.get("value_col", "value")
         )
 
+    def streamReader(self, schema) -> "ZarrPyStreamReader":
+        _, dims, _ = self._meta()
+        return ZarrPyStreamReader(
+            self.options["store"], dims, self.options.get("value_col", "value")
+        )
+
 
 class ZarrPyReader(DataSourceReader):
     def __init__(
@@ -100,47 +111,107 @@ class ZarrPyReader(DataSourceReader):
 
     def read(self, partition: InputPartition) -> Iterator:
         """Executor-side: decode ONE chunk, yield one Arrow batch."""
-        import numpy as np
-        import pyarrow as pa
-
-        from burst_db_spark.sources.zarr import (
-            _chunk_path,
-            _decompress,
+        yield from _decode_chunk(
+            self.store, self.meta, partition.value, self.dims, self.value_col
         )
 
-        meta = self.meta
-        cidx = partition.value
-        shape = tuple(meta["shape"])
-        chunks = tuple(meta["chunks"])
-        dtype = np.dtype(meta["dtype"])
-        np_dtype = dtype.newbyteorder("=")
-        ndim = len(shape)
-        import os
 
-        path = _chunk_path(self.store, cidx, meta.get("dimension_separator", "."))
-        if os.path.exists(path):
-            with open(path, "rb") as f:
-                raw = _decompress(f.read(), meta.get("compressor"))
-            arr = np.frombuffer(raw, dtype=dtype).reshape(
-                chunks, order=meta.get("order", "C")
-            )
-            arr = arr.astype(np_dtype, copy=False)
-        else:
-            arr = np.full(chunks, meta.get("fill_value", 0), dtype=np_dtype)
-        # trim edge-chunk overhang beyond the array bounds
-        slices = tuple(
-            slice(0, min(chunks[d], shape[d] - cidx[d] * chunks[d]))
-            for d in range(ndim)
+def _decode_chunk(
+    store: str, meta: dict, cidx: list, dims: list, value_col: str
+) -> Iterator:
+    """Decode one zarr chunk into (at most) one Arrow RecordBatch —
+    shared by the batch reader and the stream reader."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    from burst_db_spark.sources.zarr import _chunk_path, _decompress
+
+    shape = tuple(meta["shape"])
+    chunks = tuple(meta["chunks"])
+    dtype = np.dtype(meta["dtype"])
+    np_dtype = dtype.newbyteorder("=")
+    ndim = len(shape)
+    path = _chunk_path(store, cidx, meta.get("dimension_separator", "."))
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            raw = _decompress(f.read(), meta.get("compressor"))
+        arr = np.frombuffer(raw, dtype=dtype).reshape(
+            chunks, order=meta.get("order", "C")
         )
-        arr = arr[slices]
-        if arr.size == 0:
-            return
-        idx = np.indices(arr.shape).reshape(ndim, -1)
-        cols = [
-            pa.array(idx[d] + cidx[d] * chunks[d], type=pa.int64())
-            for d in range(ndim)
-        ] + [pa.array(arr.reshape(-1))]
-        yield pa.RecordBatch.from_arrays(cols, names=self.dims + [self.value_col])
+        arr = arr.astype(np_dtype, copy=False)
+    else:
+        arr = np.full(chunks, meta.get("fill_value", 0), dtype=np_dtype)
+    # trim edge-chunk overhang beyond the array bounds
+    slices = tuple(
+        slice(0, min(chunks[d], shape[d] - cidx[d] * chunks[d]))
+        for d in range(ndim)
+    )
+    arr = arr[slices]
+    if arr.size == 0:
+        return
+    idx = np.indices(arr.shape).reshape(ndim, -1)
+    cols = [
+        pa.array(idx[d] + cidx[d] * chunks[d], type=pa.int64())
+        for d in range(ndim)
+    ] + [pa.array(arr.reshape(-1))]
+    yield pa.RecordBatch.from_arrays(cols, names=dims + [value_col])
+
+
+class ZarrPyStreamReader(DataSourceStreamReader):
+    """Incremental zarr source: the store APPENDS whole chunk rows
+    along dim 0 (the time axis — how a satellite-product cube actually
+    grows), and each micro-batch reads exactly the newly-appeared
+    t-chunk rows. The offset is the count of dim-0 chunk rows already
+    processed; ``latestOffset`` re-reads ``.zarray`` so shape growth is
+    discovered without restarting the query. The metadata snapshot that
+    planned a batch rides INSIDE its InputPartitions, so executors
+    decode with the exact shape that defined the offset range even if
+    the store grows mid-batch. Exactly-once across restarts comes from
+    the engine checkpointing the offset + commit log."""
+
+    def __init__(self, store: str, dims: Sequence[str], value_col: str) -> None:
+        self.store = store
+        self.dims = list(dims)
+        self.value_col = value_col
+
+    def _snapshot(self) -> tuple[dict, int]:
+        from burst_db_spark.sources.zarr import _load_meta
+
+        meta = _load_meta(self.store)
+        n_t = (meta["shape"][0] + meta["chunks"][0] - 1) // meta["chunks"][0]
+        return meta, n_t
+
+    def initialOffset(self) -> dict:
+        return {"t_chunks": 0}
+
+    def latestOffset(self) -> dict:
+        _, n_t = self._snapshot()
+        return {"t_chunks": n_t}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        import itertools
+
+        meta, _ = self._snapshot()
+        rest = [
+            range((meta["shape"][d] + meta["chunks"][d] - 1) // meta["chunks"][d])
+            for d in range(1, len(meta["shape"]))
+        ]
+        return [
+            InputPartition({"meta": meta, "cidx": [t, *tail]})
+            for t in range(start["t_chunks"], end["t_chunks"])
+            for tail in itertools.product(*rest)
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator:
+        p = partition.value
+        yield from _decode_chunk(
+            self.store, p["meta"], p["cidx"], self.dims, self.value_col
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 def register_zarr_py(spark) -> None:

@@ -87,3 +87,58 @@ def test_value_col_and_missing_store_errors(spark, cube_store):
 
 def test_datasource_name():
     assert ZarrPyDataSource.name() == "zarr_py"
+
+
+def test_stream_reader_incremental_append(spark, cube_store, tmp_path):
+    """DataSourceStreamReader: run availableNow over the existing
+    t-chunks, append a whole chunk row along dim 0 (+ patch .zarray),
+    restart from the same checkpoint — only the NEW chunk's rows are
+    emitted (offset = processed t-chunk count), no duplicates, and the
+    final sink equals a batch read of the grown store."""
+    import json
+    import shutil
+
+    # work on a private copy: this test mutates the store
+    store = str(tmp_path / "cube")
+    shutil.copytree(cube_store, store)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("zarr_py")
+            .option("store", store)
+            .option("dims", "t,si,pi")
+            .load()
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == 84 * 8 * 8
+
+    # append one whole t-chunk row: clone t-chunk 0's single file (the
+    # chunk grid is (7, 1, 1)) and grow the declared shape 84 -> 96
+    shutil.copyfile(os.path.join(store, "0.0.0"), os.path.join(store, "7.0.0"))
+    zarray = os.path.join(store, ".zarray")
+    meta = json.load(open(zarray))
+    meta["shape"][0] = 96
+    json.dump(meta, open(zarray, "w"))
+
+    run_once()
+    got = spark.read.parquet(sink)
+    assert got.count() == 96 * 8 * 8
+    assert got.groupBy("t", "si", "pi").count().where("count > 1").count() == 0
+    # the streamed union equals a batch read of the grown store
+    batch = (
+        spark.read.format("zarr_py")
+        .option("store", store)
+        .option("dims", "t,si,pi")
+        .load()
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
