@@ -242,6 +242,44 @@ def spatial_cd_probe(spark, n_small: int, factor: int) -> dict[str, float]:
     return out
 
 
+def _cd_corpus(spark, factor: int):
+    """documents replicated ``factor``x with DISJOINT token spaces per
+    replica (every token suffixed) — constant near-dup density; see
+    jaccard_cd_probe below for why clone replication is wrong here."""
+    docs = load(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    reps = []
+    for r in range(factor):
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * SHIFT)).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", f"$1x{r}").alias("text"),
+            )
+        )
+    corpus = reps[0]
+    for c in reps[1:]:
+        corpus = corpus.unionByName(c)
+    return corpus
+
+
+def minhash_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Constant near-dup-density scaling for the MinHash+LSH pipeline
+    (same corpus construction as jaccard_cd_probe)."""
+    from burst_db_spark.operators.dedup import minhash_lsh_dedup
+
+    out: dict[str, float] = {}
+    for label, f in (("", 1), ("_big", factor)):
+        corpus = _cd_corpus(spark, f)
+        t0 = time.perf_counter()
+        minhash_lsh_dedup(corpus, "doc_id", threshold=0.5).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        out[f"dd_minhash_lsh_cd{label}"] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+    return out
+
+
 def jaccard_cd_probe(spark, factor: int) -> dict[str, float]:
     """Constant near-dup-DENSITY scaling for the prefix-filter Jaccard
     join: clone replication (the table probe above) makes every replica
@@ -256,22 +294,9 @@ def jaccard_cd_probe(spark, factor: int) -> dict[str, float]:
     Linear-ish wall ratios here are the plan evidence."""
     from burst_db_spark.operators.dedup import jaccard_prefix_pairs
 
-    docs = load(spark, "/root/testdata/sf0.1", "documents").select(
-        "doc_id", "text"
-    )
     out: dict[str, float] = {}
     for label, f in (("", 1), ("_big", factor)):
-        reps = []
-        for r in range(f):
-            reps.append(
-                docs.select(
-                    (F.col("doc_id") + F.lit(r * SHIFT)).alias("doc_id"),
-                    F.regexp_replace("text", r"(\S+)", f"$1x{r}").alias("text"),
-                )
-            )
-        corpus = reps[0]
-        for c in reps[1:]:
-            corpus = corpus.unionByName(c)
+        corpus = _cd_corpus(spark, f)
         t0 = time.perf_counter()
         jaccard_prefix_pairs(corpus, "doc_id", threshold=0.5).write.format(
             "noop"
