@@ -194,39 +194,64 @@ def t_bpe_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_watermark_append",
-    oracle=None,  # append-mode emission depends on per-batch watermark
-    # progression (a runtime property, not a relation over the input);
-    # the batch-equivalence + late-drop semantics are pinned by
-    # tests/test_streaming.py::test_watermark_append_drops_late_rows
-    tags=("Str", "watermark", "append"),
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events, wm
+    GROUP BY day_start, wm.w
+    HAVING day_start + INTERVAL 1 DAY <= wm.w
+    """,
+    tags=("Str", "watermark", "append", "oracle-checked"),
 )
 def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark + APPEND-mode tumbling aggregation — the §2.9 semantics
-    complete-mode runs can't show: windows are emitted exactly once,
-    when the watermark passes their end, and rows older than the
-    watermark are dropped instead of reopening state. Two deterministic
-    micro-batches (file mtimes force the order): the bulk of the events
-    stream, then a tail batch whose arrival advances the watermark and
-    flushes every closed window. State is bounded by the watermark
-    horizon — the 100 TB always-on shape."""
+    """Watermark + APPEND-mode tumbling aggregation with a DERIVED batch
+    oracle (the t_bpe_reconstruction trick): windows are emitted exactly
+    once, when the watermark passes their end, and late rows are dropped
+    instead of reopening emitted state. Three mtime-ordered single-file
+    micro-batches make the emission deterministic:
+      b0 = events before the cutoff; b1 = the tail (advances the
+      watermark to max(ts) - 1h, flushing every closed window); b2 = a
+      REPLAY of early rows that is provably late (their day-windows
+      closed when b1's watermark passed) and must be dropped.
+    One file per logical batch matters: watermark advancement lags one
+    micro-batch, so multi-file batches would close windows against a
+    partial-file maximum and emit partial counts (the reason this row
+    was rows-only in round 5). With single files, every window holds its
+    complete row set when it closes, b1 rows are all on-time (newer than
+    b0's watermark), and the b2 replays all fall in long-closed windows.
+    The emitted relation is therefore exactly the batch aggregation of
+    the ORIGINAL events with window_end <= max(ts) - 1h — which is the
+    oracle, making the drop path hash-checked: if any replayed row leaked
+    into a count, or any closed window failed to emit, the hash breaks.
+    Per-batch emission order is pinned by
+    tests/test_streaming.py::test_watermark_append_drops_late_rows.
+    State is bounded by the watermark horizon — the 100 TB always-on
+    shape."""
     import tempfile
     import uuid
-
-    from burst_db_spark.streaming import incremental as st
 
     src = load(spark, sf_dir, "events").select("event_id", "ts", "value")
     tmp = tempfile.mkdtemp(prefix="bds_stream_wm_")
     cutoff = "2024-01-28 00:00:00"
+    late_cut = "2024-01-10 00:00:00"
     main = src.where(F.col("ts") < F.lit(cutoff).cast("timestamp"))
     tail = src.where(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
-    main.coalesce(4).write.parquet(f"{tmp}/in/b0")
+    # replayed rows: a deterministic early subset, re-delivered after the
+    # watermark has passed their windows -> MUST be dropped
+    replay = src.where(
+        (F.col("ts") < F.lit(late_cut).cast("timestamp"))
+        & (F.col("event_id") % 7 == 0)
+    )
+    main.coalesce(1).write.parquet(f"{tmp}/in/b0")
     tail.coalesce(1).write.parquet(f"{tmp}/in/b1")
+    replay.coalesce(1).write.parquet(f"{tmp}/in/b2")
     # file-source batch order follows modification time: pin it
     now = 1_700_000_000
-    for sub, t in (("b0", now), ("b1", now + 3600)):
+    for i, sub in enumerate(("b0", "b1", "b2")):
         d = f"{tmp}/in/{sub}"
         for fn in os.listdir(d):
-            os.utime(os.path.join(d, fn), (t, t))
+            os.utime(os.path.join(d, fn), (now + i * 3600,) * 2)
 
     stream = (
         spark.readStream.format("parquet")
@@ -718,19 +743,34 @@ def t_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stream_join",
-    oracle=None,  # two live stream sides; pair-complete equivalence vs
-    # the batch interval join is pinned by
-    # tests/test_streaming.py::test_stream_stream_join_matches_batch
-    tags=("Str", "stream-stream", "interval-join"),
+    oracle="""
+    WITH ev AS (SELECT event_id, ts, user_id, event_type FROM events)
+    SELECT v.user_id AS user_id,
+           v.event_id AS view_id,
+           b.event_id AS buy_id
+    FROM (SELECT * FROM ev WHERE event_type = 'view') v
+    JOIN (SELECT * FROM ev WHERE event_type = 'purchase') b
+      ON v.user_id = b.user_id
+     AND b.ts >= v.ts
+     AND b.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    tags=("Str", "stream-stream", "interval-join", "oracle-checked"),
 )
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-STREAM inner join — the §2.9 shape none of the suite's
-    stream-static queries exercise: views and purchases arrive as two
-    independent watermarked streams and join on user within a 1-hour
-    event-time range (purchase after the view, within an hour). State
-    on both sides is bounded by watermark + range — the always-on
-    attribution pipeline at 100 TB. availableNow drain; the pair set
-    must equal the batch interval join (pytest-pinned)."""
+    """Stream-STREAM inner join with a DERIVED batch-twin oracle — the
+    §2.9 shape none of the suite's stream-static queries exercise:
+    views and purchases arrive as two independent watermarked streams
+    and join on user within a 1-hour event-time range (purchase after
+    the view, within an hour). State on both sides is bounded by
+    watermark + range — the always-on attribution pipeline at 100 TB.
+    Determinism of the emitted set: no maxFilesPerTrigger is set, so the
+    availableNow drain takes both directories in the FIRST micro-batch,
+    during which the watermark is still at its initial value — no row is
+    late, both sides buffer fully, and every matched pair is emitted in
+    that batch exactly once. The emitted relation therefore equals the
+    batch interval join, which is the oracle; the equivalence is
+    additionally pinned by
+    tests/test_streaming.py::test_stream_stream_join_matches_batch."""
     import tempfile
     import uuid
 
