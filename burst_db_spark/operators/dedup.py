@@ -148,7 +148,9 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return out.select("id_a", "id_b", "common", "jaccard")
+    out = out.select("id_a", "id_b", "common", "jaccard")
+    out._dedup_cached = (sh,)  # release_dedup(out) unpersists
+    return out
 
 
 def jaccard_prefix_pairs(
@@ -256,7 +258,7 @@ def jaccard_prefix_pairs(
         F.col("toks").alias("toks_b"),
     )
     common = F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
-    return (
+    out = (
         cand.join(fa, "id_a")
         .join(fb, "id_b")
         .withColumn("common", common)
@@ -267,6 +269,8 @@ def jaccard_prefix_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
     )
+    out._dedup_cached = (docs,)  # release_dedup(out) unpersists
+    return out
 
 
 def minhash_signatures(
@@ -375,13 +379,29 @@ def minhash_lsh_dedup(
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    return (
+    out = (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("est_sim", agree / F.lit(float(num_hashes)))
         .where(F.col("est_sim") >= threshold)
         .select("id_a", "id_b", "est_sim")
     )
+    out._dedup_cached = (sigs,)  # release_dedup(out) unpersists
+    return out
+
+
+def release_dedup(result: DataFrame) -> None:
+    """Unpersist the intermediate frames cached behind a
+    ``ngram_jaccard_pairs`` / ``jaccard_prefix_pairs`` /
+    ``minhash_lsh_dedup`` result (the shingle frame, the prefix-token
+    doc frame, and the minhash signature frame respectively). Mirrors
+    ``release_grid_nn`` / ``release_pagerank``: call AFTER the result is
+    materialized — a later action would recompute from scratch,
+    correctly but uncached. Long-lived sessions (bench loops, notebook
+    services) otherwise accumulate one cached frame per call; short
+    sessions can keep relying on ``spark.catalog.clearCache()``."""
+    for df in getattr(result, "_dedup_cached", ()):
+        df.unpersist()
 
 
 # Edge-count gate for the local union-find fast path. The near-dup PAIR

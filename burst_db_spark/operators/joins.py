@@ -213,3 +213,82 @@ def asof_join(
         *[F.col(f"l_{c}").alias(c) for c in lcols],
         *[F.col("__asof")[c].alias(f"asof_{c}") for c in value_cols],
     )
+
+
+def fuzzy_string_self_join(
+    df: DataFrame, col: str, max_dist: int = 2
+) -> DataFrame:
+    """All pairs of DISTINCT values of ``col`` within Levenshtein
+    distance ``max_dist`` (1 or 2), as (name_a, name_b, dist) with
+    name_a < name_b — the FastSS / SymSpell deletion-neighborhood
+    construction (Bocek et al. 2007, public literature):
+
+      * each value emits every variant reachable by deleting up to
+        ``max_dist`` characters (JVM higher-order functions — codegen'd,
+        no Python in the hot path);
+      * ed(a, b) <= k implies the <=k-deletion neighborhoods intersect,
+        so an equi-join on xxhash64(variant) yields a lossless candidate
+        superset in O(V * L^k) index rows — never O(V^2) compares and
+        never a vocabulary broadcast;
+      * candidates are deduped, pruned by the length bound
+        (|len(a)-len(b)| <= k), and verified with exact levenshtein.
+
+    Scale: the variant explode is map-side and linear in the vocabulary;
+    the join shuffles on a 64-bit key whose groups are bounded by the
+    local near-dup density, so the plan survives vocabulary growth that
+    would OOM a broadcast nested-loop (tens of millions of names at
+    100 TB). Reference semantics: fuzzy dedup of station/burst names —
+    reference has no native analog; the quadratic definition is kept as
+    the oracle twin in queries/round5b.py.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError("fuzzy_string_self_join supports max_dist in (1, 2)")
+    names = df.select(F.col(col).alias("p_name")).where(
+        F.col("p_name").isNotNull()
+    ).distinct()
+    del2 = (
+        """,
+            if(length(p_name) >= 2,
+               flatten(transform(sequence(0, length(p_name) - 2), i ->
+                   transform(sequence(i + 1, length(p_name) - 1), j ->
+                       concat(substring(p_name, 1, i),
+                              substring(p_name, i + 2, j - i - 1),
+                              substring(p_name, j + 2))))),
+               array())"""
+        if max_dist >= 2
+        else ""
+    )
+    # sequence() is guarded: sequence(0, -1) DESCENDS rather than being
+    # empty, so short strings need explicit if() fences.
+    variants = names.selectExpr(
+        "p_name",
+        f"""
+        array_distinct(concat(
+            array(p_name),
+            if(length(p_name) >= 1,
+               transform(sequence(0, length(p_name) - 1), i ->
+                   concat(substring(p_name, 1, i), substring(p_name, i + 2))),
+               array()){del2}
+        )) AS dels
+        """,
+    ).select("p_name", F.explode("dels").alias("v"))
+    idx = variants.select(
+        "p_name", F.xxhash64("v").alias("k"), F.length("p_name").alias("ln")
+    )
+    a = idx.select(F.col("p_name").alias("name_a"), "k",
+                   F.col("ln").alias("ln_a"))
+    b = idx.select(F.col("p_name").alias("name_b"), "k",
+                   F.col("ln").alias("ln_b"))
+    cand = (
+        a.join(b, "k")
+        .where(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.col("ln_a") - F.col("ln_b")) <= max_dist)
+        )
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .where(F.col("dist") <= max_dist)
+    )

@@ -9,7 +9,7 @@ Determinism notes:
   so its oracle is the plain quadratic Jaccard join — identical output,
   radically different candidate volume;
 - EWMA uses half-life-one weights (powers of two, exact in binary),
-  folded as decimals over the trailing 48 events — any fold order gives
+  folded as decimals over the trailing 16 events — any fold order gives
   the same sum, and the single final double division is written
   identically on both engines;
 - outlier z-scores reuse the decimal power-sum moments of

@@ -117,10 +117,18 @@ class ZarrPyReader(DataSourceReader):
 
 
 def _decode_chunk(
-    store: str, meta: dict, cidx: list, dims: list, value_col: str
+    store: str,
+    meta: dict,
+    cidx: list,
+    dims: list,
+    value_col: str,
+    t_range: tuple[int, int] | None = None,
 ) -> Iterator:
     """Decode one zarr chunk into (at most) one Arrow RecordBatch —
-    shared by the batch reader and the stream reader."""
+    shared by the batch reader and the stream reader. ``t_range``
+    optionally restricts dim-0 to in-chunk rows [lo, hi) — the stream
+    reader uses it to read exactly an offset-delimited row span of a
+    partial edge chunk."""
     import os
 
     import numpy as np
@@ -149,65 +157,96 @@ def _decode_chunk(
         for d in range(ndim)
     )
     arr = arr[slices]
+    t_lo = 0
+    if t_range is not None:
+        t_lo, t_hi = t_range
+        arr = arr[t_lo : min(t_hi, arr.shape[0])]
     if arr.size == 0:
         return
     idx = np.indices(arr.shape).reshape(ndim, -1)
     cols = [
-        pa.array(idx[d] + cidx[d] * chunks[d], type=pa.int64())
+        pa.array(
+            idx[d] + cidx[d] * chunks[d] + (t_lo if d == 0 else 0),
+            type=pa.int64(),
+        )
         for d in range(ndim)
     ] + [pa.array(arr.reshape(-1))]
     yield pa.RecordBatch.from_arrays(cols, names=dims + [value_col])
 
 
 class ZarrPyStreamReader(DataSourceStreamReader):
-    """Incremental zarr source: the store APPENDS whole chunk rows
-    along dim 0 (the time axis — how a satellite-product cube actually
-    grows), and each micro-batch reads exactly the newly-appeared
-    t-chunk rows. The offset is the count of dim-0 chunk rows already
-    processed; ``latestOffset`` re-reads ``.zarray`` so shape growth is
-    discovered without restarting the query. The metadata snapshot that
-    planned a batch rides INSIDE its InputPartitions, so executors
-    decode with the exact shape that defined the offset range even if
-    the store grows mid-batch. Exactly-once across restarts comes from
-    the engine checkpointing the offset + commit log."""
+    """Incremental zarr source: the store APPENDS rows along dim 0 (the
+    time axis — how a satellite-product cube actually grows), and each
+    micro-batch reads exactly the newly-appeared dim-0 rows. The offset
+    is ROW-based — {"t_rows": shape[0], "meta": <.zarray snapshot>} —
+    and the snapshot that observed the offset rides inside it, so
+    ``partitions(start, end)`` plans with the EXACT shape latestOffset
+    saw: a partial edge chunk that grows between latestOffset and
+    partitions (or across a restart replay) cannot skip or double-read
+    rows — the next batch picks up the same chunk index with the
+    in-chunk row range [old_shape, new_shape). This closes the
+    whole-chunk-multiple assumption the chunk-counting offset of
+    round 5 carried (ADVICE r5). Exactly-once across restarts comes
+    from the engine checkpointing the offset + commit log; legacy
+    {"t_chunks": n} offsets from old checkpoints are converted with the
+    old skip semantics (n * chunk_rows)."""
 
     def __init__(self, store: str, dims: Sequence[str], value_col: str) -> None:
         self.store = store
         self.dims = list(dims)
         self.value_col = value_col
 
-    def _snapshot(self) -> tuple[dict, int]:
+    def _snapshot(self) -> dict:
         from burst_db_spark.sources.zarr import _load_meta
 
-        meta = _load_meta(self.store)
-        n_t = (meta["shape"][0] + meta["chunks"][0] - 1) // meta["chunks"][0]
-        return meta, n_t
+        return _load_meta(self.store)
+
+    @staticmethod
+    def _rows(off: dict, meta: dict) -> int:
+        if "t_rows" in off:
+            return off["t_rows"]
+        return off.get("t_chunks", 0) * meta["chunks"][0]  # legacy offsets
 
     def initialOffset(self) -> dict:
-        return {"t_chunks": 0}
+        return {"t_rows": 0}
 
     def latestOffset(self) -> dict:
-        _, n_t = self._snapshot()
-        return {"t_chunks": n_t}
+        meta = self._snapshot()
+        return {"t_rows": meta["shape"][0], "meta": meta}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         import itertools
 
-        meta, _ = self._snapshot()
+        # plan with the snapshot that DEFINED the end offset; only
+        # legacy/initial offsets without one fall back to a fresh read
+        meta = end.get("meta") or self._snapshot()
+        cs = meta["chunks"][0]
+        r0, r1 = self._rows(start, meta), self._rows(end, meta)
         rest = [
             range((meta["shape"][d] + meta["chunks"][d] - 1) // meta["chunks"][d])
             for d in range(1, len(meta["shape"]))
         ]
         return [
-            InputPartition({"meta": meta, "cidx": [t, *tail]})
-            for t in range(start["t_chunks"], end["t_chunks"])
+            InputPartition(
+                {
+                    "meta": meta,
+                    "cidx": [t, *tail],
+                    "t_range": [max(r0 - t * cs, 0), min(r1 - t * cs, cs)],
+                }
+            )
+            for t in range(r0 // cs, (r1 + cs - 1) // cs)
             for tail in itertools.product(*rest)
         ]
 
     def read(self, partition: InputPartition) -> Iterator:
         p = partition.value
         yield from _decode_chunk(
-            self.store, p["meta"], p["cidx"], self.dims, self.value_col
+            self.store,
+            p["meta"],
+            p["cidx"],
+            self.dims,
+            self.value_col,
+            t_range=tuple(p["t_range"]),
         )
 
     def commit(self, end: dict) -> None:

@@ -306,6 +306,199 @@ def jaccard_cd_probe(spark, factor: int) -> dict[str, float]:
     return out
 
 
+def embedding_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Constant near-dup-density scaling for the embedding-LSH family.
+    Clone replication makes every clone cosine-1.0 with its siblings
+    (quadratic TRUE pairs — the artifact SCALING.md documents for the
+    r1-r4 table probe); real embedding corpora grow with mostly NEW
+    content. Model that with a per-replica DIAGONAL ±1 ISOMETRY: flip a
+    seeded random subset of dimensions per replica. Sign flips are
+    exact in float arithmetic, so within-replica cosines (and the true
+    pair set per replica) are preserved bit-for-bit, while cross-replica
+    pairs see ~half their terms negated — expected cosine ~0, far below
+    the 0.4 threshold. Output and candidates grow ~factor; linear-ish
+    wall ratios are the plan evidence."""
+    from burst_db_spark.operators.similarity import (
+        lsh_near_dup_pairs,
+        lsh_near_dup_pairs_multiprobe,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.1", "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+    def corpus(f: int):
+        reps = []
+        for r in range(f):
+            reps.append(
+                emb.select(
+                    (F.col("vec_id") + F.lit(r * SHIFT)).alias("vec_id"),
+                    F.expr(
+                        f"transform(embedding, (v, i) -> v * IF("
+                        f"xxhash64({r * 131}L, CAST(i AS BIGINT)) % 2 = 0,"
+                        f" CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)))"
+                    ).alias("embedding"),
+                )
+            )
+        c = reps[0]
+        for x in reps[1:]:
+            c = c.unionByName(x)
+        return c
+
+    out: dict[str, float] = {}
+    n_parts = spark.sparkContext.defaultParallelism
+    for label, f in (("", 1), ("_big", factor)):
+        c = corpus(f).repartition(n_parts * max(1, f // 4))
+        t0 = time.perf_counter()
+        lsh_near_dup_pairs(c).write.format("noop").mode("overwrite").save()
+        out[f"dd_embedding_nn_cd{label}"] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        lsh_near_dup_pairs_multiprobe(c).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[f"dd_embedding_nn_multiprobe_cd{label}"] = round(
+            time.perf_counter() - t0, 2
+        )
+        spark.catalog.clearCache()
+    return out
+
+
+def fuzzy_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Constant-density scaling for the FastSS fuzzy name join (j14).
+    Replicas get a per-replica 3-char suffix (pairwise Levenshtein
+    distance 3 between any two suffixes, and appending a shared suffix
+    leaves within-replica distances unchanged), so cross-replica pairs
+    are impossible at threshold 2 and the TRUE pair set grows ~factor.
+    The round-5 BNLJ form would grow the compare count ~factor²; the
+    deletion-key equi-join should stay near-linear."""
+    from burst_db_spark.operators.joins import fuzzy_string_self_join
+
+    part = load(spark, "/root/testdata/sf0.1", "part").select("p_name")
+
+    def corpus(f: int):
+        reps = []
+        for r in range(f):
+            # repeated 2-char code over DISJOINT alphabets per position:
+            # any two distinct codes give LCS <= 3 over the 6 chars, so
+            # cross-replica suffix distance >= 3 (no permutation shifts
+            # can collide, unlike naive "aaa"/"baa" digit codes)
+            code = chr(ord("a") + r % 26) + chr(ord("A") + (r // 26) % 26)
+            reps.append(
+                part.select(
+                    F.concat("p_name", F.lit(f" {code * 3}")).alias("p_name")
+                )
+            )
+        c = reps[0]
+        for x in reps[1:]:
+            c = c.unionByName(x)
+        return c
+
+    out: dict[str, float] = {}
+    for label, f in (("", 1), ("_big", factor)):
+        c = corpus(f)
+        t0 = time.perf_counter()
+        fuzzy_string_self_join(c, "p_name", max_dist=2).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        out[f"j14_fuzzy_cd{label}"] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+    return out
+
+
+def graph_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Constant-DEGREE scaling for the graph family: the sf0.1
+    customer→supplier edge set replicated into ``factor`` DISJOINT
+    components (per-replica id suffix). Vertices and edges grow
+    ~factor, per-vertex degree — and so per-reducer fold width — stays
+    constant; the clone-style table probe instead multiplies parallel
+    edges into the SAME keys. PageRank: 3 power steps on the replicated
+    graph. BFS: 3 relaxation rounds from per-replica seed sets."""
+    from burst_db_spark.operators.graph import pagerank
+
+    li = load(spark, "/root/testdata/sf0.1", "lineitem")
+    orders = load(spark, "/root/testdata/sf0.1", "orders")
+    base_edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("l_suppkey").alias("sk"),
+        )
+        .distinct()
+        .persist()
+    )
+    base_edges.count()
+
+    def graph(f: int):
+        reps = []
+        for r in range(f):
+            reps.append(
+                base_edges.select(
+                    F.concat(F.lit("c"), F.col("ck"), F.lit(f"_{r}")).alias(
+                        "src"
+                    ),
+                    F.concat(F.lit("s"), F.col("sk"), F.lit(f"_{r}")).alias(
+                        "dst"
+                    ),
+                )
+            )
+        e = reps[0]
+        for x in reps[1:]:
+            e = e.unionByName(x)
+        nodes = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        return e, nodes
+
+    out: dict[str, float] = {}
+    for label, f in (("", 1), ("_big", factor)):
+        e, nodes = graph(f)
+        e = e.persist()
+        t0 = time.perf_counter()
+        pagerank(e, nodes, iterations=3).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[f"g1_pagerank3_cd{label}"] = round(time.perf_counter() - t0, 2)
+        # bounded BFS: undirected, 3 relaxation rounds, sparse seeds
+        und = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        t0 = time.perf_counter()
+        dist = nodes.select(
+            F.col("id").alias("v"),
+            F.when(
+                (F.substring("v", 1, 1) == "c")
+                & (F.xxhash64("v") % 100 == 0),
+                F.lit(0),
+            ).alias("hop"),
+        )
+        for _ in range(3):
+            relaxed = (
+                und.join(
+                    dist.where(F.col("hop").isNotNull()).withColumnRenamed(
+                        "v", "src"
+                    ),
+                    "src",
+                )
+                .select(F.col("dst").alias("v"), (F.col("hop") + 1).alias("hop"))
+            )
+            dist = (
+                dist.unionByName(relaxed)
+                .groupBy("v")
+                .agg(F.min("hop").alias("hop"))
+            )
+        dist.where(F.col("hop").isNotNull()).groupBy("hop").count().write.format(
+            "noop"
+        ).mode("overwrite").save()
+        out[f"g3_bfs_cd{label}"] = round(time.perf_counter() - t0, 2)
+        e.unpersist()
+        spark.catalog.clearCache()
+    base_edges.unpersist()
+    return out
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark(app_name="scale_probe")
@@ -318,6 +511,10 @@ def main() -> None:
         large = time_queries(spark, specs, big)
         cd = spatial_cd_probe(spark, n_small=100_000, factor=factor)
         cd.update(jaccard_cd_probe(spark, factor))
+        cd.update(minhash_cd_probe(spark, factor))
+        cd.update(embedding_cd_probe(spark, factor))
+        cd.update(fuzzy_cd_probe(spark, factor))
+        cd.update(graph_cd_probe(spark, factor))
         for k in [k for k in cd if not k.endswith("_big")]:
             small[k] = cd[k]
             large[k] = cd[f"{k}_big"]

@@ -371,3 +371,18 @@ def test_curation_pipeline_one_broadcast_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_name_join_is_deletion_key_equi_join(spark):
+    """j14's round-5 form was an unconditional vocabulary broadcast into
+    a Levenshtein BroadcastNestedLoopJoin — O(V^2) compares, unbounded
+    broadcast at corpus scale. The FastSS rewrite must join candidates
+    on the hashed deletion-variant key: an ordinary equi-join (hash or
+    sort-merge under AQE), never a nested loop or cartesian, with
+    levenshtein appearing only as a post-join filter/projection."""
+    plan = _plan("j14_fuzzy_name_join", spark)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # candidate generation keys on the 64-bit variant hash
+    assert "xxhash64" in plan

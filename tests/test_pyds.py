@@ -142,3 +142,66 @@ def test_stream_reader_incremental_append(spark, cube_store, tmp_path):
         .load()
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_reader_partial_chunk_growth(spark, cube_store, tmp_path):
+    """ADVICE r5: rows appended INSIDE an already-partial edge chunk
+    must not be skipped. Row-based offsets carry the .zarray snapshot
+    that defined them, so batch N+1 re-enters the same chunk index with
+    the in-chunk row range [old_shape, new_shape). Sequence: declare a
+    partial edge chunk (78 of 84 rows), drain, grow it to full (84),
+    drain, then append a whole new chunk (96) — every drain emits
+    exactly the delta, no dupes, final sink == batch read."""
+    import json
+    import shutil
+
+    store = str(tmp_path / "cube")
+    shutil.copytree(cube_store, store)
+    zarray = os.path.join(store, ".zarray")
+
+    def set_shape(n):
+        meta = json.load(open(zarray))
+        meta["shape"][0] = n
+        json.dump(meta, open(zarray, "w"))
+
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("zarr_py")
+            .option("store", store)
+            .option("dims", "t,si,pi")
+            .load()
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    set_shape(78)  # edge chunk 6 only partially filled (72..77)
+    run_once()
+    assert spark.read.parquet(sink).count() == 78 * 8 * 8
+
+    set_shape(84)  # the partial chunk fills up — 6 new rows in chunk 6
+    run_once()
+    got = spark.read.parquet(sink)
+    assert got.count() == 84 * 8 * 8
+    assert got.groupBy("t", "si", "pi").count().where("count > 1").count() == 0
+
+    # then a whole appended chunk still works on top
+    shutil.copyfile(os.path.join(store, "0.0.0"), os.path.join(store, "7.0.0"))
+    set_shape(96)
+    run_once()
+    got = spark.read.parquet(sink)
+    assert got.count() == 96 * 8 * 8
+    assert got.groupBy("t", "si", "pi").count().where("count > 1").count() == 0
+    batch = (
+        spark.read.format("zarr_py")
+        .option("store", store)
+        .option("dims", "t,si,pi")
+        .load()
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
