@@ -124,6 +124,13 @@ HEADLINE = [
     "s13_zarr_python_datasource",
     "f_variant_props",
     "g3_bfs_hops",
+    # round-6 operators
+    "s14_zarr_py_writer",
+    "stream_zarr_append_sink",
+    "g4_cc_iterative",
+    "f_arrow_udf_normalize",
+    "stream_watermark_append",
+    "stream_stream_join",
 ]
 
 

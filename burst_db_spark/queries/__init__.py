@@ -29,6 +29,7 @@ _MODULES = (
     "round5",
     "round5b",
     "round5c",
+    "round6",
     "scalars",
     "similarity",
     "skewq",
@@ -133,6 +134,11 @@ _SAMPLING_PRIORITY = (
     # ---- 50-slot prefix cut line ----
     "knn_cosine_ivf_learned",   # position 51: the arithmetic casualty
                                 # (rows-only by design; leads round 7)
+    # -- new in round 6 (strict + pytest evidence; lead round 7 too) --
+    "s14_zarr_py_writer",
+    "stream_zarr_append_sink",
+    "g4_cc_iterative",
+    "f_arrow_udf_normalize",
     # -- round-5 block (all driver-green r5) --
     "q4_order_priority",
     "q17_small_qty_revenue",

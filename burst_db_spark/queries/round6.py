@@ -1,0 +1,316 @@
+"""Round-6 queries: the WRITE half of the Spark-4 Python DataSource
+surface (batch two-phase-commit writer + streaming append sink for the
+zarr_py format), the forced-DISTRIBUTED connected-components path, and
+the Arrow-optimized Python UDF surface.
+
+These register BEHIND the driver sampling prefix this round (the r5
+verdict ordered the stale-row rotation first) and lead round 7's.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from burst_db_spark.catalog import load
+from burst_db_spark.queries.slayer import _tmpdir
+from burst_db_spark.queries.textops import _SHINGLES_CTE
+from burst_db_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# S14: Python DataSource WRITER (df.write.format("zarr_py")) round-trip
+
+
+@register(
+    "s14_zarr_py_writer",
+    oracle="""
+    WITH cells AS (
+        SELECT (year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1 AS t,
+               l_suppkey % 8 AS si, l_partkey % 8 AS pi,
+               CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS v
+        FROM lineitem GROUP BY 1, 2, 3
+    )
+    SELECT CAST(pi AS BIGINT) AS pi,
+           CAST(sum(v) AS BIGINT) AS total_qty,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(max(v) AS BIGINT) AS max_cell
+    FROM cells
+    WHERE t >= 24 AND si < 6
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("S14", "zarr", "datasource-api", "writer", "two-phase-commit"),
+)
+def s14_zarr_py_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the Spark-4 Python DataSource API
+    (sources/pyds.py ZarrPyWriter): the quantity cube goes OUT through
+    ``df.write.format("zarr_py").mode("overwrite")`` — a real two-phase
+    commit (tasks stage whole chunk files; the driver verifies no chunk
+    was written by two tasks, then publishes chunks + .zarray
+    atomically-per-file) — and comes back via the registered reader.
+    ``chunk_repartitioned`` provides the one-exchange layout that makes
+    chunk ownership exclusive; a DIFFERENT slice than s13 (late months,
+    low supplier cells, plus a max) is aggregated so this row cannot
+    pass off the read path alone. At 100 TB this is the pattern for
+    writing sharded tensor/cube artifacts from a 1000-executor job
+    without a coordinator."""
+    from burst_db_spark.sources.pyds import register_zarr_py
+    from burst_db_spark.sources.zarr import chunk_repartitioned
+
+    store = os.path.join(_tmpdir("s14"), "cube")
+    li = load(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            ((F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate") - 1).alias(
+                "t"
+            ),
+            (F.col("l_suppkey") % 8).alias("si"),
+            (F.col("l_partkey") % 8).alias("pi"),
+            F.floor("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("t", "si", "pi")
+        .agg(F.sum("q").cast("bigint").alias("v"))
+    )
+    register_zarr_py(spark)
+    (
+        chunk_repartitioned(cells, ["t", "si", "pi"], [12, 8, 8])
+        .write.format("zarr_py")
+        .option("store", store)
+        .option("dims", "t,si,pi")
+        .option("value_col", "v")
+        .option("shape", "84,8,8")
+        .option("chunks", "12,8,8")
+        .option("compressor", '{"id": "zlib", "level": 6}')
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("zarr_py")
+        .option("store", store)
+        .option("dims", "t,si,pi")
+        .option("value_col", "v")
+        .load()
+    )
+    return (
+        back.where((F.col("v") > 0) & (F.col("t") >= 24) & (F.col("si") < 6))
+        .groupBy(F.col("pi").cast("bigint").alias("pi"))
+        .agg(
+            F.sum("v").cast("bigint").alias("total_qty"),
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.max("v").cast("bigint").alias("max_cell"),
+        )
+        .orderBy("pi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming zarr sink: writeStream.format("zarr_py") appends t-chunks
+
+
+@register(
+    "stream_zarr_append_sink",
+    oracle="""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(t // 7 AS BIGINT) AS week,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(n) AS BIGINT) AS peak_day
+    FROM daily GROUP BY 1 ORDER BY 1
+    """,
+    tags=("Str", "zarr", "datasource-api", "stream-writer", "oracle-checked"),
+)
+def stream_zarr_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Python DataSource SINK (ZarrPyStreamWriter): daily
+    event counts stream into a growing 1-D zarr cube —
+    ``writeStream.format("zarr_py")`` — four mtime-ordered micro-batches
+    each carrying one whole t-chunk of days, per-batch two-phase commit
+    growing ``shape[0]`` monotonically (the exact growth model the
+    zarr_py STREAM READER consumes, so the two halves compose into a
+    cube-to-cube pipeline). Exactly-once: commit(batchId) records the
+    published t extent; a replayed batch re-stages identical bytes.
+    The oracle recomputes the weekly rollup of the day cells straight
+    from events — hash-equal iff no day was lost, duplicated, or torn
+    across the stream."""
+    from burst_db_spark.sources.pyds import register_zarr_py
+    from burst_db_spark.sources.zarr import chunk_repartitioned
+
+    register_zarr_py(spark)
+    tmp = _tmpdir("szs")
+    store = os.path.join(tmp, "cube")
+    cells = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+                "t"
+            )
+        )
+        .groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    # one parquet file per t-chunk of 8 days, mtime-ordered -> each
+    # micro-batch appends exactly one chunk row-range
+    now = 1_700_000_000
+    for i in range(4):
+        d = f"{tmp}/in/b{i}"
+        cells.where((F.col("t") >= i * 8) & (F.col("t") < (i + 1) * 8)).coalesce(
+            1
+        ).write.parquet(d)
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (now + i * 3600,) * 2)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("t long, n long")
+        .option("maxFilesPerTrigger", "1")
+        .load(f"{tmp}/in/*")
+    )
+    q = (
+        chunk_repartitioned(stream, ["t"], [8], n_partitions=4)
+        .writeStream.format("zarr_py")
+        .option("store", store)
+        .option("dims", "t")
+        .option("value_col", "n")
+        .option("shape", "8")  # grows per committed batch: 8->16->24->32
+        .option("chunks", "8")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = (
+        spark.read.format("zarr_py")
+        .option("store", store)
+        .option("dims", "t")
+        .option("value_col", "n")
+        .load()
+    )
+    return (
+        back.where(F.col("n") > 0)
+        .groupBy(F.floor(F.col("t") / 7).cast("bigint").alias("week"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.count("*").cast("bigint").alias("n_days"),
+            F.max("n").cast("bigint").alias("peak_day"),
+        )
+        .orderBy("week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G4: connected components FORCED down the distributed iterative path
+
+
+@register(
+    "g4_cc_iterative",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.2
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (
+        SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    )
+    SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id = cluster_id THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_relabeled,
+           CAST(min(cluster_id) AS BIGINT) AS first_cluster,
+           CAST(max(cluster_id) AS BIGINT) AS last_cluster
+    FROM labels
+    """,
+    tags=("graph", "connected-components", "iterative", "distributed-path"),
+)
+def g4_cc_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components with the local union-find fast path DISABLED
+    (``local_edge_gate=0``): every label comes from the distributed
+    iterative min-label propagation — O(log diameter) join+min-agg
+    rounds, the ONLY path that exists at 100 TB edge volumes.
+    ``dd_dedup_clusters`` exercises the gated small-graph path at driver
+    scale; this row pins the big-graph path against the same
+    recursive-CTE transitive-closure oracle (summarized, so the check
+    covers every label without a 500-row result)."""
+    from burst_db_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", threshold=0.2)
+    labels = dd.connected_components(pairs, docs, "doc_id", local_edge_gate=0)
+    return labels.agg(
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.col("doc_id") == F.col("cluster_id"), 0).otherwise(1)
+        )
+        .cast("bigint")
+        .alias("n_relabeled"),
+        F.min("cluster_id").cast("bigint").alias("first_cluster"),
+        F.max("cluster_id").cast("bigint").alias("last_cluster"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F10: Arrow-optimized Python UDF (useArrow=True)
+
+
+@register(
+    "f_arrow_udf_normalize",
+    oracle="""
+    SELECT upper(substr(trim(p_name), 1, 4)) AS prefix,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS total_size
+    FROM part
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("F10", "udf", "arrow", "python-udf"),
+)
+def f_arrow_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python scalar UDF (``useArrow=True`` — Spark 4's
+    batched Arrow transfer for plain ``F.udf``, the middle ground
+    between row-pickled UDFs and full pandas_udfs): a string normalizer
+    (trim → upper → 4-char prefix) applied to part names, then grouped.
+    The hot path stays a single vectorized exchange per batch; the
+    oracle is the same expression in SQL. Kept deliberately tiny — the
+    engine's real kernels use pandas_udf/applyInPandas (geo/udfs.py,
+    similarity.py); this row pins the third UDF transport working."""
+    norm = F.udf(
+        lambda s: s.strip().upper()[:4] if s is not None else None,
+        "string",
+        useArrow=True,
+    )
+    part = load(spark, sf_dir, "part")
+    return (
+        part.select(norm("p_name").alias("prefix"), "p_size")
+        .groupBy("prefix")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum(F.col("p_size").cast("bigint")).cast("bigint").alias(
+                "total_size"
+            ),
+        )
+        .orderBy("prefix")
+    )

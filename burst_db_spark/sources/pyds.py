@@ -27,9 +27,12 @@ from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -88,6 +91,14 @@ class ZarrPyDataSource(DataSource):
         return ZarrPyStreamReader(
             self.options["store"], dims, self.options.get("value_col", "value")
         )
+
+    def writer(self, schema, overwrite: bool) -> "ZarrPyWriter":
+        return ZarrPyWriter(
+            _parse_write_options(self.options, schema), overwrite
+        )
+
+    def streamWriter(self, schema, overwrite: bool) -> "ZarrPyStreamWriter":
+        return ZarrPyStreamWriter(_parse_write_options(self.options, schema))
 
 
 class ZarrPyReader(DataSourceReader):
@@ -260,3 +271,244 @@ def register_zarr_py(spark) -> None:
     except Exception as e:  # already registered
         if "already" not in str(e).lower():
             raise
+
+
+# ---------------------------------------------------------------------------
+# Write path: DataSourceArrowWriter (batch) + DataSourceStreamArrowWriter
+# (append streaming) — the other half of the V2 surface, so
+# ``df.write.format("zarr_py")`` / ``writeStream.format("zarr_py")`` work
+# symmetrically with the readers above.
+
+
+def _parse_write_options(options, schema) -> dict:
+    """Validate and normalize writer options into a picklable spec."""
+    import json as _json
+
+    import numpy as np
+
+    store = options.get("store")
+    if not store:
+        raise ValueError("zarr_py writer requires .option('store', <path>)")
+    dims_opt = options.get("dims")
+    if not dims_opt:
+        raise ValueError("zarr_py writer requires .option('dims', 'a,b,...')")
+    dims = [d.strip() for d in dims_opt.split(",")]
+    value_col = options.get("value_col", "value")
+    cols = set(schema.fieldNames())
+    missing = [c for c in [*dims, value_col] if c not in cols]
+    if missing:
+        raise ValueError(f"zarr_py writer: columns {missing} not in input")
+    shape_opt, chunks_opt = options.get("shape"), options.get("chunks")
+    if not shape_opt or not chunks_opt:
+        raise ValueError(
+            "zarr_py writer requires .option('shape', 'n,...') and "
+            ".option('chunks', 'c,...') (the logical cube geometry)"
+        )
+    shape = [int(x) for x in shape_opt.split(",")]
+    chunks = [int(x) for x in chunks_opt.split(",")]
+    if not (len(shape) == len(chunks) == len(dims)):
+        raise ValueError("dims/shape/chunks rank mismatch")
+    dtype = options.get("dtype", "<i8")
+    np.dtype(dtype)  # validate early, on the driver
+    comp = options.get("compressor")
+    return {
+        "store": store,
+        "dims": dims,
+        "value_col": value_col,
+        "shape": shape,
+        "chunks": chunks,
+        "dtype": dtype,
+        "compressor": _json.loads(comp) if comp else None,
+        "fill": int(options.get("fill", "0")),
+    }
+
+
+def _write_task_chunks(spec: dict, staging: str, batches) -> list[str]:
+    """Executor-side: assemble this task's rows into FULL chunk blocks
+    and write them into the staging dir. Returns chunk file names.
+
+    Contract (verified at commit): the input is partitioned so that no
+    chunk's rows span two tasks — ``chunk_repartitioned`` (sources/
+    zarr.py) produces exactly that layout with one hash exchange."""
+    import os
+
+    import numpy as np
+
+    from burst_db_spark.sources.zarr import _compress
+
+    chunks_t = tuple(spec["chunks"])
+    np_dtype = np.dtype(spec["dtype"])
+    ndim = len(chunks_t)
+    blocks: dict[tuple, "np.ndarray"] = {}
+    for rb in batches:
+        cols = {
+            rb.schema.names[j]: rb.column(j).to_numpy(zero_copy_only=False)
+            for j in range(rb.num_columns)
+        }
+        idx = [cols[d].astype(np.int64, copy=False) for d in spec["dims"]]
+        vals = cols[spec["value_col"]]
+        cidx = np.stack([idx[d] // chunks_t[d] for d in range(ndim)], axis=1)
+        order = np.lexsort(cidx.T[::-1])
+        cidx, vals = cidx[order], vals[order]
+        idx = [a[order] for a in idx]
+        uniq, starts = np.unique(cidx, axis=0, return_index=True)
+        bounds = [*starts.tolist(), len(vals)]
+        for u, lo, hi in zip(uniq, bounds[:-1], bounds[1:]):
+            key = tuple(int(x) for x in u)
+            blk = blocks.get(key)
+            if blk is None:
+                blk = blocks[key] = np.full(
+                    chunks_t, spec["fill"], dtype=np_dtype
+                )
+            local = tuple(
+                idx[d][lo:hi] - key[d] * chunks_t[d] for d in range(ndim)
+            )
+            blk[local] = vals[lo:hi].astype(np_dtype, copy=False)
+    written = []
+    for key, blk in blocks.items():
+        name = ".".join(str(k) for k in key)
+        with open(os.path.join(staging, name), "wb") as f:
+            f.write(_compress(blk.tobytes(order="C"), spec["compressor"]))
+        written.append(name)
+    return written
+
+
+class _ZarrCommit(WriterCommitMessage):
+    def __init__(self, chunks: list[str]) -> None:
+        self.chunks = chunks
+
+
+def _check_disjoint(messages) -> list[str]:
+    seen: dict[str, int] = {}
+    for i, m in enumerate(messages):
+        for c in getattr(m, "chunks", []) or []:
+            if c in seen:
+                raise ValueError(
+                    f"zarr_py writer: chunk {c} written by two tasks "
+                    f"({seen[c]} and {i}) — repartition the input by the "
+                    "chunk key first (sources.zarr.chunk_repartitioned)"
+                )
+            seen[c] = i
+    return list(seen)
+
+
+def _publish(spec: dict, staging: str, names: list[str]) -> None:
+    """Driver-side atomic-ish publish: move staged chunk files into the
+    store and (re)write .zarray. Renames are per-chunk atomic on a
+    POSIX filesystem; readers racing a publish see old or new chunks,
+    never torn ones."""
+    import json as _json
+    import os
+    import shutil
+
+    os.makedirs(spec["store"], exist_ok=True)
+    for n in names:
+        os.replace(os.path.join(staging, n), os.path.join(spec["store"], n))
+    meta = {
+        "zarr_format": 2,
+        "shape": spec["shape"],
+        "chunks": spec["chunks"],
+        "dtype": spec["dtype"],
+        "compressor": spec["compressor"],
+        "fill_value": spec["fill"],
+        "order": "C",
+        "filters": None,
+        "dimension_separator": ".",
+    }
+    with open(os.path.join(spec["store"], ".zarray"), "w") as f:
+        _json.dump(meta, f)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+class ZarrPyWriter(DataSourceArrowWriter):
+    """Batch writer with a real two-phase commit: tasks stage full chunk
+    files (no coordination — the partitioning contract makes chunk
+    ownership exclusive, and commit() VERIFIES it), the driver then
+    publishes staged chunks + .zarray or aborts and deletes the staging
+    dir. ``mode("overwrite")`` replaces the store; ``append`` merges new
+    chunk files over existing ones (unwritten chunks keep their data)."""
+
+    def __init__(self, spec: dict, overwrite: bool) -> None:
+        import os
+        import uuid
+
+        self.spec = spec
+        self.overwrite = overwrite
+        self.staging = os.path.join(
+            os.path.dirname(spec["store"].rstrip("/")) or ".",
+            f".zarr_staging_{uuid.uuid4().hex[:12]}",
+        )
+        os.makedirs(self.staging, exist_ok=True)
+
+    def write(self, iterator) -> _ZarrCommit:
+        return _ZarrCommit(
+            _write_task_chunks(self.spec, self.staging, iterator)
+        )
+
+    def commit(self, messages) -> None:
+        import os
+        import shutil
+
+        names = _check_disjoint(messages)
+        if self.overwrite and os.path.isdir(self.spec["store"]):
+            shutil.rmtree(self.spec["store"])
+        _publish(self.spec, self.staging, names)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class ZarrPyStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming APPEND sink: each micro-batch stages its chunk files,
+    and per-batch commit publishes them and GROWS shape[0] to cover the
+    largest written t index (the same whole-rows-along-dim-0 growth
+    model the stream READER consumes). Exactly-once across restarts:
+    commit(batchId) is recorded in .zarr_stream_commits inside the
+    store; a replayed batch re-stages identical chunk content but the
+    already-committed batchId publishes idempotently (same bytes, same
+    names) and the shape monotonically covers it."""
+
+    def __init__(self, spec: dict) -> None:
+        import os
+
+        self.spec = spec
+        # DETERMINISTIC staging path: Spark's streaming sink re-creates
+        # the Python writer in a separate commit-runner process, so a
+        # uuid chosen at construction would differ between the write
+        # tasks and commit() — batches run sequentially and commit moves
+        # only the files its messages name, so one shared dir is safe
+        self.staging = spec["store"].rstrip("/") + ".staging"
+        os.makedirs(self.staging, exist_ok=True)
+
+    def write(self, iterator) -> _ZarrCommit:
+        return _ZarrCommit(
+            _write_task_chunks(self.spec, self.staging, iterator)
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+        import os
+
+        names = _check_disjoint(messages)
+        # grow the declared shape to the t extent this batch reaches
+        t_hi = 0
+        cs = self.spec["chunks"][0]
+        for n in names:
+            t_hi = max(t_hi, (int(n.split(".")[0]) + 1) * cs)
+        spec = dict(self.spec)
+        prev = 0
+        marker = os.path.join(spec["store"], ".zarr_stream_commits")
+        if os.path.exists(marker):
+            prev = _json.load(open(marker)).get("t_rows", 0)
+        spec["shape"] = [max(t_hi, prev, spec["shape"][0]),
+                        *spec["shape"][1:]]
+        _publish(spec, self.staging, names)
+        with open(marker, "w") as f:
+            _json.dump({"batch_id": batchId, "t_rows": spec["shape"][0]}, f)
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)

@@ -360,3 +360,25 @@ def write_zarr_cube(
     }
     with open(_meta_path(store), "w") as f:
         json.dump(meta, f)
+
+
+def chunk_repartitioned(
+    df: DataFrame,
+    dims: Sequence[str],
+    chunks: Sequence[int],
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Repartition long-form cube rows so each zarr chunk's rows land in
+    exactly ONE task — the partitioning contract of the ``zarr_py``
+    DataSource writer (sources/pyds.py). One hash exchange on the chunk
+    index vector; a task may own many whole chunks, but no chunk spans
+    tasks (hash partitioning sends equal keys to one partition), which
+    the writer's commit verifies."""
+    key = F.array(
+        *[
+            F.floor(F.col(d).cast("long") / int(chunks[i])).cast("int")
+            for i, d in enumerate(dims)
+        ]
+    )
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, key)

@@ -316,11 +316,19 @@ def embedding_cd_probe(spark, factor: int) -> dict[str, float]:
     exact in float arithmetic, so within-replica cosines (and the true
     pair set per replica) are preserved bit-for-bit, while cross-replica
     pairs see ~half their terms negated — expected cosine ~0, far below
-    the 0.4 threshold. Output and candidates grow ~factor; linear-ish
-    wall ratios are the plan evidence."""
+    the 0.4 threshold. Output and candidates grow ~factor.
+
+    LSH params are AUTO-SIZED per rung via lsh_params_for (bits per
+    band grow with log2 of the corpus so bucket occupancy stays ~256):
+    holding r fixed while the corpus grows re-quadratifies the
+    per-bucket verify — measured 30x wall at 10x docs with r=4 pinned,
+    vs near-linear with the sizing rule. The registry queries keep
+    fixed params at driver SF because their oracles replicate the plane
+    literals bit-for-bit; the sizing rule is the 100 TB knob."""
     from burst_db_spark.operators.similarity import (
         lsh_near_dup_pairs,
         lsh_near_dup_pairs_multiprobe,
+        lsh_params_for,
     )
 
     emb = load(spark, "/root/testdata/sf0.1", "embeddings").select(
@@ -347,16 +355,20 @@ def embedding_cd_probe(spark, factor: int) -> dict[str, float]:
 
     out: dict[str, float] = {}
     n_parts = spark.sparkContext.defaultParallelism
+    n_base = emb.count()
     for label, f in (("", 1), ("_big", factor)):
         c = corpus(f).repartition(n_parts * max(1, f // 4))
+        n_planes, r = lsh_params_for(n_base * f)
         t0 = time.perf_counter()
-        lsh_near_dup_pairs(c).write.format("noop").mode("overwrite").save()
+        lsh_near_dup_pairs(c, n_planes=n_planes, bits_per_band=r).write.format(
+            "noop"
+        ).mode("overwrite").save()
         out[f"dd_embedding_nn_cd{label}"] = round(time.perf_counter() - t0, 2)
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        lsh_near_dup_pairs_multiprobe(c).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        lsh_near_dup_pairs_multiprobe(
+            c, n_planes=max(n_planes // 2, 32), bits_per_band=r
+        ).write.format("noop").mode("overwrite").save()
         out[f"dd_embedding_nn_multiprobe_cd{label}"] = round(
             time.perf_counter() - t0, 2
         )

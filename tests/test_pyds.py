@@ -205,3 +205,115 @@ def test_stream_reader_partial_chunk_growth(spark, cube_store, tmp_path):
         .load()
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_batch_writer_roundtrip_and_append_merge(spark, tmp_path):
+    """df.write.format('zarr_py'): overwrite round-trips exactly; append
+    merges new chunk files over existing ones (untouched chunks keep
+    their data)."""
+    from burst_db_spark.sources.zarr import chunk_repartitioned
+
+    store = str(tmp_path / "wcube")
+    df = (
+        spark.range(0, 24 * 4)
+        .selectExpr(
+            "id % 24 AS t",
+            "CAST(floor(id / 24) AS LONG) AS s",
+            "id * 7 % 100 AS v",
+        )
+    )
+    opts = dict(store=store, dims="t,s", value_col="v", shape="24,4",
+                chunks="8,4")
+    w = chunk_repartitioned(df, ["t", "s"], [8, 4]).write.format("zarr_py")
+    for k, val in opts.items():
+        w = w.option(k, val)
+    w.mode("overwrite").save()
+    back = (
+        spark.read.format("zarr_py").option("store", store)
+        .option("dims", "t,s").option("value_col", "v").load()
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    # append: rewrite only the t-chunk [8, 16) with v+1000
+    patch = df.where("t >= 8 AND t < 16").withColumn(
+        "v", F.col("v") + 1000
+    )
+    w2 = chunk_repartitioned(patch, ["t", "s"], [8, 4]).write.format("zarr_py")
+    for k, val in opts.items():
+        w2 = w2.option(k, val)
+    w2.mode("append").save()
+    got = {
+        (r.t, r.s): r.v
+        for r in spark.read.format("zarr_py").option("store", store)
+        .option("dims", "t,s").option("value_col", "v").load().collect()
+    }
+    for (t, s), v in got.items():
+        base = (t + s * 24) * 7 % 100
+        assert v == (base + 1000 if 8 <= t < 16 else base), (t, s)
+
+
+def test_batch_writer_rejects_chunk_spanning_tasks(spark, tmp_path):
+    """The two-phase commit must refuse a layout where one chunk's rows
+    were written by two tasks (lost-update risk) with an actionable
+    error."""
+    import pytest as _pytest
+
+    df = spark.range(0, 64).selectExpr("id % 16 AS t", "id AS v")
+    with _pytest.raises(Exception, match="written by two tasks"):
+        (
+            df.repartition(8)  # round-robin: chunks span tasks
+            .write.format("zarr_py")
+            .option("store", str(tmp_path / "bad"))
+            .option("dims", "t").option("value_col", "v")
+            .option("shape", "16").option("chunks", "4")
+            .mode("overwrite").save()
+        )
+
+
+def test_stream_writer_restart_is_idempotent(spark, tmp_path):
+    """writeStream.format('zarr_py'): an availableNow drain publishes
+    every chunk batch-by-batch with monotone shape growth; a SECOND
+    drain from the same checkpoint (no new data) changes nothing."""
+    import json
+
+    from burst_db_spark.sources.zarr import chunk_repartitioned
+
+    in_dir, store = tmp_path / "in", str(tmp_path / "scube")
+    for i in range(3):
+        d = str(in_dir / f"b{i}")
+        spark.range(i * 4, (i + 1) * 4).selectExpr(
+            "id AS t", "id * 11 AS v"
+        ).coalesce(1).write.parquet(d)
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (1_700_000_000 + i * 3600,) * 2)
+
+    def drain():
+        stream = (
+            spark.readStream.format("parquet").schema("t long, v long")
+            .option("maxFilesPerTrigger", "1").load(str(in_dir / "*"))
+        )
+        q = (
+            chunk_repartitioned(stream, ["t"], [4], n_partitions=2)
+            .writeStream.format("zarr_py")
+            .option("store", store).option("dims", "t")
+            .option("value_col", "v")
+            .option("shape", "4").option("chunks", "4")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()
+    meta = json.load(open(os.path.join(store, ".zarray")))
+    assert meta["shape"] == [12]  # grew 4 -> 8 -> 12 across commits
+    read = lambda: sorted(  # noqa: E731
+        map(
+            tuple,
+            spark.read.format("zarr_py").option("store", store)
+            .option("dims", "t").option("value_col", "v").load().collect(),
+        )
+    )
+    first = read()
+    assert first == [(t, t * 11) for t in range(12)]
+    drain()  # restart with exhausted input: nothing may change
+    assert read() == first
