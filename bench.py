@@ -129,6 +129,7 @@ HEADLINE = [
     "stream_zarr_append_sink",
     "g4_cc_iterative",
     "f_arrow_udf_normalize",
+    "mm_audio_windows",
     "stream_watermark_append",
     "stream_stream_join",
 ]

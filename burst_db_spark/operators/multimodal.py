@@ -285,3 +285,67 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
         F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n)
     )
     return media.select("doc_id", F.explode(idx).alias("frame_idx"))
+
+
+def audio_window_features(
+    df: DataFrame,
+    key: str = "user_id",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    frame: int = 64,
+) -> DataFrame:
+    """Framed audio feature extraction over REAL decoded PCM — the
+    speech-pipeline shape (VAD/energy gating, zero-crossing-rate
+    prefilters) run distributed: per-key WAV encode → decode_media →
+    frame into ``frame``-sample windows → per-frame energy (sum of
+    squares) and zero-crossing count → per-key aggregates.
+
+    Everything integer (PCM16 samples, int64 sums) so a DuckDB oracle
+    reproducing the quantization + framing relationally hash-matches
+    exactly. One applyInPandas per key for the encode, one mapInPandas
+    for decode+features: at 100 TB both are embarrassingly parallel
+    over keys/payloads, no shuffle beyond the per-key grouping."""
+    import numpy as np
+
+    enc_schema = f"{key} long, payload binary"
+
+    def _enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        s = np.floor(pdf[value_col].to_numpy(dtype=np.float64) * 10.0 + 0.5)
+        s = np.clip(s, -32000, 32000).astype(np.int16)
+        return pd.DataFrame(
+            {key: [pdf[key].iloc[0]], "payload": [encode_wav_pcm16(list(s))]}
+        )
+
+    wavs = df.groupBy(key).applyInPandas(_enc, enc_schema)
+
+    out_schema = (
+        f"{key} long, n_frames bigint, total_energy bigint, "
+        "max_frame_energy bigint, zero_crossings bigint"
+    )
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k, payload in zip(pdf[key], pdf["payload"]):
+                s = decode_media(bytes(payload))["samples"].astype(np.int64)
+                n_fr = (len(s) + frame - 1) // frame
+                fidx = np.arange(len(s)) // frame
+                energy = np.zeros(n_fr, dtype=np.int64)
+                np.add.at(energy, fidx, s * s)
+                # crossings between consecutive samples INSIDE a frame
+                prod = s[1:] * s[:-1]
+                inside = fidx[1:] == fidx[:-1]
+                zc = int(np.count_nonzero((prod < 0) & inside))
+                rows.append(
+                    {
+                        key: int(k),
+                        "n_frames": int(n_fr),
+                        "total_energy": int(energy.sum()),
+                        "max_frame_energy": int(energy.max()) if n_fr else 0,
+                        "zero_crossings": zc,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return wavs.mapInPandas(_feat, out_schema)

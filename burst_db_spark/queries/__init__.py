@@ -139,6 +139,7 @@ _SAMPLING_PRIORITY = (
     "stream_zarr_append_sink",
     "g4_cc_iterative",
     "f_arrow_udf_normalize",
+    "mm_audio_windows",
     # -- round-5 block (all driver-green r5) --
     "q4_order_priority",
     "q17_small_qty_revenue",

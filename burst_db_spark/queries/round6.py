@@ -314,3 +314,65 @@ def f_arrow_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prefix")
     )
+
+
+# ---------------------------------------------------------------------------
+# MM: framed audio features over real decoded PCM
+
+
+@register(
+    "mm_audio_windows",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(least(greatest(floor(value * 10 + 0.5), -32000), 32000)
+                    AS BIGINT) AS smp,
+               (row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+                - 1) // 64 AS fidx,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+                AS rn
+        FROM events
+    ),
+    lagged AS (
+        SELECT user_id, smp, fidx,
+               lag(smp) OVER (PARTITION BY user_id ORDER BY rn) AS prev,
+               lag(fidx) OVER (PARTITION BY user_id ORDER BY rn) AS pfidx
+        FROM s
+    ),
+    frames AS (
+        SELECT user_id, fidx,
+               CAST(sum(smp * smp) AS BIGINT) AS energy
+        FROM s GROUP BY 1, 2
+    ),
+    zc AS (
+        SELECT user_id,
+               CAST(count(*) FILTER (WHERE smp * prev < 0 AND fidx = pfidx)
+                    AS BIGINT) AS zero_crossings
+        FROM lagged GROUP BY 1
+    )
+    SELECT f.user_id AS user_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(energy) AS BIGINT) AS total_energy,
+           CAST(max(energy) AS BIGINT) AS max_frame_energy,
+           CAST(max(zc.zero_crossings) AS BIGINT) AS zero_crossings
+    FROM frames f JOIN zc ON f.user_id = zc.user_id
+    GROUP BY 1
+    """,
+    tags=("multimodal", "audio", "real-decode", "feature-extraction"),
+)
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed audio feature extraction (operators/multimodal.py
+    audio_window_features): per-user event values quantized to PCM16,
+    encoded into REAL WAV containers, decoded back, framed into
+    64-sample windows, and reduced to per-frame energy + zero-crossing
+    counts — the VAD/energy-gate preprocessing shape of a speech
+    training pipeline. All integer arithmetic, so the oracle reproduces
+    quantization + framing + crossings relationally and the decoded
+    features hash-match exactly (fails if the codec drops, reorders, or
+    corrupts one sample)."""
+    from burst_db_spark.operators import multimodal as mm
+
+    ev = load(spark, sf_dir, "events")
+    return mm.audio_window_features(
+        ev, key="user_id", value_col="value", order_col="event_id", frame=64
+    )

@@ -331,45 +331,81 @@ def embedding_cd_probe(spark, factor: int) -> dict[str, float]:
         lsh_params_for,
     )
 
+    out: dict[str, float] = {}
+    for label, f in (("", 1), ("_big", factor)):
+        out.update(
+            {
+                f"{k}{label}": v
+                for k, v in embedding_cd_rung(spark, f).items()
+            }
+        )
+    return out
+
+
+def _cd_embeddings(spark, factor: int):
+    """The constant-density embedding corpus (see embedding_cd_probe)."""
     emb = load(spark, "/root/testdata/sf0.1", "embeddings").select(
         "vec_id", "embedding"
     )
-
-    def corpus(f: int):
-        reps = []
-        for r in range(f):
-            reps.append(
-                emb.select(
-                    (F.col("vec_id") + F.lit(r * SHIFT)).alias("vec_id"),
-                    F.expr(
-                        f"transform(embedding, (v, i) -> v * IF("
-                        f"xxhash64({r * 131}L, CAST(i AS BIGINT)) % 2 = 0,"
-                        f" CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)))"
-                    ).alias("embedding"),
-                )
+    reps = []
+    for r in range(factor):
+        reps.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * SHIFT)).alias("vec_id"),
+                F.expr(
+                    f"transform(embedding, (v, i) -> v * IF("
+                    f"xxhash64({r * 131}L, CAST(i AS BIGINT)) % 2 = 0,"
+                    f" CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)))"
+                ).alias("embedding"),
             )
-        c = reps[0]
-        for x in reps[1:]:
-            c = c.unionByName(x)
-        return c
+        )
+    c = reps[0]
+    for x in reps[1:]:
+        c = c.unionByName(x)
+    return c
 
-    out: dict[str, float] = {}
+
+def embedding_cd_rung(
+    spark, f: int, which: str = "both"
+) -> dict[str, float]:
+    """One constant-density rung for the embedding-LSH family, params
+    auto-sized for the rung's corpus:
+
+    - single-probe: (n_planes, r) = lsh_params_for(N) — occupancy ~256;
+    - multi-probe: each vector probes (r+1) keys per band, amplifying
+      per-bucket candidate volume (r+1)x, so its buckets must be ~(r+1)x
+      SMALLER for the same verify cost: r_mp = r + ceil(log2(r+1)),
+      8 bands (half the single-probe band count — the whole point of
+      probing is the 2x-smaller signature). Holding the single-probe
+      occupancy for the multiprobe path measured 58x wall at 30x docs;
+      occupancy/probe-balanced sizing is the honest configuration."""
+    import math
+
+    from burst_db_spark.operators.similarity import (
+        lsh_near_dup_pairs,
+        lsh_near_dup_pairs_multiprobe,
+        lsh_params_for,
+    )
+
     n_parts = spark.sparkContext.defaultParallelism
-    n_base = emb.count()
-    for label, f in (("", 1), ("_big", factor)):
-        c = corpus(f).repartition(n_parts * max(1, f // 4))
-        n_planes, r = lsh_params_for(n_base * f)
+    n_base = load(spark, "/root/testdata/sf0.1", "embeddings").count()
+    c = _cd_embeddings(spark, f).repartition(n_parts * max(1, f // 4))
+    n_planes, r = lsh_params_for(n_base * f)
+    out: dict[str, float] = {}
+    if which in ("both", "nn"):
         t0 = time.perf_counter()
         lsh_near_dup_pairs(c, n_planes=n_planes, bits_per_band=r).write.format(
             "noop"
         ).mode("overwrite").save()
-        out[f"dd_embedding_nn_cd{label}"] = round(time.perf_counter() - t0, 2)
+        out["dd_embedding_nn_cd"] = round(time.perf_counter() - t0, 2)
         spark.catalog.clearCache()
+    if which in ("both", "mp"):
+        r_mp = r + math.ceil(math.log2(r + 1))
         t0 = time.perf_counter()
         lsh_near_dup_pairs_multiprobe(
-            c, n_planes=max(n_planes // 2, 32), bits_per_band=r
+            c, n_planes=8 * r_mp, bits_per_band=r_mp
         ).write.format("noop").mode("overwrite").save()
-        out[f"dd_embedding_nn_multiprobe_cd{label}"] = round(
+        out["dd_embedding_nn_multiprobe_cd"] = round(
             time.perf_counter() - t0, 2
         )
         spark.catalog.clearCache()
