@@ -130,6 +130,7 @@ HEADLINE = [
     "g4_cc_iterative",
     "f_arrow_udf_normalize",
     "mm_audio_windows",
+    "t_weighted_sample",
     "stream_watermark_append",
     "stream_stream_join",
 ]

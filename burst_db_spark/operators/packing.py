@@ -204,3 +204,50 @@ def pack_sequences(
         .cast("bigint")
         .alias("last_chunk"),
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, k per
+    stratum — the Efraimidis–Spirakis A-ES scheme (exponential races):
+    each row draws u from (0,1) as a pure function of (salt, key) and
+    ranks by ln(u)/weight (monotone with u^(1/weight)); the top-k per
+    stratum is a weighted sample without replacement, rows winning with
+    probability proportional to weight.
+
+    The curation use: sample documents proportional to a quality or
+    length weight instead of uniformly, reproducibly — a re-run, an
+    engine swap, or a cluster resize selects the SAME rows (unlike
+    rand()-seeded sampling). Plan: map-side key math + ONE window
+    shuffle on the stratum (same shape as top-k-per-group); no state.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    from pyspark.sql import Window
+
+    rk = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.desc("__aes_key"), F.col(key)
+    )
+    return (
+        df.withColumn("__aes_key", rk)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__aes_key", "__rn")
+    )

@@ -140,6 +140,7 @@ _SAMPLING_PRIORITY = (
     "g4_cc_iterative",
     "f_arrow_udf_normalize",
     "mm_audio_windows",
+    "t_weighted_sample",
     # -- round-5 block (all driver-green r5) --
     "q4_order_priority",
     "q17_small_qty_revenue",

@@ -376,3 +376,63 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_window_features(
         ev, key="user_id", value_col="value", order_col="event_id", frame=64
     )
+
+
+# ---------------------------------------------------------------------------
+# T: deterministic weighted sampling (A-ES exponential races)
+
+
+@register(
+    "t_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT source, doc_id, n_chars,
+               ln((CAST(('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 0.5) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE) AS aes_key
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY aes_key DESC, doc_id
+        ) AS rn
+        FROM keyed
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(min(doc_id) AS BIGINT) AS first_id,
+           CAST(max(doc_id) AS BIGINT) AS last_id
+    FROM ranked WHERE rn <= 25
+    GROUP BY source ORDER BY source
+    """,
+    tags=("text", "sampling", "weighted", "curation"),
+)
+def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, 25 docs per source,
+    probability proportional to document length (A-ES exponential
+    races, Efraimidis–Spirakis 2006 — public literature): rank by
+    ln(u)/weight with u a salted-md5 pure function of doc_id, take the
+    per-stratum top-k. Deterministic across engines, re-runs, and
+    cluster sizes — the reproducible quality-weighted counterpart to
+    t_stratified_sample's uniform thresholds. The id_checksum /
+    first/last columns pin the EXACT selected set, so the hash check
+    proves both engines rank the same keys the same way."""
+    from burst_db_spark.operators.packing import weighted_sample_topk
+
+    docs = load(spark, sf_dir, "documents")
+    picked = weighted_sample_topk(
+        docs, key="doc_id", strata_col="source", weight_col="n_chars", k=25
+    )
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("sampled_chars"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            F.min("doc_id").cast("bigint").alias("first_id"),
+            F.max("doc_id").cast("bigint").alias("last_id"),
+        )
+        .orderBy("source")
+    )
