@@ -131,6 +131,7 @@ HEADLINE = [
     "f_arrow_udf_normalize",
     "mm_audio_windows",
     "t_weighted_sample",
+    "a31_countmin_merge",
     "stream_watermark_append",
     "stream_stream_join",
 ]

@@ -141,6 +141,7 @@ _SAMPLING_PRIORITY = (
     "f_arrow_udf_normalize",
     "mm_audio_windows",
     "t_weighted_sample",
+    "a31_countmin_merge",
     # -- round-5 block (all driver-green r5) --
     "q4_order_priority",
     "q17_small_qty_revenue",

@@ -436,3 +436,120 @@ def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# A31: count-min sketch — build per day, MERGE across days, probe
+
+
+@register(
+    "a31_countmin_merge",
+    oracle="""
+    WITH probes AS (
+        SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 5
+    ),
+    depths AS (SELECT unnest(range(0, 4)) AS d),
+    cells AS (
+        SELECT CAST(ts AS DATE) AS day, d.d AS d,
+               CAST(('0x' || substr(md5(d.d || ':' || CAST(user_id AS VARCHAR)),
+                                    1, 8)) AS BIGINT) % 64 AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events CROSS JOIN depths d
+        GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT d, bucket, CAST(sum(n) AS BIGINT) AS total
+        FROM cells GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT p.user_id,
+               CAST(min(m.total) AS BIGINT) AS cms_estimate
+        FROM probes p
+        CROSS JOIN depths d
+        JOIN merged m
+          ON m.d = d.d
+         AND m.bucket = CAST(('0x' || substr(md5(d.d || ':' ||
+                              CAST(p.user_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 64
+        GROUP BY 1
+    ),
+    exact AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+        FROM events WHERE user_id IN (SELECT user_id FROM probes)
+        GROUP BY 1
+    )
+    SELECT e.user_id AS user_id, x.exact_count AS exact_count,
+           e.cms_estimate AS cms_estimate,
+           CAST(e.cms_estimate - x.exact_count AS BIGINT) AS overcount
+    FROM est e JOIN exact x ON e.user_id = x.user_id
+    ORDER BY 1
+    """,
+    tags=("A31", "sketch", "count-min", "mergeable"),
+)
+def a31_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch with the MERGE property exercised end-to-end —
+    the heavy-hitter sibling of a27's HLL union: per-day 4x64 sketches
+    (one map-side groupBy over (day, depth, md5-bucket) — the explode is
+    4 rows/event, all JVM), summed cell-wise across days (sketch
+    merge == plain addition, the 100 TB re-aggregation property), then
+    probed for the five smallest user ids: estimate = min over depths of
+    the merged cell. Everything is exact integer arithmetic on both
+    engines, so est, exact, and the CMS overcount (always >= 0 by the
+    theorem) hash-match bit-for-bit — unlike approx_distinct, the sketch
+    itself is deterministic."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    depths = F.array(*[F.lit(i) for i in range(4)])
+
+    def bucket(d: F.Column, key: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(d.cast("string"), F.lit(":"),
+                                   key.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 64
+        )
+
+    cells = (
+        ev.select("day", "user_id", F.explode(depths).alias("d"))
+        .groupBy("day", "d", bucket(F.col("d"), F.col("user_id")).alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    merged = cells.groupBy("d", "bucket").agg(
+        F.sum("n").cast("bigint").alias("total")
+    )
+    probes = (
+        ev.select("user_id").distinct().orderBy("user_id").limit(5)
+    )
+    probe_cells = probes.select(
+        "user_id", F.explode(depths).alias("d")
+    ).withColumn("bucket", bucket(F.col("d"), F.col("user_id")))
+    est = (
+        probe_cells.join(merged, ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("total").cast("bigint").alias("cms_estimate"))
+    )
+    exact = (
+        ev.join(F.broadcast(probes), "user_id")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("exact_count"))
+    )
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
