@@ -109,6 +109,14 @@ PROBE_QUERIES = [
     "s13_zarr_python_datasource",
     "f_variant_props",
     "g3_bfs_hops",
+    # round-6 operators
+    "s14_zarr_py_writer",
+    "g4_cc_iterative",
+    "f_arrow_udf_normalize",
+    "mm_audio_windows",
+    "t_weighted_sample",
+    "a31_countmin_merge",
+    "j14_fuzzy_name_join",
 ]
 
 # keys to shift per replica so replicated rows don't collapse into the
