@@ -132,6 +132,7 @@ HEADLINE = [
     "mm_audio_windows",
     "t_weighted_sample",
     "a31_countmin_merge",
+    "knn_ivf_learned_exhaustive",
     "stream_watermark_append",
     "stream_stream_join",
 ]

@@ -226,6 +226,9 @@ def weighted_sample_topk(
     engine swap, or a cluster resize selects the SAME rows (unlike
     rand()-seeded sampling). Plan: map-side key math + ONE window
     shuffle on the stratum (same shape as top-k-per-group); no state.
+
+    ``weight_col`` must be strictly positive (ln(u)/w is undefined at
+    w=0 and order-inverted for w<0) — standard A-ES precondition.
     """
     u = (
         F.conv(

@@ -142,6 +142,7 @@ _SAMPLING_PRIORITY = (
     "mm_audio_windows",
     "t_weighted_sample",
     "a31_countmin_merge",
+    "knn_ivf_learned_exhaustive",
     # -- round-5 block (all driver-green r5) --
     "q4_order_priority",
     "q17_small_qty_revenue",

@@ -553,3 +553,63 @@ def a31_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# KNN: trained-IVF machinery made hash-checkable via exhaustive probing
+
+
+from burst_db_spark.queries.similarity import _cos_sql as _cos  # noqa: E402
+
+_KNN_EXH_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id >= 20 AND vec_id < 35),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id, {_cos("qv", "cv")} AS cos
+        FROM c CROSS JOIN q
+        WHERE neighbor_id != query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+           ) AS INTEGER) AS rank,
+           cos
+    FROM scored
+    QUALIFY rank <= 5
+    """
+
+
+@register(
+    "knn_ivf_learned_exhaustive",
+    oracle=_KNN_EXH_ORACLE,
+    tags=("similarity", "ann", "ivf", "kmeans", "derived-oracle"),
+)
+def knn_ivf_learned_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived-oracle trick applied to the LEARNED-codebook IVF path
+    (the last ANN no-oracle row): train Lloyd's k-means (seeded,
+    iterative — not SQL-expressible), assign every vector to its argmin
+    cell, then run the cell-partitioned search with every query probing
+    ALL 8 cells. Each candidate lives in exactly one cell, so the
+    union of cell-restricted searches IS the exact brute-force top-k —
+    whatever centroids training produced. The DuckDB oracle is the
+    brute-force definition, so a hash match proves the trained
+    assignment + cell-partitioned join + rank machinery loses or
+    duplicates no candidate. The REALISTIC pruned configuration
+    (nprobe=1) stays covered by knn_cosine_ivf_learned (rows-only) and
+    the recall audits."""
+    from burst_db_spark.operators.similarity import (
+        assign_cells,
+        cosine_topk_partitioned,
+        kmeans_codebook,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    codebook = kmeans_codebook(emb, k=8, iters=2)
+    cells = assign_cells(emb, codebook)
+    queries = (
+        cells.where((F.col("vec_id") >= 20) & (F.col("vec_id") < 35))
+        .select("vec_id", "embedding")
+        .withColumn("cell", F.explode(F.sequence(F.lit(1), F.lit(8))))
+    )
+    return cosine_topk_partitioned(cells, queries, cell_col="cell", k=5)

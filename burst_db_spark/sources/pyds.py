@@ -37,12 +37,20 @@ from pyspark.sql.datasource import (
 
 
 class ZarrPyDataSource(DataSource):
-    """``format("zarr_py")`` — options:
+    """``format("zarr_py")`` — READ options:
 
     - ``store`` (required): path to the zarr v2 array directory;
     - ``dims`` (optional): comma-separated dim column names (default
       ``i0,i1,...``);
     - ``value_col`` (optional): value column name (default ``value``).
+
+    WRITE options (``df.write`` / ``writeStream``): ``store``, ``dims``
+    and the cube geometry ``shape``/``chunks`` (comma-separated ints)
+    are required; ``value_col``, ``dtype`` (numpy spec, default
+    ``<i8``), ``compressor`` (JSON, e.g. ``{"id":"zlib","level":6}``)
+    and ``fill`` are optional. Input must be partitioned so no chunk
+    spans two tasks — use ``sources.zarr.chunk_repartitioned``; the
+    commit verifies the contract.
     """
 
     @classmethod
