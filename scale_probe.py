@@ -530,6 +530,7 @@ def graph_cd_probe(spark, factor: int) -> dict[str, float]:
                 F.lit(0),
             ).alias("hop"),
         )
+        cached = None
         for _ in range(3):
             relaxed = (
                 und.join(
@@ -540,15 +541,26 @@ def graph_cd_probe(spark, factor: int) -> dict[str, float]:
                 )
                 .select(F.col("dst").alias("v"), (F.col("hop") + 1).alias("hop"))
             )
+            # persist each round: without this the lineage recomputes all
+            # prior rounds inside every later round — measured as a stall
+            # at the 100x rung (the same per-round persist discipline as
+            # operators/dedup.connected_components)
             dist = (
                 dist.unionByName(relaxed)
                 .groupBy("v")
                 .agg(F.min("hop").alias("hop"))
+                .persist()
             )
+            dist.count()
+            if cached is not None:
+                cached.unpersist()
+            cached = dist
         dist.where(F.col("hop").isNotNull()).groupBy("hop").count().write.format(
             "noop"
         ).mode("overwrite").save()
         out[f"g3_bfs_cd{label}"] = round(time.perf_counter() - t0, 2)
+        if cached is not None:
+            cached.unpersist()
         e.unpersist()
         spark.catalog.clearCache()
     base_edges.unpersist()
