@@ -201,7 +201,11 @@ def knn_cosine_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     one posexplode shuffle per iteration), then the cell-restricted
     top-k search. Rows-only: the iterative trainer isn't
     SQL-expressible; determinism is pinned by the seeded init, so row
-    counts and values are stable across runs."""
+    counts and values are stable across runs. The trained-assignment +
+    partitioned-search machinery IS hash-checked by the round-6 sibling
+    ``knn_ivf_learned_exhaustive`` (probing all cells makes the result
+    equal brute force, whatever the centroids — queries/round6.py);
+    only the nprobe=1 pruning itself remains rows-only here."""
     from burst_db_spark.operators.similarity import (
         assign_cells,
         cosine_topk_partitioned,
