@@ -316,7 +316,15 @@ def lsh_oracle_sql(
     """
 
 
-_PROBE_MASKS = (0, 1, 2, 4, 8)  # identity + all 1-bit flips of a 4-bit key
+def probe_masks(bits_per_band: int) -> tuple[int, ...]:
+    """Identity + every 1-bit flip of an r-bit band key. Round 6 fix:
+    this was a hardcoded 4-bit tuple, so any r != 4 silently probed only
+    the low 4 bits — the API now honors its every-1-bit-flip contract
+    for all r (the registry query and its oracle use r=4, unchanged)."""
+    return (0, *[1 << j for j in range(bits_per_band)])
+
+
+_PROBE_MASKS = probe_masks(4)  # the registry/oracle configuration
 
 
 def lsh_near_dup_pairs_multiprobe(
@@ -373,7 +381,7 @@ def lsh_near_dup_pairs_multiprobe(
         _keys_udf(F.col(vec_col)).alias("keys"),
     ).persist()
     stored = sig.select("vid", F.posexplode("keys").alias("band_idx", "key"))
-    masks = F.array(*[F.lit(m) for m in _PROBE_MASKS])
+    masks = F.array(*[F.lit(m) for m in probe_masks(r)])
     probes = stored.select(
         F.col("vid").alias("pvid"),
         "band_idx",
@@ -456,7 +464,7 @@ def lsh_multiprobe_oracle_sql(
         band_keys.append(" + ".join(terms))
     keys_list = "[" + ", ".join(band_keys) + "]"
     n_bands = n_planes // r
-    masks = "[" + ", ".join(str(m) for m in _PROBE_MASKS) + "]"
+    masks = "[" + ", ".join(str(m) for m in probe_masks(r)) + "]"
     return f"""
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
     sig AS (
