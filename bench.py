@@ -133,6 +133,7 @@ HEADLINE = [
     "t_weighted_sample",
     "a31_countmin_merge",
     "knn_ivf_learned_exhaustive",
+    "f_recursive_cte_gapfill",
     "stream_watermark_append",
     "stream_stream_join",
 ]

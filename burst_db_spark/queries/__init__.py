@@ -143,6 +143,7 @@ _SAMPLING_PRIORITY = (
     "t_weighted_sample",
     "a31_countmin_merge",
     "knn_ivf_learned_exhaustive",
+    "f_recursive_cte_gapfill",
     # -- round-5 block (all driver-green r5) --
     "q4_order_priority",
     "q17_small_qty_revenue",

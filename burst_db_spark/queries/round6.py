@@ -613,3 +613,60 @@ def knn_ivf_learned_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cell", F.explode(F.sequence(F.lit(1), F.lit(8))))
     )
     return cosine_topk_partitioned(cells, queries, cell_col="cell", k=5)
+
+
+# ---------------------------------------------------------------------------
+# F11: Spark-4 recursive CTE — calendar spine gap-fill
+
+
+@register(
+    "f_recursive_cte_gapfill",
+    oracle="""
+    WITH RECURSIVE spine(d) AS (
+        SELECT CAST(min(ts) AS DATE) FROM events
+        UNION ALL
+        SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM spine
+        WHERE d < (SELECT CAST(max(ts) AS DATE) FROM events)
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT s.d AS day,
+           CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events,
+           coalesce(daily.n, 0) > 0 AS has_events
+    FROM spine s LEFT JOIN daily ON daily.d = s.d
+    ORDER BY day
+    """,
+    tags=("F11", "recursive-cte", "spark4", "gap-fill"),
+)
+def f_recursive_cte_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's RECURSIVE CTE surface (WITH RECURSIVE ... UNION ALL —
+    resolved by Catalyst's ResolveWithCTE into an iterative union
+    execution): a calendar day spine grown one row per recursion step
+    from min(ts) to max(ts), left-joined to daily counts so silent
+    gap days surface as zero rows. The DuckDB oracle runs the SAME
+    recursive SQL (both dialects support linear UNION ALL recursion),
+    making this a surface-parity row, not just a result check. The
+    production gap-fill shape remains sequence()+explode
+    (w12_linear_interpolation) — one generate, no iterative plan; this
+    row exists to pin the recursion feature itself, the SQL analog of
+    the engine's iterative operators (connected components, PageRank)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("ev_r6_spine")
+    return spark.sql("""
+        WITH RECURSIVE spine(d) AS (
+            SELECT CAST(min(ts) AS DATE) FROM ev_r6_spine
+            UNION ALL
+            SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM spine
+            WHERE d < (SELECT CAST(max(ts) AS DATE) FROM ev_r6_spine)
+        ),
+        daily AS (
+            SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+            FROM ev_r6_spine GROUP BY 1
+        )
+        SELECT s.d AS day,
+               CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events,
+               coalesce(daily.n, 0) > 0 AS has_events
+        FROM spine s LEFT JOIN daily ON daily.d = s.d
+        ORDER BY day
+    """)
