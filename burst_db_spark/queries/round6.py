@@ -1,7 +1,9 @@
 """Round-6 queries: the WRITE half of the Spark-4 Python DataSource
 surface (batch two-phase-commit writer + streaming append sink for the
-zarr_py format), the forced-DISTRIBUTED connected-components path, and
-the Arrow-optimized Python UDF surface.
+zarr_py format), the forced-DISTRIBUTED connected-components path, the
+Arrow-optimized Python UDF surface, framed audio features, A-ES
+weighted sampling, count-min sketch merge, the exhaustive-probe derived
+oracle for the trained-IVF path, and Spark 4's recursive CTE surface.
 
 These register BEHIND the driver sampling prefix this round (the r5
 verdict ordered the stale-row rotation first) and lead round 7's.
