@@ -134,6 +134,7 @@ HEADLINE = [
     "a31_countmin_merge",
     "knn_ivf_learned_exhaustive",
     "f_recursive_cte_gapfill",
+    "s15_schema_evolution",
     "stream_watermark_append",
     "stream_stream_join",
 ]

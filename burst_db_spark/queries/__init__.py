@@ -144,6 +144,7 @@ _SAMPLING_PRIORITY = (
     "a31_countmin_merge",
     "knn_ivf_learned_exhaustive",
     "f_recursive_cte_gapfill",
+    "s15_schema_evolution",
     # -- round-5 block (all driver-green r5) --
     "q4_order_priority",
     "q17_small_qty_revenue",

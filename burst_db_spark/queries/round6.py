@@ -672,3 +672,61 @@ def f_recursive_cte_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spine s LEFT JOIN daily ON daily.d = s.d
         ORDER BY day
     """)
+
+
+# ---------------------------------------------------------------------------
+# S15: schema evolution across parquet shards (mergeSchema)
+
+
+@register(
+    "s15_schema_evolution",
+    oracle="""
+    SELECT CAST(event_id % 2 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_props,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DECIMAL(28, 6))
+                AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("S15", "schema-evolution", "mergeSchema", "parquet"),
+)
+def s15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across shard generations — how a long-lived
+    corpus actually accumulates: an OLD shard written without ``props``
+    and a NEW shard written with it land in one directory, and
+    ``mergeSchema`` reconciles them (old rows surface NULL for the
+    added column; Spark unions the footers per file, no rewrite of old
+    data — the 100 TB property: adding a column must not touch existing
+    shards). The aggregate pins the reconciliation: every old-shard row
+    must read back with NULL props, every new-shard row with its value,
+    and the decimal-exact value sum proves no row was dropped or
+    duplicated across the generations."""
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "value", "props"
+    )
+    tmp = tempfile.mkdtemp(prefix="bds_s15_")
+    old = ev.where(F.col("event_id") % 2 == 0).drop("props")
+    new = ev.where(F.col("event_id") % 2 == 1)
+    old.write.parquet(f"{tmp}/data/gen=0")
+    new.write.parquet(f"{tmp}/data/gen=1")
+    merged = (
+        spark.read.option("mergeSchema", "true").parquet(f"{tmp}/data")
+    )
+    return (
+        merged.groupBy((F.col("event_id") % 2).cast("bigint").alias("shard"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("props").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_null_props"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("shard")
+    )

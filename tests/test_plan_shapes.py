@@ -386,3 +386,60 @@ def test_fuzzy_name_join_is_deletion_key_equi_join(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     # candidate generation keys on the 64-bit variant hash
     assert "xxhash64" in plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Catalyst's runtime bloom-filter injection (the row-group-level
+    sibling of DPP): a selective build side on a shuffled join makes the
+    optimizer wrap the probe side's scan in bloom_filter_might_contain,
+    so most lineitem rows die before the SortMergeJoin's exchange — the
+    100 TB selective-join shape when the dim is too big to broadcast."""
+    import io, contextlib
+
+    from pyspark.sql import functions as F
+
+    from burst_db_spark.catalog import load
+    from tests.conftest import SF_DIR
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime."
+            "bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load(spark, SF_DIR, "lineitem")
+        orders = load(spark, SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "might_contain" in plan.lower(), plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
