@@ -135,6 +135,7 @@ HEADLINE = [
     "knn_ivf_learned_exhaustive",
     "f_recursive_cte_gapfill",
     "s15_schema_evolution",
+    "j16_asof_tolerance",
     "stream_watermark_append",
     "stream_stream_join",
 ]

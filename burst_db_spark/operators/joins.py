@@ -292,3 +292,77 @@ def fuzzy_string_self_join(
         cand.withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
         .where(F.col("dist") <= max_dist)
     )
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    tolerance_seconds: int,
+) -> DataFrame:
+    """LEFT-PRESERVING as-of join with a max-gap tolerance — pandas
+    ``merge_asof(tolerance=...)`` semantics: every left row survives;
+    the most recent right row at-or-before it (per key) is attached
+    only when within ``tolerance_seconds``, else the payload columns
+    are NULL (a stale quote is worse than no quote).
+
+    Same single-shuffle union + ordered window carry as ``asof_join``
+    (no range-explosion join), plus the right row's timestamp carried
+    inside the payload so the gap mask is pure column math. At 100 TB
+    this is one exchange on the key — the same plan as the tolerant
+    variants in kdb/QuestDB-style tick stores.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    lcols = list(left.columns)
+    payload_t = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+        + [T.StructField("__rt", right.schema[right_ts].dataType)]
+    )
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c).alias(f"l_{c}") for c in lcols],
+        F.lit(None).cast(payload_t).alias("__payload"),
+    )
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"l_{c}")
+          for c in lcols],
+        F.struct(
+            *[F.col(c) for c in value_cols],
+            F.col(right_ts).alias("__rt"),
+        ).alias("__payload"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = l.unionByName(r).select(
+        "*",
+        F.last("__payload", ignorenulls=True).over(w).alias("__asof"),
+    )
+    in_tol = (
+        F.col("__asof").isNotNull()
+        & (
+            F.col("__t").cast("double")
+            - F.col("__asof")["__rt"].cast("double")
+            <= F.lit(float(tolerance_seconds))
+        )
+    )
+    out = carried.where(F.col("__is_left") == 1)
+    return out.select(
+        *[F.col(f"l_{c}").alias(c) for c in lcols],
+        *[
+            F.when(in_tol, F.col("__asof")[c]).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )

@@ -145,6 +145,7 @@ _SAMPLING_PRIORITY = (
     "knn_ivf_learned_exhaustive",
     "f_recursive_cte_gapfill",
     "s15_schema_evolution",
+    "j16_asof_tolerance",
     # -- round-5 block (all driver-green r5) --
     "q4_order_priority",
     "q17_small_qty_revenue",

@@ -730,3 +730,67 @@ def s15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# J16: as-of join with tolerance (merge_asof semantics)
+
+
+@register(
+    "j16_asof_tolerance",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, ts, user_id FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS buy_id,
+           p.user_id AS user_id,
+           CASE WHEN v.ts IS NOT NULL
+                 AND p.ts - v.ts <= INTERVAL 30 MINUTES
+                THEN v.event_id END AS asof_view_id,
+           CASE WHEN v.ts IS NOT NULL
+                 AND p.ts - v.ts <= INTERVAL 30 MINUTES
+                THEN v.ts END AS asof_view_ts
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    tags=("J16", "asof", "tolerance", "timeseries"),
+)
+def j16_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with TOLERANCE (pandas merge_asof(tolerance=...) /
+    tick-store semantics, the variant plain j12 can't express): each
+    purchase attaches the same user's most recent prior view ONLY if it
+    happened within 30 minutes — a stale attribution is worse than
+    none, so out-of-tolerance rows keep NULLs instead of being dropped
+    (LEFT-preserving: the row count equals the purchase count exactly).
+    One exchange on user_id (union + ordered window carry), no range
+    join. The oracle is DuckDB's native ASOF LEFT JOIN with the
+    tolerance applied as a CASE mask — two independent formulations of
+    the same semantics agreeing hash-exactly."""
+    from burst_db_spark.operators.joins import asof_join_tolerance
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id",
+                                              "event_type")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "ts", "user_id"
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"), "ts", "user_id"
+    )
+    out = asof_join_tolerance(
+        buys,
+        views.withColumn("view_ts", F.col("ts")),
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["view_id", "view_ts"],
+        tolerance_seconds=1800,
+    )
+    return out.select(
+        "buy_id",
+        "user_id",
+        F.col("asof_view_id").alias("asof_view_id"),
+        F.col("asof_view_ts").alias("asof_view_ts"),
+    )
