@@ -194,7 +194,41 @@ def main() -> None:
     }
     if errors:
         out["errors"] = len(errors)
-    print(json.dumps(out))
+
+    # The driver captures only the TAIL (~2000 bytes) of stdout and parses
+    # the JSON line out of it; with 100+ per-query entries the full line
+    # blew past that in r3/r5/r6 (BENCH_r{N}.json "parsed": null). Emit the
+    # FULL record to BENCH_FULL.json next to this script, and keep the
+    # printed line under budget by trimming the per-query map to the
+    # slowest entries (errors always included) when needed.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(out, fh)
+            fh.write("\n")
+    except OSError as e:  # pragma: no cover - read-only checkout
+        print(f"bench: could not write {full_path}: {e}", file=sys.stderr)
+
+    line = json.dumps(out)
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BUDGET", "1800"))
+    if len(line) > budget:
+        def _key(item: tuple[str, object]) -> float:
+            v = item[1]
+            return float("inf") if isinstance(v, dict) else float(v)  # errors first
+
+        kept: dict[str, object] = {}
+        out_small = dict(out)
+        out_small["n_queries"] = len(timings)
+        out_small["queries_full"] = "BENCH_FULL.json"
+        for name_, val in sorted(timings.items(), key=_key, reverse=True):
+            trial = dict(out_small)
+            trial["queries"] = {**kept, name_: val}
+            if len(json.dumps(trial)) > budget:
+                break
+            kept[name_] = val
+        out_small["queries"] = kept
+        line = json.dumps(out_small)
+    print(line)
 
 
 if __name__ == "__main__":
