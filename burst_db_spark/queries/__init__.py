@@ -30,6 +30,7 @@ _MODULES = (
     "round5b",
     "round5c",
     "round6",
+    "round7",
     "scalars",
     "similarity",
     "skewq",
