@@ -332,3 +332,402 @@ def t_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", "inter_size", F.col("a_size").cast("bigint"))
         .orderBy("a_id", "b_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# KNN: int8 scalar-quantized ANN with exact rerank.
+# The memory-bandwidth half of the ANN story (IVF/PQ cover the pruning
+# half): embeddings are globally min/max-quantized per dimension to int8
+# codes (4x smaller than float32, 8x smaller than the double math), the
+# candidate sweep runs entirely in BIGINT arithmetic (exact, portable),
+# and only the top-C survivors pay for an exact float rerank. Every step
+# is integer- or ordered-fold-deterministic, so the oracle replays the
+# identical pipeline in SQL.
+
+_SQ_QUERIES = 8
+_SQ_TOPC = 24
+_SQ_TOPK = 5
+_SQ_DIM = 64
+_DOT_FOLD = (
+    "list_reduce(list_transform(range(1, {n} + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _cos_fold(a: str, b: str, n: int) -> str:
+    dot = _DOT_FOLD.format(a=a, b=b, n=n)
+    na = _DOT_FOLD.format(a=a, b=a, n=n)
+    nb = _DOT_FOLD.format(a=b, b=b, n=n)
+    return f"{dot} / (sqrt({na}) * sqrt({nb}))"
+
+
+@register(
+    "knn_int8_quantized",
+    oracle=f"""
+    WITH dims AS (
+        SELECT i AS dim,
+               min(CAST(embedding[i] AS DOUBLE)) AS mn,
+               max(CAST(embedding[i] AS DOUBLE)) AS mx
+        FROM embeddings, unnest(range(1, {_SQ_DIM} + 1)) AS r(i)
+        GROUP BY i
+    ),
+    params AS (
+        SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+        FROM dims
+    ),
+    codes AS (
+        SELECT vec_id, embedding,
+               list_transform(range(1, {_SQ_DIM} + 1),
+                   i -> CAST(round((CAST(embedding[i] AS DOUBLE) - mns[i]) * 254
+                                   / (mxs[i] - mns[i])) AS BIGINT) - 127) AS code
+        FROM embeddings, params
+    ),
+    cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_reduce(list_transform(range(1, {_SQ_DIM} + 1),
+                   i -> (q.code[i] - c.code[i]) * (q.code[i] - c.code[i])),
+                   (x, y) -> x + y) AS dist2,
+               q.embedding AS qv, c.embedding AS cv
+        FROM codes q JOIN codes c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < {_SQ_QUERIES}
+    ),
+    topc AS (
+        SELECT * FROM (
+            SELECT query_id, neighbor_id, dist2, qv, cv,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dist2, neighbor_id) AS crank
+            FROM cand)
+        WHERE crank <= {_SQ_TOPC}
+    )
+    SELECT query_id, neighbor_id,
+           CAST(rank AS INTEGER) AS rank, cos
+    FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank,
+               cos
+        FROM (SELECT query_id, neighbor_id,
+                     {_cos_fold("qv", "cv", _SQ_DIM)} AS cos
+              FROM topc))
+    WHERE rank <= {_SQ_TOPK}
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "knn", "quantization", "int8", "llm-pipeline"),
+)
+def knn_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN: global per-dim min/max (one tiny agg,
+    broadcast back), int8 codes via round((x-mn)*254/(mx-mn))-127, an
+    exact BIGINT L2 sweep over the codes (zip_with + ordered aggregate,
+    all JVM HOFs), top-C by integer distance, then exact double-cosine
+    rerank of C=24 survivors only. At 100 TB the code table is 4x
+    smaller than the float table and the int sweep is SIMD-friendly
+    whole-stage codegen; compose with the IVF cell pruning (knn_ivf_*)
+    for the full funnel. Deterministic end-to-end: int distances are
+    exact, the rerank fold is element-ordered."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    ).groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    params = dims.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s["mx"]
+        ).alias("mxs"),
+    )
+    codes = (
+        emb.crossJoin(F.broadcast(params))
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(
+                f"transform(sequence(0, {_SQ_DIM} - 1), i -> "
+                "CAST(round((CAST(embedding[i] AS DOUBLE) - mns[i]) * 254"
+                " / (mxs[i] - mns[i])) AS BIGINT) - 127)"
+            ).alias("code"),
+        )
+    )
+    q = codes.where(F.col("vec_id") < _SQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("code").alias("qcode"),
+    )
+    cand = (
+        codes.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with("qcode", "code", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("dist2"),
+            "qv",
+            F.col("embedding").alias("cv"),
+        )
+    )
+    w_c = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
+    topc = cand.withColumn("crank", F.row_number().over(w_c)).where(
+        F.col("crank") <= _SQ_TOPC
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qv").cast("array<double>"),
+            F.col("cv").cast("array<double>"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nq = F.aggregate(
+        F.transform(F.col("qv").cast("array<double>"), lambda a: a * a),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nc = F.aggregate(
+        F.transform(F.col("cv").cast("array<double>"), lambda a: a * a),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = topc.withColumn("cos", dot / (F.sqrt(nq) * F.sqrt(nc)))
+    w_k = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_k).cast("int"))
+        .where(F.col("rank") <= _SQ_TOPK)
+        .select("query_id", "neighbor_id", "rank", "cos")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P12: dynamic partition pruning — the 100 TB fact-scan killer feature.
+# A date-partitioned fact joined to a dim filtered on a NON-partition
+# attribute: Spark plants a dynamicpruning subquery into the fact scan's
+# partition filters at runtime (reusing the broadcast), so only the
+# partitions the dim survivors name are read. tests/test_plan_shapes.py
+# asserts the `dynamicpruning` expression is in the scan.
+
+import os as _os
+
+from burst_db_spark.queries.slayer import _tmpdir
+
+
+def _dpp_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write events date-partitioned + a date dim (with ISO day-of-week
+    attribute) as parquet; deterministic content, throwaway location."""
+    base = _tmpdir("p12")
+    fact_path = _os.path.join(base, "fact")
+    dim_path = _os.path.join(base, "dim")
+    ev = load(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(fact_path)
+    (
+        ev.select("event_date").distinct()
+        .withColumn("dow_iso", F.weekday("event_date") + F.lit(1))
+        .write.mode("overwrite").parquet(dim_path)
+    )
+    return fact_path, dim_path
+
+
+@register(
+    "p12_dynamic_partition_pruning",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DECIMAL(28, 6)) AS sum_value
+    FROM events
+    WHERE isodow(CAST(ts AS DATE)) IN (1, 2)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("P12", "partition-pruning", "dpp", "scan"),
+)
+def p12_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact partitioned by event_date joins a dim filtered on dow_iso
+    (Mon/Tue) — a predicate the planner cannot map to partitions
+    statically. Dynamic partition pruning turns the broadcast dim's
+    surviving dates into a runtime partition filter on the fact scan:
+    ~2/7 of partitions read instead of all. The oracle recomputes from
+    the raw events table (Spark weekday()+1 == DuckDB isodow, pinned
+    here). The decimal cast precedes the sum on both sides (post-shuffle
+    double-sum ulp rule, .claude/skills/verify gotchas)."""
+    fact_path, dim_path = _dpp_fixture(spark, sf_dir)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path)
+    return (
+        fact.join(
+            F.broadcast(dim.where(F.col("dow_iso").isin(1, 2))),
+            "event_date",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O6: distributed global rank — total ordering without the single-partition
+# window anti-pattern. repartitionByRange gives disjoint sorted key ranges;
+# per-partition row_number plus a 16-entry offset table (the only
+# driver-side piece, bounded by the partition count, never by the data)
+# yields exact global ranks. This is how you produce a globally sorted /
+# ranked 100 TB export: orderBy on a 1000-executor cluster does exactly
+# this under the hood; here the rank assignment is made explicit so it
+# composes (stride samples, percentile slices, pagination).
+
+_O6_PARTS = 16
+_O6_STRIDE = 997
+
+
+@register(
+    "o6_range_partitioned_sort",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               row_number() OVER (ORDER BY l_extendedprice DESC,
+                                  l_orderkey, l_linenumber) AS rnk
+        FROM lineitem
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+    FROM ranked
+    WHERE rnk <= 20 OR rnk % {_O6_STRIDE} = 0
+    ORDER BY rnk
+    """,
+    tags=("O6", "sort", "range-partition", "global-rank"),
+)
+def o6_range_partitioned_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global rank via range partitioning: repartitionByRange(16)
+    on (price DESC, orderkey, linenumber) + sortWithinPartitions, local
+    row_number per range partition, then add per-partition offsets
+    (cumulative counts over a 16-row driver-side table — bounded by
+    partition count). No global single-partition Exchange anywhere; the
+    oracle is the plain ROW_NUMBER() OVER (ORDER BY ...) definition.
+    Output is the head + a 1-in-997 stride sample so the row count
+    stays bounded at any SF."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    order_cols = [
+        F.desc("l_extendedprice"),
+        F.asc("l_orderkey"),
+        F.asc("l_linenumber"),
+    ]
+    parts = li.repartitionByRange(_O6_PARTS, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    # Persist pins ONE range partitioning: the offset-count action and the
+    # final ranked action must see identical partition boundaries (range
+    # sampling and AQE re-planning may otherwise differ between actions —
+    # observed as an off-by-one rank at sf0.01). bench/tests clearCache()
+    # between queries, releasing the blocks.
+    with_pid = parts.withColumn("pid", F.spark_partition_id()).persist()
+    # bounded driver-side reduction: one count per range partition
+    counts = sorted(
+        (r["pid"], r["cnt"])
+        for r in with_pid.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "pid int, off bigint"
+        )
+    )
+    w_local = Window.partitionBy("pid").orderBy(*order_cols)
+    ranked = (
+        with_pid.withColumn("local_rn", F.row_number().over(w_local))
+        .join(off_df, "pid")
+        .withColumn("rnk", (F.col("off") + F.col("local_rn")).cast("bigint"))
+    )
+    return (
+        ranked.where((F.col("rnk") <= 20) | (F.col("rnk") % _O6_STRIDE == 0))
+        .select(
+            "rnk",
+            "l_orderkey",
+            F.col("l_linenumber").cast("bigint"),
+            "l_extendedprice",
+        )
+        .orderBy("rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F: map higher-order-function surface (map_from_entries /
+# transform_values / map_filter / map_entries). The map type itself has
+# no stable cross-engine wire order, so the output is canonicalized to a
+# sorted "k=v" string — the oracle recomputes the same result relationally.
+
+
+@register(
+    "f_map_gauntlet",
+    oracle="""
+    WITH counts AS (
+        SELECT o_custkey % 10 AS bucket, o_orderpriority AS k,
+               count(*) AS v
+        FROM orders GROUP BY 1, 2
+    ),
+    pct AS (
+        SELECT bucket, k,
+               v * 100 // sum(v) OVER (PARTITION BY bucket) AS share
+        FROM counts
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN share >= 15 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_major,
+           string_agg(CASE WHEN share >= 15 THEN k || '=' || share END,
+                      ',' ORDER BY k) AS major_str
+    FROM pct
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("functions", "map", "hof"),
+)
+def f_map_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map HOF gauntlet: priority→count maps per customer bucket built
+    with map_from_entries, integer-share rewrite via transform_values
+    (v*100 DIV total — exact), map_filter keeps the >= 15% entries,
+    map_entries + array_sort canonicalizes for output. All JVM
+    built-ins inside whole-stage codegen; the map never leaves the
+    executors un-canonicalized."""
+    orders = load(spark, sf_dir, "orders")
+    counts = orders.groupBy(
+        (F.col("o_custkey") % 10).alias("bucket"),
+        F.col("o_orderpriority").alias("k"),
+    ).agg(F.count("*").alias("v"))
+    m = counts.groupBy("bucket").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("k", "v")))
+        ).alias("m"),
+        F.sum("v").alias("total"),
+    )
+    shares = m.withColumn(
+        "shares",
+        F.expr("transform_values(m, (k, v) -> v * 100 DIV total)"),
+    ).withColumn("major", F.expr("map_filter(shares, (k, v) -> v >= 15)"))
+    return (
+        shares.select(
+            "bucket",
+            F.size("shares").cast("bigint").alias("n_keys"),
+            F.size("major").cast("bigint").alias("n_major"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.map_entries("major")),
+                    lambda e: F.concat_ws("=", e["key"], e["value"].cast("string")),
+                ),
+            ).alias("major_str"),
+        )
+        .orderBy("bucket")
+    )
