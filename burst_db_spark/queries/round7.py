@@ -731,3 +731,131 @@ def f_map_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# MM: stride frame-sampling with a REAL decode. mm_frame_sample is the
+# metadata-only planning pass (which frame indices to touch); this row is
+# the decode half: synthetic fixed-size-frame video containers are built
+# as opaque binary blobs + typed metadata, and a mapInPandas stage slices
+# the actual frame bytes at stride 3. The oracle recomputes the byte
+# sums from the deterministic frame formula via the events table — so a
+# wrong slice offset or stride in the Python decode fails the driver's
+# hash check, not just a pytest.
+
+_VID_FRAME_BYTES = 32
+_VID_MAX_FRAMES = 40
+_VID_STRIDE = 3
+
+
+def _video_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """One 'video' per events user: n_frames = min(#events, 40); frame k
+    byte j = (user*31 + k*7 + j) % 256. Blobs are built distributed
+    (applyInPandas-free: a vectorized pandas UDF over the per-user
+    counts), written as parquet binary + metadata, read back opaque."""
+    import pandas as pd
+
+    out = _os.path.join(_tmpdir("mm_vid"), "videos")
+    ev = load(spark, sf_dir, "events")
+    meta = (
+        ev.groupBy(F.col("user_id").alias("video_id"))
+        .agg(
+            F.least(F.count("*"), F.lit(_VID_MAX_FRAMES))
+            .cast("int")
+            .alias("n_frames")
+        )
+    )
+
+    def _encode(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                b"".join(
+                    bytes(
+                        (int(u) * 31 + k * 7 + j) % 256
+                        for j in range(_VID_FRAME_BYTES)
+                    )
+                    for k in range(int(nf))
+                )
+                for u, nf in zip(pdf["video_id"], pdf["n_frames"])
+            ]
+            yield pdf
+
+    blobs = meta.mapInPandas(
+        _encode, "video_id long, n_frames int, payload binary"
+    )
+    blobs.write.mode("overwrite").parquet(out)
+    return out
+
+
+@register(
+    "mm_video_framesample",
+    oracle=f"""
+    WITH meta AS (
+        SELECT user_id AS video_id,
+               least(count(*), {_VID_MAX_FRAMES}) AS nf
+        FROM events GROUP BY user_id
+    )
+    SELECT video_id,
+           CAST(len(range(0, nf, {_VID_STRIDE})) AS BIGINT) AS n_sampled,
+           CAST((nf - 1) // {_VID_STRIDE} * {_VID_STRIDE} AS BIGINT) AS max_idx,
+           CAST(list_sum(list_transform(range(0, nf, {_VID_STRIDE}),
+                k -> (video_id * 31 + k * 7) % 256)) AS BIGINT) AS sum_first_byte,
+           CAST(list_sum(list_transform(range(0, nf, {_VID_STRIDE}),
+                k -> list_sum(list_transform(range({_VID_FRAME_BYTES}),
+                     j -> (video_id * 31 + k * 7 + j) % 256)))) AS BIGINT)
+               AS sum_frame_bytes
+    FROM meta
+    ORDER BY video_id
+    """,
+    tags=("multimodal", "video", "frame-sample", "decode", "mapInPandas"),
+)
+def mm_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-path stride frame sampling: read opaque video blobs, slice
+    every 3rd fixed-size frame's REAL bytes in an Arrow-batched
+    mapInPandas stage, aggregate per-video byte sums. The oracle derives
+    the expected sums from the generator formula over the events table —
+    independent of the Python decode, so offset/stride bugs are caught
+    cross-engine. Scale shape: blobs never leave their partition, the
+    decode is a map-only stage, and the aggregate is a partial-agg
+    shuffle on video_id."""
+    import pandas as pd
+    from typing import Iterator
+
+    path = _video_fixture(spark, sf_dir)
+    vids = spark.read.parquet(path)
+
+    def _sample(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for vid, nf, payload in zip(
+                pdf["video_id"].astype(int),
+                pdf["n_frames"].astype(int),
+                pdf["payload"],
+            ):
+                blob = bytes(payload)
+                for k in range(0, nf, _VID_STRIDE):
+                    frame = blob[
+                        k * _VID_FRAME_BYTES : (k + 1) * _VID_FRAME_BYTES
+                    ]
+                    rows.append(
+                        (vid, k, frame[0], sum(frame))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["video_id", "frame_idx", "first_byte", "frame_sum"]
+            )
+
+    frames = vids.mapInPandas(
+        _sample,
+        "video_id long, frame_idx int, first_byte int, frame_sum long",
+    )
+    return (
+        frames.groupBy("video_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.max("frame_idx").cast("bigint").alias("max_idx"),
+            F.sum("first_byte").cast("bigint").alias("sum_first_byte"),
+            F.sum("frame_sum").cast("bigint").alias("sum_frame_bytes"),
+        )
+        .orderBy("video_id")
+    )
