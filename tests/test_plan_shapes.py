@@ -443,3 +443,59 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# round-7 plan properties
+
+
+def test_p12_scan_has_dynamic_pruning(spark):
+    """The date-partitioned fact scan must carry a runtime dynamicpruning
+    partition filter fed by the broadcast dim — the 100 TB fact-scan
+    reducer. A static plan (all partitions read) is the regression."""
+    plan = _plan("p12_dynamic_partition_pruning", spark)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_o6_global_rank_no_single_partition_window(spark):
+    """Global ranks must come from range partitions + per-partition
+    row_number; a Window with a global (empty partitionBy) sort would
+    funnel all rows through one task."""
+    plan = _plan("o6_range_partitioned_sort", spark)
+    assert "rangepartitioning" in plan.lower().replace(" ", "")
+    # the window must be partitioned on pid, not global
+    assert "partitionspec=[]" not in plan.lower().replace(" ", "")
+
+
+def test_containment_join_no_cartesian(spark):
+    """Candidate generation is an equi-join on shingle (prefix x inverted
+    index) and the verify joins on ids — never a cartesian/BNLJ."""
+    plan = _plan("t_containment_join", spark)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_int8_quantized_broadcasts_are_bounded(spark):
+    """Only the one-row quant-params frame and the query subset are
+    broadcast; the candidate table itself must stream (no SMJ needed,
+    but also no broadcast of the full code table)."""
+    plan = _plan("knn_int8_quantized", spark)
+    assert "CartesianProduct" not in plan
+    # the explicit broadcasts exist
+    assert "BroadcastExchange" in plan
+
+
+def test_kmv_sketch_has_partial_distinct(spark):
+    """The shard-sketch distinct must partial-aggregate map-side (the
+    mergeable-partials property the sketch exists for)."""
+    plan = _plan("a32_kmv_distinct", spark)
+    assert "partial_" in plan or "HashAggregate" in plan
+
+
+def test_paragraph_dedup_no_python_in_path(spark):
+    """Line windowing, first-occurrence filter, and reassembly are all
+    JVM built-ins: no BatchEvalPython / ArrowEvalPython stage."""
+    plan = _plan("t_paragraph_dedup", spark)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
