@@ -138,6 +138,15 @@ HEADLINE = [
     "j16_asof_tolerance",
     "stream_watermark_append",
     "stream_stream_join",
+    # round-7 operators
+    "a32_kmv_distinct",
+    "t_paragraph_dedup",
+    "t_containment_join",
+    "knn_int8_quantized",
+    "p12_dynamic_partition_pruning",
+    "o6_range_partitioned_sort",
+    "f_map_gauntlet",
+    "mm_video_framesample",
 ]
 
 

@@ -390,6 +390,106 @@ def minhash_lsh_dedup(
     return out
 
 
+def containment_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT containment join via prefix filtering: emit ordered pairs
+    (a, b) with C(A,B) = |A∩B| / |A| ≥ τ over n-gram shingle sets —
+    near-SUPERSET detection (quote-with-additions, boilerplate+payload),
+    the asymmetric cousin of ``jaccard_prefix_pairs``.
+
+    Prefix theorem for containment (Chaudhuri et al. ICDE'06 §SSJoin /
+    Bayardo et al. WWW'07): C(A,B) ≥ τ needs |A∩B| ≥ ceil(τ·|A|), so A
+    and B must share a shingle inside A's first |A| - ceil(τ·|A|) + 1
+    shingles in the global rarity order. Only A's PREFIX explodes; the
+    probe side indexes ALL its shingles (containment gives no prefix
+    bound on the superset side) — still an equi-join on shingle, never
+    an all-pairs. Size filter: |B| ≥ τ·|A| prunes inside the candidate
+    join. LOSSLESS: the verify is an exact ``array_intersect`` over the
+    distinct candidate pairs.
+
+    Returns (id_a, id_b, inter_size, a_size) for surviving pairs.
+    Scale shape mirrors jaccard_prefix_pairs: one shingle shuffle for
+    document frequency, one doc shuffle for the ordered arrays, the
+    candidate equi-join, two id-joins for the verify. The doc frame is
+    persisted (three subtrees hang off it) and released by
+    ``release_dedup`` or the session's clearCache.
+    """
+    from pyspark.sql import Window
+
+    sh = doc_shingles(df, id_col, text_col, n)
+    w = Window.partitionBy("shingle")
+    ranked = sh.withColumn("__df", F.count("*").over(w))
+    docs = (
+        ranked.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("shingle")))
+            ).alias("__ordered"),
+            F.count("*").alias("n_sh"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_sh"),
+            F.transform("__ordered", lambda s: s["shingle"]).alias("toks"),
+        )
+        .withColumn(
+            "prefix",
+            F.slice(
+                "toks",
+                1,
+                (
+                    F.col("n_sh")
+                    - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int")
+                    + 1
+                ),
+            ),
+        )
+        .persist()
+    )
+    a = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("n_sh").alias("__na"),
+        F.explode("prefix").alias("ptok"),
+    )
+    b = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("n_sh").alias("__nb"),
+        F.explode("toks").alias("ptok"),
+    )
+    t10 = int(round(threshold * 10))
+    cand = (
+        a.join(b, "ptok")
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("__nb") * 10 >= t10 * F.col("__na"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("toks").alias("__ta"),
+        F.col("n_sh").alias("a_size"),
+    )
+    vb = docs.select(F.col(id_col).alias("id_b"), F.col("toks").alias("__tb"))
+    out = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "inter_size", F.size(F.array_intersect("__ta", "__tb")).cast("bigint")
+        )
+        .where(F.col("inter_size") * 10 >= t10 * F.col("a_size"))
+        .select("id_a", "id_b", "inter_size", F.col("a_size").cast("bigint"))
+    )
+    out._dedup_cached = (docs,)  # release_dedup(out) unpersists
+    return out
+
+
 def release_dedup(result: DataFrame) -> None:
     """Unpersist the intermediate frames cached behind a
     ``ngram_jaccard_pairs`` / ``jaccard_prefix_pairs`` /

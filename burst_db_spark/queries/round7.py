@@ -251,87 +251,33 @@ _SHINGLE_SQL = (
            CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_size,
            CAST(len(a.s) AS BIGINT) AS a_size
     FROM sh a JOIN sh b ON a.doc_id != b.doc_id
-    WHERE len(list_intersect(a.s, b.s)) * 10 >= {_CONT_T10} * len(a.s)
+    WHERE len(a.s) > 0
+      AND len(list_intersect(a.s, b.s)) * 10 >= {_CONT_T10} * len(a.s)
     ORDER BY a_id, b_id
     """,
     tags=("text", "dedup", "containment", "prefix-filter", "llm-pipeline"),
 )
 def t_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Prefix-filtered containment join over 3-word shingle sets.
-    Candidate generation explodes only each A-doc's rarity-ordered
-    prefix (|A| - ceil(0.6|A|) + 1 shingles) against a full inverted
-    index of B — an equi-join on shingle, never an all-pairs — then an
-    exact array_intersect verify on the distinct candidate pairs.
-    Same scale family as dd_jaccard_prefix_join (AllPairs/PPJoin,
-    Bayardo et al. 2007; Chaudhuri et al. 2006 for the containment
-    prefix bound): candidates grow with shared-rare-shingle density,
-    not quadratically."""
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
-    ).select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("w", i + 1),
-                    F.element_at("w", i + 2),
-                    F.element_at("w", i + 3),
-                ),
-            )
-        ).alias("s"),
-    )
-    sets = toks.withColumn("a_size", F.size("s"))
+    """Prefix-filtered containment join over 3-word shingle sets
+    (operators/dedup.containment_prefix_pairs): candidate generation
+    explodes only each A-doc's rarity-ordered prefix
+    (|A| - ceil(0.6|A|) + 1 shingles) against a full inverted index of
+    B — an equi-join on shingle, never an all-pairs — then an exact
+    array_intersect verify on the distinct candidate pairs. Same scale
+    family as dd_jaccard_prefix_join (AllPairs/PPJoin, Bayardo et al.
+    2007; Chaudhuri et al. 2006 for the containment prefix bound):
+    candidates grow with shared-rare-shingle density, not
+    quadratically. LOSSLESS — the oracle is the quadratic definition."""
+    from burst_db_spark.operators.dedup import containment_prefix_pairs
 
-    # global rarity order: document frequency per shingle
-    index = sets.select("doc_id", F.explode("s").alias("shingle"))
-    df_counts = index.groupBy("shingle").agg(F.count("*").alias("df"))
-    ranked = (
-        index.join(df_counts, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("df", "shingle"))),
-                lambda s: s["shingle"],
-            ).alias("by_rarity")
-        )
-    )
-    pref = (
-        sets.join(ranked, "doc_id")
-        .select(
-            F.col("doc_id").alias("a_id"),
-            F.col("a_size"),
-            F.explode(
-                F.slice(
-                    "by_rarity",
-                    1,
-                    F.col("a_size")
-                    - F.ceil(F.col("a_size") * _CONT_T10 / 10).cast("int")
-                    + 1,
-                )
-            ).alias("shingle"),
-        )
-    )
-    cands = (
-        pref.join(index.select(F.col("doc_id").alias("b_id"), "shingle"), "shingle")
-        .where(F.col("a_id") != F.col("b_id"))
-        .select("a_id", "b_id", "a_size")
-        .distinct()
-    )
-    a_sets = sets.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
-    b_sets = sets.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
-    return (
-        cands.join(a_sets, "a_id")
-        .join(b_sets, "b_id")
-        .withColumn(
-            "inter_size", F.size(F.array_intersect("sa", "sb")).cast("bigint")
-        )
-        .where(F.col("inter_size") * 10 >= _CONT_T10 * F.col("a_size"))
-        .select("a_id", "b_id", "inter_size", F.col("a_size").cast("bigint"))
-        .orderBy("a_id", "b_id")
-    )
+    docs = load(spark, sf_dir, "documents")
+    pairs = containment_prefix_pairs(docs, "doc_id", threshold=_CONT_T10 / 10)
+    return pairs.select(
+        F.col("id_a").alias("a_id"),
+        F.col("id_b").alias("b_id"),
+        "inter_size",
+        "a_size",
+    ).orderBy("a_id", "b_id")
 
 
 # ---------------------------------------------------------------------------
