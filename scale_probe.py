@@ -314,6 +314,29 @@ def jaccard_cd_probe(spark, factor: int) -> dict[str, float]:
     return out
 
 
+def containment_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Constant-density scaling for the prefix-filtered CONTAINMENT join
+    (same disjoint-token-space corpus as jaccard_cd_probe: within-replica
+    near-superset structure preserved, cross-replica pairs impossible, so
+    true output grows ~factor — linear-ish wall is the evidence that the
+    A-prefix x full-inverted-index candidate join does not quadratify)."""
+    from burst_db_spark.operators.dedup import (
+        containment_prefix_pairs,
+        release_dedup,
+    )
+
+    out: dict[str, float] = {}
+    for label, f in (("", 1), ("_big", factor)):
+        corpus = _cd_corpus(spark, f)
+        t0 = time.perf_counter()
+        res = containment_prefix_pairs(corpus, "doc_id", threshold=0.6)
+        res.write.format("noop").mode("overwrite").save()
+        out[f"t_containment_cd{label}"] = round(time.perf_counter() - t0, 2)
+        release_dedup(res)
+        spark.catalog.clearCache()
+    return out
+
+
 def embedding_cd_probe(spark, factor: int) -> dict[str, float]:
     """Constant near-dup-density scaling for the embedding-LSH family.
     Clone replication makes every clone cosine-1.0 with its siblings
@@ -579,6 +602,7 @@ def main() -> None:
         large = time_queries(spark, specs, big)
         cd = spatial_cd_probe(spark, n_small=100_000, factor=factor)
         cd.update(jaccard_cd_probe(spark, factor))
+        cd.update(containment_cd_probe(spark, factor))
         cd.update(minhash_cd_probe(spark, factor))
         cd.update(embedding_cd_probe(spark, factor))
         cd.update(fuzzy_cd_probe(spark, factor))

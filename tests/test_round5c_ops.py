@@ -343,3 +343,38 @@ def test_prefix_join_lossless_property(spark, docs, threshold):
         ).collect()
     }
     assert fast == slow
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=_corpus(), threshold=st.sampled_from([0.4, 0.6, 0.9]))
+def test_containment_prefix_lossless_property(spark, docs, threshold):
+    """Containment prefix theorem on arbitrary corpora: the prefixed
+    candidate generation + exact verify must equal the quadratic
+    containment definition exactly (incl. empty/tiny docs, identical
+    docs, repeated shingles)."""
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fast = {
+        (r.id_a, r.id_b, r.inter_size, r.a_size)
+        for r in dd.containment_prefix_pairs(
+            df, "doc_id", threshold=threshold
+        ).collect()
+    }
+    # quadratic truth from the same shingle sets
+    sh = (
+        dd.doc_shingles(df, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("s"))
+        .collect()
+    )
+    sets = {r["doc_id"]: set(r["s"]) for r in sh}
+    slow = set()
+    for a, sa in sets.items():
+        if not sa:
+            continue
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            inter = len(sa & sb)
+            if inter * 10 >= int(round(threshold * 10)) * len(sa):
+                slow.add((a, b, inter, len(sa)))
+    assert fast == slow
