@@ -147,6 +147,7 @@ HEADLINE = [
     "o6_range_partitioned_sort",
     "f_map_gauntlet",
     "mm_video_framesample",
+    "t_containment_survivors",
 ]
 
 

@@ -805,3 +805,79 @@ def mm_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("video_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# T: end-to-end near-superset scrub — the consumer of the containment
+# join. A document dies when it is ≥0.6-contained in a STRICTLY LARGER
+# shingle set (id tiebreak on equal sizes, so mutual near-duplicates
+# lose exactly one member). Mirrors dd_corpus_survivors (the MinHash
+# consumer) for the containment family.
+
+
+@register(
+    "t_containment_survivors",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, n_chars,
+                      string_split_regex(lower(trim(text)), '\s+') AS w
+               FROM documents),
+    sh AS (SELECT doc_id, n_chars, {_SHINGLE_SQL} AS s FROM t),
+    removed AS (
+        SELECT DISTINCT a.doc_id
+        FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+        WHERE len(a.s) > 0
+          AND len(list_intersect(a.s, b.s)) * 10 >= {_CONT_T10} * len(a.s)
+          AND (len(b.s) > len(a.s)
+               OR (len(b.s) = len(a.s) AND b.doc_id < a.doc_id))
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_survivors,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+               AS ids_md5
+    FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+    """,
+    tags=("text", "dedup", "containment", "survivors", "llm-pipeline"),
+)
+def t_containment_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-based corpus scrub: prefix-filtered containment pairs
+    (never all-pairs), keep only losers against strictly-larger shingle
+    sets (id tiebreak), anti-join the removals, emit an order-insensitive
+    summary + the md5 of the ordered survivor id list (so the driver
+    checks MEMBERSHIP, not just counts). One candidate equi-join + one
+    anti-join over the corpus — the shape that survives 100 TB."""
+    from burst_db_spark.operators.dedup import containment_prefix_pairs, doc_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = containment_prefix_pairs(docs, "doc_id", threshold=_CONT_T10 / 10)
+    sizes = doc_shingles(docs, "doc_id").groupBy("doc_id").agg(
+        F.count("*").alias("b_size")
+    )
+    removed = (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("id_b"), "b_size"), "id_b"
+        )
+        .where(
+            (F.col("b_size") > F.col("a_size"))
+            | ((F.col("b_size") == F.col("a_size")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+    survivors = docs.join(removed, "doc_id", "left_anti")
+    return survivors.groupBy().agg(
+        F.count("*").cast("bigint").alias("n_survivors"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id"))),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+            )
+        ).alias("ids_md5"),
+    )
