@@ -83,9 +83,12 @@ def a32_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     custkey lands in MANY shards — the merge must dedupe by hash) are
     unioned and re-cut to the k smallest hashes. est = (k-1)*2^48 div
     r_k over the 48-bit hash prefix: integer-exact in both engines.
-    Plan: one partial-aggregating distinct per shard, window top-k per
-    tiny group, no driver-side state — partials the size of k, not of
-    the data, which is why this re-aggregates for free at 100 TB."""
+    Plan: the build pays one map-side-partial distinct (shuffled volume
+    = per-partition distinct hashes, not rows) + a per-tiny-group
+    window top-k; the SKETCHES are k-sized, so every re-aggregation
+    after the first — daily rollups, cross-shard merges, backfills —
+    moves k rows per group instead of touching raw data. That second
+    property is the 100 TB win (same as a27 HLL / a31 count-min)."""
     orders = load(spark, sf_dir, "orders")
     hashed = orders.select(
         F.col("o_orderpriority").alias("priority"),
