@@ -148,6 +148,7 @@ HEADLINE = [
     "f_map_gauntlet",
     "mm_video_framesample",
     "t_containment_survivors",
+    "stream_kmv_sketch",
 ]
 
 

@@ -884,3 +884,126 @@ def t_containment_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ids_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming mergeable-sketch maintenance: per-micro-batch KMV partials
+# via foreachBatch, merged after the drain. The KMV merge is associative,
+# commutative, and duplicate-tolerant (distinct-by-hash), so the final
+# sketch is INDEPENDENT of how the stream was batched — which is exactly
+# why mergeable sketches are the right streaming-state shape at 100 TB
+# (contrast the append-mode aggregation rows, which need one file per
+# logical batch for deterministic emission). The oracle computes the
+# same bottom-k directly from the batch table.
+
+_SKMV_K = 8
+
+
+@register(
+    "stream_kmv_sketch",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashed
+    ),
+    kth AS (
+        SELECT event_type, h AS kth_hash,
+               CAST('0x' || substr(h, 1, 12) AS BIGINT) AS r48
+        FROM ranked WHERE rn = {_SKMV_K}
+    ),
+    truth AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS true_distinct
+        FROM events GROUP BY 1
+    )
+    SELECT t.event_type, kth_hash,
+           CAST(({_SKMV_K} - 1) * {_POW48} // r48 AS BIGINT) AS est_distinct,
+           true_distinct
+    FROM truth t JOIN kth USING (event_type)
+    ORDER BY t.event_type
+    """,
+    tags=("streaming", "sketch", "kmv", "foreachBatch", "mergeable"),
+)
+def stream_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user sketch: events arrive as 4 micro-batches
+    (maxFilesPerTrigger=1), each foreachBatch computes its own bottom-k
+    KMV partial (k rows per event_type) and APPENDS it to a parquet
+    partial store — per-batch state is k-sized, never user-cardinality-
+    sized. The post-drain merge (union partials → distinct hash →
+    re-cut bottom-k) equals the batch KMV over all events no matter how
+    the stream was split, because KMV merge is an idempotent
+    commutative monoid — the property that lets 1000 executors (or 30
+    days of streaming checkpoints) maintain cardinalities without ever
+    re-reading raw data. Same integer-exact estimator as
+    a32_kmv_distinct."""
+    import tempfile
+    import uuid as _uuid
+
+    tmp = tempfile.mkdtemp(prefix="bds_skmv_")
+    src = load(spark, sf_dir, "events").select("event_type", "user_id")
+    src.repartition(4).write.parquet(f"{tmp}/in")
+    partials = f"{tmp}/partials"
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{tmp}/in")
+    )
+
+    def _partial(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("event_type").orderBy("h")
+        (
+            batch_df.select(
+                "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+            )
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _SKMV_K)
+            .select("event_type", "h")
+            .write.mode("append")
+            .parquet(partials)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_partial)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = spark.read.parquet(partials).distinct()
+    w_m = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        merged.withColumn("rn", F.row_number().over(w_m))
+        .where(F.col("rn") == _SKMV_K)
+        .select(
+            "event_type",
+            F.col("h").alias("kth_hash"),
+            F.conv(F.substring("h", 1, 12), 16, 10).cast("bigint").alias("r48"),
+        )
+    )
+    truth = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("true_distinct"))
+    )
+    return (
+        truth.join(kth, "event_type")
+        .select(
+            "event_type",
+            "kth_hash",
+            F.expr(
+                f"CAST(({_SKMV_K} - 1) * CAST({_POW48} AS BIGINT) DIV r48 AS BIGINT)"
+            ).alias("est_distinct"),
+            "true_distinct",
+        )
+        .orderBy("event_type")
+    )
