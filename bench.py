@@ -149,6 +149,7 @@ HEADLINE = [
     "mm_video_framesample",
     "t_containment_survivors",
     "stream_kmv_sketch",
+    "a33_exact_median_2pass",
 ]
 
 

@@ -1007,3 +1007,108 @@ def stream_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# A33: exact per-group median in TWO passes — no global sort, no
+# per-group sort-buffer aggregate. Pass 1 histograms the value domain
+# into coarse buckets (per-group partial-agg, ~1k rows to the driver);
+# the bucket containing the target rank is found driver-side; pass 2
+# counts exact values INSIDE that one bucket only and picks the rank.
+# This is how you take an exact quantile of a 100 TB column: two
+# scans with map-side partial aggregation and a driver reduction
+# bounded by bucket count — versus percentile()'s per-group sorted
+# buffer (unbounded state) or a full ORDER BY (global sort).
+
+_MED_SHIFT = 16  # bucket = cents >> 16 (~65k cents per bucket)
+
+
+@register(
+    "a33_exact_median_2pass",
+    oracle="""
+    WITH t AS (
+        SELECT l_returnflag AS grp,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    c AS (SELECT grp, cents, count(*) AS n FROM t GROUP BY 1, 2),
+    w AS (
+        SELECT grp, cents,
+               sum(n) OVER (PARTITION BY grp ORDER BY cents) AS cum,
+               sum(n) OVER (PARTITION BY grp) AS tot
+        FROM c
+    )
+    SELECT grp,
+           CAST(min(cents) AS BIGINT) AS median_cents,
+           CAST(min(tot) AS BIGINT) AS n_rows
+    FROM w
+    WHERE cum >= (tot + 1) // 2
+    GROUP BY grp
+    ORDER BY grp
+    """,
+    tags=("A33", "quantile", "exact-median", "two-pass", "scale"),
+)
+def a33_exact_median_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower median (smallest v with cum_count(v) >= ceil(N/2)) of
+    price-in-cents per returnflag, computed scale-style: pass 1 is a
+    (grp, cents >> 16) histogram (map-side partials; driver sees one
+    row per coarse bucket, ~hundreds), the rank-holding bucket is
+    located in the driver's cumulative sum, pass 2 re-scans counting
+    exact cents values only WHERE the value falls in that single bucket
+    (pushed range filter) and picks the in-bucket rank with one tiny
+    window. The rank definition is pinned in integer arithmetic on both
+    sides — no engine percentile semantics in play."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    # pass 1: coarse histogram + per-group totals
+    hist = (
+        li.groupBy("grp", (F.shiftright("cents", _MED_SHIFT)).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    totals: dict[str, int] = {}
+    by_grp: dict[str, list] = {}
+    for r in hist:
+        totals[r["grp"]] = totals.get(r["grp"], 0) + r["n"]
+        by_grp.setdefault(r["grp"], []).append((r["bucket"], r["n"]))
+    target, bucket_of = {}, {}
+    for g, rows in by_grp.items():
+        k = (totals[g] + 1) // 2
+        target[g] = k
+        cum = 0
+        for b, n in sorted(rows):
+            if cum + n >= k:
+                bucket_of[g] = b
+                target[g] = k - cum  # in-bucket rank
+                break
+            cum += n
+    sel = spark.createDataFrame(
+        [(g, bucket_of[g], target[g], totals[g]) for g in sorted(bucket_of)],
+        "grp string, bucket bigint, k bigint, tot bigint",
+    )
+    # pass 2: exact counts inside the one selected bucket per group
+    in_bucket = li.join(
+        F.broadcast(sel),
+        (li["grp"] == sel["grp"])
+        & (F.shiftright(li["cents"], _MED_SHIFT) == sel["bucket"]),
+    ).select(li["grp"].alias("grp"), "cents", "k", "tot")
+    counts = in_bucket.groupBy("grp", "cents", "k", "tot").agg(
+        F.count("*").alias("n")
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        counts.withColumn("cum", F.sum("n").over(w_cum))
+        .where(F.col("cum") >= F.col("k"))
+        .groupBy("grp")
+        .agg(
+            F.min("cents").cast("bigint").alias("median_cents"),
+            F.min("tot").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("grp")
+    )
