@@ -1,12 +1,14 @@
-"""Round-7 queries: mergeable KMV (bottom-k) distinct sketches,
-intra-document repeated-line removal (the Gopher-style repetition
-scrub, reference parity: opera-adt/burst_db has no text path — this is
-the LLM-pipeline extension surface), a lossless prefix-filtered
-containment join (near-superset detection), int8 scalar-quantized ANN
+"""Round-7 queries: mergeable KMV (bottom-k) distinct sketches — batch
+(a32) and streaming foreachBatch-partial (stream_kmv_sketch) — intra-
+document repeated-line removal (the Gopher-style repetition scrub;
+reference parity: opera-adt/burst_db has no text path — this is the
+LLM-pipeline extension surface), a lossless prefix-filtered containment
+join plus its end-to-end survivors scrub, int8 scalar-quantized ANN
 with exact rerank, dynamic partition pruning over a date-partitioned
-fact, distributed global ranking without a single-partition window,
-the map higher-order-function surface, and stride frame-sampling over
-synthetic video containers.
+fact, distributed global ranking without a single-partition window, a
+two-pass exact median (no global sort), the map higher-order-function
+surface, and stride frame-sampling with a REAL decode over synthetic
+video containers.
 
 Every oracle is ANSI SQL the driver runs on DuckDB; float outputs are
 ordered folds (bit-exact cross-engine), counts/codes are integer-exact.
