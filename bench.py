@@ -150,6 +150,7 @@ HEADLINE = [
     "t_containment_survivors",
     "stream_kmv_sketch",
     "a33_exact_median_2pass",
+    "a34_grouped_ols",
 ]
 
 

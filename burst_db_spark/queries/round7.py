@@ -1114,3 +1114,89 @@ def a33_exact_median_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# A34: group-wise closed-form linear regression from algebraic moments.
+# "Training at scale" in its simplest exact form: OLS needs only
+# (n, Σx, Σy, Σxy, Σx²) — all partial-aggregatable, all EXACT here
+# (x is integer epoch-days, y is DECIMAL cents), so the map-side
+# combine does the heavy lifting and the final slope/intercept are a
+# deterministic double expression over exact integers on both engines.
+
+
+@register(
+    "a34_grouped_ols",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderpriority AS grp,
+               date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS y_cents
+        FROM orders
+    ),
+    m AS (
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y_cents) AS BIGINT) AS sy,
+               CAST(sum(x * y_cents) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM t GROUP BY grp
+    )
+    SELECT grp, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_cents_per_day,
+           (CAST(sy AS DOUBLE)
+            - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS intercept_cents
+    FROM m
+    ORDER BY grp
+    """,
+    tags=("A34", "regression", "moments", "algebraic", "scale"),
+)
+def a34_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority OLS of order price (cents) against order date
+    (epoch days): one groupBy computing the five algebraic moments —
+    every one partial-aggregatable and integer-EXACT (x int days,
+    y bigint cents, Σxy/Σx² in bigint; max |Σxy| here ≈ 1e13, far under
+    2^63) — then slope/intercept as a fixed double expression over the
+    exact sums, identical token-for-token to the oracle's, so the
+    floats match bit-for-bit. The pattern generalizes to any moment-
+    closed statistic (covariance, correlation, polynomial fits): at
+    100 TB the shuffle carries five numbers per group, never rows."""
+    orders = load(spark, sf_dir, "orders")
+    t = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01")).alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y_cents"),
+    )
+    m = t.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y_cents").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y_cents")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    intercept = (
+        "(CAST(sy AS DOUBLE)"
+        f" - ({slope}) * CAST(sx AS DOUBLE))"
+        " / CAST(n AS DOUBLE)"
+    )
+    return m.select(
+        "grp",
+        "n",
+        F.expr(slope).alias("slope_cents_per_day"),
+        F.expr(intercept).alias("intercept_cents"),
+    ).orderBy("grp")
