@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from burst_db_spark.catalog import load
 from burst_db_spark.operators.dedup import (
+    containment_prefix_pairs,
     jaccard_prefix_pairs,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
@@ -34,6 +35,7 @@ def test_release_dedup_frees_all_cached_blocks(spark):
         lambda: ngram_jaccard_pairs(docs, "doc_id", threshold=0.5),
         lambda: jaccard_prefix_pairs(docs, "doc_id", threshold=0.5),
         lambda: minhash_lsh_dedup(docs, "doc_id", threshold=0.5),
+        lambda: containment_prefix_pairs(docs, "doc_id", threshold=0.6),
     ):
         res = build()
         res.count()  # materialize (populates the persisted frames)
