@@ -737,3 +737,93 @@ def semdedup_flags(
             F.coalesce(F.col("__drop"), F.lit(False)).alias("dropped"),
         )
     )
+
+
+def int8_quantized_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    topc: int = 24,
+    topk: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """Scalar-quantized ANN core (see knn_int8_quantized for the full
+    story): global per-dim min/max -> int8 codes -> exact BIGINT L2
+    sweep -> double-cosine rerank of the top-C survivors. Deterministic
+    end-to-end; returns (query_id, neighbor_id, rank, cos)."""
+    from pyspark.sql.window import Window
+
+    _SQ_QUERIES, _SQ_TOPC, _SQ_TOPK, _SQ_DIM = n_queries, topc, topk, dim
+    dims = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    ).groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    params = dims.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s["mx"]
+        ).alias("mxs"),
+    )
+    codes = (
+        emb.crossJoin(F.broadcast(params))
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(
+                f"transform(sequence(0, {_SQ_DIM} - 1), i -> "
+                "CAST(round((CAST(embedding[i] AS DOUBLE) - mns[i]) * 254"
+                " / (mxs[i] - mns[i])) AS BIGINT) - 127)"
+            ).alias("code"),
+        )
+    )
+    q = codes.where(F.col("vec_id") < _SQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("code").alias("qcode"),
+    )
+    cand = (
+        codes.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with("qcode", "code", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("dist2"),
+            "qv",
+            F.col("embedding").alias("cv"),
+        )
+    )
+    w_c = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
+    topc = cand.withColumn("crank", F.row_number().over(w_c)).where(
+        F.col("crank") <= _SQ_TOPC
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qv").cast("array<double>"),
+            F.col("cv").cast("array<double>"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nq = F.aggregate(
+        F.transform(F.col("qv").cast("array<double>"), lambda a: a * a),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nc = F.aggregate(
+        F.transform(F.col("cv").cast("array<double>"), lambda a: a * a),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = topc.withColumn("cos", dot / (F.sqrt(nq) * F.sqrt(nc)))
+    w_k = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_k).cast("int"))
+        .where(F.col("rank") <= _SQ_TOPK)
+        .select("query_id", "neighbor_id", "rank", "cos")
+        .orderBy("query_id", "rank")
+    )

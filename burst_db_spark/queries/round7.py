@@ -366,89 +366,21 @@ def _cos_fold(a: str, b: str, n: int) -> str:
     tags=("similarity", "knn", "quantization", "int8", "llm-pipeline"),
 )
 def knn_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-quantized ANN: global per-dim min/max (one tiny agg,
-    broadcast back), int8 codes via round((x-mn)*254/(mx-mn))-127, an
-    exact BIGINT L2 sweep over the codes (zip_with + ordered aggregate,
-    all JVM HOFs), top-C by integer distance, then exact double-cosine
-    rerank of C=24 survivors only. At 100 TB the code table is 4x
-    smaller than the float table and the int sweep is SIMD-friendly
-    whole-stage codegen; compose with the IVF cell pruning (knn_ivf_*)
-    for the full funnel. Deterministic end-to-end: int distances are
-    exact, the rerank fold is element-ordered."""
+    """Scalar-quantized ANN (operators/similarity.int8_quantized_topk):
+    global per-dim min/max (one tiny agg, broadcast back), int8 codes
+    via round((x-mn)*254/(mx-mn))-127, an exact BIGINT L2 sweep over
+    the codes (zip_with + ordered aggregate, all JVM HOFs), top-C by
+    integer distance, then exact double-cosine rerank of C=24 survivors
+    only. At 100 TB the code table is 4x smaller than the float table
+    and the int sweep is SIMD-friendly whole-stage codegen; compose
+    with the IVF cell pruning (knn_ivf_*) for the full funnel.
+    Deterministic end-to-end: int distances are exact, the rerank fold
+    is element-ordered."""
+    from burst_db_spark.operators.similarity import int8_quantized_topk
+
     emb = load(spark, sf_dir, "embeddings")
-    dims = emb.select(
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
-    ).groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-    params = dims.groupBy().agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s["mn"]
-        ).alias("mns"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s["mx"]
-        ).alias("mxs"),
-    )
-    codes = (
-        emb.crossJoin(F.broadcast(params))
-        .select(
-            "vec_id",
-            "embedding",
-            F.expr(
-                f"transform(sequence(0, {_SQ_DIM} - 1), i -> "
-                "CAST(round((CAST(embedding[i] AS DOUBLE) - mns[i]) * 254"
-                " / (mxs[i] - mns[i])) AS BIGINT) - 127)"
-            ).alias("code"),
-        )
-    )
-    q = codes.where(F.col("vec_id") < _SQ_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.col("code").alias("qcode"),
-    )
-    cand = (
-        codes.crossJoin(F.broadcast(q))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.aggregate(
-                F.zip_with("qcode", "code", lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ).alias("dist2"),
-            "qv",
-            F.col("embedding").alias("cv"),
-        )
-    )
-    w_c = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
-    topc = cand.withColumn("crank", F.row_number().over(w_c)).where(
-        F.col("crank") <= _SQ_TOPC
-    )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("qv").cast("array<double>"),
-            F.col("cv").cast("array<double>"),
-            lambda a, b: a * b,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nq = F.aggregate(
-        F.transform(F.col("qv").cast("array<double>"), lambda a: a * a),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nc = F.aggregate(
-        F.transform(F.col("cv").cast("array<double>"), lambda a: a * a),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = topc.withColumn("cos", dot / (F.sqrt(nq) * F.sqrt(nc)))
-    w_k = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w_k).cast("int"))
-        .where(F.col("rank") <= _SQ_TOPK)
-        .select("query_id", "neighbor_id", "rank", "cos")
-        .orderBy("query_id", "rank")
+    return int8_quantized_topk(
+        emb, n_queries=_SQ_QUERIES, topc=_SQ_TOPC, topk=_SQ_TOPK, dim=_SQ_DIM
     )
 
 

@@ -314,6 +314,26 @@ def jaccard_cd_probe(spark, factor: int) -> dict[str, float]:
     return out
 
 
+def int8_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Scaling for the int8 scalar-quantized sweep: candidate corpus
+    grows ``factor``x (the constant-density embedding construction),
+    the 8-query set stays fixed, so cost is linear-by-construction in
+    the candidate count — this probe MEASURES that the constant holds
+    (no accidental rescan/broadcast blowup)."""
+    from burst_db_spark.operators.similarity import int8_quantized_topk
+
+    out: dict[str, float] = {}
+    for label, f in (("", 1), ("_big", factor)):
+        emb = _cd_embeddings(spark, f)
+        t0 = time.perf_counter()
+        int8_quantized_topk(emb, n_queries=8, topc=24, topk=5).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        out[f"knn_int8_cd{label}"] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+    return out
+
+
 def containment_cd_probe(spark, factor: int) -> dict[str, float]:
     """Constant-density scaling for the prefix-filtered CONTAINMENT join
     (same disjoint-token-space corpus as jaccard_cd_probe: within-replica
@@ -603,6 +623,7 @@ def main() -> None:
         cd = spatial_cd_probe(spark, n_small=100_000, factor=factor)
         cd.update(jaccard_cd_probe(spark, factor))
         cd.update(containment_cd_probe(spark, factor))
+        cd.update(int8_cd_probe(spark, factor))
         cd.update(minhash_cd_probe(spark, factor))
         cd.update(embedding_cd_probe(spark, factor))
         cd.update(fuzzy_cd_probe(spark, factor))
