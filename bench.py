@@ -151,6 +151,7 @@ HEADLINE = [
     "stream_kmv_sketch",
     "a33_exact_median_2pass",
     "a34_grouped_ols",
+    "w15_interval_coalesce",
 ]
 
 

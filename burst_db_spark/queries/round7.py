@@ -1132,3 +1132,96 @@ def a34_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(slope).alias("slope_cents_per_day"),
         F.expr(intercept).alias("intercept_cents"),
     ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# W15: timestamp-domain interval coalescing (gaps-and-islands over real
+# intervals). The point-event sessionizers (w2 family) cluster by GAP
+# between points; this one merges OVERLAPPING intervals — coverage/
+# downtime/validity-window math. Island detection is the running-max
+# trick: an interval starts a new island iff its start exceeds the max
+# end of every earlier interval in its key.
+
+
+@register(
+    "w15_interval_coalesce",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, ts AS s, ts + INTERVAL 2 HOUR AS e,
+               event_id
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    OR max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS new_island,
+               event_id
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               sum(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+           CAST(min(s) AS TIMESTAMP) AS island_start,
+           CAST(max(e) AS TIMESTAMP) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM islands
+    GROUP BY user_id, island_id
+    ORDER BY user_id, island_id
+    """,
+    tags=("W15", "intervals", "gaps-islands", "coalesce", "window"),
+)
+def w15_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-user validity intervals ([ts, ts+2h) per
+    event) into maximal islands: running max-end over the key-ordered
+    window finds island starts, a running sum numbers them, one groupBy
+    emits (start, end, n) per island. Two window passes + one partial
+    aggregate on the same (user_id) partitioning — a single exchange
+    end-to-end. The interval twin of gap sessionization (w2): inputs
+    are RANGES, so islands merge through chains of pairwise overlaps
+    that point-gap logic cannot see."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn("prev_max_e", F.max("e").over(w_prev)).withColumn(
+        "new_island",
+        (
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e"))
+        ).cast("int"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn(
+        "island_id", F.sum("new_island").over(w_cum).cast("bigint")
+    )
+    return (
+        islands.groupBy("user_id", "island_id")
+        .agg(
+            F.min("s").alias("island_start"),
+            F.max("e").alias("island_end"),
+            F.count("*").cast("bigint").alias("n_intervals"),
+        )
+        .orderBy("user_id", "island_id")
+    )
