@@ -152,6 +152,7 @@ HEADLINE = [
     "a33_exact_median_2pass",
     "a34_grouped_ols",
     "w15_interval_coalesce",
+    "f_try_arithmetic",
 ]
 
 

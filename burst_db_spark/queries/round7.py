@@ -1225,3 +1225,85 @@ def w15_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "island_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# F: ANSI error-handling surface — try_divide / try_multiply / try_cast /
+# try_element_at. At 100 TB a single malformed row must NOT kill a
+# 10-hour job: the try_ family turns row-level arithmetic faults
+# (divide-by-zero, bigint overflow, bad casts, out-of-bounds access)
+# into NULLs that aggregate away. The oracle reproduces the exact NULL
+# semantics with guarded CASE expressions in DuckDB.
+
+_TRY_BIG = 1 << 62
+
+
+@register(
+    "f_try_arithmetic",
+    oracle=f"""
+    WITH t AS (
+        SELECT l_returnflag AS flag,
+               CASE WHEN l_linenumber = 1 THEN NULL
+                    ELSE l_extendedprice / (l_linenumber - 1) END AS d,
+               CASE WHEN l_orderkey <= 1 THEN l_orderkey * {_TRY_BIG}
+                    ELSE NULL END AS o,
+               TRY_CAST(CASE WHEN CAST(l_quantity AS BIGINT) % 7 = 0
+                             THEN 'x' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+                             ELSE CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+                        END AS INTEGER) AS n,
+               ([10, 20, 30])[l_linenumber + 1] AS e
+        FROM lineitem
+    )
+    SELECT flag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(d) AS BIGINT) AS d_nulls,
+           CAST(CAST(sum(CAST(d AS DECIMAL(18, 6))) AS DECIMAL(28, 6))
+                AS DECIMAL(28, 6)) AS d_sum,
+           CAST(count(o) AS BIGINT) AS o_ok,
+           CAST(count(*) - count(n) AS BIGINT) AS n_nulls,
+           CAST(sum(n) AS BIGINT) AS n_sum,
+           CAST(count(e) AS BIGINT) AS e_ok,
+           CAST(sum(e) AS BIGINT) AS e_sum
+    FROM t
+    GROUP BY flag
+    ORDER BY flag
+    """,
+    tags=("functions", "ansi", "try", "error-handling"),
+)
+def f_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_* gauntlet over lineitem: try_divide NULLs the
+    divide-by-zero rows (l_linenumber=1), try_multiply NULLs the bigint
+    overflows (orderkey*2^62 overflows for every key > 1), try_cast
+    NULLs the strings poisoned with a non-numeric prefix, and
+    try_element_at NULLs the out-of-bounds array reads — all row-level
+    faults downgraded to NULLs inside whole-stage codegen, then
+    aggregated per returnflag. The double sum is decimal-cast before
+    summing (post-shuffle ulp rule)."""
+    li = load(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("try_divide(l_extendedprice, l_linenumber - 1)").alias("d"),
+        F.expr(f"try_multiply(l_orderkey, CAST({_TRY_BIG} AS BIGINT))").alias("o"),
+        F.expr(
+            "try_cast(CASE WHEN CAST(l_quantity AS BIGINT) % 7 = 0"
+            " THEN concat('x', CAST(CAST(l_quantity AS BIGINT) AS STRING))"
+            " ELSE CAST(CAST(l_quantity AS BIGINT) AS STRING) END AS INT)"
+        ).alias("n"),
+        F.expr("try_element_at(array(10, 20, 30), l_linenumber + 1)").alias("e"),
+    )
+    return (
+        t.groupBy("flag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            (F.count("*") - F.count("d")).cast("bigint").alias("d_nulls"),
+            F.sum(F.col("d").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .alias("d_sum"),
+            F.count("o").cast("bigint").alias("o_ok"),
+            (F.count("*") - F.count("n")).cast("bigint").alias("n_nulls"),
+            F.sum("n").cast("bigint").alias("n_sum"),
+            F.count("e").cast("bigint").alias("e_ok"),
+            F.sum("e").cast("bigint").alias("e_sum"),
+        )
+        .orderBy("flag")
+    )
