@@ -153,6 +153,8 @@ HEADLINE = [
     "a34_grouped_ols",
     "w15_interval_coalesce",
     "f_try_arithmetic",
+    "w16_resample_ohlc",
+    "u6_dq_checks",
 ]
 
 

@@ -1307,3 +1307,157 @@ def f_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# ---------------------------------------------------------------------------
+# W16: OHLC resampling — downsample an event stream to 6-hour bars with
+# open/high/low/close per (event_type, bar). open/close are argmin/
+# argmax over a composite (ts, event_id) key packed into one BIGINT so
+# both engines agree on ties; one partial-aggregating groupBy, no
+# window pass at all.
+
+
+@register(
+    "w16_resample_ohlc",
+    oracle="""
+    WITH t AS (
+        SELECT event_type,
+               CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)
+                    // 21600 * 21600) AS TIMESTAMP) AS bar_start,
+               value,
+               CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id AS ord
+        FROM events
+    )
+    SELECT event_type, bar_start,
+           arg_min(value, ord) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ord) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM t
+    GROUP BY event_type, bar_start
+    ORDER BY event_type, bar_start
+    """,
+    tags=("W16", "timeseries", "resample", "ohlc"),
+)
+def w16_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour OHLC bars per event_type: min_by/max_by over a packed
+    (epoch*1e6 + event_id) BIGINT give deterministic open/close under
+    timestamp ties; high/low/n are plain min/max/count. Everything is
+    algebraic — the map side emits one candidate row per (type, bar)
+    partial, so a 100 TB stream resamples in one shuffle whose volume
+    is the BAR count, not the event count."""
+    ev = load(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        F.timestamp_seconds(
+            (F.unix_timestamp("ts") / 21600).cast("bigint") * 21600
+        ).alias("bar_start"),
+        "value",
+        (F.unix_timestamp("ts").cast("bigint") * 1000000 + F.col("event_id")).alias(
+            "ord"
+        ),
+    )
+    return (
+        t.groupBy("event_type", "bar_start")
+        .agg(
+            F.min_by("value", "ord").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord").alias("close"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .orderBy("event_type", "bar_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U6: declarative data-quality gate — the pipeline pre-flight that runs
+# before any 100 TB job: referential integrity (anti-joins), key
+# uniqueness, domain ranges, all as ONE unioned relation of named
+# checks so a scheduler can assert `violations == 0` on a single scan
+# of the result.
+
+
+@register(
+    "u6_dq_checks",
+    oracle="""
+    SELECT 'orders_orphan_customer' AS check_name,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'lineitem_orphan_order',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders_dup_key',
+           CAST((SELECT count(*) FROM
+                    (SELECT o_orderkey FROM orders
+                     GROUP BY o_orderkey HAVING count(*) > 1))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_price',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_extendedprice <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'events_null_user',
+           CAST((SELECT count(*) FROM events WHERE user_id IS NULL)
+                AS BIGINT)
+    ORDER BY check_name
+    """,
+    tags=("U6", "data-quality", "referential", "anti-join"),
+)
+def u6_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five named DQ checks in one relation: two referential checks
+    (left_anti against the broadcast parent key set — never a shuffle
+    of the fact side), one uniqueness check (groupBy HAVING), two
+    domain checks (pushed predicates). The output shape (check_name,
+    violations) is what a scheduler gates on; every check is
+    independently a single-pass plan."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    lineitem = load(spark, sf_dir, "lineitem")
+    events = load(spark, sf_dir, "events")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.groupBy().agg(F.count("*").cast("bigint").alias("violations")).select(
+            F.lit(name).alias("check_name"), "violations"
+        )
+
+    checks = [
+        one(
+            "orders_orphan_customer",
+            orders.join(
+                F.broadcast(customer.select(F.col("c_custkey").alias("o_custkey"))),
+                "o_custkey",
+                "left_anti",
+            ),
+        ),
+        one(
+            "lineitem_orphan_order",
+            lineitem.join(
+                orders.select(F.col("o_orderkey").alias("l_orderkey")),
+                "l_orderkey",
+                "left_anti",
+            ),
+        ),
+        one(
+            "orders_dup_key",
+            orders.groupBy("o_orderkey")
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") > 1),
+        ),
+        one(
+            "lineitem_nonpositive_price",
+            lineitem.where(F.col("l_extendedprice") <= 0),
+        ),
+        one("events_null_user", events.where(F.col("user_id").isNull())),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")
