@@ -499,3 +499,33 @@ def test_paragraph_dedup_no_python_in_path(spark):
     plan = _plan("t_paragraph_dedup", spark)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_ohlc_is_single_partial_aggregate(spark):
+    """OHLC bars are fully algebraic (min_by/max_by/min/max/count): one
+    partial-aggregating groupBy, no window, no second exchange."""
+    plan = _plan("w16_resample_ohlc", spark)
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_interval_coalesce_single_exchange(spark):
+    """Both window passes and the island groupBy share the user_id
+    partitioning: exactly one shuffle in the whole plan."""
+    plan = _plan("w15_interval_coalesce", spark)
+    n_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "Reused" not in line and "Output" not in line
+        and line.strip().startswith(("(", "+", ":"))
+        and "hashpartitioning" in line.lower()
+    )
+    assert n_exchanges <= 1, plan[:1500]
+
+
+def test_dq_checks_referential_joins_are_anti(spark):
+    """The referential checks must plan as anti-joins (broadcast for the
+    small parent), never inner joins + filters."""
+    plan = _plan("u6_dq_checks", spark)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
