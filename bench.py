@@ -155,6 +155,8 @@ HEADLINE = [
     "f_try_arithmetic",
     "w16_resample_ohlc",
     "u6_dq_checks",
+    "stream_ohlc_complete",
+    "knn_ivf_int8_funnel",
 ]
 
 

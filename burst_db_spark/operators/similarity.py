@@ -739,6 +739,32 @@ def semdedup_flags(
     )
 
 
+def int8_codes(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """Global min/max scalar quantization: adds an int8 ``code`` array
+    (as BIGINT elements in [-127, 127]) next to each embedding. The
+    params frame is one row, broadcast; codes are deterministic
+    (round() of identical double expressions on any engine)."""
+    dims = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    ).groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    params = dims.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s["mx"]
+        ).alias("mxs"),
+    )
+    return emb.crossJoin(F.broadcast(params)).withColumn(
+        "code",
+        F.expr(
+            f"transform(sequence(0, {dim} - 1), i -> "
+            "CAST(round((CAST(embedding[i] AS DOUBLE) - mns[i]) * 254"
+            " / (mxs[i] - mns[i])) AS BIGINT) - 127)"
+        ),
+    ).drop("mns", "mxs")
+
+
 def int8_quantized_topk(
     emb: DataFrame,
     n_queries: int = 8,
@@ -753,29 +779,7 @@ def int8_quantized_topk(
     from pyspark.sql.window import Window
 
     _SQ_QUERIES, _SQ_TOPC, _SQ_TOPK, _SQ_DIM = n_queries, topc, topk, dim
-    dims = emb.select(
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
-    ).groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-    params = dims.groupBy().agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s["mn"]
-        ).alias("mns"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s["mx"]
-        ).alias("mxs"),
-    )
-    codes = (
-        emb.crossJoin(F.broadcast(params))
-        .select(
-            "vec_id",
-            "embedding",
-            F.expr(
-                f"transform(sequence(0, {_SQ_DIM} - 1), i -> "
-                "CAST(round((CAST(embedding[i] AS DOUBLE) - mns[i]) * 254"
-                " / (mxs[i] - mns[i])) AS BIGINT) - 127)"
-            ).alias("code"),
-        )
-    )
+    codes = int8_codes(emb, dim).select("vec_id", "embedding", "code")
     q = codes.where(F.col("vec_id") < _SQ_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),

@@ -59,13 +59,13 @@ for _m in _MODULES:
 #   2. the 11 round-6 queries follow: all strict + pytest green in r6 but
 #      never driver-sampled — new-query driver evidence outranks
 #      refreshing locally-verified rows (the r5-verdict-endorsed rule);
-#   3. the 16 NEW round-7 queries register directly behind them (same
+#   3. the 18 NEW round-7 queries register directly behind them (same
 #      rule: they are the round's load-bearing additions);
-#   4. the remaining 22 slots go to the oldest evidence block — rows
-#      whose last driver green is r3 (48 such rows exist; the 22 with
+#   4. the remaining 20 slots go to the oldest evidence block — rows
+#      whose last driver green is r3 (48 such rows exist; the 20 with
 #      the most distinct machinery are taken, family-duplicates defer);
-#   5. the 26 deferred r3 rows sit immediately behind the cut and lead
-#      round 8 together with whatever round 7 adds late. All 26 have an
+#   5. the 28 deferred r3 rows sit immediately behind the cut and lead
+#      round 8 together with whatever round 7 adds late. All 28 have an
 #      in-prefix sibling covering their machinery (a3_union_envelope for
 #      the a3 family, j16 for j12, s14 for the zarr reads,
 #      dd_embedding_nn for multiprobe, t_weighted/stratified for the
@@ -106,7 +106,9 @@ _SAMPLING_PRIORITY = (
     "f_try_arithmetic",
     "w16_resample_ohlc",
     "u6_dq_checks",
-    # -- oldest evidence: last driver green r3 (22 of 48; rest defer) --
+    "stream_ohlc_complete",
+    "knn_ivf_int8_funnel",
+    # -- oldest evidence: last driver green r3 (20 of 48; rest defer) --
     "stream_session_counts",
     "ep2_burst_catalog",
     "frame_lookup",
@@ -127,9 +129,9 @@ _SAMPLING_PRIORITY = (
     "j_spatial_knn",
     "a14_spatial_mean",
     "s1_sqlite_roundtrip",
+    # ---- 50-slot prefix cut line ----
     "s4_csv_glob_multifile",
     "s9_xml_bursts",
-    # ---- 50-slot prefix cut line ----
     "k5_partitioned_append_roundtrip",
     "f_string_gauntlet",
     "t_pack_sequences",

@@ -1470,3 +1470,232 @@ def u6_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# Streaming OHLC: the stream twin of w16 — the same algebraic bars
+# maintained by Structured Streaming in complete mode. Because every
+# aggregate is an algebraic monoid (min_by/max_by over the packed
+# order key, min/max/count), the streaming state per (type, bar) is
+# five scalars, and the drained result must equal the batch bars
+# bit-for-bit — which is exactly the oracle.
+
+
+@register(
+    "stream_ohlc_complete",
+    oracle="""
+    WITH t AS (
+        SELECT event_type,
+               CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)
+                    // 21600 * 21600) AS TIMESTAMP) AS bar_start,
+               value,
+               CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id AS ord
+        FROM events
+    )
+    SELECT event_type, bar_start,
+           arg_min(value, ord) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ord) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM t
+    GROUP BY event_type, bar_start
+    ORDER BY event_type, bar_start
+    """,
+    tags=("streaming", "ohlc", "complete-mode", "algebraic-state"),
+)
+def stream_ohlc_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars maintained by a streaming aggregation (availableNow,
+    COMPLETE mode): per-(type, bar) state is five algebraic scalars —
+    min_by/max_by fold the packed (epoch*1e6 + event_id) tiebreak key
+    incrementally, so arrival order across micro-batches cannot change
+    the result and the drained table equals the batch bars (w16)
+    bit-for-bit. The 100 TB reading: algebraic aggs are the ONLY
+    streaming state that stays O(groups) forever; anything
+    order-sensitive would need the full history."""
+    import tempfile
+    import uuid as _uuid
+
+    src = load(spark, sf_dir, "events").select("event_type", "ts", "value", "event_id")
+    tmp = tempfile.mkdtemp(prefix="bds_sohlc_")
+    src.repartition(4).write.parquet(f"{tmp}/in")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{tmp}/in")
+    )
+    t = stream.select(
+        "event_type",
+        F.timestamp_seconds(
+            (F.unix_timestamp("ts") / 21600).cast("bigint") * 21600
+        ).alias("bar_start"),
+        "value",
+        (F.unix_timestamp("ts").cast("bigint") * 1000000 + F.col("event_id")).alias(
+            "ord"
+        ),
+    )
+    agg = t.groupBy("event_type", "bar_start").agg(
+        F.min_by("value", "ord").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ord").alias("close"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    name = f"sohlc_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("event_type", "bar_start")
+
+
+# ---------------------------------------------------------------------------
+# KNN: the full ANN funnel — learned IVF cells x int8 quantization x
+# exact rerank, with the exhaustive-probe derived oracle. Each
+# candidate lives in exactly ONE k-means cell, so probing ALL cells
+# makes the cell-partitioned int8 sweep equal the GLOBAL int8 sweep —
+# whatever centroids training produced — and the global pipeline is
+# plain SQL. A hash match therefore certifies the trained assignment,
+# the cell equi-join, the int8 distances, and the rerank all at once.
+# The production configuration prunes to nprobe<=2 cells (same plan,
+# fewer probe rows) — covered rows-only by knn_cosine_ivf_learned.
+
+_FUN_Q_LO, _FUN_Q_HI = 40, 48
+_FUN_TOPC, _FUN_TOPK = 24, 5
+
+
+@register(
+    "knn_ivf_int8_funnel",
+    oracle=f"""
+    WITH dims AS (
+        SELECT i AS dim,
+               min(CAST(embedding[i] AS DOUBLE)) AS mn,
+               max(CAST(embedding[i] AS DOUBLE)) AS mx
+        FROM embeddings, unnest(range(1, {_SQ_DIM} + 1)) AS r(i)
+        GROUP BY i
+    ),
+    params AS (
+        SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+        FROM dims
+    ),
+    codes AS (
+        SELECT vec_id, embedding,
+               list_transform(range(1, {_SQ_DIM} + 1),
+                   i -> CAST(round((CAST(embedding[i] AS DOUBLE) - mns[i]) * 254
+                                   / (mxs[i] - mns[i])) AS BIGINT) - 127) AS code
+        FROM embeddings, params
+    ),
+    cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_reduce(list_transform(range(1, {_SQ_DIM} + 1),
+                   i -> (q.code[i] - c.code[i]) * (q.code[i] - c.code[i])),
+                   (x, y) -> x + y) AS dist2,
+               q.embedding AS qv, c.embedding AS cv
+        FROM codes q JOIN codes c ON q.vec_id != c.vec_id
+        WHERE q.vec_id >= {_FUN_Q_LO} AND q.vec_id < {_FUN_Q_HI}
+    ),
+    topc AS (
+        SELECT * FROM (
+            SELECT query_id, neighbor_id, dist2, qv, cv,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dist2, neighbor_id) AS crank
+            FROM cand)
+        WHERE crank <= {_FUN_TOPC}
+    )
+    SELECT query_id, neighbor_id,
+           CAST(rank AS INTEGER) AS rank, cos
+    FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank,
+               cos
+        FROM (SELECT query_id, neighbor_id,
+                     {_cos_fold("qv", "cv", _SQ_DIM)} AS cos
+              FROM topc))
+    WHERE rank <= {_FUN_TOPK}
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann", "ivf", "int8", "funnel", "derived-oracle"),
+)
+def knn_ivf_int8_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed ANN funnel: train the k-means codebook (iterative,
+    seeded), assign every vector to its cell, quantize the whole table
+    to int8 codes, then run the CELL-PARTITIONED int8 sweep (query
+    probes explode per cell, candidates join on the cell equi-key — at
+    nprobe<k this is the pruning that skips most of a 100 TB code
+    table) with every query probing all 8 cells so the derived oracle
+    (the global int8 pipeline in SQL) hash-checks the entire funnel.
+    Rerank: exact double cosine over the 24 int8 survivors only."""
+    from burst_db_spark.operators.similarity import (
+        assign_cells,
+        int8_codes,
+        kmeans_codebook,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    codebook = kmeans_codebook(emb, k=8, iters=2)
+    cells = assign_cells(emb, codebook)
+    codes = int8_codes(cells, _SQ_DIM).select("vec_id", "embedding", "cell", "code")
+    q = (
+        codes.where(
+            (F.col("vec_id") >= _FUN_Q_LO) & (F.col("vec_id") < _FUN_Q_HI)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("code").alias("qcode"),
+        )
+        .withColumn("cell", F.explode(F.sequence(F.lit(1), F.lit(8))))
+    )
+    cand = (
+        codes.join(F.broadcast(q), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with("qcode", "code", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("dist2"),
+            "qv",
+            F.col("embedding").alias("cv"),
+        )
+    )
+    w_c = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
+    topc = cand.withColumn("crank", F.row_number().over(w_c)).where(
+        F.col("crank") <= _FUN_TOPC
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qv").cast("array<double>"),
+            F.col("cv").cast("array<double>"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nq = F.aggregate(
+        F.transform(F.col("qv").cast("array<double>"), lambda a: a * a),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nc = F.aggregate(
+        F.transform(F.col("cv").cast("array<double>"), lambda a: a * a),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = topc.withColumn("cos", dot / (F.sqrt(nq) * F.sqrt(nc)))
+    w_k = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_k).cast("int"))
+        .where(F.col("rank") <= _FUN_TOPK)
+        .select("query_id", "neighbor_id", "rank", "cos")
+        .orderBy("query_id", "rank")
+    )
