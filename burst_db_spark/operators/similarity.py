@@ -755,12 +755,15 @@ def int8_codes(emb: DataFrame, dim: int = 64) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s["mx"]
         ).alias("mxs"),
     )
+    # nullif guard: a constant dimension (mn == mx) would divide by zero,
+    # where Spark non-ANSI (NULL) and DuckDB double semantics differ —
+    # coalesce maps it to midpoint 127, i.e. code 0, on BOTH engines.
     return emb.crossJoin(F.broadcast(params)).withColumn(
         "code",
         F.expr(
             f"transform(sequence(0, {dim} - 1), i -> "
-            "CAST(round((CAST(embedding[i] AS DOUBLE) - mns[i]) * 254"
-            " / (mxs[i] - mns[i])) AS BIGINT) - 127)"
+            "CAST(round(coalesce((CAST(embedding[i] AS DOUBLE) - mns[i]) * 254"
+            " / nullif(mxs[i] - mns[i], 0D), 127D)) AS BIGINT) - 127)"
         ),
     ).drop("mns", "mxs")
 

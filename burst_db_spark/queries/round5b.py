@@ -321,12 +321,12 @@ def t_ngram_overlap_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH el AS (
         SELECT vec_id,
-               CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                    AS DECIMAL(28, 10)) AS sq
+               CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e10)
+                    AS BIGINT) AS sq
         FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
     ), sums AS (
         SELECT vec_id,
-               CAST(CAST(sum(sq) AS DECIMAL(38, 10)) AS DOUBLE) AS l2sq
+               CAST(sum(sq) AS DOUBLE) / 1e10 AS l2sq
         FROM el GROUP BY vec_id
     ), pairs AS (
         SELECT vec_id,
@@ -335,10 +335,9 @@ def t_ngram_overlap_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     ), rev AS (
         SELECT vec_id,
-               CAST(CAST(sum(CAST(
-                   CAST(a AS DOUBLE) * CAST(b AS DOUBLE)
-                   AS DECIMAL(28, 10))) AS DECIMAL(38, 10)) AS DOUBLE)
-                   AS dot_rev
+               CAST(sum(CAST(floor(
+                   CAST(a AS DOUBLE) * CAST(b AS DOUBLE) * 1e10
+               ) AS BIGINT)) AS DOUBLE) / 1e10 AS dot_rev
         FROM pairs
         GROUP BY vec_id
     )
@@ -362,32 +361,39 @@ def f_array_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions staying entirely JVM-side (the fast
     path for vector columns — no UDF, no Arrow hop): transform + filter
     + aggregate + zip_with/reverse over array<float>. The float sums
-    fold through a DECIMAL accumulator inside F.aggregate, so l2sq and
-    the reversed-self dot product are bit-identical to the oracle's
-    unnest-and-sum — order-independent, shuffle-safe. All map-only:
-    zero exchanges except the output sort."""
+    are quantized PER ELEMENT with floor(x*1e10) -> BIGINT — one IEEE
+    multiply + floor, bit-identical on both engines — then folded as
+    exact integer sums, so l2sq and the reversed-self dot product are
+    order-independent and shuffle-safe. (An earlier draft folded
+    through a DECIMAL accumulator; per-element double->decimal casts
+    take different routes on the two engines — Spark exact-BigDecimal
+    vs DuckDB double-multiply-round — the r7-red fragility class.)
+    All map-only: zero exchanges except the output sort."""
     emb = load(spark, sf_dir, "embeddings")
     v = F.col("embedding")
 
-    def dec_fold(arr: F.Column) -> F.Column:
-        # accumulator is (37,10), NOT (38,10): adding (38,10)+(28,10)
-        # would exceed precision 38 and Spark silently TRUNCATES THE
-        # SCALE to 9 to fit — a 1-ulp-per-element loss the oracle
-        # doesn't share. (37,10)+(28,10) -> (38,10) stays exact, and
-        # the cast back to (37,10) is lossless at these magnitudes.
+    def int_fold(arr: F.Column) -> F.Column:
+        # exact BIGINT sum of the quantized elements; /1e10 is the same
+        # IEEE divide on both engines. |sum| < 64 * max|x|^2 * 1e10
+        # stays far under 2^63 for unit-scale embeddings.
         return F.aggregate(
             arr,
-            F.lit(0).cast("decimal(37,10)"),
-            lambda acc, x: (acc + x).cast("decimal(37,10)"),
-        ).cast("double")
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double") / F.lit(1e10)
 
     sq = F.transform(
-        v, lambda x: (x.cast("double") * x.cast("double")).cast("decimal(28,10)")
+        v,
+        lambda x: F.floor(x.cast("double") * x.cast("double") * F.lit(1e10)).cast(
+            "bigint"
+        ),
     )
     pr = F.zip_with(
         v,
         F.reverse(v),
-        lambda a, b: (a.cast("double") * b.cast("double")).cast("decimal(28,10)"),
+        lambda a, b: F.floor(a.cast("double") * b.cast("double") * F.lit(1e10)).cast(
+            "bigint"
+        ),
     )
     return (
         emb.select(
@@ -398,8 +404,8 @@ def f_array_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_min(v).cast("double").alias("min_v"),
             F.array_max(v).cast("double").alias("max_v"),
             F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
-            dec_fold(sq).alias("l2sq"),
-            dec_fold(pr).alias("dot_rev"),
+            int_fold(sq).alias("l2sq"),
+            int_fold(pr).alias("dot_rev"),
         )
         .orderBy("vec_id")
     )

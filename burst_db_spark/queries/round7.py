@@ -329,8 +329,10 @@ def _cos_fold(a: str, b: str, n: int) -> str:
     codes AS (
         SELECT vec_id, embedding,
                list_transform(range(1, {_SQ_DIM} + 1),
-                   i -> CAST(round((CAST(embedding[i] AS DOUBLE) - mns[i]) * 254
-                                   / (mxs[i] - mns[i])) AS BIGINT) - 127) AS code
+                   i -> CAST(round(coalesce(
+                            (CAST(embedding[i] AS DOUBLE) - mns[i]) * 254
+                            / nullif(mxs[i] - mns[i], 0), 127)) AS BIGINT)
+                        - 127) AS code
         FROM embeddings, params
     ),
     cand AS (
@@ -420,7 +422,8 @@ def _dpp_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DECIMAL(28, 6)) AS sum_value
+           CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+               AS sum_value_micros
     FROM events
     WHERE isodow(CAST(ts AS DATE)) IN (1, 2)
     GROUP BY event_type
@@ -435,8 +438,12 @@ def p12_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
     surviving dates into a runtime partition filter on the fact scan:
     ~2/7 of partitions read instead of all. The oracle recomputes from
     the raw events table (Spark weekday()+1 == DuckDB isodow, pinned
-    here). The decimal cast precedes the sum on both sides (post-shuffle
-    double-sum ulp rule, .claude/skills/verify gotchas)."""
+    here). The value sum is quantized PER ROW with integer arithmetic —
+    floor(value*1e6) is one IEEE multiply + floor, bit-identical on any
+    engine — then summed as BIGINT (exact, order-free). The r7 driver
+    red taught the lesson: a per-row double→decimal cast exposes the
+    engines' rounding modes (Spark HALF_UP vs DuckDB half-even) at
+    exact midpoints; integer quantization has no rounding mode."""
     fact_path, dim_path = _dpp_fixture(spark, sf_dir)
     fact = spark.read.parquet(fact_path)
     dim = spark.read.parquet(dim_path)
@@ -448,9 +455,9 @@ def p12_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("event_type")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(28,6)")
-            .alias("sum_value"),
+            F.sum(F.floor(F.col("value") * F.lit(1e6)).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_value_micros"),
         )
         .orderBy("event_type")
     )
@@ -604,12 +611,20 @@ def f_map_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             F.size("shares").cast("bigint").alias("n_keys"),
             F.size("major").cast("bigint").alias("n_major"),
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.map_entries("major")),
-                    lambda e: F.concat_ws("=", e["key"], e["value"].cast("string")),
+            # nullif: an empty map must yield NULL (as DuckDB's
+            # string_agg over zero rows does), not '' — cross-engine
+            # parity even if no entry ever clears the 15% bar.
+            F.nullif(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.map_entries("major")),
+                        lambda e: F.concat_ws(
+                            "=", e["key"], e["value"].cast("string")
+                        ),
+                    ),
                 ),
+                F.lit(""),
             ).alias("major_str"),
         )
         .orderBy("bucket")
@@ -1244,7 +1259,8 @@ _TRY_BIG = 1 << 62
     WITH t AS (
         SELECT l_returnflag AS flag,
                CASE WHEN l_linenumber = 1 THEN NULL
-                    ELSE l_extendedprice / (l_linenumber - 1) END AS d,
+                    ELSE CAST(l_extendedprice AS DOUBLE)
+                         / (l_linenumber - 1) END AS d,
                CASE WHEN l_orderkey % 97 = 0 AND l_orderkey >= 2 THEN NULL
                     WHEN l_orderkey % 97 = 0 THEN l_orderkey * {_TRY_BIG}
                     ELSE l_orderkey END AS o,
@@ -1258,8 +1274,7 @@ _TRY_BIG = 1 << 62
     SELECT flag,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(*) - count(d) AS BIGINT) AS d_nulls,
-           CAST(CAST(sum(CAST(d AS DECIMAL(18, 6))) AS DECIMAL(28, 6))
-                AS DECIMAL(28, 6)) AS d_sum,
+           CAST(sum(CAST(floor(d * 100) AS BIGINT)) AS BIGINT) AS d_sum_cents,
            CAST(count(o) AS BIGINT) AS o_ok,
            CAST(count(*) - count(n) AS BIGINT) AS n_nulls,
            CAST(sum(n) AS BIGINT) AS n_sum,
@@ -1283,12 +1298,20 @@ def f_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXCEPTION-driven per faulting row — an earlier draft where every
     row overflowed cost 9.9 s on 600k rows vs ~0.3 s with rare faults.
     try_* is the right tool when faults are the exception; a predicate
-    pre-filter is the right tool when they are the rule. The double sum
-    is decimal-cast before summing (post-shuffle ulp rule)."""
+    pre-filter is the right tool when they are the rule.
+
+    Arithmetic-route note (r7 driver red, hardened r8): the divide runs
+    on DOUBLE on BOTH engines (decimal÷int takes Spark's exact-decimal
+    route vs DuckDB's double route — they agree only off rounding
+    boundaries), and its aggregate is floor(d*100) summed as BIGINT —
+    one IEEE multiply + floor per row, bit-identical cross-engine, then
+    an exact order-free integer sum."""
     li = load(spark, sf_dir, "lineitem")
     t = li.select(
         F.col("l_returnflag").alias("flag"),
-        F.expr("try_divide(l_extendedprice, l_linenumber - 1)").alias("d"),
+        F.expr(
+            "try_divide(CAST(l_extendedprice AS DOUBLE), l_linenumber - 1)"
+        ).alias("d"),
         F.expr(
             f"try_multiply(l_orderkey, CASE WHEN l_orderkey % 97 = 0"
             f" THEN CAST({_TRY_BIG} AS BIGINT) ELSE CAST(1 AS BIGINT) END)"
@@ -1305,9 +1328,9 @@ def f_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_rows"),
             (F.count("*") - F.count("d")).cast("bigint").alias("d_nulls"),
-            F.sum(F.col("d").cast("decimal(18,6)"))
-            .cast("decimal(28,6)")
-            .alias("d_sum"),
+            F.sum(F.floor(F.col("d") * F.lit(100.0)).cast("bigint"))
+            .cast("bigint")
+            .alias("d_sum_cents"),
             F.count("o").cast("bigint").alias("o_ok"),
             (F.count("*") - F.count("n")).cast("bigint").alias("n_nulls"),
             F.sum("n").cast("bigint").alias("n_sum"),
@@ -1324,6 +1347,14 @@ def f_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # argmax over a composite (ts, event_id) key packed into one BIGINT so
 # both engines agree on ties; one partial-aggregating groupBy, no
 # window pass at all.
+#
+# Key packing: ord = epoch_seconds * 2^31 + event_id. event_id stays
+# below 2^31 up to sf~2000 (1e6 ids per sf1), and epoch*2^31 tops out
+# near 3.8e18 < 2^63 for any timestamp this side of 2106 — so the pack
+# is collision-free and overflow-free across every target SF. (The r7
+# draft used *1e6, which collides once event_id crosses 1e6 ≈ sf1.)
+
+_ORD_SHIFT = 2_147_483_648  # 2^31; event_id must stay below this bound
 
 
 @register(
@@ -1334,7 +1365,7 @@ def f_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)
                     // 21600 * 21600) AS TIMESTAMP) AS bar_start,
                value,
-               CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id AS ord
+               CAST(floor(epoch(ts)) AS BIGINT) * 2147483648 + event_id AS ord
         FROM events
     )
     SELECT event_type, bar_start,
@@ -1351,7 +1382,7 @@ def f_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w16_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """6-hour OHLC bars per event_type: min_by/max_by over a packed
-    (epoch*1e6 + event_id) BIGINT give deterministic open/close under
+    (epoch*2^31 + event_id) BIGINT give deterministic open/close under
     timestamp ties; high/low/n are plain min/max/count. Everything is
     algebraic — the map side emits one candidate row per (type, bar)
     partial, so a 100 TB stream resamples in one shuffle whose volume
@@ -1363,7 +1394,7 @@ def w16_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_timestamp("ts") / 21600).cast("bigint") * 21600
         ).alias("bar_start"),
         "value",
-        (F.unix_timestamp("ts").cast("bigint") * 1000000 + F.col("event_id")).alias(
+        (F.unix_timestamp("ts").cast("bigint") * _ORD_SHIFT + F.col("event_id")).alias(
             "ord"
         ),
     )
@@ -1489,7 +1520,7 @@ def u6_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)
                     // 21600 * 21600) AS TIMESTAMP) AS bar_start,
                value,
-               CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id AS ord
+               CAST(floor(epoch(ts)) AS BIGINT) * 2147483648 + event_id AS ord
         FROM events
     )
     SELECT event_type, bar_start,
@@ -1507,7 +1538,7 @@ def u6_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_ohlc_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC bars maintained by a streaming aggregation (availableNow,
     COMPLETE mode): per-(type, bar) state is five algebraic scalars —
-    min_by/max_by fold the packed (epoch*1e6 + event_id) tiebreak key
+    min_by/max_by fold the packed (epoch*2^31 + event_id) tiebreak key
     incrementally, so arrival order across micro-batches cannot change
     the result and the drained table equals the batch bars (w16)
     bit-for-bit. The 100 TB reading: algebraic aggs are the ONLY
@@ -1531,7 +1562,7 @@ def stream_ohlc_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_timestamp("ts") / 21600).cast("bigint") * 21600
         ).alias("bar_start"),
         "value",
-        (F.unix_timestamp("ts").cast("bigint") * 1000000 + F.col("event_id")).alias(
+        (F.unix_timestamp("ts").cast("bigint") * _ORD_SHIFT + F.col("event_id")).alias(
             "ord"
         ),
     )
@@ -1587,8 +1618,10 @@ _FUN_TOPC, _FUN_TOPK = 24, 5
     codes AS (
         SELECT vec_id, embedding,
                list_transform(range(1, {_SQ_DIM} + 1),
-                   i -> CAST(round((CAST(embedding[i] AS DOUBLE) - mns[i]) * 254
-                                   / (mxs[i] - mns[i])) AS BIGINT) - 127) AS code
+                   i -> CAST(round(coalesce(
+                            (CAST(embedding[i] AS DOUBLE) - mns[i]) * 254
+                            / nullif(mxs[i] - mns[i], 0), 127)) AS BIGINT)
+                        - 127) AS code
         FROM embeddings, params
     ),
     cand AS (

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import sys
 import time
 
@@ -111,9 +112,130 @@ def rows_close(a, b) -> bool:
     return True
 
 
+# ---------------------------------------------------------------------------
+# Cross-engine arithmetic-route lint (VERDICT r7 item #3).
+#
+# The r7 driver reds (p12, f_try_arithmetic) were oracle pairs whose Spark
+# and DuckDB computations took DIFFERENT arithmetic routes to a decimal /
+# float output and merely agreed on lucky data:
+#   - decimal-operand division: Spark divides decimals exactly; DuckDB's
+#     `/` returns DOUBLE (probed on duckdb 1.0: DECIMAL/INT -> 0.5 float).
+#   - avg(decimal): DuckDB returns DOUBLE, Spark DECIMAL.
+#   - double -> decimal cast: Spark rounds via exact BigDecimal HALF_UP;
+#     DuckDB multiplies by 10^scale IN DOUBLE and rounds half-even — a
+#     value within multiply-error of a midpoint legally diverges.
+# The lint scans every oracle for these shapes. A double->decimal cast is
+# auto-explained as SAFE-GRID when the casted expression is built only
+# from the testdata's money/value columns with {+,-,*}: those columns are
+# exact 2-decimal grid values (measured: max deviation 9.3e-10 over every
+# table at sf0.01) so products sit on a <=4-dec grid whose representation
+# error (~1e-9) is far inside the target DECIMAL(.,6) half-grid (5e-7) —
+# the rounding mode is never consulted at a midpoint. Anything exposed
+# (division, avg/stddev/exp/ln/sqrt/power/log/corr/covar/regr, or an
+# explicit double cast inside) must be named in ARITH_EXPLAINED or the
+# sweep fails.
+
+_EXPOSED_MARK = re.compile(
+    r"(?<!/)/(?!/)"
+    r"|\b(avg|exp|ln|sqrt|power|pow|stddev|var_samp|var_pop|log|corr"
+    r"|covar_samp|covar_pop|regr_\w+)\s*\("
+    r"| as double"
+)
+
+ARITH_EXPLAINED = {
+    # power(2.0, k) for integer k in [0,15] is an exact power of two —
+    # exactly representable in double AND in DECIMAL(18,6); the cast
+    # has zero error, so no midpoint is ever in play.
+    "w14_ewma_halflife": "power(2.0,k) exact dyadic values; casts lossless",
+}
+
+
+def _decimal_cast_exprs(low: str):
+    """Yield the inner expression of every CAST(... AS DECIMAL...) span."""
+    for m in re.finditer(r"cast\s*\(", low):
+        i = m.end() - 1
+        depth = 0
+        j = i
+        for j in range(i, len(low)):
+            if low[j] == "(":
+                depth += 1
+            elif low[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        inner = low[i + 1 : j]
+        k = inner.rfind(" as decimal")
+        if k >= 0:
+            yield inner[:k]
+
+
+def lint_arith_routes(name: str, oracle: str,
+                      dec_cols: set, dbl_cols: set) -> list[str]:
+    low = oracle.lower()
+    flags = []
+    # D1: division with a decimal-typed column operand (DuckDB -> DOUBLE,
+    # Spark -> exact decimal) and no explicit double cast in the window.
+    for m in re.finditer(r"(?<!/)/(?!/)", low):
+        w = low[max(0, m.start() - 100): m.start() + 100]
+        if any(re.search(r"\b" + c + r"\b", w) for c in dec_cols) \
+                and " as double" not in w:
+            flags.append("D1 decimal-operand division: ..."
+                         + w[80:140].replace("\n", " "))
+    # D2: avg over a decimal column (DuckDB DOUBLE vs Spark DECIMAL).
+    for m in re.finditer(r"avg\s*\(([^()]*)\)", low):
+        if any(re.search(r"\b" + c + r"\b", m.group(1)) for c in dec_cols) \
+                and " as double" not in m.group(1):
+            flags.append(f"D2 avg(decimal): {m.group(1)[:60]}")
+    # D3: double-valued expression cast to DECIMAL (rounding-route
+    # exposure) — exposed only when the expression is not grid-safe.
+    for expr in _decimal_cast_exprs(low):
+        involves_double = any(
+            re.search(r"\b" + c + r"\b", expr) for c in dbl_cols
+        )
+        if (involves_double or _EXPOSED_MARK.search(expr)) \
+                and _EXPOSED_MARK.search(expr):
+            flags.append("D3 exposed double->decimal cast: "
+                         + expr.replace("\n", " ")[:70])
+    return flags
+
+
+def run_arith_lint(specs, con) -> int:
+    dec_cols: set = set()
+    dbl_cols: set = set()
+    for t in TABLES:
+        for cname, typ, *_ in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        ).fetchall():
+            if typ.startswith("DECIMAL"):
+                dec_cols.add(cname.lower())
+            elif "DOUBLE" in typ or "FLOAT" in typ:
+                dbl_cols.add(cname.lower())
+    n_unexplained = 0
+    for name, spec in specs.items():
+        if spec.oracle is None:
+            continue
+        flags = lint_arith_routes(name, spec.oracle, dec_cols, dbl_cols)
+        if not flags:
+            continue
+        if name in ARITH_EXPLAINED:
+            print(f"LINT {name}: {len(flags)} flag(s), explained: "
+                  f"{ARITH_EXPLAINED[name]}")
+        else:
+            for fl in flags:
+                print(f"LINT FAIL {name}: {fl}")
+            n_unexplained += 1
+    return n_unexplained
+
+
 def main() -> int:
     pats = sys.argv[1:]
     specs = all_queries()
+    if pats and pats[0] == "--lint-only":
+        con = duckdb.connect()
+        n_lint = run_arith_lint(specs, con)
+        print(f"\n{len(specs)} oracles linted, "
+              f"{n_lint} unexplained arith-lint flags")
+        return 1 if n_lint else 0
     names = [
         n for n in specs if not pats or any(p in n for p in pats)
     ]
@@ -193,8 +315,10 @@ def main() -> int:
             continue
         print(f"ok   {name}: {sp_tbl.num_rows} rows, {time.time()-t0:.1f}s")
 
-    print(f"\n{len(names)} checked, {n_fail} fail, {n_warn} type-warn")
-    return 1 if n_fail else 0
+    n_lint = run_arith_lint({n: specs[n] for n in names}, con)
+    print(f"\n{len(names)} checked, {n_fail} fail, {n_warn} type-warn, "
+          f"{n_lint} unexplained arith-lint flags")
+    return 1 if (n_fail or n_lint) else 0
 
 
 if __name__ == "__main__":
