@@ -583,3 +583,467 @@ def t_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "slot")
     )
+
+
+# ---------------------------------------------------------------------------
+# J17: Bloom-filter pre-join. Build a tiny Bloom filter (m bits, kh
+# hash functions) over the dim side's join keys, prefilter the FACT
+# before the join, then run the exact join to scrub false positives —
+# the answer is exact, the Bloom only shrinks what flows into the
+# shuffle. At 100 TB this is the difference between shuffling the
+# whole fact and shuffling the ~matching fraction plus a controlled FP
+# tail: the m-bit filter (1 KB here) broadcasts freely even when the
+# dim itself is too large to broadcast as rows. Spark 3.3+ injects
+# exactly this rewrite (runtime row-level Bloom pruning) for eligible
+# joins; here it is explicit, md5-based, and oracle-checkable — the
+# diagnostic columns expose bloom_pass vs exact so the FP tail is
+# measured, not assumed.
+
+_BL_M = 8192
+_BL_KH = 3
+
+
+@register(
+    "j17_bloom_prejoin",
+    oracle=f"""
+    WITH dim AS (
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    bits AS (
+        SELECT DISTINCT
+               CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '#'
+                                        || CAST(i AS VARCHAR)), 1, 12)
+                    AS BIGINT) % {_BL_M} AS bit
+        FROM dim CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)
+    ),
+    probe AS (
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderpriority, o.o_totalprice,
+               CAST('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR) || '#'
+                                        || CAST(i.i AS VARCHAR)), 1, 12)
+                    AS BIGINT) % {_BL_M} AS bit,
+               i.i
+        FROM orders o CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) i
+    ),
+    passed AS (
+        SELECT o_orderkey, any_value(o_custkey) AS o_custkey,
+               any_value(o_orderpriority) AS o_orderpriority,
+               any_value(o_totalprice) AS o_totalprice
+        FROM probe
+        WHERE bit IN (SELECT bit FROM bits)
+        GROUP BY o_orderkey
+        HAVING count(DISTINCT i) = {_BL_KH}
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS bloom_pass,
+           CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS exact_matches,
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_positives,
+           CAST(sum(CASE WHEN k IS NOT NULL
+                    THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS exact_price_cents
+    FROM passed LEFT JOIN dim ON o_custkey = k
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("J17", "join", "bloom", "prefilter", "runtime-filter"),
+)
+def j17_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom pre-join: 3 md5-derived hash positions into an
+    8192-bit filter built from the BUILDING customer segment; orders
+    whose custkey sets all 3 bits pass to the exact join. Output per
+    priority: bloom survivors, exact matches, measured false
+    positives, exact price sum (integer cents)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    dim = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    seeds = F.array(*[F.lit(i) for i in range(_BL_KH)])
+
+    def bloom_bit(key_col: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col(key_col).cast("string"),
+                            F.lit("#"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _BL_M
+        )
+
+    bits = (
+        dim.withColumn("i", F.explode(seeds))
+        .select(bloom_bit("k").alias("bit"))
+        .distinct()
+    )
+    probe = orders.withColumn("i", F.explode(seeds)).withColumn(
+        "bit", bloom_bit("o_custkey")
+    )
+    passed = (
+        probe.join(F.broadcast(bits), "bit")
+        .groupBy("o_orderkey")
+        .agg(
+            F.any_value("o_custkey").alias("o_custkey"),
+            F.any_value("o_orderpriority").alias("o_orderpriority"),
+            F.any_value("o_totalprice").alias("o_totalprice"),
+            F.countDistinct("i").alias("nbits"),
+        )
+        .where(F.col("nbits") == _BL_KH)
+    )
+    return (
+        passed.join(F.broadcast(dim), passed["o_custkey"] == dim["k"], "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("bloom_pass"),
+            F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("exact_matches"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("false_positives"),
+            F.sum(
+                F.when(
+                    F.col("k").isNotNull(),
+                    F.floor(F.col("o_totalprice") * F.lit(100)).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            )
+            .cast("bigint")
+            .alias("exact_price_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F: lambda higher-order-function gauntlet — transform / filter /
+# exists / forall / aggregate (fold) / zip_with / sequence over a
+# per-order quantity array, all inside whole-stage codegen (no Python,
+# no explode-shuffle-reassemble round trip: ONE groupBy builds the
+# array, every derived metric is array algebra on the row). The oracle
+# recomputes each metric relationally (conditional sums + a rank
+# window for the positional fold; position multisets are invariant
+# under tie order, so row_number ties cannot diverge). Quantities cast
+# to BIGINT first — all arithmetic integer-exact.
+
+
+@register(
+    "f_lambda_gauntlet",
+    oracle="""
+    WITH q AS (
+        SELECT l_orderkey AS okey,
+               CAST(l_quantity AS BIGINT) AS q,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY CAST(l_quantity AS BIGINT)) AS rn
+        FROM lineitem
+    )
+    SELECT okey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(q) AS BIGINT) AS qsum,
+           CAST(sum(q * q) AS BIGINT) AS sq_sum,
+           CAST(sum(CASE WHEN q > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           CAST(max(CASE WHEN q >= 45 THEN 1 ELSE 0 END) AS INT) AS any_ge45,
+           CAST(min(CASE WHEN q >= 10 THEN 1 ELSE 0 END) AS INT) AS all_ge10,
+           CAST(sum(q * rn) AS BIGINT) AS wsum,
+           CAST(coalesce(sum(CASE WHEN q % 2 = 0 THEN q * q END), 0)
+                AS BIGINT) AS even_sq_sum
+    FROM q
+    GROUP BY okey
+    ORDER BY okey
+    """,
+    tags=("F", "lambda", "hof", "array", "codegen"),
+)
+def f_lambda_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One collect_list per order, then the whole lambda surface:
+    aggregate-fold sums, filter+size, exists, forall, zip_with against
+    sequence(1,n) for the positional weighted sum, filter∘transform∘
+    aggregate for the even-square fold."""
+    li = load(spark, sf_dir, "lineitem")
+    arr = (
+        li.select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("okey")
+        .agg(F.array_sort(F.collect_list("q")).alias("qs"))
+    )
+    zero = F.lit(0).cast("bigint")
+    return arr.select(
+        "okey",
+        F.size("qs").cast("bigint").alias("n_items"),
+        F.aggregate("qs", zero, lambda acc, x: acc + x).alias("qsum"),
+        F.aggregate("qs", zero, lambda acc, x: acc + x * x).alias("sq_sum"),
+        F.size(F.filter("qs", lambda x: x > 25)).cast("bigint").alias("n_big"),
+        F.exists("qs", lambda x: x >= 45).cast("int").alias("any_ge45"),
+        F.forall("qs", lambda x: x >= 10).cast("int").alias("all_ge10"),
+        F.aggregate(
+            F.zip_with(
+                "qs",
+                F.sequence(F.lit(1).cast("bigint"), F.size("qs").cast("bigint")),
+                lambda x, i: x * i,
+            ),
+            zero,
+            lambda acc, x: acc + x,
+        ).alias("wsum"),
+        F.aggregate(
+            F.transform(
+                F.filter("qs", lambda x: x % 2 == 0), lambda x: x * x
+            ),
+            zero,
+            lambda acc, x: acc + x,
+        ).alias("even_sq_sum"),
+    ).orderBy("okey")
+
+
+# ---------------------------------------------------------------------------
+# W18: additive seasonal decomposition on integer micro-units. Daily
+# series per event_type → centered 7-day trend window + day-of-week
+# seasonal means + residual, value = trend + seasonal + residual (up
+# to the stated integer-division convention). Day-of-week is computed
+# arithmetically — (epoch_day + 4) % 7, Sunday = 0 — so neither
+# engine's calendar function conventions (Spark dayofweek Sunday=1,
+# DuckDB dow Sunday=0, isodow Monday=1) can skew parity. Every mean
+# is published as (sum, count) plus an integer-division read-off over
+# non-negative operands, where floor and truncate agree. The shape at
+# scale: two window passes over the ~days×types frame (already
+# aggregated — tiny) after ONE partial-aggregated shuffle of the raw
+# events.
+
+
+@register(
+    "w18_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS nd
+        FROM events
+        GROUP BY 1, 2
+    ),
+    feat AS (
+        SELECT event_type, d, s, nd,
+               CAST(date_diff('day', DATE '1970-01-01', d) AS INT)
+                   AS epoch_day,
+               CAST((date_diff('day', DATE '1970-01-01', d) + 4) % 7
+                    AS INT) AS dow,
+               CAST(sum(s) OVER (PARTITION BY event_type ORDER BY d
+                                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                    AS BIGINT) AS trend_sum7,
+               CAST(count(*) OVER (PARTITION BY event_type ORDER BY d
+                                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                    AS BIGINT) AS trend_days
+        FROM daily
+    ),
+    season AS (
+        SELECT event_type, dow,
+               CAST(sum(s) AS BIGINT) AS dow_sum,
+               CAST(count(*) AS BIGINT) AS dow_days
+        FROM feat GROUP BY 1, 2
+    ),
+    overall AS (
+        SELECT event_type,
+               CAST(sum(s) AS BIGINT) AS tot_sum,
+               CAST(count(*) AS BIGINT) AS tot_days
+        FROM feat GROUP BY 1
+    )
+    SELECT f.event_type, f.d, f.dow, f.s, f.nd,
+           f.trend_sum7, f.trend_days, se.dow_sum, se.dow_days,
+           CAST(f.s - f.trend_sum7 // f.trend_days
+                    - se.dow_sum // se.dow_days
+                    + o.tot_sum // o.tot_days AS BIGINT) AS resid_micro
+    FROM feat f
+    JOIN season se USING (event_type, dow)
+    JOIN overall o USING (event_type)
+    ORDER BY f.event_type, f.d
+    """,
+    tags=("W18", "window", "seasonal", "timeseries"),
+)
+def w18_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend (centered 7-day rolling) + day-of-week seasonal + residual
+    over the per-type daily value series, all in BIGINT micro-units."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            F.floor(F.col("value") * F.lit(1e6)).cast("bigint").alias("m"),
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.sum("m").cast("bigint").alias("s"),
+            F.count("*").cast("bigint").alias("nd"),
+        )
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    )
+    feat = daily.withColumn(
+        "epoch_day", F.datediff("d", F.lit("1970-01-01")).cast("int")
+    ).withColumn(
+        "dow", ((F.col("epoch_day") + 4) % 7).cast("int")
+    ).withColumn(
+        "trend_sum7", F.sum("s").over(w7).cast("bigint")
+    ).withColumn(
+        "trend_days", F.count("*").over(w7).cast("bigint")
+    )
+    season = feat.groupBy("event_type", "dow").agg(
+        F.sum("s").cast("bigint").alias("dow_sum"),
+        F.count("*").cast("bigint").alias("dow_days"),
+    )
+    overall = feat.groupBy("event_type").agg(
+        F.sum("s").cast("bigint").alias("tot_sum"),
+        F.count("*").cast("bigint").alias("tot_days"),
+    )
+    return (
+        feat.join(F.broadcast(season), ["event_type", "dow"])
+        .join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            "d",
+            "dow",
+            "s",
+            "nd",
+            "trend_sum7",
+            "trend_days",
+            "dow_sum",
+            "dow_days",
+            F.expr(
+                "CAST(s - trend_sum7 DIV trend_days"
+                " - dow_sum DIV dow_days"
+                " + tot_sum DIV tot_days AS BIGINT)"
+            ).alias("resid_micro"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T: anchored substring-containment dedup — remove documents whose full
+# text appears verbatim inside a longer document (quote-reposts,
+# boilerplate-wrapped copies). The scalable shape: if A is a substring
+# of B, then EVERY length-K character gram of A occurs in B, so A only
+# needs to probe the inverted gram index with its single RAREST gram
+# (min document frequency, ties by gram) — one anchor row per doc on
+# the probe side, full index on the build side, candidate volume
+# bounded by the anchor's document frequency instead of |A|·|B|. The
+# verify is an exact JVM ``instr`` on the candidate pairs only. A
+# quadratic all-pairs LIKE-join — what the oracle does — would be
+# O(n²) string scans and is exactly what this plan avoids at 100 TB.
+
+_SSD_K = 12
+
+
+def contained_doc_ids(docs: DataFrame) -> DataFrame:
+    """(doc_id, contained_in_min, n_containers) for every doc whose
+    text is a strict substring of a longer doc's text. Anchored
+    candidate generation (lossless), exact instr verify."""
+    base = docs.select("doc_id", "text", F.length("text").alias("len"))
+    grams = (
+        base.select(
+            "doc_id",
+            "len",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("len") - F.lit(_SSD_K - 1)),
+                    lambda i: F.substring_index(
+                        F.lit(""), "", 0
+                    )  # placeholder, replaced below
+                )
+            ).alias("g"),
+        )
+    )
+    # substring(text, i, K) needs expr-level substring with a column start
+    grams = (
+        base.select(
+            "doc_id",
+            "len",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, len - {_SSD_K - 1}),"
+                    f" i -> substring(text, i, {_SSD_K}))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    dfreq = grams.groupBy("g").agg(F.count("*").alias("df"))
+    anchors = (
+        grams.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("df", "g")).alias("a"))
+        .select(
+            F.col("doc_id").alias("a_id"), F.col("a.g").alias("g")
+        )
+    )
+    index = grams.select(
+        F.col("doc_id").alias("b_id"), F.col("len").alias("b_len"), "g"
+    )
+    a_side = anchors.join(
+        base.select(F.col("doc_id").alias("a_id"),
+                    F.col("text").alias("a_text"),
+                    F.col("len").alias("a_len")),
+        "a_id",
+    )
+    cand = (
+        a_side.join(index, "g")
+        .where(
+            (F.col("a_id") != F.col("b_id"))
+            & (F.col("a_len") < F.col("b_len"))
+        )
+        .select("a_id", "a_text", "b_id")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            base.select(F.col("doc_id").alias("b_id"),
+                        F.col("text").alias("b_text")),
+            "b_id",
+        )
+        .where(F.expr("instr(b_text, a_text) > 0"))
+    )
+    return verified.groupBy("a_id").agg(
+        F.min("b_id").cast("bigint").alias("contained_in_min"),
+        F.countDistinct("b_id").cast("bigint").alias("n_containers"),
+    ).select(F.col("a_id").alias("doc_id"), "contained_in_min",
+             "n_containers")
+
+
+@register(
+    "t_substring_dedup",
+    oracle="""
+    SELECT a.doc_id,
+           CAST(min(b.doc_id) AS BIGINT) AS contained_in_min,
+           CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_containers,
+           any_value(a.source) AS source,
+           any_value(a.n_chars) AS n_chars
+    FROM documents a
+    JOIN documents b
+      ON a.doc_id <> b.doc_id
+     AND length(a.text) < length(b.text)
+     AND position(a.text IN b.text) > 0
+    GROUP BY a.doc_id
+    ORDER BY a.doc_id
+    """,
+    tags=("T", "dedup", "substring", "containment", "llm-pipeline"),
+)
+def t_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs fully contained (char-level) in a longer doc, found via the
+    rarest-gram anchored index probe + exact instr verify; the oracle
+    runs the quadratic LIKE-join this plan avoids."""
+    docs = load(spark, sf_dir, "documents")
+    hits = contained_doc_ids(docs)
+    return (
+        hits.join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+        .select("doc_id", "contained_in_min", "n_containers", "source",
+                "n_chars")
+        .orderBy("doc_id")
+    )
