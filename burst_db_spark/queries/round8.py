@@ -947,20 +947,6 @@ def contained_doc_ids(docs: DataFrame) -> DataFrame:
     text is a strict substring of a longer doc's text. Anchored
     candidate generation (lossless), exact instr verify."""
     base = docs.select("doc_id", "text", F.length("text").alias("len"))
-    grams = (
-        base.select(
-            "doc_id",
-            "len",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("len") - F.lit(_SSD_K - 1)),
-                    lambda i: F.substring_index(
-                        F.lit(""), "", 0
-                    )  # placeholder, replaced below
-                )
-            ).alias("g"),
-        )
-    )
     # substring(text, i, K) needs expr-level substring with a column start
     grams = (
         base.select(
@@ -1046,4 +1032,149 @@ def t_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "contained_in_min", "n_containers", "source",
                 "n_chars")
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming t-digest maintenance: the a35 centroid-histogram sketch
+# kept up to date by a stream. Each micro-batch ships only its
+# (event_type, centroid) → (weight, sum) partials — bounded by the
+# value domain / 64, never by row count — and the post-drain merge is
+# plain addition, so the final sketch is INDEPENDENT of how the stream
+# was batched (additive commutative monoid, the same property that
+# makes stream_kmv_sketch's bottom-k re-cut exact). This is how a
+# 100 TB pipeline maintains p50/p90/p99 continuously: per-trigger
+# centroid partials into a compacted store, quantile read-off on
+# demand, raw events never re-read. Oracle: the batch computation over
+# all events (batching-independence makes them equal by construction).
+
+
+@register(
+    "stream_tdigest_quantiles",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    merged AS (
+        SELECT event_type, cents // {_TD_BUCKET} AS centroid,
+               CAST(count(*) AS BIGINT) AS w,
+               CAST(sum(cents) AS BIGINT) AS s
+        FROM base GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, centroid, w, s,
+               CAST(sum(w) OVER (PARTITION BY event_type ORDER BY centroid)
+                    AS BIGINT) AS cw
+        FROM merged
+    ),
+    n AS (
+        SELECT event_type, CAST(sum(w) AS BIGINT) AS n
+        FROM merged GROUP BY 1
+    ),
+    spine AS (
+        SELECT event_type, n, q,
+               CAST((q * n + 99) // 100 AS BIGINT) AS target
+        FROM n CROSS JOIN (SELECT CAST(unnest([50, 90, 99]) AS INT) AS q)
+    ),
+    pick AS (
+        SELECT s.event_type, s.q, s.target,
+               min(c.centroid) AS centroid
+        FROM spine s
+        JOIN cum c ON c.event_type = s.event_type AND c.cw >= s.target
+        GROUP BY 1, 2, 3
+    )
+    SELECT p.event_type, p.q, p.target AS target_rank,
+           CAST(m.s // m.w AS BIGINT) AS est_cents
+    FROM pick p
+    JOIN merged m
+      ON m.event_type = p.event_type AND m.centroid = p.centroid
+    ORDER BY p.event_type, p.q
+    """,
+    tags=("streaming", "sketch", "tdigest", "quantile", "foreachBatch",
+          "mergeable"),
+)
+def stream_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile sketch: events arrive as 4 micro-batches
+    (maxFilesPerTrigger=1); each foreachBatch appends its own
+    (event_type, centroid, w, s) partials — centroid-count-sized state,
+    never row-count-sized. The post-drain additive merge + cumulative
+    walk reads off p50/p90/p99 exactly as the batch a35 sketch would,
+    no matter how the stream was split."""
+    tmp = _tmpdir("stdg")
+    src = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100)).cast("bigint").alias("cents"),
+    )
+    src.repartition(4).write.parquet(f"{tmp}/in")
+    partials = f"{tmp}/partials"
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{tmp}/in")
+    )
+
+    def _partial(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("centroid", F.expr(f"cents DIV {_TD_BUCKET}"))
+            .groupBy("event_type", "centroid")
+            .agg(
+                F.count("*").cast("bigint").alias("w"),
+                F.sum("cents").cast("bigint").alias("s"),
+            )
+            .write.mode("append")
+            .parquet(partials)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_partial)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(partials)
+        .groupBy("event_type", "centroid")
+        .agg(
+            F.sum("w").cast("bigint").alias("w"),
+            F.sum("s").cast("bigint").alias("s"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("centroid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = merged.withColumn("cw", F.sum("w").over(w_cum).cast("bigint"))
+    n = merged.groupBy("event_type").agg(F.sum("w").cast("bigint").alias("n"))
+    spine = n.select(
+        "event_type",
+        "n",
+        F.explode(F.array(*[F.lit(q_) for q_ in _TD_QS])).alias("q"),
+    ).select(
+        "event_type",
+        F.col("q").cast("int").alias("q"),
+        F.expr("CAST((q * n + 99) DIV 100 AS BIGINT)").alias("target"),
+    )
+    pick = (
+        F.broadcast(spine)
+        .join(cum, "event_type")
+        .where(F.col("cw") >= F.col("target"))
+        .groupBy("event_type", "q", "target")
+        .agg(F.min("centroid").alias("centroid"))
+    )
+    return (
+        pick.join(merged, ["event_type", "centroid"])
+        .select(
+            "event_type",
+            "q",
+            F.col("target").alias("target_rank"),
+            F.expr("CAST(s DIV w AS BIGINT)").alias("est_cents"),
+        )
+        .orderBy("event_type", "q")
     )
