@@ -32,6 +32,7 @@ _MODULES = (
     "round6",
     "round7",
     "round8",
+    "round9",
     "scalars",
     "similarity",
     "skewq",
@@ -53,82 +54,28 @@ for _m in _MODULES:
         )
 
 # The driver's correctness gate samples a PREFIX of the registration order
-# (exactly 50 rows/round, measured r1-r7). Round-8 rotation policy
-# (executes VERDICT r7 "Next round" items #1/#2/#4):
-#   1. the two r7 driver REDS lead, hardened this round so both engines
-#      run IDENTICAL integer arithmetic (p12: floor(value*1e6) summed as
-#      BIGINT; f_try: DOUBLE division + floor(d*100) BIGINT sum — no
-#      decimal-vs-double route, no rounding-mode exposure). Green rows
-#      in CORRECTNESS_r08 close the only red history in the registry;
-#   2. NEW round-8 queries follow (the r5-verdict-endorsed rule:
-#      new-query driver evidence outranks refreshing verified rows);
-#   3. the 28 deferred r3-evidence rows rotate in (the block the r7
-#      prefix cut; mm_bmp_resize + mm_frame_sample cover the mm_* slot);
-#   4. the remaining slots take the OLDEST r4-evidence rows
-#      (w2_sessionize ... block order); the rest of that block is staged
-#      directly behind the cut to lead round 9.
+# (exactly 50 rows/round, measured r1-r8). Round-9 rotation policy
+# (executes VERDICT r8 "Next round" items #1/#2):
+#   1. the three round-9 queries lead (the r5-verdict-endorsed rule:
+#      new-query driver evidence outranks refreshing verified rows) —
+#      dd_docs_cascade_pipeline / j18_point_in_interval_dpp /
+#      t_minhash_recall_curve, the r8-planned trio, now implemented in
+#      queries/round9.py;
+#   2. ALL 39 rows whose latest driver evidence is r4 rotate in: the 25
+#      remaining names of the staged r4 block (its first 3 were sampled
+#      r8 when the prefix slipped past the three then-unimplemented
+#      names) plus the 14 unstaged r4 stragglers the r8 verdict lists;
+#   3. the 8 OLDEST r5-evidence rows fill the remaining slots. After
+#      CORRECTNESS_r09 nothing in the registry carries evidence older
+#      than r5; the rest of the r5 block is staged directly behind the
+#      cut to lead round 10.
 # Names not listed keep their module registration order after the
 # prefix; unknown names are ignored (lets planned queries pre-register).
 _SAMPLING_PRIORITY = (
-    # -- pole position: the r7 driver reds, re-armed with integer paths --
-    "p12_dynamic_partition_pruning",
-    "f_try_arithmetic",
-    # -- NEW round-8 queries --
-    "a35_tdigest_quantiles",
-    "t_substring_dedup",
-    "j17_bloom_prejoin",
-    "w17_mad_anomaly",
-    "t_reservoir_per_group",
-    "stream_tdigest_quantiles",
     "dd_docs_cascade_pipeline",
-    "a36_theta_sketch_setops",
-    "f_lambda_gauntlet",
-    "w18_seasonal_decompose",
     "j18_point_in_interval_dpp",
     "t_minhash_recall_curve",
-    # -- deferred r3 rows: the r7 cut, rotated in (VERDICT item #2) --
-    "s4_csv_glob_multifile",
-    "s9_xml_bursts",
-    "k5_partitioned_append_roundtrip",
-    "f_string_gauntlet",
-    "t_pack_sequences",
-    "t_curriculum_buckets",
-    "s8_rangezip_roundtrip",
-    "s10_stac_paged",
-    "t_repetition_stats",
-    "t_stratified_sample",
-    "q5_local_supplier_volume",
-    "a3_dissolve_union_area",
-    "a3_union_polygon",
-    "j12_asof_join",
-    "u2_array_ops",
-    "s11_zarr_cube",
-    "s11_zarr_coords",
-    "knn_cosine_ivf_multiprobe",
-    "t_decontaminate_bloom",
-    "mm_bmp_resize",             # the mm_* rotation slot, counted
-    "k7_bucketed_colocated_join",
-    "mm_frame_sample",
-    "k8_compact_roundtrip",
-    "dd_embedding_nn_multiprobe",
-    "k1_gpkg_roundtrip",
-    "stream_corpus_dedup",
-    "t_cap_per_source",
-    "t_temperature_mix",
-    # -- oldest evidence: last driver green r4 (head of the r4 block) --
-    "w2_sessionize",
-    "w3_batch_labels",
-    "w_lag_delta",
-    "w_rolling_1d",
-    "a13_weekly_window",
-    "w2b_session_window_batch",
-    "dd_semdedup",
-    "dd_span_dedup",
-    # ---- 50-slot prefix cut line ----
-    # -- rest of the r4 block: staged to lead round 9 --
-    "t_inverted_index",
-    "t_bm25_search",
-    "t_bigram_lm_score",
+    # -- r4-evidence rows: the 25-name tail of the staged block --
     "knn_pq_adc",
     "geo_zorder_code",
     "dd_embedding_nn_exact_audit",
@@ -154,107 +101,22 @@ _SAMPLING_PRIORITY = (
     "g1_pagerank3",
     "w11_funnel",
     "a23_cohort_retention",
-    # -- r7-sampled rows (all green r7 except the two at pole) --
-    "knn_cosine_ivf_learned",
-    "s14_zarr_py_writer",
-    "stream_zarr_append_sink",
-    "g4_cc_iterative",
-    "f_arrow_udf_normalize",
-    "mm_audio_windows",
-    "t_weighted_sample",
-    "a31_countmin_merge",
-    "knn_ivf_learned_exhaustive",
-    "f_recursive_cte_gapfill",
-    "s15_schema_evolution",
-    "j16_asof_tolerance",
-    "a32_kmv_distinct",
-    "t_paragraph_dedup",
-    "knn_int8_quantized",
-    "o6_range_partitioned_sort",
-    "f_map_gauntlet",
-    "t_containment_join",
-    "mm_video_framesample",
-    "t_containment_survivors",
-    "stream_kmv_sketch",
-    "a33_exact_median_2pass",
-    "a34_grouped_ols",
-    "w15_interval_coalesce",
-    "w16_resample_ohlc",
-    "u6_dq_checks",
-    "stream_ohlc_complete",
-    "knn_ivf_int8_funnel",
-    "stream_session_counts",
-    "ep2_burst_catalog",
-    "frame_lookup",
-    "a2_dissolve_multiagg",
-    "f4_missing_dates",
-    "f_json_props",
-    "p2_filter_isin",
-    "j2_fact_dim_broadcast",
-    "q1_pricing_summary",
-    "u1_unpivot_union",
-    "o5_topk_per_group",
-    "dd_embedding_nn",
-    "w_running_sum",
-    "p9_spatial_intersect",
-    "j7_spatial_join",
-    "a3_union_envelope",
-    "utm_epsg_classify",
-    "j_spatial_knn",
-    "a14_spatial_mean",
-    "s1_sqlite_roundtrip",
-    # -- r6-sampled rows (all green r6) --
-    "stream_watermark_append",
-    "stream_stream_join",
-    "mm_features",
-    "f_variant_props",
-    "g3_bfs_hops",
-    "a5_string_agg_distinct",
-    "a8_first_seen",
-    "a9_count_per_day",
-    "a10_multi_minmax",
-    "a11_named_agg_pct",
-    "a15_summary_stats",
-    "a16_percentiles",
-    "o1_topk_orders",
-    "u2_reconcile_snapshots",
-    "u3_union_all",
-    "w1_first_value",
-    "w4_run_length",
-    "w6_water_year",
-    "w7_first_significant_block",
-    "f_regex_extract",
-    "ep1_frame_partition",
-    "w5_reference_dates",
-    "dd_exact",
-    "dd_minhash_lsh",
-    "dd_ngram_jaccard",
-    "dd_simhash",
-    "dd_corpus_survivors",
-    "dd_dedup_clusters",
-    "knn_cosine_brute",
-    "knn_cosine_ivf",
-    "f_conditional_gauntlet",
-    "f_date_gauntlet",
-    "f_math_gauntlet",
-    "s2_csv_infer_roundtrip",
-    "s3_csv_schema_semicolon",
-    "s6_geojson_roundtrip",
-    "s7_envelope_roundtrip",
-    "stream_daily_counts",
-    "a17_cube",
-    "t_decontaminate",
-    "t_fingerprint",
-    "t_lang_guess",
-    "t_quality_filter",
-    "t_quality_score",
-    "t_redact_pii",
-    "t_top_tfidf",
-    "ep1_minimal_db",
-    "skew_salted_count",
-    "t_token_stats",
-    "t_split_assign",
-    # -- round-5 block (all driver-green r5) --
+    # -- r4-evidence rows: the 14 unstaged stragglers --
+    "group_by_all",
+    "pivot_by_type",
+    "p1_projection_minimal",
+    "p3_filter_range",
+    "p4_filter_bool_combo",
+    "p7_blackout_anti_join",
+    "p10_dedup_distinct",
+    "j1_region_rollup",
+    "j4_join_using",
+    "j6_left_join_fillna",
+    "j9_update_join",
+    "j10_range_join",
+    "a1_dedup_latest",
+    "a4_round_avg_cast",
+    # -- oldest r5-evidence rows: head of the round-5 block --
     "q4_order_priority",
     "q17_small_qty_revenue",
     "q21_suppliers_waiting",
@@ -263,6 +125,8 @@ _SAMPLING_PRIORITY = (
     "k4_geojson_simplified",
     "q12_late_priority",
     "q16_supplier_cnt",
+    # ---- 50-slot prefix cut line ----
+    # -- rest of the r5 block: staged to lead round 10 --
     "q18_large_volume",
     "q20_part_shippers",
     "q22_global_sales_opportunity",
@@ -303,57 +167,6 @@ _SAMPLING_PRIORITY = (
     "u5_intersect_except",
     "a29_value_histogram",
     "s13_zarr_python_datasource",
-    # -- behind the prefix: r4-green spares --
-    "w2_sessionize",
-    "w3_batch_labels",
-    "w_lag_delta",
-    "w_rolling_1d",
-    "a13_weekly_window",
-    "w2b_session_window_batch",
-    "dd_semdedup",
-    "dd_span_dedup",
-    "t_inverted_index",
-    "t_bm25_search",
-    "t_bigram_lm_score",
-    "knn_pq_adc",
-    "geo_zorder_code",
-    "dd_embedding_nn_exact_audit",
-    "t_bpe_merges",
-    "mm_wav_roundtrip",
-    "dd_lsh_cluster_dedup",
-    "t_docs_minhash_pipeline",
-    "j13_range_interval_join",
-    "a18_hll_distinct",
-    "t_ngram_lm_perplexity",
-    "w9_cume_dist_family",
-    "q3_shipping_priority",
-    "q10_returned_items",
-    "stream_interval_counts",
-    "t_bpe_encode",
-    "a19_approx_percentile",
-    "a20_heavy_hitters",
-    "t_phrase_search",
-    "a21_hopping_window",
-    "dd_lsh_quality_audit",
-    "a22_rollup",
-    "w10_scd2_intervals",
-    "g1_pagerank3",
-    "w11_funnel",
-    "a23_cohort_retention",
-    "group_by_all",
-    "pivot_by_type",
-    "p1_projection_minimal",
-    "p3_filter_range",
-    "p4_filter_bool_combo",
-    "p7_blackout_anti_join",
-    "p10_dedup_distinct",
-    "j1_region_rollup",
-    "j4_join_using",
-    "j6_left_join_fillna",
-    "j9_update_join",
-    "j10_range_join",
-    "a1_dedup_latest",
-    "a4_round_avg_cast",
 )
 
 from burst_db_spark.registry import set_order_prefix as _set_order_prefix  # noqa: E402

@@ -6,11 +6,11 @@ sketches only), median-absolute-deviation anomaly detection with
 integer lower-medians, per-group distributed reservoir sampling via
 bottom-k salted priorities, a Bloom-filter pre-join that shrinks the
 fact shuffle before an exact join, anchored substring-containment
-dedup (the char-level cousin of the shingle containment join), an
-end-to-end document curation cascade, the lambda higher-order-function
-surface, additive seasonal decomposition on integer micro-units,
-point-in-interval join driven by dynamic partition pruning, and a
-measured MinHash LSH recall curve against exact-Jaccard ground truth.
+dedup (the char-level cousin of the shingle containment join), the
+lambda higher-order-function surface, and additive seasonal
+decomposition on integer micro-units. (The curation cascade, the
+DPP-driven point-in-interval join, and the MinHash recall curve that
+were planned for this round landed in ``queries/round9.py``.)
 
 Reference parity: opera-adt/burst_db has no text/sketch path — these
 are the LLM-pipeline extension surface (SURVEY.md "beyond the
