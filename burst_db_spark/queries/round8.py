@@ -174,6 +174,10 @@ def a35_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target",
         F.expr("CAST(s DIV w AS BIGINT)").alias("est_cents"),
     )
+    # AUDIT-ONLY truth column: the full per-group rank below computes the
+    # TRUE order statistic the sketch estimate is validated against. At
+    # scale you drop this block (or route it through the a33 two-pass
+    # idiom) — the sketch path above never needs it.
     w_rank = Window.partitionBy("event_type").orderBy("cents", "event_id")
     ranked = base.withColumn(
         "rn", F.row_number().over(w_rank).cast("bigint")
@@ -319,14 +323,32 @@ def a36_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    w = Window.partitionBy("tag").orderBy("h")
-    sk = (
-        tagged.select("tag", "h")
-        .distinct()
-        .withColumn("rn", F.row_number().over(w))
+    # Two-phase bottom-k (the a32_kmv_distinct idiom): shard-local
+    # bottom-k first — the shard comes from the TAIL of the digest, so
+    # it is independent of the ordering prefix — then merge the k-sized
+    # shard partials and re-cut. Bottom-k is a mergeable monoid, so the
+    # result is identical to a global sort per tag, but no task ever
+    # sorts more than one shard's distinct hashes (vs the 2-task global
+    # sort a per-tag row_number would plan), and WindowGroupLimit
+    # pre-truncates each map partition to k rows before either shuffle.
+    hashed = tagged.select(
+        "tag",
+        "h",
+        (F.conv(F.substring("h", 31, 2), 16, 10).cast("bigint") % 8).alias(
+            "shard"
+        ),
+    )
+    w_shard = Window.partitionBy("tag", "shard").orderBy("h")
+    shard_sk = (
+        hashed.withColumn("rn", F.row_number().over(w_shard))
         .where(F.col("rn") <= _TH_K)
         .select("tag", "h")
-        .persist()
+    )
+    w_merge = Window.partitionBy("tag").orderBy("h")
+    sk = (
+        shard_sk.withColumn("rn", F.row_number().over(w_merge))
+        .where(F.col("rn") <= _TH_K)
+        .select("tag", "h")
     )
     kth = sk.groupBy("tag").agg(F.max("h").alias("kth_h"))
     theta = kth.agg(
@@ -340,16 +362,19 @@ def a36_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     th = F.broadcast(theta)
 
     def below_theta(df: DataFrame, measure: str) -> DataFrame:
-        # Conditional count (not a filter) so an empty survivor set still
-        # yields c = 0 with th48 attached — matches the oracle's scalar 0.
+        # NULL-safe for an EMPTY survivor set (e.g. a disjoint intersect):
+        # the global agg still returns one row but sum() is NULL there, so
+        # coalesce to 0 — and th48 is attached from the theta row itself
+        # via a second crossJoin, never first() over possibly-zero rows.
+        # Matches the oracle's scalar count(*) subquery, which yields 0.
         return (
             df.crossJoin(th)
             .agg(
                 F.sum(F.when(F.col("h") < F.col("th"), 1).otherwise(0))
-                .cast("bigint")
-                .alias("c"),
-                F.first("th48").alias("th48"),
+                .alias("c_raw")
             )
+            .select(F.coalesce(F.col("c_raw"), F.lit(0)).cast("bigint").alias("c"))
+            .crossJoin(th.select("th48"))
             .withColumn("measure", F.lit(measure))
         )
 
@@ -402,24 +427,86 @@ def a36_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot([], ["union", "inter", "a_minus_b", "a_only_set", "b_only_set"],
                  "measure", "truth")
     )
-    out = (
+    return (
         theta_ests.union(set_ests)
         .join(F.broadcast(truth), "measure")
         .select("measure", "est", F.col("truth").cast("bigint").alias("truth"))
         .orderBy("measure")
     )
-    out._dedup_cached = (sk,)
-    return out
 
 
 # ---------------------------------------------------------------------------
 # W17: median-absolute-deviation anomaly detection. Robust outlier
 # gate (median ± 3·MAD) with INTEGER lower-medians — rank (n+1) DIV 2
-# over (cents, event_id) — so both engines pick the identical element
-# with no interpolation, no averaging, no float route. Two ranked
-# windows (values, then absolute deviations) and one aggregation; at
-# scale each window is a per-group sort, and the deviation pass reuses
-# the same partitioning (one shuffle total with AQE reuse).
+# — so both engines pick the identical element with no interpolation,
+# no averaging, no float route. Each lower-median runs the a33
+# two-pass exact-median idiom (round7.py a33_exact_median_2pass):
+# pass 1 is a coarse (group, value >> shift) histogram with map-side
+# partials (driver sees one row per bucket, ~hundreds), the
+# rank-holding bucket is located driver-side, pass 2 counts exact
+# values INSIDE that one bucket only. No per-group full window sort
+# ever happens — the r8 plan's hot-partition sort (every row of an
+# event_type shuffling to one task, twice) is gone, so the same plan
+# holds with a handful of groups at 100 TB.
+
+_MAD_SHIFT = 10  # bucket = cents >> 10 (~10 dollars per bucket)
+
+
+def _lower_median_2pass(
+    df: DataFrame, val_col: str, out_col: str, shift: int = _MAD_SHIFT
+) -> DataFrame:
+    """Exact per-event_type lower median (smallest v with cum_count(v)
+    >= ceil(n/2)) of an integer column, scale-style: coarse-bucket
+    histogram → driver picks the rank-holding bucket per group →
+    in-bucket exact count + tiny cumulative window. Identical result to
+    a full per-group sort; shuffle volume is bucket-count-sized."""
+    spark = df.sparkSession
+    hist = (
+        df.groupBy(
+            "event_type", F.shiftright(F.col(val_col), shift).alias("bucket")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    totals: dict[str, int] = {}
+    by_grp: dict[str, list] = {}
+    for r in hist:
+        totals[r["event_type"]] = totals.get(r["event_type"], 0) + r["n"]
+        by_grp.setdefault(r["event_type"], []).append((r["bucket"], r["n"]))
+    bucket_of: dict[str, int] = {}
+    target: dict[str, int] = {}
+    for g, rows in by_grp.items():
+        k = (totals[g] + 1) // 2
+        cum = 0
+        for b, n in sorted(rows):
+            if cum + n >= k:
+                bucket_of[g] = b
+                target[g] = k - cum  # in-bucket rank
+                break
+            cum += n
+    sel = spark.createDataFrame(
+        [(g, bucket_of[g], target[g]) for g in sorted(bucket_of)],
+        "event_type string, bucket bigint, k bigint",
+    )
+    in_bucket = df.join(
+        F.broadcast(sel),
+        (df["event_type"] == sel["event_type"])
+        & (F.shiftright(df[val_col], shift) == sel["bucket"]),
+    ).select(df["event_type"].alias("event_type"), val_col, "k")
+    counts = in_bucket.groupBy("event_type", val_col, "k").agg(
+        F.count("*").alias("n")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        counts.withColumn("cum", F.sum("n").over(w_cum))
+        .where(F.col("cum") >= F.col("k"))
+        .groupBy("event_type")
+        .agg(F.min(val_col).cast("bigint").alias(out_col))
+    )
 
 
 @register(
@@ -472,29 +559,21 @@ def a36_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w17_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type robust anomaly gate: lower-median, MAD (lower-median of
-    absolute deviations), flag |x − med| > 3·MAD. All BIGINT cents."""
+    absolute deviations), flag |x − med| > 3·MAD. All BIGINT cents.
+    Both medians run the two-pass histogram idiom — no per-group full
+    window sort (see _lower_median_2pass)."""
     base = load(spark, sf_dir, "events").select(
         "event_type",
         "event_id",
         F.floor(F.col("value") * F.lit(100)).cast("bigint").alias("cents"),
     )
-
-    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
-        w_r = Window.partitionBy("event_type").orderBy(col, "event_id")
-        w_n = Window.partitionBy("event_type")
-        return (
-            df.withColumn("rn", F.row_number().over(w_r))
-            .withColumn("n", F.count("*").over(w_n))
-            .where(F.col("rn") == F.expr("(n + 1) DIV 2"))
-            .select("event_type", F.col(col).alias(out))
-        )
-
-    med = lower_median(base, "cents", "med_cents")
+    med = _lower_median_2pass(base, "cents", "med_cents")
     dev = base.join(F.broadcast(med), "event_type").withColumn(
         "d", F.abs(F.col("cents") - F.col("med_cents"))
     )
-    mad = lower_median(dev.select("event_type", "event_id", "d"), "d",
-                       "mad_cents")
+    mad = _lower_median_2pass(
+        dev.select("event_type", "event_id", "d"), "d", "mad_cents"
+    )
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
@@ -947,9 +1026,13 @@ def contained_doc_ids(docs: DataFrame) -> DataFrame:
     text is a strict substring of a longer doc's text. Anchored
     candidate generation (lossless), exact instr verify."""
     base = docs.select("doc_id", "text", F.length("text").alias("len"))
+    # Docs shorter than the gram width can't produce an anchor (and
+    # sequence(1, len-11) would DESCEND for len < 12, silently yielding
+    # no grams) — they take the direct broadcast probe below instead.
+    longs = base.where(F.col("len") >= _SSD_K)
     # substring(text, i, K) needs expr-level substring with a column start
     grams = (
-        base.select(
+        longs.select(
             "doc_id",
             "len",
             F.explode(
@@ -988,8 +1071,24 @@ def contained_doc_ids(docs: DataFrame) -> DataFrame:
         .select("a_id", "a_text", "b_id")
         .distinct()
     )
+    # Short docs (len < K, none in the synthetic corpus but possible in a
+    # real one): too short to anchor, so probe them directly — the short
+    # side is broadcast (bounded by the sub-K-char doc count) against the
+    # full corpus with the same exact instr verify. Lossless union with
+    # the anchored path, which covers every doc long enough to gram.
+    shorts = base.where(F.col("len") < _SSD_K).select(
+        F.col("doc_id").alias("a_id"),
+        F.col("text").alias("a_text"),
+        F.col("len").alias("a_len"),
+    )
+    cand_short = F.broadcast(shorts).join(
+        base.select(F.col("doc_id").alias("b_id"),
+                    F.col("len").alias("b_len")),
+        (F.col("a_id") != F.col("b_id")) & (F.col("a_len") < F.col("b_len")),
+    ).select("a_id", "a_text", "b_id")
     verified = (
-        cand.join(
+        cand.unionByName(cand_short)
+        .join(
             base.select(F.col("doc_id").alias("b_id"),
                         F.col("text").alias("b_text")),
             "b_id",

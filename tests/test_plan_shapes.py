@@ -529,3 +529,45 @@ def test_dq_checks_referential_joins_are_anti(spark):
     plan = _plan("u6_dq_checks", spark)
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-9 plan properties
+
+
+def test_j18_scan_has_dynamic_pruning(spark):
+    """The date-partitioned fact scan of the point-in-interval join must
+    carry a runtime dynamicpruning partition filter fed by the filtered
+    interval dim, and the dim join must be a broadcast."""
+    plan = _plan("j18_point_in_interval_dpp", spark)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_a36_sketch_build_is_sharded_two_phase(spark):
+    """The theta-sketch build must never plan a per-tag global sort of
+    the raw hash set: the first bottom-k window partitions on
+    (tag, shard), and WindowGroupLimit pre-truncates before the
+    shuffle. (The r8 plan's 2-hot-partition sort is the regression.)"""
+    plan = _plan("a36_theta_sketch_setops", spark)
+    squashed = plan.lower().replace(" ", "")
+    assert "shard" in squashed, plan[:2000]
+    assert "windowgrouplimit" in squashed, plan[:2000]
+
+
+def test_w17_medians_have_no_rank_window(spark):
+    """Both MAD lower-medians must run the two-pass histogram idiom —
+    no row_number window over raw rows anywhere in the final plan (the
+    only window is the cumulative sum over in-bucket value COUNTS)."""
+    plan = _plan("w17_mad_anomaly", spark)
+    assert "row_number" not in plan.lower(), plan[:2000]
+
+
+def test_cascade_bloom_is_broadcast_no_bench_shuffle(spark):
+    """The curation cascade's decontamination stage must test shingles
+    map-side against the broadcast Bloom bitset — no join of survivor
+    shingles against benchmark shingles."""
+    plan = _plan("dd_docs_cascade_pipeline", spark)
+    assert "CartesianProduct" not in plan
+    # the bloom test is a pandas UDF (ArrowEvalPython), not a join
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
