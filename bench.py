@@ -157,6 +157,24 @@ HEADLINE = [
     "u6_dq_checks",
     "stream_ohlc_complete",
     "knn_ivf_int8_funnel",
+    # round-8 operators
+    "a35_tdigest_quantiles",
+    "a36_theta_sketch_setops",
+    "w17_mad_anomaly",
+    "t_reservoir_per_group",
+    "j17_bloom_prejoin",
+    "t_substring_dedup",
+    "f_lambda_gauntlet",
+    "w18_seasonal_decompose",
+    "stream_tdigest_quantiles",
+    # round-9 operators (recall curve + exact-audit pinned to sf0.01)
+    "dd_docs_cascade_pipeline",
+    "j18_point_in_interval_dpp",
+    "t_minhash_recall_curve",
+    "dd_embedding_nn_exact_audit",
+    "dd_minhash_incremental",
+    "dd_source_overlap_matrix",
+    "stream_decontaminate_bloom",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic
@@ -167,6 +185,8 @@ HEADLINE = [
 PINNED_SF = {
     "dd_ngram_jaccard": "/root/testdata/sf0.01",
     "dd_embedding_nn_exact_audit": "/root/testdata/sf0.01",
+    # τ=0.05 prefix ≈ the quadratic join it audits — slice-priced by design
+    "t_minhash_recall_curve": "/root/testdata/sf0.01",
 }
 
 

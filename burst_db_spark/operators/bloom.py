@@ -92,3 +92,40 @@ def bloom_contains(
         return pd.Series(ok)
 
     return _test(key)
+
+
+def bloom_contained_count(
+    spark,
+    keys_array: Column,
+    bits: bytes,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 3,
+) -> Column:
+    """Row-local membership COUNT over an array column: how many
+    elements of ``keys_array`` test positive against the broadcast bit
+    array. Same md5 position family as ``bloom_contains`` (so the same
+    deterministic false positives), but evaluated per ROW over the
+    whole array — no explode, no downstream aggregation. This is what
+    makes a per-document decision (>= N contaminated shingles) a
+    STATELESS map: the streaming decontamination path needs exactly one
+    stateful operator (its final rollup), not two.
+    """
+    bc = spark.sparkContext.broadcast(bits)
+    m, k = m_bits, k_hashes
+
+    @F.pandas_udf("int")
+    def _count(arrays: pd.Series) -> pd.Series:
+        arr = np.frombuffer(bc.value, dtype=np.uint8)
+
+        def one(vals) -> int:
+            if vals is None or len(vals) == 0:
+                return 0
+            ok = np.ones(len(vals), dtype=bool)
+            for j in range(k):
+                pos = _positions(pd.Series(list(vals)), j, m)
+                ok &= (arr[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
+            return int(ok.sum())
+
+        return arrays.map(one).astype("int32")
+
+    return _count(keys_array)

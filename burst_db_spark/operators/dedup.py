@@ -310,6 +310,29 @@ def minhash_signatures(
     return dig.groupBy(id_col).agg(*aggs)
 
 
+def lsh_band_frame(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """Long-form LSH bands — one (id, band_idx, band_key) row per band —
+    from a wide signature frame. One frame serves any banded join: the
+    self-join of ``lsh_candidate_pairs`` or the cross-snapshot probe of
+    the incremental dedup (new bands ⋈ stored old bands)."""
+    n_bands = num_hashes // band_rows
+    band_keys = [
+        "md5(concat_ws(','"
+        + "".join(f", CAST(h{b * band_rows + r} AS STRING)" for r in range(band_rows))
+        + f")) AS band_key_{b}"
+        for b in range(n_bands)
+    ]
+    stack_args = ", ".join(f"{b}, band_key_{b}" for b in range(n_bands))
+    return sigs.selectExpr(id_col, *band_keys).selectExpr(
+        id_col, f"stack({n_bands}, {stack_args}) AS (band_idx, band_key)"
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -322,17 +345,7 @@ def lsh_candidate_pairs(
     (band_idx, band_key) covers all bands — instead of n_bands separate
     joins each recomputing the signature subtree.
     """
-    n_bands = num_hashes // band_rows
-    band_keys = [
-        "md5(concat_ws(','"
-        + "".join(f", CAST(h{b * band_rows + r} AS STRING)" for r in range(band_rows))
-        + f")) AS band_key_{b}"
-        for b in range(n_bands)
-    ]
-    stack_args = ", ".join(f"{b}, band_key_{b}" for b in range(n_bands))
-    bands = sigs.selectExpr(id_col, *band_keys).selectExpr(
-        id_col, f"stack({n_bands}, {stack_args}) AS (band_idx, band_key)"
-    )
+    bands = lsh_band_frame(sigs, id_col, num_hashes, band_rows)
     l, r = bands.alias("l"), bands.alias("r")
     return (
         l.join(

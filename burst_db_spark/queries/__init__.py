@@ -56,16 +56,17 @@ for _m in _MODULES:
 # The driver's correctness gate samples a PREFIX of the registration order
 # (exactly 50 rows/round, measured r1-r8). Round-9 rotation policy
 # (executes VERDICT r8 "Next round" items #1/#2):
-#   1. the three round-9 queries lead (the r5-verdict-endorsed rule:
+#   1. the six round-9 queries lead (the r5-verdict-endorsed rule:
 #      new-query driver evidence outranks refreshing verified rows) —
-#      dd_docs_cascade_pipeline / j18_point_in_interval_dpp /
-#      t_minhash_recall_curve, the r8-planned trio, now implemented in
-#      queries/round9.py;
+#      the r8-planned trio (dd_docs_cascade_pipeline /
+#      j18_point_in_interval_dpp / t_minhash_recall_curve) plus the
+#      r9 additions (dd_minhash_incremental / dd_source_overlap_matrix /
+#      stream_decontaminate_bloom), all in queries/round9.py;
 #   2. ALL 39 rows whose latest driver evidence is r4 rotate in: the 25
 #      remaining names of the staged r4 block (its first 3 were sampled
 #      r8 when the prefix slipped past the three then-unimplemented
 #      names) plus the 14 unstaged r4 stragglers the r8 verdict lists;
-#   3. the 8 OLDEST r5-evidence rows fill the remaining slots. After
+#   3. the 5 OLDEST r5-evidence rows fill the remaining slots. After
 #      CORRECTNESS_r09 nothing in the registry carries evidence older
 #      than r5; the rest of the r5 block is staged directly behind the
 #      cut to lead round 10.
@@ -75,6 +76,9 @@ _SAMPLING_PRIORITY = (
     "dd_docs_cascade_pipeline",
     "j18_point_in_interval_dpp",
     "t_minhash_recall_curve",
+    "dd_minhash_incremental",
+    "dd_source_overlap_matrix",
+    "stream_decontaminate_bloom",
     # -- r4-evidence rows: the 25-name tail of the staged block --
     "knn_pq_adc",
     "geo_zorder_code",
@@ -122,11 +126,11 @@ _SAMPLING_PRIORITY = (
     "q21_suppliers_waiting",
     "t_bpe_reconstruction",
     "k6_metadata_roundtrip",
+    # ---- 50-slot prefix cut line ----
+    # -- rest of the r5 block: staged to lead round 10 --
     "k4_geojson_simplified",
     "q12_late_priority",
     "q16_supplier_cnt",
-    # ---- 50-slot prefix cut line ----
-    # -- rest of the r5 block: staged to lead round 10 --
     "q18_large_volume",
     "q20_part_shippers",
     "q22_global_sales_opportunity",

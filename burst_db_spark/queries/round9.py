@@ -3,8 +3,13 @@ gate → exact dedup → MinHash-LSH fuzzy dedup → Bloom decontamination,
 one Catalyst plan, per-stage funnel accounting), a point-in-interval
 join whose fact scan is pruned at runtime by dynamic partition pruning
 (the anti-join answer derived from totals minus the pruned inner join),
-and the measured MinHash-LSH recall curve against exact-Jaccard ground
-truth (the audit that justifies the banding parameters).
+the measured MinHash-LSH recall curve against exact-Jaccard ground
+truth (the audit that justifies the banding parameters), INCREMENTAL
+cross-snapshot MinHash dedup (new docs probe the stored old-corpus
+bands — the old corpus is never re-shingled), the source×source
+overlap matrix computed from per-source KMV sketches only, and the
+Bloom decontamination stage as a STATELESS streaming map (row-local
+per-doc decision, one stateful rollup).
 
 Reference parity: opera-adt/burst_db has no text/curation path — these
 extend the LLM-pipeline surface (SURVEY.md "beyond the reference"
@@ -25,6 +30,7 @@ import os as _os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from burst_db_spark.catalog import load
 from burst_db_spark.operators import dedup as dd
@@ -467,3 +473,397 @@ def t_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("t") * F.col("t") * F.col("t") * F.col("t")
         ).alias("expected_recall"),
     ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# DD: INCREMENTAL cross-snapshot MinHash dedup. The production shape of
+# corpus dedup at 100 TB: the old corpus is never re-shingled — its
+# signatures live in a signature store (here: the sig frame restricted
+# to old ids, standing in for a parquet-backed store) — and only the
+# NEW snapshot is shingled, signed, and probed against the stored bands
+# (new ⋈ old band join; no new-new, no old-old pairs). Cost per
+# ingest ∝ new data + index probe, independent of corpus age.
+
+_INC_NH = 16  # must match operators.dedup.NUM_HASHES
+_INC_BR = 4
+
+
+def _inc_agree_sql() -> str:
+    return " + ".join(
+        f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END" for j in range(_INC_NH)
+    )
+
+
+def _inc_band_joins_sql() -> str:
+    return "\n        UNION ALL\n".join(
+        f"        SELECT n.doc_id AS new_id, o.doc_id AS old_id"
+        f" FROM newb n JOIN oldb o ON n.band{b} = o.band{b}"
+        for b in range(_INC_NH // _INC_BR)
+    )
+
+
+@register(
+    "dd_minhash_incremental",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_minhash_pair_ctes(None)},
+    newb AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+    oldb AS (SELECT * FROM bands WHERE doc_id % 3 <> 0),
+    candx AS (
+        SELECT DISTINCT new_id, old_id FROM (
+{_inc_band_joins_sql()}
+        )
+    ),
+    ver AS (
+        SELECT c.new_id, c.old_id, ({_inc_agree_sql()}) / 16.0 AS est
+        FROM candx c
+        JOIN sig a ON a.doc_id = c.new_id
+        JOIN sig b ON b.doc_id = c.old_id
+    )
+    SELECT new_id,
+           CAST(min(old_id) AS BIGINT) AS dup_of_min,
+           CAST(count(*) AS BIGINT) AS n_old_dups,
+           max(est) AS max_est_sim
+    FROM ver WHERE est >= 0.5
+    GROUP BY new_id
+    ORDER BY new_id
+    """,
+    tags=("dedup", "minhash", "incremental", "snapshot", "llm-pipeline"),
+)
+def dd_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-snapshot docs (doc_id % 3 == 0) that near-duplicate
+    (est_sim ≥ 0.5) an OLD-corpus doc, found by probing the old bands
+    with the new bands only: band join is new ⋈ old (never old ⋈ old —
+    the old corpus was deduped when ingested), verify is the zip_with
+    agreement fold over the two signature arrays. At 100 TB the old
+    sig/band frames are parquet reads from the signature store; the
+    new snapshot is the only thing shingled this run."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, "doc_id")
+    bands = dd.lsh_band_frame(sigs, "doc_id")
+    is_new = F.col("doc_id") % 3 == 0
+    new_b = bands.where(is_new).select(
+        F.col("doc_id").alias("new_id"), "band_idx", "band_key"
+    )
+    old_b = bands.where(~is_new).select(
+        F.col("doc_id").alias("old_id"), "band_idx", "band_key"
+    )
+    cand = (
+        new_b.join(old_b, ["band_idx", "band_key"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sig_arr = F.array(*[F.col(f"h{j}") for j in range(_INC_NH)])
+    sa = sigs.select(F.col("doc_id").alias("new_id"), sig_arr.alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("old_id"), sig_arr.alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(sa, "new_id")
+        .join(sb, "old_id")
+        .withColumn("est", agree / F.lit(16.0))
+        .where(F.col("est") >= 0.5)
+        .groupBy("new_id")
+        .agg(
+            F.min("old_id").cast("bigint").alias("dup_of_min"),
+            F.count("*").cast("bigint").alias("n_old_dups"),
+            F.max("est").alias("max_est_sim"),
+        )
+        .orderBy("new_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DD: source×source overlap matrix from per-source KMV sketches ONLY.
+# The curation question "which sources duplicate each other?" answered
+# without ever joining raw shingle sets pairwise: each source keeps a
+# k-row bottom-k sketch of its shingle hashes (built with the a32/a36
+# two-phase shard→merge, no hot-partition sort), and every pairwise
+# intersection estimate is computed from 2k sketch rows at the pair's
+# theta = min(kth_a, kth_b). 20 sources → 190 estimates from 20·k rows;
+# at 100 TB the sketches are built once per ingest and the full matrix
+# is re-derivable any time without touching the corpus. Sources whose
+# distinct-hash count is below k are EXACT (sentinel theta = all-f:
+# the sketch is the whole set). Validated against the exact pairwise
+# intersection counts.
+
+_OV_K = 128
+
+
+@register(
+    "dd_source_overlap_matrix",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    ss AS (SELECT DISTINCT d.source, s.shingle
+           FROM sh s JOIN documents d USING (doc_id)),
+    hs AS (SELECT DISTINCT source, md5(shingle) AS h FROM ss),
+    sk AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM hs
+        ) WHERE rn <= {_OV_K}
+    ),
+    kth AS (SELECT source, max(h) AS kth_h, count(*) AS n_sk
+            FROM sk GROUP BY source),
+    th AS (SELECT source,
+                  CASE WHEN n_sk >= {_OV_K} THEN kth_h
+                       ELSE repeat('f', 32) END AS th
+           FROM kth),
+    spine AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               least(a.th, b.th) AS th
+        FROM th a JOIN th b ON a.source < b.source
+    ),
+    ic AS (
+        SELECT a.source AS src_a, b.source AS src_b, a.h
+        FROM sk a JOIN sk b ON a.h = b.h AND a.source < b.source
+    ),
+    cnt AS (
+        SELECT s.src_a, s.src_b, s.th,
+               CAST(count(i.h) AS BIGINT) AS c
+        FROM spine s
+        LEFT JOIN ic i ON i.src_a = s.src_a AND i.src_b = s.src_b
+                      AND i.h < s.th
+        GROUP BY 1, 2, 3
+    ),
+    truth AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS true_inter
+        FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT c.src_a, c.src_b,
+           CAST(c.c * {1 << 48}
+                // CAST('0x' || substr(c.th, 1, 12) AS BIGINT) AS BIGINT)
+               AS est_inter,
+           CAST(COALESCE(t.true_inter, 0) AS BIGINT) AS true_inter
+    FROM cnt c
+    LEFT JOIN truth t ON t.src_a = c.src_a AND t.src_b = c.src_b
+    ORDER BY c.src_a, c.src_b
+    """,
+    tags=("dedup", "sketch", "kmv", "theta", "overlap", "llm-pipeline"),
+)
+def dd_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 190 pairwise source-overlap estimates from 20 per-source
+    bottom-k shingle sketches (two-phase shard→merge build), with the
+    exact intersection counts as the validation column."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dd.doc_shingles(docs, "doc_id")
+    ss = (
+        sh.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    hs = ss.select("source", F.md5("shingle").alias("h")).distinct()
+    # two-phase bottom-k per source (shard from the digest tail)
+    sharded = hs.withColumn(
+        "shard",
+        F.conv(F.substring("h", 31, 2), 16, 10).cast("bigint") % 8,
+    )
+    w_shard = Window.partitionBy("source", "shard").orderBy("h")
+    w_merge = Window.partitionBy("source").orderBy("h")
+    sk = (
+        sharded.withColumn("rn", F.row_number().over(w_shard))
+        .where(F.col("rn") <= _OV_K)
+        .select("source", "h")
+        .withColumn("rn", F.row_number().over(w_merge))
+        .where(F.col("rn") <= _OV_K)
+        .select("source", "h")
+    )
+    kth = sk.groupBy("source").agg(
+        F.max("h").alias("kth_h"), F.count("*").alias("n_sk")
+    )
+    th = kth.select(
+        "source",
+        F.when(F.col("n_sk") >= _OV_K, F.col("kth_h"))
+        .otherwise(F.lit("f" * 32))
+        .alias("th"),
+    )
+    ta, tb = th.alias("ta"), th.alias("tb")
+    spine = (
+        ta.join(tb, F.col("ta.source") < F.col("tb.source"))
+        .select(
+            F.col("ta.source").alias("src_a"),
+            F.col("tb.source").alias("src_b"),
+            F.least(F.col("ta.th"), F.col("tb.th")).alias("th"),
+        )
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    ic = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.col("a.h").alias("h"),
+    )
+    cnt = (
+        spine
+        .join(
+            F.broadcast(ic),
+            (spine["src_a"] == ic["src_a"])
+            & (spine["src_b"] == ic["src_b"])
+            & (ic["h"] < spine["th"]),
+            "left",
+        )
+        .groupBy(spine["src_a"], spine["src_b"], spine["th"])
+        .agg(F.count(ic["h"]).cast("bigint").alias("c"))
+    )
+    truth = (
+        ss.alias("x")
+        .join(
+            ss.alias("y"),
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("src_a"),
+            F.col("y.source").alias("src_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("true_inter"))
+    )
+    return (
+        cnt.join(F.broadcast(truth), ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.expr(
+                f"CAST(c * CAST({1 << 48} AS BIGINT)"
+                " DIV CAST(conv(substring(th, 1, 12), 16, 10) AS BIGINT)"
+                " AS BIGINT)"
+            ).alias("est_inter"),
+            F.coalesce(F.col("true_inter"), F.lit(0))
+            .cast("bigint")
+            .alias("true_inter"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming decontamination: the cascade's Bloom stage as a STATELESS
+# map over the ingest stream. The per-document decision (≥5 shingles
+# testing positive against the benchmark bitset) is computed row-locally
+# — shingle array built per row, membership COUNT per row via the
+# broadcast bitset (operators/bloom.bloom_contained_count) — so the
+# whole decontamination adds ZERO streaming state; the only stateful
+# operator is the final per-source rollup. This is how the 100 TB
+# ingest path stays decontaminated continuously: the 16 KB bitset is
+# the only shared artifact, rebuilt only when the benchmark set
+# changes. Oracle: the batch computation (row-local decisions are
+# batching-independent by construction).
+
+
+@register(
+    "stream_decontaminate_bloom",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    corpus AS (SELECT doc_id, source FROM documents
+               WHERE source NOT IN ('src0', 'src1')),
+    bench AS (SELECT DISTINCT s.shingle FROM sh s
+              JOIN documents d USING (doc_id)
+              WHERE d.source IN ('src0', 'src1')),
+    js AS (SELECT unnest([0, 1, 2]) AS j),
+    tpos AS (SELECT DISTINCT
+                 CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || shingle),
+                       1, 8)) AS BIGINT) % {_CB_M} AS pos
+             FROM bench CROSS JOIN js),
+    cpos AS (SELECT s.doc_id, s.shingle,
+                 CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || shingle),
+                       1, 8)) AS BIGINT) % {_CB_M} AS pos
+             FROM sh s JOIN corpus USING (doc_id) CROSS JOIN js),
+    flag AS (
+        SELECT doc_id, shingle,
+               count(DISTINCT c.pos) AS np,
+               count(DISTINCT CASE WHEN t.pos IS NOT NULL THEN c.pos END) AS ni
+        FROM cpos c LEFT JOIN tpos t ON t.pos = c.pos
+        GROUP BY 1, 2
+    ),
+    perdoc AS (
+        SELECT doc_id,
+               sum(CASE WHEN np = ni THEN 1 ELSE 0 END) AS nf
+        FROM flag GROUP BY doc_id
+    ),
+    j AS (SELECT c.source, COALESCE(p.nf, 0) AS nf
+          FROM corpus c LEFT JOIN perdoc p USING (doc_id))
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN nf < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN nf >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged
+    FROM j
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("streaming", "decontamination", "bloom", "stateless",
+          "llm-pipeline"),
+)
+def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus files stream in; each document is scored row-locally
+    against the broadcast benchmark Bloom bitset (count of shingles
+    testing positive, no explode, no per-doc state) and the per-source
+    kept/flagged rollup is the stream's single stateful operator
+    (complete mode, availableNow drain). Must equal the batch
+    computation bit-for-bit — row-local decisions make the result
+    batching-independent."""
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from burst_db_spark.operators.bloom import (
+        bloom_contained_count,
+        build_bloom,
+    )
+    from burst_db_spark.streaming import incremental as st
+
+    docs = load(spark, sf_dir, "documents")
+    bench_ids = docs.where(F.col("source").isin(*_CASCADE_BENCH)).select(
+        "doc_id"
+    )
+    bench_sh = (
+        dd.doc_shingles(docs, "doc_id")
+        .join(F.broadcast(bench_ids), "doc_id")
+        .select("shingle")
+        .distinct()
+    )
+    bits = build_bloom(bench_sh, "shingle", _CB_M, _CB_K)
+
+    corpus = docs.where(~F.col("source").isin(*_CASCADE_BENCH)).select(
+        "doc_id", "source", "text"
+    )
+    tmp = _tempfile.mkdtemp(prefix="bds_decontam_stream_")
+    data_dir = f"{tmp}/in"
+    corpus.write.parquet(data_dir)
+    stream = st.file_stream(spark, data_dir, corpus.schema)
+    scored = stream.select(
+        "source",
+        bloom_contained_count(
+            spark, tx.shingles(F.col("text")), bits, _CB_M, _CB_K
+        ).alias("nf"),
+    )
+    agg = scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("nf") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("nf") >= 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+    )
+    name = f"decontam_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("source")

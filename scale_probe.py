@@ -610,8 +610,83 @@ def graph_cd_probe(spark, factor: int) -> dict[str, float]:
     return out
 
 
+# Single-JVM heap floors for the memory-bound top rungs (measured,
+# SCALING.md): below these the run GC-thrashes or OOMs rather than
+# finishing slow, so the probe refuses with the working command line
+# instead of wasting the wall-clock. The constants are the SINGLE-JVM
+# artifact — on a cluster the same state spreads across executors.
+_HEAP_FLOORS_GB = {
+    ("graph", 100): 32,        # BFS cached frontier + label frame
+    ("containment", 100): 32,  # full probe-side inverted index
+}
+
+_CD_PROBES = {
+    "spatial": lambda spark, f: spatial_cd_probe(spark, n_small=100_000, factor=f),
+    "jaccard": jaccard_cd_probe,
+    "containment": containment_cd_probe,
+    "int8": int8_cd_probe,
+    "minhash": minhash_cd_probe,
+    "embedding": embedding_cd_probe,
+    "fuzzy": fuzzy_cd_probe,
+    "graph": graph_cd_probe,
+}
+
+
+def _require_heap(probe: str, factor: int) -> None:
+    need = _HEAP_FLOORS_GB.get((probe, factor))
+    if need is None:
+        return
+    mem = os.environ.get("SPARK_DRIVER_MEMORY", "8g").lower()
+    have = float(mem[:-1]) * (1024 if mem.endswith("t") else 1) if mem[-1] in "gt" else 0
+    if have < need:
+        sys.exit(
+            f"scale_probe: the {probe} {factor}x rung needs a {need} GB "
+            f"single-JVM heap (have SPARK_DRIVER_MEMORY={mem!r}; it OOMs "
+            f"below that — SCALING.md). Reproduce with:\n"
+            f"  SPARK_DRIVER_MEMORY={need}g python scale_probe.py {factor} "
+            f"--probe {probe}"
+        )
+
+
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:]]
+    probe = None
+    if "--probe" in args:
+        i = args.index("--probe")
+        probe = args[i + 1]
+        del args[i:i + 2]
+        if probe not in _CD_PROBES:
+            sys.exit(f"unknown --probe {probe!r}; one of {sorted(_CD_PROBES)}")
+    factor = int(args[0]) if args else 10
+
+    if probe is not None:
+        # single-family mode: the reproducible command behind each
+        # SCALING.md rung row, e.g. the BFS/containment 100x rungs:
+        #   SPARK_DRIVER_MEMORY=32g python scale_probe.py 100 --probe graph
+        #   SPARK_DRIVER_MEMORY=32g python scale_probe.py 100 --probe containment
+        _require_heap(probe, factor)
+        spark = get_spark(app_name=f"scale_probe_{probe}")
+        cd = _CD_PROBES[probe](spark, factor)
+        small = {k: v for k, v in cd.items() if not k.endswith("_big")}
+        large = {k: cd[f"{k}_big"] for k in small if f"{k}_big" in cd}
+        ratio = {
+            k: round(large[k] / small[k], 1) if small.get(k) else None
+            for k in large
+        }
+        print(
+            json.dumps(
+                {
+                    "probe": probe,
+                    "factor": factor,
+                    "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+                    "sf0.1_sec": small,
+                    f"sf{factor / 10:g}_sec": large,
+                    "ratio": ratio,
+                }
+            )
+        )
+        return
+
     spark = get_spark(app_name="scale_probe")
     specs = all_queries()
     base = "/root/testdata/sf0.1"
