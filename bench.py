@@ -175,6 +175,8 @@ HEADLINE = [
     "dd_minhash_incremental",
     "dd_source_overlap_matrix",
     "stream_decontaminate_bloom",
+    "a38_sliding_kmv_distinct",
+    "p13_late_materialization",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

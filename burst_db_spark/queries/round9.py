@@ -867,3 +867,204 @@ def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# A38: SLIDING-window distinct counts from per-day KMV sketches — the
+# time-dimension face of sketch mergeability (a27/a31/a32 showed the
+# key dimension). Each day keeps a bottom-k sketch of user-id hashes
+# (two-phase shard→merge build); every trailing-7-day estimate merges
+# the 7 day-sketches (k rows each) and re-cuts — raw events are
+# touched exactly once regardless of how many windows are asked. The
+# sub-k case is EXACT by construction: if the merged distinct hash
+# count is below k, every constituent day sketch was exact (a cut
+# sketch implies ≥ k rows), so the union is the true set. At 100 TB:
+# daily sketch partials land in a metadata store; any dashboard window
+# (7d/30d/90d) is answered from day-count × k rows.
+
+_SW_K = 64
+_SW_POW48 = 1 << 48
+
+
+@register(
+    "a38_sliding_kmv_distinct",
+    oracle=f"""
+    WITH base AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d,
+               md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events
+    ),
+    skd AS (
+        SELECT d, h FROM (
+            SELECT d, h,
+                   row_number() OVER (PARTITION BY d ORDER BY h) AS rn
+            FROM base
+        ) WHERE rn <= {_SW_K}
+    ),
+    spine AS (SELECT DISTINCT d AS w_end FROM base),
+    win AS (
+        SELECT s.w_end, k.h
+        FROM spine s
+        JOIN skd k ON k.d BETWEEN s.w_end - INTERVAL 6 DAY AND s.w_end
+    ),
+    merged AS (SELECT DISTINCT w_end, h FROM win),
+    ranked AS (
+        SELECT w_end, h,
+               row_number() OVER (PARTITION BY w_end ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY w_end) AS n_m
+        FROM merged
+    ),
+    est AS (
+        SELECT w_end,
+               CASE WHEN any_value(n_m) >= {_SW_K}
+                    THEN ({_SW_K} - 1) * {_SW_POW48}
+                         // CAST('0x' || substr(
+                               max(CASE WHEN rn = {_SW_K} THEN h END), 1, 12)
+                            AS BIGINT)
+                    ELSE any_value(n_m) END AS est_distinct
+        FROM ranked WHERE rn <= {_SW_K}
+        GROUP BY w_end
+    ),
+    truth AS (
+        SELECT s.w_end,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS true_distinct
+        FROM spine s
+        JOIN events e ON CAST(e.ts AS DATE)
+                         BETWEEN s.w_end - INTERVAL 6 DAY AND s.w_end
+        GROUP BY s.w_end
+    )
+    SELECT e.w_end, CAST(e.est_distinct AS BIGINT) AS est_distinct,
+           t.true_distinct
+    FROM est e JOIN truth t USING (w_end)
+    ORDER BY e.w_end
+    """,
+    tags=("A38", "sketch", "kmv", "sliding-window", "mergeable"),
+)
+def a38_sliding_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct-user estimates for every day, computed
+    by merging per-day bottom-k sketches (never re-scanning events),
+    next to the exact count. Two-phase sketch build, broadcast window
+    spine join, integer-only estimator — the a32 formula per window."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.to_date("ts").alias("d"),
+        F.md5(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    sharded = base.withColumn(
+        "shard",
+        F.conv(F.substring("h", 31, 2), 16, 10).cast("bigint") % 4,
+    )
+    w_shard = Window.partitionBy("d", "shard").orderBy("h")
+    w_day = Window.partitionBy("d").orderBy("h")
+    skd = (
+        sharded.withColumn("rn", F.row_number().over(w_shard))
+        .where(F.col("rn") <= _SW_K)
+        .select("d", "h")
+        .withColumn("rn", F.row_number().over(w_day))
+        .where(F.col("rn") <= _SW_K)
+        .select("d", "h")
+    )
+    spine = base.select(F.col("d").alias("w_end")).distinct()
+    win = spine.join(
+        F.broadcast(skd),
+        (F.col("d") >= F.date_sub(F.col("w_end"), 6))
+        & (F.col("d") <= F.col("w_end")),
+    ).select("w_end", "h")
+    merged = win.distinct()
+    w_rank = Window.partitionBy("w_end").orderBy("h")
+    w_all = Window.partitionBy("w_end")
+    ranked = (
+        merged.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_m", F.count("*").over(w_all))
+    )
+    est = (
+        ranked.where(F.col("rn") <= _SW_K)
+        .groupBy("w_end")
+        .agg(
+            F.any_value("n_m").alias("n_m"),
+            F.max(F.when(F.col("rn") == _SW_K, F.col("h"))).alias("kth_h"),
+        )
+        .select(
+            "w_end",
+            F.when(
+                F.col("n_m") >= _SW_K,
+                F.expr(
+                    f"CAST(({_SW_K} - 1) * CAST({_SW_POW48} AS BIGINT)"
+                    " DIV CAST(conv(substring(kth_h, 1, 12), 16, 10)"
+                    " AS BIGINT) AS BIGINT)"
+                ),
+            )
+            .otherwise(F.col("n_m"))
+            .cast("bigint")
+            .alias("est_distinct"),
+        )
+    )
+    truth = (
+        spine.join(
+            ev.select(F.to_date("ts").alias("d"), "user_id"),
+            (F.col("d") >= F.date_sub(F.col("w_end"), 6))
+            & (F.col("d") <= F.col("w_end")),
+        )
+        .groupBy("w_end")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("true_distinct"))
+    )
+    return (
+        est.join(truth, "w_end")
+        .select("w_end", "est_distinct", "true_distinct")
+        .orderBy("w_end")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P13: late materialization — the thin-probe / wide-fetch scan split.
+# A selective predicate over NARROW columns runs first (the probe scan
+# reads only doc_id/source/n_chars — at 100 TB that is a few percent of
+# the bytes); the surviving ids then semi-join the WIDE scan, so the
+# text payload is read only for matching rows' row groups. The single
+# full-width scan with a pushed filter still DECODES the wide column
+# for every row of every matching row group; splitting the scan bounds
+# wide-column work by the survivor count. Same trade as the reference's
+# two-phase spatial filter (P9) applied to payload width.
+
+
+@register(
+    "p13_late_materialization",
+    oracle=r"""
+    SELECT doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           md5(text) AS text_md5,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                AS BIGINT) AS n_tokens
+    FROM documents
+    WHERE source IN ('src3', 'src7') AND n_chars BETWEEN 150 AND 400
+    ORDER BY doc_id
+    """,
+    tags=("P13", "scan", "late-materialization", "projection"),
+)
+def p13_late_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter on the narrow columns first (probe scan: doc_id, source,
+    n_chars only), broadcast-semi-join the survivors against the wide
+    scan, and compute text digests/token counts for survivors alone.
+    The oracle is the single-scan equivalent — identical rows, but the
+    Spark plan's wide scan decodes text only for surviving row groups,
+    which is the point at 100 TB payload widths."""
+    docs = load(spark, sf_dir, "documents")
+    probe = (
+        docs.select("doc_id", "source", "n_chars")
+        .where(
+            F.col("source").isin("src3", "src7")
+            & F.col("n_chars").between(150, 400)
+        )
+    )
+    wide = docs.select("doc_id", "text")
+    return (
+        wide.join(F.broadcast(probe), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.md5("text").alias("text_md5"),
+            tx.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -571,3 +571,25 @@ def test_cascade_bloom_is_broadcast_no_bench_shuffle(spark):
     assert "CartesianProduct" not in plan
     # the bloom test is a pandas UDF (ArrowEvalPython), not a join
     assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+
+
+def test_p13_probe_scan_is_narrow(spark):
+    """Late materialization: the probe side's parquet scan must read
+    ONLY the narrow columns (no text), with both predicates pushed; the
+    wide side joins via broadcast semi/inner, never a shuffle."""
+    plan = _plan("p13_late_materialization", spark)
+    assert "BroadcastHashJoin" in plan
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert any("text" not in l for l in read_schemas), read_schemas
+    assert "In(source, [src3,src7])" in plan, plan[:2000]
+
+
+def test_a38_day_sketches_are_sharded(spark):
+    """The per-day sketch build must run the two-phase shard->merge
+    bottom-k (no single-partition sort of a day's raw hash set), and
+    the window spine join must broadcast the k-sized sketches."""
+    plan = _plan("a38_sliding_kmv_distinct", spark)
+    squashed = plan.lower().replace(" ", "")
+    assert "shard" in squashed
+    assert "windowgrouplimit" in squashed
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
