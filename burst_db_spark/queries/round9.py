@@ -716,6 +716,10 @@ def dd_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(spine["src_a"], spine["src_b"], spine["th"])
         .agg(F.count(ic["h"]).cast("bigint").alias("c"))
     )
+    # AUDIT-ONLY truth column: the exact pairwise intersection joins the
+    # full (source, shingle) relation against itself — per-shingle fanout
+    # is bounded by C(20,2)=190, so it's linear-ish in the vocabulary,
+    # but at scale you drop it: the sketch estimates are the answer.
     truth = (
         ss.alias("x")
         .join(
@@ -999,6 +1003,9 @@ def a38_sliding_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_distinct"),
         )
     )
+    # AUDIT-ONLY truth column: the exact per-window distinct re-reads
+    # events once per window (7x row expansion). At scale you drop this
+    # block — the sketch path above is the production answer.
     truth = (
         spine.join(
             ev.select(F.to_date("ts").alias("d"), "user_id"),
