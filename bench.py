@@ -177,6 +177,7 @@ HEADLINE = [
     "stream_decontaminate_bloom",
     "a38_sliding_kmv_distinct",
     "p13_late_materialization",
+    "t_lsh_band_config_sweep",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic
@@ -189,6 +190,7 @@ PINNED_SF = {
     "dd_embedding_nn_exact_audit": "/root/testdata/sf0.01",
     # τ=0.05 prefix ≈ the quadratic join it audits — slice-priced by design
     "t_minhash_recall_curve": "/root/testdata/sf0.01",
+    "t_lsh_band_config_sweep": "/root/testdata/sf0.01",
 }
 
 

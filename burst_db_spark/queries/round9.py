@@ -7,9 +7,12 @@ the measured MinHash-LSH recall curve against exact-Jaccard ground
 truth (the audit that justifies the banding parameters), INCREMENTAL
 cross-snapshot MinHash dedup (new docs probe the stored old-corpus
 bands — the old corpus is never re-shingled), the source×source
-overlap matrix computed from per-source KMV sketches only, and the
-Bloom decontamination stage as a STATELESS streaming map (row-local
-per-doc decision, one stateful rollup).
+overlap matrix computed from per-source KMV sketches only, the Bloom
+decontamination stage as a STATELESS streaming map (row-local per-doc
+decision, one stateful rollup), trailing-window distinct counts from
+merged per-day KMV sketches, the late-materialization scan split, and
+the LSH band-configuration sweep (measured + theoretical recall per
+banding, the tuning table behind the recall curve).
 
 Reference parity: opera-adt/burst_db has no text/curation path — these
 extend the LLM-pipeline surface (SURVEY.md "beyond the reference"
@@ -1075,3 +1078,173 @@ def p13_late_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# T: LSH band-configuration sweep — the tuning table behind the recall
+# curve. Same 16 min-hashes, three bandings (4×4, 8 bands × 2 rows,
+# 2 bands × 8 rows); for every (config, true-Jaccard bin) the measured
+# candidate recall sits next to the theoretical 1-(1-s^r)^b, so the
+# knee of each S-curve is read straight off the driver-checked result.
+# This is how banding is CHOSEN for a 100 TB dedup run: sweep configs
+# on a slice against exact ground truth (the lossless prefix join),
+# pick the knee that matches the target threshold, ship that config.
+# Like the recall curve, the exact side prices as the quadratic join
+# it audits — bench pins it to sf0.01.
+
+_SWEEP_CONFIGS = ((4, 4), (2, 8), (8, 2))  # (band_rows r, n_bands b)
+
+
+def _sweep_band_cols_sql(r: int, b: int, tag: str) -> str:
+    cols = ",\n           ".join(
+        "md5(concat_ws(','"
+        + "".join(f", CAST(h{i * r + j} AS VARCHAR)" for j in range(r))
+        + f")) AS band{i}"
+        for i in range(b)
+    )
+    return f"bands_{tag} AS (SELECT doc_id,\n           {cols}\n    FROM sig)"
+
+
+def _sweep_cand_sql(r: int, b: int, tag: str) -> str:
+    joins = "\n        UNION ALL\n".join(
+        f"        SELECT l.doc_id AS id_a, r.doc_id AS id_b"
+        f" FROM bands_{tag} l JOIN bands_{tag} r"
+        f" ON l.band{i} = r.band{i} AND l.doc_id < r.doc_id"
+        for i in range(b)
+    )
+    return (
+        f"cand_{tag} AS (\n        SELECT DISTINCT id_a, id_b FROM (\n"
+        f"{joins}\n        )\n    )"
+    )
+
+
+def _pow_sql(base: str, n: int) -> str:
+    return " * ".join([base] * n)
+
+
+_SWEEP_BANDS_SQL = ",\n    ".join(
+    _sweep_band_cols_sql(r, 16 // r, f"c{r}x{16 // r}")
+    for r, _b in _SWEEP_CONFIGS
+)
+_SWEEP_CANDS_SQL = ",\n    ".join(
+    _sweep_cand_sql(r, 16 // r, f"c{r}x{16 // r}")
+    for r, _b in _SWEEP_CONFIGS
+)
+_SWEEP_HITS_SQL = " UNION ALL ".join(
+    f"""SELECT '{r}x{16 // r}' AS config, e.bin,
+               CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM exact_pairs e LEFT JOIN cand_c{r}x{16 // r} c
+          ON c.id_a = e.id_a AND c.id_b = e.id_b"""
+    for r, _b in _SWEEP_CONFIGS
+)
+_SWEEP_EX_SQL = " UNION ALL ".join(
+    f"""SELECT config, bin, n_exact, n_hit, s,
+               1.0 - {_pow_sql(f"(1.0 - {_pow_sql('s', r)})", 16 // r)}
+                   AS expected_recall
+        FROM sc WHERE config = '{r}x{16 // r}' """
+    for r, _b in _SWEEP_CONFIGS
+)
+_SWEEP_ORACLE = f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    exact_pairs AS (
+        SELECT id_a, id_b,
+               CAST(floor(common / (sa.n_sh + sb.n_sh - common) * 20)
+                    AS BIGINT) AS bin
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.05
+    ),
+    {_minhash_pair_ctes(None)},
+    {_SWEEP_BANDS_SQL},
+    {_SWEEP_CANDS_SQL},
+    hits AS (
+        {_SWEEP_HITS_SQL}
+    ),
+    curve AS (
+        SELECT config, bin,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(sum(hit) AS BIGINT) AS n_hit
+        FROM hits GROUP BY 1, 2
+    ),
+    sc AS (SELECT config, bin, n_exact, n_hit,
+                  least((bin + 0.5) / 20.0, 1.0) AS s
+           FROM curve),
+    ex AS (
+        {_SWEEP_EX_SQL}
+    )
+    SELECT config, bin, n_exact, n_hit,
+           CAST(n_hit AS DOUBLE) / n_exact AS recall,
+           expected_recall
+    FROM ex
+    ORDER BY config, bin
+    """
+
+
+@register(
+    "t_lsh_band_config_sweep",
+    oracle=_SWEEP_ORACLE,
+    tags=("text", "dedup", "lsh", "tuning", "audit", "llm-pipeline"),
+)
+def t_lsh_band_config_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured candidate recall per (banding config, 0.05-wide
+    true-Jaccard bin) for 4×4 / 2×8 / 8×2 bandings of the same 16
+    min-hashes, against the lossless prefix-filter exact join, with
+    the theoretical S-curve at bin midpoints (explicit-multiply IEEE
+    route — bit-identical cross-engine)."""
+    docs = load(spark, sf_dir, "documents")
+    exact = dd.jaccard_prefix_pairs(docs, "doc_id", threshold=0.05).select(
+        F.floor(F.col("jaccard") * 20).cast("bigint").alias("bin"),
+        "id_a",
+        "id_b",
+    )
+    sigs = dd.minhash_signatures(docs, "doc_id")
+    curves = []
+    for r, b in _SWEEP_CONFIGS:
+        tag = f"{r}x{b}"
+        cands = dd.lsh_candidate_pairs(sigs, "doc_id", band_rows=r)
+        hit = exact.join(
+            cands.withColumn("hit", F.lit(1)), ["id_a", "id_b"], "left"
+        ).select(
+            F.lit(tag).alias("config"),
+            "bin",
+            F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+        )
+        curve = hit.groupBy("config", "bin").agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            F.sum("hit").cast("bigint").alias("n_hit"),
+        )
+        s = F.least((F.col("bin") + F.lit(0.5)) / F.lit(20.0), F.lit(1.0))
+        sr = s
+        for _ in range(r - 1):
+            sr = sr * s
+        t = F.lit(1.0) - sr
+        tb = t
+        for _ in range(b - 1):
+            tb = tb * t
+        curves.append(
+            curve.withColumn("s", s)
+            .withColumn("expected_recall", F.lit(1.0) - tb)
+            .select(
+                "config",
+                "bin",
+                "n_exact",
+                "n_hit",
+                (F.col("n_hit").cast("double") / F.col("n_exact")).alias(
+                    "recall"
+                ),
+                "expected_recall",
+            )
+        )
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("config", "bin")
