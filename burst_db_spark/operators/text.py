@@ -37,15 +37,24 @@ def shingles(text: Column, n: int = 3) -> Column:
 
     Guarded for texts shorter than n tokens (empty array, matching the
     DuckDB ``range()`` behavior used in the oracles).
+
+    Built from n shifted ``slice``s ``zip_with``-concatenated — NOT a
+    ``transform`` over indices with ``get(t, i+j)``: per-element array
+    indexing re-inlines the whole-tokenize subtree per gram element
+    (codegen expands it O(len·n) times), measured ~8x slower on the
+    sf0.1 documents scan. Same construction as
+    ``dedup.doc_shingles``, which exists for the same reason.
     """
     t = tokens(text)
-    idx = F.sequence(F.lit(0), F.size(t) - n)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.get(t, i + j) for j in range(n)]
+    sz = F.size(t)
+    n_grams = sz - (n - 1)
+    parts = [F.slice(t, j + 1, n_grams) for j in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(sz >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
     )
-    return F.when(
-        F.size(t) >= n, F.array_distinct(F.transform(idx, gram))
-    ).otherwise(F.array().cast("array<string>"))
 
 
 def _count_in(toks: Column, words: tuple[str, ...]) -> Column:

@@ -846,7 +846,11 @@ def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = _tempfile.mkdtemp(prefix="bds_decontam_stream_")
     data_dir = f"{tmp}/in"
-    corpus.write.parquet(data_dir)
+    # a few multi-row files, not one-per-core: the drain is one
+    # availableNow batch either way, and fewer files means fewer
+    # Arrow-UDF task launches in the scoring map (measured 2x on the
+    # bench; on a real cluster the ingest stream arrives pre-chunked)
+    corpus.coalesce(4).write.parquet(data_dir)
     stream = st.file_stream(spark, data_dir, corpus.schema)
     scored = stream.select(
         "source",
