@@ -50,3 +50,46 @@ class TestBloom:
         out = probe.where(bloom_contains(spark, F.col("k"), bits, M, K))
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestBloomContainedCount:
+    def test_array_count_matches_scalar_contains(self, spark):
+        from burst_db_spark.operators.bloom import bloom_contained_count
+
+        keys = spark.range(0, 200).selectExpr("concat('k', id) AS k")
+        bits = build_bloom(keys.where("id < 60"), "k", M, K)
+        # per-row arrays mixing members and non-members, plus edge rows
+        df = spark.createDataFrame(
+            [
+                (1, ["k1", "k2", "k100", "k199"]),   # 2 members
+                (2, ["k59", "k60"]),                  # 1 member (k60 out)
+                (3, []),                              # empty array
+                (4, None),                            # null array
+                (5, ["k0"] * 5),                      # duplicates count 5x
+            ],
+            "id int, arr array<string>",
+        )
+        got = {
+            r["id"]: r["c"]
+            for r in df.select(
+                "id",
+                bloom_contained_count(spark, F.col("arr"), bits, M, K).alias(
+                    "c"
+                ),
+            ).collect()
+        }
+        # cross-check rows 1/2 against the scalar tester (same hash family)
+        exploded = (
+            df.where("id <= 2")
+            .selectExpr("id", "explode(arr) AS k")
+            .select(
+                "id", bloom_contains(spark, F.col("k"), bits, M, K).alias("h")
+            )
+            .groupBy("id")
+            .agg(F.sum(F.col("h").cast("int")).alias("c"))
+        )
+        scalar = {r["id"]: r["c"] for r in exploded.collect()}
+        assert got[1] == scalar[1]
+        assert got[2] == scalar[2]
+        assert got[3] == 0 and got[4] == 0
+        assert got[5] == 5
