@@ -117,6 +117,21 @@ PROBE_QUERIES = [
     "t_weighted_sample",
     "a31_countmin_merge",
     "j14_fuzzy_name_join",
+    # round-8/9 operators (sketches, cascade, DPP interval join,
+    # incremental dedup, stateless streaming decontamination)
+    "a35_tdigest_quantiles",
+    "a36_theta_sketch_setops",
+    "w17_mad_anomaly",
+    "t_reservoir_per_group",
+    "j17_bloom_prejoin",
+    "t_substring_dedup",
+    "dd_docs_cascade_pipeline",
+    "j18_point_in_interval_dpp",
+    "dd_minhash_incremental",
+    "dd_source_overlap_matrix",
+    "a38_sliding_kmv_distinct",
+    "p13_late_materialization",
+    "stream_decontaminate_bloom",
 ]
 
 # keys to shift per replica so replicated rows don't collapse into the
