@@ -334,16 +334,31 @@ def lsh_near_dup_pairs_multiprobe(
     n_planes: int = 32,
     bits_per_band: int = 4,
     threshold: float = 0.4,
+    max_probe_bits: int | None = None,
 ) -> DataFrame:
     """Multi-probe sign-bit LSH near-dup pairs: HALF the bands of the
     single-probe path (8 × 4 bits vs 16), with each vector additionally
-    probing every 1-bit flip of its band keys — a pair becomes a
-    candidate when some band's keys are within Hamming distance 1.
+    probing 1-bit flips of its band keys — a pair becomes a candidate
+    when some band's keys are within Hamming distance 1.
     Per-band hit probability rises from p^r to p^r + r·p^{r-1}(1-p), so
     8 probed bands match 16 plain bands' recall while the signature
     (the thing materialized per corpus row at 100 TB) shrinks 2×.
 
-    The probe side explodes to b·(r+1) rows per vector, but the join
+    ``max_probe_bits``: None (default) probes EVERY 1-bit flip — the
+    registry/oracle configuration. A value T < r switches to
+    QUERY-DIRECTED probing (Lv et al., VLDB 2007): only the T bits with
+    the smallest |plane margin| are flipped — those are the bits most
+    likely to differ on a true near-neighbor, so a fixed probe budget
+    keeps most of the flip-all recall while the probe-row volume stays
+    b·(T+1) per vector, INDEPENDENT of r. That constancy is the 100 TB
+    property: the r9 100x rung measured flip-all (probes ∝ r, and r
+    grows with log2 N) at 1.4x above linear; fixed-budget probing
+    removes the superlinear term. Margin-directed probing is
+    per-vector, so candidate generation runs BOTH directions and
+    normalizes pairs (the static-mask path keeps its symmetric-halving
+    optimization).
+
+    The probe side explodes to b·(probes) rows per vector, but the join
     stays a HASH equi-join on (band_idx, key) and candidates stay
     bounded by bucket occupancy — the same no-cartesian guarantee as the
     single-probe path. Exact cosine verifies survivors (same left-fold
@@ -355,6 +370,7 @@ def lsh_near_dup_pairs_multiprobe(
     plane_mat = np.array(planes, dtype=np.float64).T
     r = bits_per_band
     n_bands = n_planes // r
+    directed = max_probe_bits is not None and max_probe_bits < r
 
     # One Arrow pass computes the BAND KEYS directly (sign bits packed
     # little-endian per band — bit j of band b is plane b·r+j, the exact
@@ -374,30 +390,99 @@ def lsh_near_dup_pairs_multiprobe(
                 keys[:, b] |= bits[:, b * r + j] << j
         return pd.Series(list(keys))
 
-    sig = emb.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        _norm(F.col(vec_col)).alias("nrm"),
-        _keys_udf(F.col(vec_col)).alias("keys"),
-    ).persist()
-    stored = sig.select("vid", F.posexplode("keys").alias("band_idx", "key"))
-    masks = F.array(*[F.lit(m) for m in probe_masks(r)])
-    probes = stored.select(
-        F.col("vid").alias("pvid"),
-        "band_idx",
-        F.explode(
-            F.transform(masks, lambda m: F.col("key").bitwiseXOR(m))
-        ).alias("key"),
-    )
-    # XOR-mask matching is symmetric (key_a ^ m == key_b ⟺ key_b ^ m ==
-    # key_a), so generating only the pvid < vid direction HALVES the
-    # candidate volume with an identical post-distinct pair set.
-    cand = (
-        probes.join(stored, ["band_idx", "key"])
-        .where(F.col("pvid") < F.col("vid"))
-        .select(F.col("pvid").alias("id_a"), F.col("vid").alias("id_b"))
-        .distinct()
-    )
+    if not directed:
+        sig = emb.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("nrm"),
+            _keys_udf(F.col(vec_col)).alias("keys"),
+        ).persist()
+        stored = sig.select(
+            "vid", F.posexplode("keys").alias("band_idx", "key")
+        )
+        masks = F.array(*[F.lit(m) for m in probe_masks(r)])
+        probes = stored.select(
+            F.col("vid").alias("pvid"),
+            "band_idx",
+            F.explode(
+                F.transform(masks, lambda m: F.col("key").bitwiseXOR(m))
+            ).alias("key"),
+        )
+        # XOR-mask matching is symmetric (key_a ^ m == key_b ⟺ key_b ^
+        # m == key_a), so generating only the pvid < vid direction
+        # HALVES the candidate volume with an identical post-distinct
+        # pair set.
+        cand = (
+            probes.join(stored, ["band_idx", "key"])
+            .where(F.col("pvid") < F.col("vid"))
+            .select(F.col("pvid").alias("id_a"), F.col("vid").alias("id_b"))
+            .distinct()
+        )
+    else:
+        T = max_probe_bits
+
+        # per band: [key, flip-mask 1, ..., flip-mask T] where the
+        # flipped bits are the T smallest |margin| planes of that band
+        # (the bits a true near-neighbor is most likely to differ on)
+        @F.pandas_udf(ArrayType(ArrayType(IntegerType())))
+        def _keys_masks_udf(vecs: pd.Series) -> pd.Series:
+            x = np.vstack(vecs.to_numpy()).astype(np.float64)
+            acc = np.zeros((x.shape[0], plane_mat.shape[1]), dtype=np.float64)
+            for i in range(x.shape[1]):
+                acc += x[:, i : i + 1] * plane_mat[i : i + 1, :]
+            bits = (acc >= 0).astype(np.int32)
+            keys = np.zeros((x.shape[0], n_bands), dtype=np.int32)
+            for b in range(n_bands):
+                for j in range(r):
+                    keys[:, b] |= bits[:, b * r + j] << j
+            marg = np.abs(acc).reshape(x.shape[0], n_bands, r)
+            flip = np.argsort(marg, axis=2, kind="stable")[:, :, :T]
+            masks_arr = (1 << flip).astype(np.int32)  # (n, bands, T)
+            out = [
+                [
+                    [int(keys[i, b])] + [int(m) for m in masks_arr[i, b]]
+                    for b in range(n_bands)
+                ]
+                for i in range(x.shape[0])
+            ]
+            return pd.Series(out)
+
+        sig = emb.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("nrm"),
+            _keys_masks_udf(F.col(vec_col)).alias("km"),
+        ).persist()
+        exploded = sig.select(
+            "vid", F.posexplode("km").alias("band_idx", "arr")
+        )
+        stored = exploded.select(
+            "vid", "band_idx", F.col("arr")[0].alias("key")
+        )
+        probes = exploded.select(
+            F.col("vid").alias("pvid"),
+            "band_idx",
+            F.explode(
+                F.concat(
+                    F.array(F.col("arr")[0]),
+                    F.transform(
+                        F.slice("arr", 2, T),
+                        lambda m: F.col("arr")[0].bitwiseXOR(m),
+                    ),
+                )
+            ).alias("key"),
+        )
+        # margin-directed masks differ per vector, so probing is NOT
+        # symmetric: run both directions and normalize the pair
+        cand = (
+            probes.join(stored, ["band_idx", "key"])
+            .where(F.col("pvid") != F.col("vid"))
+            .select(
+                F.least("pvid", "vid").alias("id_a"),
+                F.greatest("pvid", "vid").alias("id_b"),
+            )
+            .distinct()
+        )
     # verify joins: the signature frame is rows × (64 floats + keys) —
     # broadcast it while it fits (bench scales); past the gate the joins
     # fall back to hash exchanges, the 100 TB shape.

@@ -466,10 +466,27 @@ def embedding_cd_rung(
         out["dd_embedding_nn_cd"] = round(time.perf_counter() - t0, 2)
         spark.catalog.clearCache()
     if which in ("both", "mp"):
+        # QUERY-DIRECTED probing (Lv et al. 2007) above the base rung:
+        # fixed T=3 probe budget per band (flip the 3 smallest-|margin|
+        # bits), so probe rows stay b·4 per vector regardless of r.
+        # The r9 flip-all measurement (probes ∝ r) came in 1.4x above
+        # linear at 100x BECAUSE r grows with log2 N; the fixed budget
+        # removes that term. Bucket width KEEPS the flip-all sizing
+        # r_mp = r + ceil(log2(r+1)) — with a fixed budget the verify
+        # volume probes×occupancy now SHRINKS as r grows instead of
+        # holding constant. (A first attempt re-widened buckets to
+        # r_mp = r+2 "to balance 4 probes"; at 100x that quadrupled
+        # occupancy and the verify join's vector-pair spill filled the
+        # disk — candidate volume, not probe volume, is the binding
+        # term, so buckets stay small.)
+        probe_t = 3
         r_mp = r + math.ceil(math.log2(r + 1))
         t0 = time.perf_counter()
         lsh_near_dup_pairs_multiprobe(
-            c, n_planes=8 * r_mp, bits_per_band=r_mp
+            c,
+            n_planes=8 * r_mp,
+            bits_per_band=r_mp,
+            max_probe_bits=probe_t if r_mp > probe_t else None,
         ).write.format("noop").mode("overwrite").save()
         out["dd_embedding_nn_multiprobe_cd"] = round(
             time.perf_counter() - t0, 2

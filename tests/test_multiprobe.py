@@ -88,3 +88,45 @@ class TestMultiProbeRecall:
         # never drops (top-k membership itself may reshuffle)
         assert r_multi >= r_single
         assert r_multi > 0
+
+
+class TestQueryDirectedProbing:
+    """max_probe_bits: fixed-budget margin-directed probing
+    (Lv et al. 2007) — the knob that keeps probe volume independent
+    of r at scale (SCALING.md round-9 rung)."""
+
+    def _emb(self, spark):
+        from burst_db_spark.catalog import load
+        from tests.conftest import SF_DIR
+
+        return load(spark, SF_DIR, "embeddings").select(
+            "vec_id", "embedding"
+        )
+
+    def test_budget_at_or_above_r_is_exact_flip_all(self, spark):
+        from burst_db_spark.operators.similarity import (
+            lsh_near_dup_pairs_multiprobe as mp,
+        )
+
+        emb = self._emb(spark)
+        base = {(r.id_a, r.id_b) for r in mp(emb).collect()}
+        full = {
+            (r.id_a, r.id_b) for r in mp(emb, max_probe_bits=4).collect()
+        }
+        assert full == base
+
+    def test_budgeted_pairs_are_subset_with_recall(self, spark):
+        from burst_db_spark.operators.similarity import (
+            lsh_near_dup_pairs_multiprobe as mp,
+        )
+
+        emb = self._emb(spark)
+        base = {(r.id_a, r.id_b) for r in mp(emb).collect()}
+        t2 = {
+            (r.id_a, r.id_b) for r in mp(emb, max_probe_bits=2).collect()
+        }
+        assert t2 <= base
+        # the directed budget flips the MOST uncertain bits first, so
+        # it keeps the bulk of flip-all's recall (measured 100% on the
+        # synthetic corpus; gate loosely to stay robust to fixtures)
+        assert len(t2) >= 0.8 * len(base)
