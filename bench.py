@@ -178,6 +178,7 @@ HEADLINE = [
     "a38_sliding_kmv_distinct",
     "p13_late_materialization",
     "t_lsh_band_config_sweep",
+    "dd_embedding_nn_directed",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

@@ -591,6 +591,101 @@ def lsh_multiprobe_oracle_sql(
     """
 
 
+def lsh_directed_multiprobe_oracle_sql(
+    n_planes: int = 32,
+    bits_per_band: int = 4,
+    max_probe_bits: int = 3,
+    threshold: float = 0.4,
+) -> str:
+    """DuckDB SQL for the QUERY-DIRECTED multi-probe pair set: identical
+    plane literals and fold order as the flip-all oracle, plus the
+    margin ranking — per band, only the ``max_probe_bits`` bits with the
+    smallest |dot| margins are flipped (ties broken by bit index, the
+    numpy stable-argsort order). Probing is per-vector (asymmetric), so
+    candidates run both directions and normalize with least/greatest,
+    exactly like the Spark path. Each plane's dot is computed ONCE in a
+    ``dots`` CTE and reused for the sign bit and the margin (the
+    inlined-twice form measured 2x the oracle wall)."""
+    planes = lsh_planes(n_planes, dim=64)
+    r = bits_per_band
+    t = max_probe_bits
+    n_bands = n_planes // r
+
+    def dot(plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (
+            "list_reduce(list_transform(range(1, 65), i -> "
+            f"CAST(embedding[i] AS DOUBLE) * ({lit})[i]), (x, y) -> x + y)"
+        )
+
+    dots_list = "[" + ", ".join(dot(p) for p in planes) + "]"
+    band_keys, band_margs = [], []
+    for bstart in range(0, n_planes, r):
+        terms = [
+            f"(CASE WHEN d[{bstart + j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(r)
+        ]
+        band_keys.append(" + ".join(terms))
+        band_margs.append(
+            "[" + ", ".join(f"abs(d[{bstart + j + 1}])" for j in range(r)) + "]"
+        )
+    keys_list = "[" + ", ".join(band_keys) + "]"
+    margs_list = "[" + ", ".join(band_margs) + "]"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    dots AS (
+        SELECT vec_id, embedding,
+               sqrt(list_reduce(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                    (x, y) -> x + y)) AS nrm,
+               {dots_list} AS d
+        FROM e
+    ),
+    sig AS (
+        SELECT vec_id, nrm, {keys_list} AS keys, {margs_list} AS margs
+        FROM dots
+    ),
+    bands AS (
+        SELECT vec_id, unnest(range({n_bands})) AS band_idx,
+               unnest(keys) AS key, unnest(margs) AS marg
+        FROM sig
+    ),
+    flips AS (
+        SELECT vec_id, band_idx, key, j,
+               row_number() OVER (PARTITION BY vec_id, band_idx
+                                  ORDER BY marg[j + 1], j) AS rnk
+        FROM bands CROSS JOIN (SELECT unnest(range({r})) AS j)
+    ),
+    probes AS (
+        SELECT vec_id AS pvid, band_idx, key FROM bands
+        UNION ALL
+        SELECT vec_id, band_idx, xor(key, 1 << j)
+        FROM flips WHERE rnk <= {t}
+    ),
+    stored AS (SELECT vec_id, band_idx, key FROM bands),
+    cand AS (
+        SELECT DISTINCT least(p.pvid, s.vec_id) AS id_a,
+                        greatest(p.pvid, s.vec_id) AS id_b
+        FROM probes p JOIN stored s
+          ON p.band_idx = s.band_idx AND p.key = s.key
+         AND p.pvid != s.vec_id
+    ),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               list_reduce(list_transform(range(1, 65),
+                   i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y) / (sa.nrm * sb.nrm) AS cos
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.id_a
+        JOIN e eb ON eb.vec_id = c.id_b
+        JOIN dots sa ON sa.vec_id = c.id_a
+        JOIN dots sb ON sb.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, cos FROM scored WHERE cos >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
 def assign_cells(
     emb: DataFrame,
     centroids: list[list[float]],

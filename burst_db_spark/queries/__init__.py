@@ -56,19 +56,19 @@ for _m in _MODULES:
 # The driver's correctness gate samples a PREFIX of the registration order
 # (exactly 50 rows/round, measured r1-r8). Round-9 rotation policy
 # (executes VERDICT r8 "Next round" items #1/#2):
-#   1. the nine round-9 queries lead (the r5-verdict-endorsed rule:
+#   1. the ten round-9 queries lead (the r5-verdict-endorsed rule:
 #      new-query driver evidence outranks refreshing verified rows) —
 #      the r8-planned trio (dd_docs_cascade_pipeline /
 #      j18_point_in_interval_dpp / t_minhash_recall_curve) plus the
 #      r9 additions (dd_minhash_incremental / dd_source_overlap_matrix /
 #      stream_decontaminate_bloom / a38_sliding_kmv_distinct /
-#      p13_late_materialization / t_lsh_band_config_sweep), all in
-#      queries/round9.py;
+#      p13_late_materialization / t_lsh_band_config_sweep /
+#      dd_embedding_nn_directed), all in queries/round9.py;
 #   2. ALL 39 rows whose latest driver evidence is r4 rotate in: the 25
 #      remaining names of the staged r4 block (its first 3 were sampled
 #      r8 when the prefix slipped past the three then-unimplemented
 #      names) plus the 14 unstaged r4 stragglers the r8 verdict lists;
-#   3. the 2 OLDEST r5-evidence rows fill the remaining slots. After
+#   3. the OLDEST r5-evidence row fills the remaining slot. After
 #      CORRECTNESS_r09 nothing in the registry carries evidence older
 #      than r5; the rest of the r5 block is staged directly behind the
 #      cut to lead round 10.
@@ -84,6 +84,7 @@ _SAMPLING_PRIORITY = (
     "a38_sliding_kmv_distinct",
     "p13_late_materialization",
     "t_lsh_band_config_sweep",
+    "dd_embedding_nn_directed",
     # -- r4-evidence rows: the 25-name tail of the staged block --
     "knn_pq_adc",
     "geo_zorder_code",
@@ -127,9 +128,9 @@ _SAMPLING_PRIORITY = (
     "a4_round_avg_cast",
     # -- oldest r5-evidence rows: head of the round-5 block --
     "q4_order_priority",
-    "q17_small_qty_revenue",
     # ---- 50-slot prefix cut line ----
     # -- rest of the r5 block: staged to lead round 10 --
+    "q17_small_qty_revenue",
     "q21_suppliers_waiting",
     "t_bpe_reconstruction",
     "k6_metadata_roundtrip",

@@ -10,9 +10,11 @@ bands — the old corpus is never re-shingled), the source×source
 overlap matrix computed from per-source KMV sketches only, the Bloom
 decontamination stage as a STATELESS streaming map (row-local per-doc
 decision, one stateful rollup), trailing-window distinct counts from
-merged per-day KMV sketches, the late-materialization scan split, and
-the LSH band-configuration sweep (measured + theoretical recall per
-banding, the tuning table behind the recall curve).
+merged per-day KMV sketches, the late-materialization scan split, the
+LSH band-configuration sweep (measured + theoretical recall per
+banding, the tuning table behind the recall curve), and query-directed
+multiprobe embedding LSH (fixed probe budget by plane margin — the
+100x-rung fix, registered with a full margin-ranking oracle).
 
 Reference parity: opera-adt/burst_db has no text/curation path — these
 extend the LLM-pipeline surface (SURVEY.md "beyond the reference"
@@ -1252,3 +1254,48 @@ def t_lsh_band_config_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in curves[1:]:
         out = out.unionByName(c)
     return out.orderBy("config", "bin")
+
+
+# ---------------------------------------------------------------------------
+# DD: QUERY-DIRECTED multiprobe (Lv et al., VLDB 2007) as a registered,
+# oracle-checked operator — the fixed-probe-budget variant the r9 100x
+# rung showed is required at scale (flip-all probing grows with r and r
+# grows with log2 N → 1.4x above linear; the T-budget restores
+# sub-linear, SCALING.md). Per band, only the T bits with the smallest
+# |plane margin| are flipped — the bits a true neighbor most likely
+# disagrees on — so recall concentrates where it matters while probe
+# volume stays b·(T+1) per vector. The oracle replicates the plane
+# literals, fold order, band keys, margin ranking (ties by bit index =
+# numpy stable argsort), asymmetric both-direction probing, and the
+# exact cosine verify bit-for-bit.
+
+
+from burst_db_spark.operators.similarity import (  # noqa: E402
+    lsh_directed_multiprobe_oracle_sql as _directed_oracle_sql,
+)
+
+
+@register(
+    "dd_embedding_nn_directed",
+    oracle=_directed_oracle_sql(max_probe_bits=3),
+    tags=("dedup", "embedding", "similarity", "lsh", "multiprobe",
+          "query-directed"),
+)
+def dd_embedding_nn_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via margin-directed multiprobe LSH:
+    8×4-bit bands, probe budget T=3 (flip the 3 most-uncertain bits per
+    band), both-direction probing with pair normalization, exact cosine
+    verify ≥ 0.4. Probe volume per vector is b·(T+1) — independent of
+    the band width, the property that keeps the rung sub-linear at
+    100x."""
+    from burst_db_spark.operators import similarity as sim_ops
+
+    emb = load(spark, sf_dir, "embeddings")
+    n_parts = spark.sparkContext.defaultParallelism
+    return (
+        sim_ops.lsh_near_dup_pairs_multiprobe(
+            emb.repartition(n_parts), max_probe_bits=3
+        )
+        .orderBy("id_a", "id_b")
+    )
+
