@@ -1,0 +1,125 @@
+"""Property tests for the round-9 primitives: two-phase bottom-k
+mergeability, the two-pass exact lower median, and the vectorized
+Bloom array count — each against its brute-force definition."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from burst_db_spark.queries.round8 import _lower_median_2pass
+
+
+def test_two_phase_bottom_k_equals_global(spark):
+    """Shard-local bottom-k then merge == global bottom-k, for ANY
+    deterministic shard assignment (mergeable-monoid property the a32 /
+    a36 / a38 / overlap-matrix builds rely on)."""
+    from pyspark.sql.window import Window
+
+    rng = random.Random(907)
+    rows = [(f"g{gi}", f"{rng.getrandbits(64):016x}")
+            for gi in range(3) for _ in range(rng.randint(5, 400))]
+    df = spark.createDataFrame(rows, "grp string, h string").distinct()
+    k = 16
+    w_shard = Window.partitionBy("grp", "shard").orderBy("h")
+    w_merge = Window.partitionBy("grp").orderBy("h")
+    two_phase = (
+        df.withColumn(
+            "shard",
+            F.conv(F.substring("h", 15, 2), 16, 10).cast("bigint") % 8,
+        )
+        .withColumn("rn", F.row_number().over(w_shard))
+        .where(F.col("rn") <= k)
+        .select("grp", "h")
+        .withColumn("rn", F.row_number().over(w_merge))
+        .where(F.col("rn") <= k)
+        .select("grp", "h")
+    )
+    global_k = (
+        df.withColumn("rn", F.row_number().over(w_merge))
+        .where(F.col("rn") <= k)
+        .select("grp", "h")
+    )
+    assert sorted(map(tuple, two_phase.collect())) == sorted(
+        map(tuple, global_k.collect())
+    )
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50_000, max_value=50_000), min_size=1,
+        max_size=300,
+    )
+)
+def test_two_pass_lower_median_matches_sorted(spark, vals):
+    """_lower_median_2pass == element at rank ceil(n/2) of the sorted
+    values, for any integer distribution (negatives included — the
+    arithmetic shiftright bucketing must floor correctly)."""
+    df = spark.createDataFrame(
+        [("t", i, v) for i, v in enumerate(vals)],
+        "event_type string, event_id long, cents long",
+    )
+    got = _lower_median_2pass(df, "cents", "med")
+    expect = sorted(vals)[(len(vals) + 1) // 2 - 1]
+    assert got.collect()[0]["med"] == expect
+
+
+def test_bloom_array_count_matches_naive(spark):
+    """Vectorized reduceat count == per-element membership sum for
+    random ragged arrays (lengths 0..17, nulls interleaved)."""
+    from burst_db_spark.operators.bloom import (
+        bloom_contained_count,
+        build_bloom,
+    )
+
+    rng = random.Random(31)
+    member_keys = [f"m{i}" for i in range(80)]
+    other_keys = [f"x{i}" for i in range(80)]
+    bits = build_bloom(
+        spark.createDataFrame([(k,) for k in member_keys], "k string"),
+        "k", 1 << 14, 3,
+    )
+    rows = []
+    for i in range(60):
+        if i % 13 == 0:
+            rows.append((i, None))
+            continue
+        arr = [rng.choice(member_keys + other_keys)
+               for _ in range(rng.randint(0, 17))]
+        rows.append((i, arr))
+    df = spark.createDataFrame(rows, "id int, arr array<string>")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id",
+            bloom_contained_count(
+                spark, F.col("arr"), bits, 1 << 14, 3
+            ).alias("c"),
+        ).collect()
+    }
+    # naive: explode + scalar bloom_contains (shares the hash family)
+    from burst_db_spark.operators.bloom import bloom_contains
+
+    naive = {
+        r["id"]: r["c"]
+        for r in df.selectExpr("id", "explode(arr) AS k")
+        .select(
+            "id",
+            bloom_contains(spark, F.col("k"), bits, 1 << 14, 3)
+            .cast("int")
+            .alias("h"),
+        )
+        .groupBy("id")
+        .agg(F.sum("h").alias("c"))
+        .collect()
+    }
+    for i, c in got.items():
+        assert c == naive.get(i, 0), (i, c, naive.get(i))
