@@ -134,7 +134,14 @@ def bloom_contained_count(
             ]
         )
 
-    positions = F.flatten(F.transform(keys_array, per_key))
+    # NULL elements can't be members — drop them JVM-side, otherwise
+    # md5(concat(.., NULL)) yields NULL positions that crash the numpy
+    # int64 conversion in the worker
+    positions = F.flatten(
+        F.transform(
+            F.filter(keys_array, lambda s: s.isNotNull()), per_key
+        )
+    )
 
     @F.pandas_udf("int")
     def _count(pos_arrays: pd.Series) -> pd.Series:

@@ -737,3 +737,39 @@ def span_dup_stats(
         dup_frac.alias("dup_frac"),
         (dup_frac <= F.lit(max_dup_frac)).alias("keep"),
     )
+
+
+def two_phase_bottom_k(
+    df: DataFrame,
+    part_cols: list[str],
+    key_col: str,
+    k: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Per-group bottom-k of a hex-digest key WITHOUT a per-group global
+    sort: shard-local bottom-k first (shard from the digest TAIL —
+    chars 31-32 — so it is independent of the ordering prefix), then
+    merge the k-sized shard partials and re-cut. Bottom-k is a
+    mergeable monoid, so the result is IDENTICAL to a global sort per
+    group, but no task ever sorts more than one shard's keys, and
+    WindowGroupLimit pre-truncates every map partition to k rows before
+    either shuffle. The idiom behind every KMV/theta/reservoir build
+    here (a32/a36/a38/source-overlap); extracted so the shard constants
+    can't drift between copies."""
+    from pyspark.sql import Window
+
+    shard = (
+        F.conv(F.substring(key_col, 31, 2), 16, 10).cast("bigint")
+        % n_shards
+    )
+    w_shard = Window.partitionBy(*part_cols, "shard").orderBy(key_col)
+    w_merge = Window.partitionBy(*part_cols).orderBy(key_col)
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("rn", F.row_number().over(w_shard))
+        .where(F.col("rn") <= k)
+        .select(*part_cols, key_col)
+        .withColumn("rn", F.row_number().over(w_merge))
+        .where(F.col("rn") <= k)
+        .select(*part_cols, key_col)
+    )

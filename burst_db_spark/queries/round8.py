@@ -323,33 +323,15 @@ def a36_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Two-phase bottom-k (the a32_kmv_distinct idiom): shard-local
-    # bottom-k first — the shard comes from the TAIL of the digest, so
-    # it is independent of the ordering prefix — then merge the k-sized
-    # shard partials and re-cut. Bottom-k is a mergeable monoid, so the
-    # result is identical to a global sort per tag, but no task ever
-    # sorts more than one shard's distinct hashes (vs the 2-task global
-    # sort a per-tag row_number would plan), and WindowGroupLimit
-    # pre-truncates each map partition to k rows before either shuffle.
-    hashed = tagged.select(
-        "tag",
-        "h",
-        (F.conv(F.substring("h", 31, 2), 16, 10).cast("bigint") % 8).alias(
-            "shard"
-        ),
-    )
-    w_shard = Window.partitionBy("tag", "shard").orderBy("h")
-    shard_sk = (
-        hashed.withColumn("rn", F.row_number().over(w_shard))
-        .where(F.col("rn") <= _TH_K)
-        .select("tag", "h")
-    )
-    w_merge = Window.partitionBy("tag").orderBy("h")
-    sk = (
-        shard_sk.withColumn("rn", F.row_number().over(w_merge))
-        .where(F.col("rn") <= _TH_K)
-        .select("tag", "h")
-    )
+    # Two-phase bottom-k (the a32_kmv_distinct idiom, extracted as
+    # dedup.two_phase_bottom_k): shard-local bottom-k then merge —
+    # identical to a global sort per tag (mergeable monoid) but no task
+    # ever sorts more than one shard's distinct hashes, and
+    # WindowGroupLimit pre-truncates each map partition to k rows
+    # before either shuffle.
+    from burst_db_spark.operators.dedup import two_phase_bottom_k
+
+    sk = two_phase_bottom_k(tagged.select("tag", "h"), ["tag"], "h", _TH_K)
     kth = sk.groupBy("tag").agg(F.max("h").alias("kth_h"))
     theta = kth.agg(
         F.min("kth_h").alias("th"),

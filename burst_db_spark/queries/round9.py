@@ -666,21 +666,8 @@ def dd_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     hs = ss.select("source", F.md5("shingle").alias("h")).distinct()
-    # two-phase bottom-k per source (shard from the digest tail)
-    sharded = hs.withColumn(
-        "shard",
-        F.conv(F.substring("h", 31, 2), 16, 10).cast("bigint") % 8,
-    )
-    w_shard = Window.partitionBy("source", "shard").orderBy("h")
-    w_merge = Window.partitionBy("source").orderBy("h")
-    sk = (
-        sharded.withColumn("rn", F.row_number().over(w_shard))
-        .where(F.col("rn") <= _OV_K)
-        .select("source", "h")
-        .withColumn("rn", F.row_number().over(w_merge))
-        .where(F.col("rn") <= _OV_K)
-        .select("source", "h")
-    )
+    # two-phase bottom-k per source (dedup.two_phase_bottom_k idiom)
+    sk = dd.two_phase_bottom_k(hs, ["source"], "h", _OV_K)
     kth = sk.groupBy("source").agg(
         F.max("h").alias("kth_h"), F.count("*").alias("n_sk")
     )
@@ -963,20 +950,7 @@ def a38_sliding_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("d"),
         F.md5(F.col("user_id").cast("string")).alias("h"),
     ).distinct()
-    sharded = base.withColumn(
-        "shard",
-        F.conv(F.substring("h", 31, 2), 16, 10).cast("bigint") % 4,
-    )
-    w_shard = Window.partitionBy("d", "shard").orderBy("h")
-    w_day = Window.partitionBy("d").orderBy("h")
-    skd = (
-        sharded.withColumn("rn", F.row_number().over(w_shard))
-        .where(F.col("rn") <= _SW_K)
-        .select("d", "h")
-        .withColumn("rn", F.row_number().over(w_day))
-        .where(F.col("rn") <= _SW_K)
-        .select("d", "h")
-    )
+    skd = dd.two_phase_bottom_k(base, ["d"], "h", _SW_K, n_shards=4)
     spine = base.select(F.col("d").alias("w_end")).distinct()
     win = spine.join(
         F.broadcast(skd),
@@ -1207,12 +1181,17 @@ def t_lsh_band_config_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the theoretical S-curve at bin midpoints (explicit-multiply IEEE
     route — bit-identical cross-engine)."""
     docs = load(spark, sf_dir, "documents")
-    exact = dd.jaccard_prefix_pairs(docs, "doc_id", threshold=0.05).select(
+    # both frames feed all three config branches of ONE unioned action:
+    # persist them or the τ=0.05 prefix-join verify (the dominant cost)
+    # and the signature build re-execute per config (exchange reuse only
+    # covers the shuffles, not the post-exchange verify work)
+    inner = dd.jaccard_prefix_pairs(docs, "doc_id", threshold=0.05)
+    exact = inner.select(
         F.floor(F.col("jaccard") * 20).cast("bigint").alias("bin"),
         "id_a",
         "id_b",
-    )
-    sigs = dd.minhash_signatures(docs, "doc_id")
+    ).persist()
+    sigs = dd.minhash_signatures(docs, "doc_id").persist()
     curves = []
     for r, b in _SWEEP_CONFIGS:
         tag = f"{r}x{b}"
@@ -1253,7 +1232,14 @@ def t_lsh_band_config_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = curves[0]
     for c in curves[1:]:
         out = out.unionByName(c)
-    return out.orderBy("config", "bin")
+    out = out.orderBy("config", "bin")
+    # release_dedup(out) unpersists these plus the prefix-join internals
+    out._dedup_cached = (
+        exact,
+        sigs,
+        *getattr(inner, "_dedup_cached", ()),
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -664,12 +664,39 @@ _CD_PROBES = {
 }
 
 
+_HEAP_UNITS_GB = {"k": 1.0 / (1024 * 1024), "m": 1.0 / 1024, "g": 1.0, "t": 1024.0}
+
+
+def _parse_heap_gb(mem: str) -> float | None:
+    """Spark memory string → GB, or None if unparseable (plain bytes or
+    a format we don't know — the caller WARNS and proceeds instead of
+    spuriously refusing a rung the user provisioned another way)."""
+    mem = mem.strip().lower()
+    if not mem:
+        return None
+    unit = _HEAP_UNITS_GB.get(mem[-1])
+    body = mem[:-1] if unit else mem
+    try:
+        val = float(body)
+    except ValueError:
+        return None
+    return val * unit if unit else val / (1 << 30)  # bare number = bytes
+
+
 def _require_heap(probe: str, factor: int) -> None:
     need = _HEAP_FLOORS_GB.get((probe, factor))
     if need is None:
         return
-    mem = os.environ.get("SPARK_DRIVER_MEMORY", "8g").lower()
-    have = float(mem[:-1]) * (1024 if mem.endswith("t") else 1) if mem[-1] in "gt" else 0
+    mem = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+    have = _parse_heap_gb(mem)
+    if have is None:
+        print(
+            f"scale_probe: cannot parse SPARK_DRIVER_MEMORY={mem!r}; "
+            f"the {probe} {factor}x rung needs >= {need} GB (SCALING.md) "
+            f"— proceeding on your word.",
+            file=sys.stderr,
+        )
+        return
     if have < need:
         sys.exit(
             f"scale_probe: the {probe} {factor}x rung needs a {need} GB "
@@ -685,6 +712,10 @@ def main() -> None:
     probe = None
     if "--probe" in args:
         i = args.index("--probe")
+        if i + 1 >= len(args):
+            sys.exit(
+                f"--probe requires a family name; one of {sorted(_CD_PROBES)}"
+            )
         probe = args[i + 1]
         del args[i:i + 2]
         if probe not in _CD_PROBES:

@@ -94,6 +94,8 @@ def test_bloom_array_count_matches_naive(spark):
             continue
         arr = [rng.choice(member_keys + other_keys)
                for _ in range(rng.randint(0, 17))]
+        if i % 7 == 0:
+            arr.append(None)  # NULL elements must count as non-members
         rows.append((i, arr))
     df = spark.createDataFrame(rows, "id int, arr array<string>")
     got = {
@@ -111,6 +113,7 @@ def test_bloom_array_count_matches_naive(spark):
     naive = {
         r["id"]: r["c"]
         for r in df.selectExpr("id", "explode(arr) AS k")
+        .where("k IS NOT NULL")
         .select(
             "id",
             bloom_contains(spark, F.col("k"), bits, 1 << 14, 3)
