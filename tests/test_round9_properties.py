@@ -14,38 +14,36 @@ from burst_db_spark.queries.round8 import _lower_median_2pass
 
 
 def test_two_phase_bottom_k_equals_global(spark):
-    """Shard-local bottom-k then merge == global bottom-k, for ANY
-    deterministic shard assignment (mergeable-monoid property the a32 /
-    a36 / a38 / overlap-matrix builds rely on)."""
+    """dedup.two_phase_bottom_k == global bottom-k for every shard
+    count (mergeable-monoid property the a32 / a36 / a38 /
+    overlap-matrix builds rely on)."""
     from pyspark.sql.window import Window
 
+    from burst_db_spark.operators.dedup import two_phase_bottom_k
+
     rng = random.Random(907)
-    rows = [(f"g{gi}", f"{rng.getrandbits(64):016x}")
+    rows = [(f"g{gi}", f"{rng.getrandbits(128):032x}")
             for gi in range(3) for _ in range(rng.randint(5, 400))]
     df = spark.createDataFrame(rows, "grp string, h string").distinct()
     k = 16
-    w_shard = Window.partitionBy("grp", "shard").orderBy("h")
     w_merge = Window.partitionBy("grp").orderBy("h")
-    two_phase = (
-        df.withColumn(
-            "shard",
-            F.conv(F.substring("h", 15, 2), 16, 10).cast("bigint") % 8,
+    global_k = sorted(
+        map(
+            tuple,
+            df.withColumn("rn", F.row_number().over(w_merge))
+            .where(F.col("rn") <= k)
+            .select("grp", "h")
+            .collect(),
         )
-        .withColumn("rn", F.row_number().over(w_shard))
-        .where(F.col("rn") <= k)
-        .select("grp", "h")
-        .withColumn("rn", F.row_number().over(w_merge))
-        .where(F.col("rn") <= k)
-        .select("grp", "h")
     )
-    global_k = (
-        df.withColumn("rn", F.row_number().over(w_merge))
-        .where(F.col("rn") <= k)
-        .select("grp", "h")
-    )
-    assert sorted(map(tuple, two_phase.collect())) == sorted(
-        map(tuple, global_k.collect())
-    )
+    for n_shards in (1, 4, 8):
+        got = sorted(
+            map(
+                tuple,
+                two_phase_bottom_k(df, ["grp"], "h", k, n_shards).collect(),
+            )
+        )
+        assert got == global_k, n_shards
 
 
 @settings(
