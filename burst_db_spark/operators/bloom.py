@@ -78,6 +78,12 @@ def bloom_contains(
     The bitset rides to executors as a real Spark broadcast (one copy
     per executor, not per task); the test is an Arrow-batched pandas
     UDF — all-k-bits-set, vectorized over the batch.
+
+    NULL keys test FALSE — the same semantics as
+    :func:`bloom_contained_count`, which drops NULL array elements
+    (a NULL can't be a member; previously the f-string hashed None into
+    the literal key ``"None"``, so a scalar probe and an exploded array
+    probe could disagree on NULL rows).
     """
     bc = spark.sparkContext.broadcast(bits)
     m, k = m_bits, k_hashes
@@ -85,9 +91,10 @@ def bloom_contains(
     @F.pandas_udf("boolean")
     def _test(vals: pd.Series) -> pd.Series:
         arr = np.frombuffer(bc.value, dtype=np.uint8)
-        ok = np.ones(len(vals), dtype=bool)
+        ok = vals.notna().to_numpy(dtype=bool)
+        safe = vals.fillna("")
         for j in range(k):
-            pos = _positions(vals, j, m)
+            pos = _positions(safe, j, m)
             ok &= (arr[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
         return pd.Series(ok)
 

@@ -746,30 +746,33 @@ def two_phase_bottom_k(
     k: int,
     n_shards: int = 8,
 ) -> DataFrame:
-    """Per-group bottom-k of a hex-digest key WITHOUT a per-group global
-    sort: shard-local bottom-k first (shard from the digest TAIL —
-    chars 31-32 — so it is independent of the ordering prefix), then
-    merge the k-sized shard partials and re-cut. Bottom-k is a
-    mergeable monoid, so the result is IDENTICAL to a global sort per
-    group, but no task ever sorts more than one shard's keys, and
-    WindowGroupLimit pre-truncates every map partition to k rows before
-    either shuffle. The idiom behind every KMV/theta/reservoir build
-    here (a32/a36/a38/source-overlap); extracted so the shard constants
-    can't drift between copies."""
+    """Per-group bottom-k of a key WITHOUT a per-group global sort:
+    shard-local bottom-k first, then merge the k-sized shard partials
+    and re-cut. Bottom-k is a mergeable monoid, so the result is
+    IDENTICAL to a global sort per group, but no task ever sorts more
+    than one shard's keys, and WindowGroupLimit pre-truncates every map
+    partition to k rows before either shuffle. The idiom behind every
+    KMV/theta/reservoir build here (a32/a36/a38/source-overlap);
+    extracted so the shard constants can't drift between copies.
+
+    The shard is ``pmod(xxhash64(key), n_shards)`` — a hash of the FULL
+    key, so it works for keys of any width (the previous digest-tail
+    substring silently collapsed every short key into one NULL shard)
+    and equal keys still co-locate, keeping shard-local dedup semantics
+    identical. Temp columns are name-mangled so caller columns named
+    ``shard``/``rn`` can't be clobbered."""
     from pyspark.sql import Window
 
-    shard = (
-        F.conv(F.substring(key_col, 31, 2), 16, 10).cast("bigint")
-        % n_shards
-    )
-    w_shard = Window.partitionBy(*part_cols, "shard").orderBy(key_col)
+    shard_c, rn_c = "__tpbk_shard", "__tpbk_rn"
+    shard = F.pmod(F.xxhash64(key_col), F.lit(n_shards))
+    w_shard = Window.partitionBy(*part_cols, shard_c).orderBy(key_col)
     w_merge = Window.partitionBy(*part_cols).orderBy(key_col)
     return (
-        df.withColumn("shard", shard)
-        .withColumn("rn", F.row_number().over(w_shard))
-        .where(F.col("rn") <= k)
+        df.withColumn(shard_c, shard)
+        .withColumn(rn_c, F.row_number().over(w_shard))
+        .where(F.col(rn_c) <= k)
         .select(*part_cols, key_col)
-        .withColumn("rn", F.row_number().over(w_merge))
-        .where(F.col("rn") <= k)
+        .withColumn(rn_c, F.row_number().over(w_merge))
+        .where(F.col(rn_c) <= k)
         .select(*part_cols, key_col)
     )

@@ -370,7 +370,14 @@ def lsh_near_dup_pairs_multiprobe(
     plane_mat = np.array(planes, dtype=np.float64).T
     r = bits_per_band
     n_bands = n_planes // r
-    directed = max_probe_bits is not None and max_probe_bits < r
+    # Any explicit budget takes the directed kernel, clamped to r: at
+    # T == r the margin-ranked masks are exactly the r single-bit flips,
+    # so the pair set provably equals flip-all (pinned by
+    # tests/test_multiprobe.py::test_budget_at_or_above_r_is_exact_flip_all,
+    # which now genuinely exercises the directed branch).
+    directed = max_probe_bits is not None
+    if directed:
+        max_probe_bits = min(max_probe_bits, r)
 
     # One Arrow pass computes the BAND KEYS directly (sign bits packed
     # little-endian per band — bit j of band b is plane b·r+j, the exact
@@ -522,7 +529,12 @@ def lsh_near_dup_pairs_multiprobe(
             _cos_pairs(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
         )
     )
-    return scored.where(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
+    out = scored.where(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
+    # release_dedup(out) unpersists the signature frame (both branches
+    # persist it); without this every call leaked one cached frame until
+    # catalog.clearCache (r9 ADVICE).
+    out._dedup_cached = (sig,)
+    return out
 
 
 def lsh_multiprobe_oracle_sql(

@@ -104,16 +104,23 @@ class TestQueryDirectedProbing:
         )
 
     def test_budget_at_or_above_r_is_exact_flip_all(self, spark):
+        """T >= r takes the DIRECTED kernel (clamped to r); its
+        margin-ranked masks are then exactly the r single-bit flips, so
+        the pair set must equal the static flip-all branch. r9 ADVICE:
+        the old gate (directed only when T < r) sent both calls down
+        the flip-all branch and compared flip-all to itself."""
         from burst_db_spark.operators.similarity import (
             lsh_near_dup_pairs_multiprobe as mp,
         )
 
         emb = self._emb(spark)
         base = {(r.id_a, r.id_b) for r in mp(emb).collect()}
-        full = {
-            (r.id_a, r.id_b) for r in mp(emb, max_probe_bits=4).collect()
-        }
-        assert full == base
+        for t in (4, 7):  # exactly r, and clamped-above-r
+            got = {
+                (r.id_a, r.id_b)
+                for r in mp(emb, max_probe_bits=t).collect()
+            }
+            assert got == base, t
 
     def test_budgeted_pairs_are_subset_with_recall(self, spark):
         from burst_db_spark.operators.similarity import (

@@ -108,10 +108,12 @@ def test_bloom_array_count_matches_naive(spark):
     # naive: explode + scalar bloom_contains (shares the hash family)
     from burst_db_spark.operators.bloom import bloom_contains
 
+    # no NULL pre-filter: scalar bloom_contains now tests FALSE on NULL
+    # keys itself (r9 ADVICE), so exploded-scalar must agree with the
+    # array path on NULL-bearing rows without help
     naive = {
         r["id"]: r["c"]
         for r in df.selectExpr("id", "explode(arr) AS k")
-        .where("k IS NOT NULL")
         .select(
             "id",
             bloom_contains(spark, F.col("k"), bits, 1 << 14, 3)
@@ -124,3 +126,66 @@ def test_bloom_array_count_matches_naive(spark):
     }
     for i, c in got.items():
         assert c == naive.get(i, 0), (i, c, naive.get(i))
+
+
+def test_bloom_contains_null_is_false(spark):
+    """NULL keys test FALSE (not the hashed literal 'None') — shared
+    NULL semantics with bloom_contained_count (r9 ADVICE)."""
+    from burst_db_spark.operators.bloom import bloom_contains, build_bloom
+
+    keys = spark.createDataFrame([("None",), ("a",)], "k string")
+    bits = build_bloom(keys, "k", 1 << 12, 3)
+    probe = spark.createDataFrame(
+        [(1, "None"), (2, None), (3, "a")], "id int, k string"
+    )
+    got = {
+        r["id"]: r["h"]
+        for r in probe.select(
+            "id", bloom_contains(spark, F.col("k"), bits, 1 << 12, 3).alias("h")
+        ).collect()
+    }
+    assert got == {1: True, 2: False, 3: True}
+
+
+def test_two_phase_bottom_k_short_keys_and_column_collisions(spark):
+    """Keys narrower than an md5 digest still shard (the old digest-tail
+    substring sent every short key to one NULL shard), and caller
+    columns named 'shard'/'rn' survive untouched (r9 ADVICE)."""
+    from pyspark.sql.window import Window
+
+    from burst_db_spark.operators.dedup import two_phase_bottom_k
+
+    rng = random.Random(113)
+    rows = [
+        (f"g{gi}", f"{rng.getrandbits(24):06x}", gi, -gi)
+        for gi in range(3)
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, h string, shard int, rn int"
+    ).distinct()
+    k = 16
+    w = Window.partitionBy("grp").orderBy("h")
+    expect = sorted(
+        map(
+            tuple,
+            df.withColumn("gr", F.row_number().over(w))
+            .where(F.col("gr") <= k)
+            .select("grp", "h")
+            .collect(),
+        )
+    )
+    out = two_phase_bottom_k(
+        df.select("grp", "h", "shard", "rn"), ["grp", "shard", "rn"], "h", k
+    )
+    # caller's shard/rn columns ride through as partition keys unharmed
+    assert set(out.columns) == {"grp", "shard", "rn", "h"}
+    got = sorted(map(tuple, out.select("grp", "h").collect()))
+    assert got == expect
+    # and the hash shard actually spreads short keys across shards
+    n_shards = (
+        df.select(F.pmod(F.xxhash64("h"), F.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_shards > 1
