@@ -34,9 +34,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query (omitted → rows-only check)."""
+    """DuckDB-runnable ANSI SQL per query (omitted → rows-only check).
+
+    EXPECTED-NO-ORACLE (by design, not failures): exactly the names in
+    :func:`rows_only_by_design`. Each is an ITERATIVE algorithm whose
+    state threads through driver-paced rounds (BPE merge training and
+    its encoder; Lloyd's k-means cell assignment; the DP frame solver's
+    fixpoint) — not expressible as one SQL statement. Every one carries
+    pytest goldens/invariants against an independent single-process
+    implementation, and each family ALSO has an oracle-checked sibling
+    that hash-checks the same machinery end-to-end
+    (t_bpe_reconstruction, knn_ivf_learned_exhaustive,
+    ep2_burst_catalog): a ``no_oracle`` record for these five names is
+    the weaker check the driver contract documents, not a red row.
+    """
     return {
         name: spec.oracle
         for name, spec in all_queries().items()
         if spec.oracle is not None
+    }
+
+
+def rows_only_by_design() -> dict[str, str]:
+    """name -> one-line reason, for every query intentionally registered
+    WITHOUT an oracle (see :func:`oracle_sql` docs). Kept in code so the
+    list can't drift from the registry: a test asserts the no-oracle set
+    equals exactly these keys."""
+    return {
+        "t_bpe_merges": (
+            "iterative BPE merge training (driver-paced rounds); "
+            "oracle-checked sibling: t_bpe_reconstruction"
+        ),
+        "t_bpe_encode": (
+            "applies the iteratively-trained merge list; "
+            "oracle-checked sibling: t_bpe_reconstruction"
+        ),
+        "knn_cosine_ivf_learned": (
+            "pruned nprobe=1 search over Lloyd-trained cells; "
+            "oracle-checked sibling: knn_ivf_learned_exhaustive"
+        ),
+        "ep1_minimal_db": (
+            "DP frame solver fixpoint (brute-force-optimality pytest); "
+            "oracle-checked sibling: ep2_burst_catalog"
+        ),
+        "ep1_frame_partition": (
+            "DP frame solver fixpoint (brute-force-optimality pytest); "
+            "oracle-checked sibling: ep2_burst_catalog"
+        ),
     }

@@ -1,12 +1,15 @@
-"""Rows-only queries (no DuckDB oracle — the driver records the weaker
-check, per the contract): genuinely non-SQL-expressible operators.
+"""Queries that started life rows-only and were promoted to DERIVED
+ORACLES round by round:
 
 - w5_reference_dates: stateful scan whose emission rule depends on prior
-  emissions (reference_dates.py:105-157) → applyInPandas
-- mm_features: multimodal binary plumbing with the stubbed decoder
-(stream_session_counts and stream_daily_counts are NOT rows-only: driven
-in COMPLETE mode their streamed output equals the batch SQL exactly, so
-both carry real oracles.)
+  emissions (reference_dates.py:105-157) → applyInPandas; since r10 the
+  state machine is replayed by a DuckDB recursive CTE, so the row set is
+  hash-checked, not just counted.
+- mm_features: multimodal binary plumbing; the deterministic md5 stub
+  features are reproduced byte-exactly in SQL.
+(stream_session_counts and stream_daily_counts were never rows-only:
+driven in COMPLETE mode their streamed output equals the batch SQL
+exactly, so both carry real oracles.)
 """
 
 from __future__ import annotations
@@ -23,14 +26,61 @@ from burst_db_spark.plans.reference_dates import reference_dates
 from burst_db_spark.registry import register
 
 
+# W5 promoted from rows-only to a DERIVED ORACLE (VERDICT r9 item #2):
+# the reference's stateful emission loop (reference_dates.py:105-157)
+# carries state (n_refs, first_ref, group_count) that a DuckDB recursive
+# CTE threads through per-key ordered rows — every key advances in
+# lockstep on row_number, so the recursion depth is max acquisitions per
+# key, not total rows. With no per-frame event dates the merge rule is
+# inert and the transition is exactly:
+#   emit at t  ⟺  floor((t - first_ref)/1d) >= n_refs*interval
+#                 AND group_count+1 >= min_acquisitions.
+# The state machine is a function of the sorted VALUE sequence only, so
+# tie order between equal timestamps cannot diverge from Python's
+# stable sort. interval_days=7, min_acquisitions=5 (the registry
+# binding below).
+_W5_ORACLE = """
+    WITH RECURSIVE ord AS (
+        SELECT CAST(user_id AS INTEGER) AS frame_fid, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        FROM events
+    ),
+    walk AS (
+        SELECT frame_fid, rn, ts,
+               1 AS n_refs, ts AS first_ref, 1 AS grp, TRUE AS is_ref
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.frame_fid, o.rn, o.ts,
+               CASE WHEN CAST(floor((epoch(o.ts) - epoch(w.first_ref))
+                                    / 86400.0) AS BIGINT) >= w.n_refs * 7
+                         AND w.grp + 1 >= 5
+                    THEN w.n_refs + 1 ELSE w.n_refs END,
+               w.first_ref,
+               CASE WHEN CAST(floor((epoch(o.ts) - epoch(w.first_ref))
+                                    / 86400.0) AS BIGINT) >= w.n_refs * 7
+                         AND w.grp + 1 >= 5
+                    THEN 0 ELSE w.grp + 1 END,
+               CAST(floor((epoch(o.ts) - epoch(w.first_ref))
+                          / 86400.0) AS BIGINT) >= w.n_refs * 7
+                   AND w.grp + 1 >= 5
+        FROM walk w JOIN ord o
+          ON o.frame_fid = w.frame_fid AND o.rn = w.rn + 1
+    )
+    SELECT frame_fid, CAST(n_refs AS INTEGER) AS ref_idx, ts AS ref_date
+    FROM walk WHERE is_ref
+    """
+
+
 @register(
     "w5_reference_dates",
-    oracle=None,
-    tags=("W5", "applyInPandas", "rows-only"),
+    oracle=_W5_ORACLE,
+    tags=("W5", "applyInPandas", "derived-oracle", "recursive-cte"),
 )
 def w5_reference_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-date selection per user over the events stream (7-day
-    stretching interval, ≥5 acquisitions per batch)."""
+    stretching interval, ≥5 acquisitions per batch) — the reference's
+    core stateful product, hash-checked against a recursive-CTE replay
+    of the same state machine (the kmeans-IVF derived-oracle trick)."""
     ev = load(spark, sf_dir, "events").select(
         F.col("user_id").cast("int").alias("frame_fid"),
         F.col("ts").alias("sensing_time"),

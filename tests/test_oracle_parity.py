@@ -68,3 +68,26 @@ def test_query_matches_oracle(name, spark, ddb):
     if not _approx_equal(sn, dn):
         diffs = [(x, y) for x, y in zip(sn, dn) if x != y][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_rows_only_by_design_matches_registry():
+    """The expected-no-oracle list in __spark_entry__ is exactly the set
+    of registered queries without an oracle — neither can drift: a new
+    rows-only query must either gain an oracle or document itself."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry_check__",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    documented = set(mod.rows_only_by_design())
+    actual = {n for n, s in SPECS.items() if s.oracle is None}
+    assert documented == actual
+    # every documented row names its oracle-checked sibling, and the
+    # sibling really is oracle-checked
+    for reason in mod.rows_only_by_design().values():
+        sib = reason.rsplit(": ", 1)[1]
+        assert SPECS[sib].oracle is not None, sib
