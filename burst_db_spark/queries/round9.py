@@ -594,16 +594,18 @@ def dd_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at 100 TB the sketches are built once per ingest and the full matrix
 # is re-derivable any time without touching the corpus. Sources whose
 # distinct-hash count is below k are EXACT (sentinel theta = all-f:
-# the sketch is the whole set). Validated against the exact pairwise
-# intersection counts.
+# the sketch is the whole set).
+#
+# r10 split (VERDICT r9 item #6): the PRODUCTION row is sketch-only —
+# no quadratic term anywhere in its plan. The exact pairwise-truth
+# validation rides in the separate dd_source_overlap_exact_audit row,
+# pinned to sf0.01 in bench.py, matching the dd_embedding_nn_exact_audit
+# audit-vs-production convention.
 
 _OV_K = 128
 
-
-@register(
-    "dd_source_overlap_matrix",
-    oracle=f"""
-    WITH {_SHINGLES_CTE},
+# sketch-side SQL shared by the production row and the audit row
+_OV_EST_CTES = f"""{_SHINGLES_CTE},
     ss AS (SELECT DISTINCT d.source, s.shingle
            FROM sh s JOIN documents d USING (doc_id)),
     hs AS (SELECT DISTINCT source, md5(shingle) AS h FROM ss),
@@ -636,28 +638,18 @@ _OV_K = 128
         LEFT JOIN ic i ON i.src_a = s.src_a AND i.src_b = s.src_b
                       AND i.h < s.th
         GROUP BY 1, 2, 3
-    ),
-    truth AS (
-        SELECT a.source AS src_a, b.source AS src_b,
-               CAST(count(*) AS BIGINT) AS true_inter
-        FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
-        GROUP BY 1, 2
-    )
-    SELECT c.src_a, c.src_b,
-           CAST(c.c * {1 << 48}
-                // CAST('0x' || substr(c.th, 1, 12) AS BIGINT) AS BIGINT)
-               AS est_inter,
-           CAST(COALESCE(t.true_inter, 0) AS BIGINT) AS true_inter
-    FROM cnt c
-    LEFT JOIN truth t ON t.src_a = c.src_a AND t.src_b = c.src_b
-    ORDER BY c.src_a, c.src_b
-    """,
-    tags=("dedup", "sketch", "kmv", "theta", "overlap", "llm-pipeline"),
+    )"""
+
+_OV_EST_EXPR = (
+    f"CAST(c.c * {1 << 48}"
+    " // CAST('0x' || substr(c.th, 1, 12) AS BIGINT) AS BIGINT)"
 )
-def dd_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All 190 pairwise source-overlap estimates from 20 per-source
-    bottom-k shingle sketches (two-phase shard→merge build), with the
-    exact intersection counts as the validation column."""
+
+
+def _overlap_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_a, src_b, est_inter) for all source pairs, from per-source
+    bottom-k sketches only — every join is sketch-sized or
+    source-count-sized; the corpus is touched once (shingle build)."""
     docs = load(spark, sf_dir, "documents")
     sh = dd.doc_shingles(docs, "doc_id")
     ss = (
@@ -708,11 +700,31 @@ def dd_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(spine["src_a"], spine["src_b"], spine["th"])
         .agg(F.count(ic["h"]).cast("bigint").alias("c"))
     )
-    # AUDIT-ONLY truth column: the exact pairwise intersection joins the
-    # full (source, shingle) relation against itself — per-shingle fanout
-    # is bounded by C(20,2)=190, so it's linear-ish in the vocabulary,
-    # but at scale you drop it: the sketch estimates are the answer.
-    truth = (
+    return cnt.select(
+        "src_a",
+        "src_b",
+        F.expr(
+            f"CAST(c * CAST({1 << 48} AS BIGINT)"
+            " DIV CAST(conv(substring(th, 1, 12), 16, 10) AS BIGINT)"
+            " AS BIGINT)"
+        ).alias("est_inter"),
+    )
+
+
+def _overlap_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise shingle-intersection counts — the quadratic
+    self-join the sketches exist to avoid. AUDIT ONLY (pinned sf):
+    per-shingle fanout is bounded by C(20,2)=190 so it's linear-ish in
+    the vocabulary at audit scale, but it re-reads the full corpus
+    relation pairwise — at 100 TB you never run this."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dd.doc_shingles(docs, "doc_id")
+    ss = (
+        sh.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    return (
         ss.alias("x")
         .join(
             ss.alias("y"),
@@ -725,16 +737,58 @@ def dd_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("true_inter"))
     )
+
+
+@register(
+    "dd_source_overlap_matrix",
+    oracle=f"""
+    WITH {_OV_EST_CTES}
+    SELECT c.src_a, c.src_b, {_OV_EST_EXPR} AS est_inter
+    FROM cnt c
+    ORDER BY c.src_a, c.src_b
+    """,
+    tags=("dedup", "sketch", "kmv", "theta", "overlap", "llm-pipeline"),
+)
+def dd_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 190 pairwise source-overlap estimates from 20 per-source
+    bottom-k shingle sketches (two-phase shard→merge build) — the
+    production row: sketch-sized joins only, no exact-truth term."""
+    return _overlap_estimates(spark, sf_dir).orderBy("src_a", "src_b")
+
+
+@register(
+    "dd_source_overlap_exact_audit",
+    oracle=f"""
+    WITH {_OV_EST_CTES},
+    truth AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS true_inter
+        FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT c.src_a, c.src_b, {_OV_EST_EXPR} AS est_inter,
+           CAST(COALESCE(t.true_inter, 0) AS BIGINT) AS true_inter
+    FROM cnt c
+    LEFT JOIN truth t ON t.src_a = c.src_a AND t.src_b = c.src_b
+    ORDER BY c.src_a, c.src_b
+    """,
+    tags=("dedup", "sketch", "overlap", "audit", "quadratic-audit"),
+)
+def dd_source_overlap_exact_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch estimates side-by-side with the EXACT pairwise
+    intersections (quadratic shingle self-join) — the validation that
+    justifies trusting dd_source_overlap_matrix. Pinned to sf0.01 in
+    bench.py like the other *_exact_audit rows."""
+    est = _overlap_estimates(spark, sf_dir)
+    truth = _overlap_truth(spark, sf_dir)
     return (
-        cnt.join(F.broadcast(truth), ["src_a", "src_b"], "left")
+        est.join(F.broadcast(truth), ["src_a", "src_b"], "left")
         .select(
             "src_a",
             "src_b",
-            F.expr(
-                f"CAST(c * CAST({1 << 48} AS BIGINT)"
-                " DIV CAST(conv(substring(th, 1, 12), 16, 10) AS BIGINT)"
-                " AS BIGINT)"
-            ).alias("est_inter"),
+            "est_inter",
             F.coalesce(F.col("true_inter"), F.lit(0))
             .cast("bigint")
             .alias("true_inter"),
