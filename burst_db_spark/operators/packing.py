@@ -254,3 +254,80 @@ def weighted_sample_topk(
         .where(F.col("__rn") <= k)
         .drop("__aes_key", "__rn")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key: str,
+    seed: str,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic corpus shuffle + fixed-size epoch sharding — the
+    standard pretraining-epoch op: a seeded global permutation of the
+    corpus, cut into ``n_shards`` near-equal dataloader shards, with NO
+    global sort anywhere in the plan.
+
+    The permutation key is md5(seed:key) — change the seed, get an
+    independent permutation (one per epoch); re-run the job or resize
+    the cluster, get the identical one (the same engine-portable idiom
+    as :func:`assign_split`). The trick that avoids a global total-order
+    exchange: the top 32 bits of the key split the HASH SPACE into
+    ``n_shards`` contiguous ranges, so
+
+      global position  =  (rows in lower hash ranges)  +  rank within
+                          own range
+
+    — one hash partition on the range id + a per-range local sort
+    (WindowGroupLimit-friendly), plus a bounded side-pass: the per-range
+    COUNTS (``n_shards`` rows, model-state-sized, same class as the
+    Bloom bitset) turned into cumulative offsets and broadcast back.
+    At 100 TB the only data-sized movement is the one hash exchange;
+    md5 is uniform, so ranges stay balanced with no planned skew.
+
+    Output per row: ``hash_shard`` (the physical range the row sorted
+    in), ``epoch_pos`` (1-based position in the global permutation —
+    hash-checkable against a plain ``row_number() OVER (ORDER BY
+    md5(...))``), and ``shard`` (the FIXED-SIZE dataloader shard:
+    ``(epoch_pos-1)·n_shards / N``, sizes differing by at most one row).
+    """
+    rk = F.md5(F.concat_ws(":", F.lit(seed), F.col(key).cast("string")))
+    h = F.conv(F.substring(rk, 1, 8), 16, 10).cast("bigint")
+    d = df.select(
+        F.col(key),
+        rk.alias("__rk"),
+        F.shiftright(h * n_shards, 32).cast("int").alias("hash_shard"),
+    )
+    w = Window.partitionBy("hash_shard").orderBy("__rk", key)
+    ranked = d.withColumn("__pos", F.row_number().over(w).cast("bigint"))
+    counts = d.groupBy("hash_shard").agg(F.count("*").alias("__n"))
+    w_off = Window.orderBy("hash_shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "hash_shard",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+        .cast("bigint")
+        .alias("__off"),
+        F.sum("__n").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("__total"),
+    )
+    pos = F.col("__off") + F.col("__pos")
+    return (
+        ranked.join(F.broadcast(offsets), "hash_shard")
+        .select(
+            F.col(key),
+            F.col("hash_shard"),
+            pos.alias("epoch_pos"),
+            F.col("__total"),
+        )
+        # integer DIV, not double /: bit-exact at any corpus size (a
+        # double quotient can mis-floor near shard boundaries past 2^53)
+        .withColumn(
+            "shard",
+            F.expr(f"CAST((epoch_pos - 1) * {n_shards} DIV __total AS INT)"),
+        )
+        .drop("__total")
+    )

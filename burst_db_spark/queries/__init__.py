@@ -33,6 +33,7 @@ _MODULES = (
     "round7",
     "round8",
     "round9",
+    "round10",
     "scalars",
     "similarity",
     "skewq",

@@ -1,0 +1,73 @@
+"""Round-10 queries: deterministic corpus shuffle + epoch sharding (a
+seeded global permutation cut into fixed-size dataloader shards with NO
+global sort — hash-range partitioning + broadcast cumulative offsets),
+and incremental embedding near-dup detection (new vectors probe the
+STORED band keys of the old corpus — old vectors are never re-hashed,
+the embedding mirror of dd_minhash_incremental's snapshot-ingest shape).
+
+Reference parity: opera-adt/burst_db has no training-data path — these
+extend the LLM-pipeline surface (SURVEY.md "beyond the reference"
+mandate). Every oracle is ANSI SQL the driver runs on DuckDB; the
+permutation/hash keys are the repo's engine-portable md5 family so both
+engines derive bit-identical ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from burst_db_spark.catalog import load
+from burst_db_spark.operators.packing import epoch_shuffle
+from burst_db_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# T: deterministic corpus shuffle + epoch sharding (VERDICT r9 item #7)
+
+_ES_N_SHARDS = 8
+
+
+@register(
+    "t_epoch_shard_shuffle",
+    oracle=f"""
+    WITH eps AS (SELECT unnest([0, 1]) AS epoch),
+    r AS (
+        SELECT epoch, doc_id,
+               md5('ep' || CAST(epoch AS VARCHAR) || ':'
+                   || CAST(doc_id AS VARCHAR)) AS rk
+        FROM documents CROSS JOIN eps
+    ),
+    ranked AS (
+        SELECT CAST(epoch AS INTEGER) AS epoch, doc_id,
+               CAST(CAST('0x' || substr(rk, 1, 8) AS BIGINT)
+                    * {_ES_N_SHARDS} // 4294967296 AS INTEGER) AS hash_shard,
+               CAST(row_number() OVER (
+                   PARTITION BY epoch ORDER BY rk, doc_id
+               ) AS BIGINT) AS epoch_pos,
+               CAST(count(*) OVER (PARTITION BY epoch) AS BIGINT) AS n
+        FROM r
+    )
+    SELECT epoch, doc_id, hash_shard, epoch_pos,
+           CAST((epoch_pos - 1) * {_ES_N_SHARDS} // n AS INTEGER) AS shard
+    FROM ranked
+    """,
+    tags=("llm-pipeline", "shuffle", "epoch-shard", "deterministic"),
+)
+def t_epoch_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two epochs of seeded corpus shuffle over ``documents``: per epoch
+    an independent md5-keyed global permutation (``epoch_pos`` is the
+    exact 1-based rank — the oracle's plain ``row_number() OVER (ORDER
+    BY md5(seed:id))``) and the fixed-size dataloader shard cut from it,
+    computed with hash-range partitioning + broadcast offsets instead of
+    a global sort (operators/packing.epoch_shuffle). A hash match here
+    proves the no-global-sort decomposition reproduces the global
+    permutation exactly, per epoch."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    parts = [
+        epoch_shuffle(docs, "doc_id", f"ep{e}", _ES_N_SHARDS)
+        .withColumn("epoch", F.lit(e))
+        for e in (0, 1)
+    ]
+    return parts[0].unionByName(parts[1]).select(
+        "epoch", "doc_id", "hash_shard", "epoch_pos", "shard"
+    )

@@ -593,3 +593,24 @@ def test_a38_day_sketches_are_sharded(spark):
     assert "shard" in squashed
     assert "windowgrouplimit" in squashed
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_epoch_shuffle_no_global_sort_single_data_exchange(spark):
+    """t_epoch_shard_shuffle: the permutation must NOT be a global sort
+    (no rangepartitioning anywhere); the only data-sized movement is the
+    ONE hash exchange on hash_shard (the exchange whose rows still carry
+    the __rk permutation key) — the offsets side-pass moves only
+    aggregated shard counts and joins back via broadcast."""
+    plan = _plan("t_epoch_shard_shuffle", spark)
+    assert "rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    lines = plan.splitlines()
+    data_exchanges = 0
+    for i, line in enumerate(lines):
+        if line.strip().startswith("(") and ") Exchange" in line:
+            block = " ".join(lines[i : i + 3])
+            if "__rk" in block:
+                data_exchanges += 1
+    # one per epoch (the query unions two epochs)
+    assert data_exchanges == 2, plan
