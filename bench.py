@@ -180,6 +180,10 @@ HEADLINE = [
     "p13_late_materialization",
     "t_lsh_band_config_sweep",
     "dd_embedding_nn_directed",
+    # round-10 operators
+    "t_epoch_shard_shuffle",
+    "dd_embedding_nn_incremental",
+    "w5_reference_dates",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

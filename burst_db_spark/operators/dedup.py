@@ -403,6 +403,66 @@ def minhash_lsh_dedup(
     return out
 
 
+def minhash_incremental_manifest(
+    df: DataFrame,
+    id_col: str,
+    new_pred: Column,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """Cross-snapshot incremental MinHash dedup manifest: NEW docs
+    (``new_pred``) that near-duplicate an OLD-corpus doc, found by
+    probing the stored old bands with the new bands only — the band join
+    is new ⋈ old (never old ⋈ old, never new ⋈ new), so per-ingest cost
+    is ∝ new rows + occupancy-bounded probes, independent of corpus age.
+    At 100 TB the old sig/band frames are parquet reads from the
+    signature store (here: the sig frame restricted to old ids stands
+    in). Returns (new_id, dup_of_min, n_old_dups, max_est_sim) — one row
+    per duplicated new doc. Extracted from queries/round9.py so the
+    constant-density scale probe exercises the identical plan."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes).persist()
+    bands = lsh_band_frame(sigs, id_col, num_hashes, band_rows)
+    is_new = new_pred
+    new_b = bands.where(is_new).select(
+        F.col(id_col).alias("new_id"), "band_idx", "band_key"
+    )
+    old_b = bands.where(~is_new).select(
+        F.col(id_col).alias("old_id"), "band_idx", "band_key"
+    )
+    cand = (
+        new_b.join(old_b, ["band_idx", "band_key"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sig_arr = F.array(*[F.col(f"h{j}") for j in range(num_hashes)])
+    sa = sigs.select(F.col(id_col).alias("new_id"), sig_arr.alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("old_id"), sig_arr.alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    out = (
+        cand.join(sa, "new_id")
+        .join(sb, "old_id")
+        .withColumn("est", agree / F.lit(float(num_hashes)))
+        .where(F.col("est") >= threshold)
+        .groupBy("new_id")
+        .agg(
+            F.min("old_id").cast("bigint").alias("dup_of_min"),
+            F.count("*").cast("bigint").alias("n_old_dups"),
+            F.max("est").alias("max_est_sim"),
+        )
+        .orderBy("new_id")
+    )
+    out._dedup_cached = (sigs,)  # release_dedup(out) unpersists
+    return out
+
+
 def containment_prefix_pairs(
     df: DataFrame,
     id_col: str,

@@ -1026,3 +1026,195 @@ def int8_quantized_topk(
         .select("query_id", "neighbor_id", "rank", "cos")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental embedding near-dup: the snapshot-ingest mirror of
+# dd_minhash_incremental (queries/round9.py) for the embedding path.
+
+
+def lsh_near_dup_incremental(
+    emb: DataFrame,
+    new_pred: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 32,
+    bits_per_band: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """NEW-snapshot vectors that near-duplicate (cos ≥ threshold) an
+    OLD-corpus vector, found by probing the STORED band keys of the old
+    corpus with the new vectors' keys only.
+
+    The 100 TB ingest shape: the old corpus's (band_idx, band_key)
+    frame — and its (id, vec, nrm) rows for verification — live in a
+    signature store (here: the sig frame restricted to old ids, standing
+    in for a parquet-backed store, exactly the dd_minhash_incremental
+    framing); only the NEW snapshot is sign-hashed this run. Candidate
+    generation is the new ⋈ old band equi-join — never old ⋈ old (the
+    old corpus was deduped at its own ingest), never new ⋈ new (intra-
+    snapshot dedup is the batch operator's job) — so per-ingest cost is
+    ∝ new rows + occupancy-bounded probes, independent of corpus age.
+    Verify fetches old vectors BY ID (hash join against the store),
+    touching only candidates' rows.
+
+    Returns one row per duplicated new id: (new_id, dup_of_min,
+    n_old_dups, max_cos) — the same manifest shape as the MinHash
+    incremental row, so downstream keep/drop logic is family-agnostic.
+    """
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    planes = lsh_planes(n_planes, dim=64)
+    plane_mat = np.array(planes, dtype=np.float64).T
+    r = bits_per_band
+    n_bands = n_planes // r
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _keys_udf(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy()).astype(np.float64)
+        acc = np.zeros((x.shape[0], plane_mat.shape[1]), dtype=np.float64)
+        for i in range(x.shape[1]):
+            acc += x[:, i : i + 1] * plane_mat[i : i + 1, :]
+        bits = (acc >= 0).astype(np.int32)
+        keys = np.zeros((x.shape[0], n_bands), dtype=np.int32)
+        for b in range(n_bands):
+            for j in range(r):
+                keys[:, b] |= bits[:, b * r + j] << j
+        return pd.Series(list(keys))
+
+    sig = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        _keys_udf(F.col(vec_col)).alias("keys"),
+        new_pred.alias("is_new"),
+    ).persist()
+    bands = sig.select(
+        "vid", "is_new", F.posexplode("keys").alias("band_idx", "band_key")
+    )
+    new_b = bands.where(F.col("is_new")).select(
+        F.col("vid").alias("new_id"), "band_idx", "band_key"
+    )
+    old_b = bands.where(~F.col("is_new")).select(
+        F.col("vid").alias("old_id"), "band_idx", "band_key"
+    )
+    cand = (
+        new_b.join(old_b, ["band_idx", "band_key"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+
+    # Arrow-batched exact-cosine verify, accumulated PER POSITION — the
+    # same addition order as the JVM left fold and DuckDB list_reduce,
+    # so every cos (and therefore max_cos) is bit-identical cross-engine.
+    @F.pandas_udf("double")
+    def _cos_pairs(
+        va: pd.Series, vb: pd.Series, na: pd.Series, nb: pd.Series
+    ) -> pd.Series:
+        A = np.vstack(va.to_numpy()).astype(np.float64)
+        B = np.vstack(vb.to_numpy()).astype(np.float64)
+        acc = np.zeros(len(va), dtype=np.float64)
+        for i in range(A.shape[1]):
+            acc += A[:, i] * B[:, i]
+        return pd.Series(acc / (na.to_numpy() * nb.to_numpy()))
+
+    a = sig.select(
+        F.col("vid").alias("new_id"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = sig.select(
+        F.col("vid").alias("old_id"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    out = (
+        cand.join(a, "new_id")
+        .join(b, "old_id")
+        .withColumn(
+            "cos",
+            _cos_pairs(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+        )
+        .where(F.col("cos") >= threshold)
+        .groupBy("new_id")
+        .agg(
+            F.min("old_id").cast("bigint").alias("dup_of_min"),
+            F.count("*").cast("bigint").alias("n_old_dups"),
+            F.max("cos").alias("max_cos"),
+        )
+        .orderBy("new_id")
+    )
+    out._dedup_cached = (sig,)  # release_dedup(out) unpersists
+    return out
+
+
+def lsh_incremental_oracle_sql(
+    new_pred_sql: str,
+    n_planes: int = 32,
+    bits_per_band: int = 4,
+    threshold: float = 0.4,
+) -> str:
+    """DuckDB SQL for the incremental near-dup manifest: identical plane
+    literals, band packing, fold order, and new/old split predicate
+    (``new_pred_sql`` over column ``vec_id``)."""
+    planes = lsh_planes(n_planes, dim=64)
+    r = bits_per_band
+    n_bands = n_planes // r
+
+    def dot(plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (
+            "list_reduce(list_transform(range(1, 65), i -> "
+            f"CAST(embedding[i] AS DOUBLE) * ({lit})[i]), (x, y) -> x + y)"
+        )
+
+    band_keys = []
+    for bstart in range(0, n_planes, r):
+        terms = [
+            f"(CASE WHEN {dot(planes[bstart + j])} >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(r)
+        ]
+        band_keys.append(" + ".join(terms))
+    keys_list = "[" + ", ".join(band_keys) + "]"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    sig AS (
+        SELECT vec_id, embedding,
+               sqrt(list_reduce(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                    (x, y) -> x + y)) AS nrm,
+               {keys_list} AS keys
+        FROM e
+    ),
+    bands AS (
+        SELECT vec_id, unnest(range({n_bands})) AS band_idx,
+               unnest(keys) AS band_key
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT n.vec_id AS new_id, o.vec_id AS old_id
+        FROM bands n JOIN bands o
+          ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+        WHERE ({new_pred_sql.replace('vec_id', 'n.vec_id')})
+          AND NOT ({new_pred_sql.replace('vec_id', 'o.vec_id')})
+    ),
+    scored AS (
+        SELECT c.new_id, c.old_id,
+               list_reduce(list_transform(range(1, 65),
+                   i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y) / (sa.nrm * sb.nrm) AS cos
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.new_id
+        JOIN e eb ON eb.vec_id = c.old_id
+        JOIN sig sa ON sa.vec_id = c.new_id
+        JOIN sig sb ON sb.vec_id = c.old_id
+    )
+    SELECT new_id,
+           CAST(min(old_id) AS BIGINT) AS dup_of_min,
+           CAST(count(*) AS BIGINT) AS n_old_dups,
+           max(cos) AS max_cos
+    FROM scored WHERE cos >= {threshold}
+    GROUP BY new_id
+    ORDER BY new_id
+    """

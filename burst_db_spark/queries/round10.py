@@ -71,3 +71,28 @@ def t_epoch_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1]).select(
         "epoch", "doc_id", "hash_shard", "epoch_pos", "shard"
     )
+
+# ---------------------------------------------------------------------------
+# DD: incremental embedding near-dup (VERDICT r9 item #8)
+
+from burst_db_spark.operators.similarity import (  # noqa: E402
+    lsh_incremental_oracle_sql,
+    lsh_near_dup_incremental,
+)
+
+
+@register(
+    "dd_embedding_nn_incremental",
+    oracle=lsh_incremental_oracle_sql("vec_id % 3 = 0"),
+    tags=("dedup", "embedding", "lsh", "incremental", "snapshot",
+          "llm-pipeline"),
+)
+def dd_embedding_nn_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-snapshot vectors (vec_id % 3 == 0) that near-duplicate
+    (cos ≥ 0.4) an OLD-corpus vector: new band keys probe the STORED
+    old-corpus band frame (new ⋈ old equi-join only — old vectors are
+    never re-hashed; operators/similarity.lsh_near_dup_incremental),
+    exact cosine verifies survivors by id-join against the store. The
+    embedding mirror of dd_minhash_incremental's ingest shape."""
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_near_dup_incremental(emb, F.col("vec_id") % 3 == 0)

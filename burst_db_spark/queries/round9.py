@@ -542,44 +542,12 @@ def dd_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the old corpus was deduped when ingested), verify is the zip_with
     agreement fold over the two signature arrays. At 100 TB the old
     sig/band frames are parquet reads from the signature store; the
-    new snapshot is the only thing shingled this run."""
+    new snapshot is the only thing shingled this run. Body extracted to
+    operators/dedup.minhash_incremental_manifest (r10) so the 100x
+    constant-density probe runs the IDENTICAL plan."""
     docs = load(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs, "doc_id")
-    bands = dd.lsh_band_frame(sigs, "doc_id")
-    is_new = F.col("doc_id") % 3 == 0
-    new_b = bands.where(is_new).select(
-        F.col("doc_id").alias("new_id"), "band_idx", "band_key"
-    )
-    old_b = bands.where(~is_new).select(
-        F.col("doc_id").alias("old_id"), "band_idx", "band_key"
-    )
-    cand = (
-        new_b.join(old_b, ["band_idx", "band_key"])
-        .select("new_id", "old_id")
-        .distinct()
-    )
-    sig_arr = F.array(*[F.col(f"h{j}") for j in range(_INC_NH)])
-    sa = sigs.select(F.col("doc_id").alias("new_id"), sig_arr.alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("old_id"), sig_arr.alias("sig_b"))
-    agree = F.aggregate(
-        F.zip_with(
-            F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        cand.join(sa, "new_id")
-        .join(sb, "old_id")
-        .withColumn("est", agree / F.lit(16.0))
-        .where(F.col("est") >= 0.5)
-        .groupBy("new_id")
-        .agg(
-            F.min("old_id").cast("bigint").alias("dup_of_min"),
-            F.count("*").cast("bigint").alias("n_old_dups"),
-            F.max("est").alias("max_est_sim"),
-        )
-        .orderBy("new_id")
+    return dd.minhash_incremental_manifest(
+        docs, "doc_id", F.col("doc_id") % 3 == 0, threshold=0.5
     )
 
 

@@ -495,6 +495,172 @@ def embedding_cd_rung(
     return out
 
 
+def minhash_inc_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Constant-density scaling for the INCREMENTAL cross-snapshot
+    MinHash dedup (dd_minhash_incremental; VERDICT r9 item #5 named it
+    the highest 10x ratio of the new rows). Same disjoint-token-space
+    corpus as jaccard_cd_probe — cross-replica band matches are
+    impossible, the new fraction stays 1/3 — so the new ⋈ old band
+    probe's bucket occupancy is constant per replica and the manifest
+    grows ~factor. Linear-ish wall is the proof the probe stays
+    occupancy-bounded; superlinear would mean hot band buckets."""
+    from burst_db_spark.operators.dedup import minhash_incremental_manifest
+
+    out: dict[str, float] = {}
+    for label, f in (("", 1), ("_big", factor)):
+        corpus = _cd_corpus(spark, f)
+        t0 = time.perf_counter()
+        minhash_incremental_manifest(
+            corpus, "doc_id", F.col("doc_id") % 3 == 0, threshold=0.5
+        ).write.format("noop").mode("overwrite").save()
+        out[f"dd_minhash_incremental_cd{label}"] = round(
+            time.perf_counter() - t0, 2
+        )
+        spark.catalog.clearCache()
+    return out
+
+
+def embedding_inc_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Constant-density scaling for the INCREMENTAL embedding near-dup
+    (dd_embedding_nn_incremental, r10): the ±1-isometry corpus of
+    embedding_cd_probe (cross-replica cosines ~0, within-replica
+    structure preserved), new fraction 1/3, LSH params auto-sized via
+    lsh_params_for so band-bucket occupancy stays ~256 as the corpus
+    grows — the same sizing law the batch embedding rungs proved
+    necessary."""
+    from burst_db_spark.operators.similarity import (
+        lsh_near_dup_incremental,
+        lsh_params_for,
+    )
+
+    n_parts = spark.sparkContext.defaultParallelism
+    n_base = load(spark, "/root/testdata/sf0.1", "embeddings").count()
+    out: dict[str, float] = {}
+    for label, f in (("", 1), ("_big", factor)):
+        c = _cd_embeddings(spark, f).repartition(n_parts * max(1, f // 4))
+        n_planes, r = lsh_params_for(n_base * f)
+        t0 = time.perf_counter()
+        lsh_near_dup_incremental(
+            c,
+            F.col("vec_id") % 3 == 0,
+            n_planes=n_planes,
+            bits_per_band=r,
+        ).write.format("noop").mode("overwrite").save()
+        out[f"dd_embedding_nn_incremental_cd{label}"] = round(
+            time.perf_counter() - t0, 2
+        )
+        spark.catalog.clearCache()
+    return out
+
+
+def dpp_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Does dynamic partition pruning still prune as the fact's date
+    space AND the interval dim grow ``factor``x? (VERDICT r9 item #5,
+    j18_point_in_interval_dpp.)
+
+    Fact: events replicated ``factor``x shifted +45 days per replica,
+    written date-partitioned — the partition COUNT grows ~factor.
+    Two rungs over it, timing only the DPP-side aggregation (the
+    in-interval count; the per-type totals side is linear by definition
+    and would mask the pruning signal):
+
+    - ``j18_dpp_fixed_iv``: the interval dim stays the ORIGINAL two
+      blackout windows (first replica only). With DPP the scan touches
+      ~7 date partitions regardless of factor → wall ratio ≈ 1 is the
+      pruning proof; a broken DPP scans factor x the partitions.
+    - ``j18_dpp_grown_iv``: one interval PAIR PER REPLICA (dim rows grow
+      ~factor, still broadcast-sized). Covered partitions grow ~factor →
+      wall ratio ≈ factor confirms the dim growth neither breaks the
+      broadcast nor de-prunes the scan (cost tracks covered data, not
+      total partitions)."""
+    import shutil as _sh
+
+    ev = load(spark, "/root/testdata/sf0.1", "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    out: dict[str, float] = {}
+    for label, f in (("", 1), ("_big", factor)):
+        base = tempfile.mkdtemp(prefix=f"bds_dpp_{f}_")
+        reps = []
+        for rr in range(f):
+            reps.append(
+                ev.select(
+                    (F.col("event_id") + F.lit(rr * SHIFT)).alias("event_id"),
+                    "event_type",
+                    (F.col("ts") + F.expr(f"INTERVAL {rr * 45} DAYS")).alias(
+                        "ts"
+                    ),
+                    "value",
+                )
+            )
+        fact_df = reps[0]
+        for x in reps[1:]:
+            fact_df = fact_df.unionByName(x)
+        fact_path = os.path.join(base, "fact")
+        fact_df.withColumn("event_date", F.to_date("ts")).write.mode(
+            "overwrite"
+        ).partitionBy("event_date").parquet(fact_path)
+        d0 = ev.groupBy("event_type").agg(
+            F.min(F.to_date("ts")).alias("d0")
+        )
+        def intervals(n_reps: int):
+            iv_rows = []
+            for rr in range(n_reps):
+                for s, e in ((78, 162), (312, 372)):
+                    iv_rows.append((rr * 45 * 24 + s, rr * 45 * 24 + e))
+            return d0.select(
+                "event_type",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.expr(
+                                    f"CAST(d0 AS TIMESTAMP) + INTERVAL {s} HOUR"
+                                ).alias("start_ts"),
+                                F.expr(
+                                    f"CAST(d0 AS TIMESTAMP) + INTERVAL {e} HOUR"
+                                ).alias("end_ts"),
+                            )
+                            for s, e in iv_rows
+                        ]
+                    )
+                ).alias("w"),
+            ).select("event_type", "w.start_ts", "w.end_ts")
+
+        try:
+            fact = spark.read.parquet(fact_path)
+            for key, n_reps in (("fixed_iv", 1), ("grown_iv", f)):
+                ivd = intervals(n_reps).withColumn(
+                    "event_date",
+                    F.explode(
+                        F.expr(
+                            "sequence(CAST(start_ts AS DATE),"
+                            " CAST(end_ts AS DATE))"
+                        )
+                    ),
+                )
+                t0 = time.perf_counter()
+                (
+                    fact.join(F.broadcast(ivd), ["event_type", "event_date"])
+                    .where(
+                        (F.col("ts") >= F.col("start_ts"))
+                        & (F.col("ts") < F.col("end_ts"))
+                    )
+                    .groupBy("event_type")
+                    .agg(F.count("*").cast("bigint").alias("n_in"))
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                out[f"j18_dpp_{key}_cd{label}"] = round(
+                    time.perf_counter() - t0, 2
+                )
+                spark.catalog.clearCache()
+        finally:
+            _sh.rmtree(base, ignore_errors=True)
+    return out
+
+
 def fuzzy_cd_probe(spark, factor: int) -> dict[str, float]:
     """Constant-density scaling for the FastSS fuzzy name join (j14).
     Replicas get a per-replica 3-char suffix (pairwise Levenshtein
@@ -658,7 +824,10 @@ _CD_PROBES = {
     "containment": containment_cd_probe,
     "int8": int8_cd_probe,
     "minhash": minhash_cd_probe,
+    "minhash_inc": minhash_inc_cd_probe,
     "embedding": embedding_cd_probe,
+    "embedding_inc": embedding_inc_cd_probe,
+    "dpp": dpp_cd_probe,
     "fuzzy": fuzzy_cd_probe,
     "graph": graph_cd_probe,
 }
