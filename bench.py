@@ -184,6 +184,7 @@ HEADLINE = [
     "t_epoch_shard_shuffle",
     "dd_embedding_nn_incremental",
     "w5_reference_dates",
+    "t_interleave_by_weight",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

@@ -331,3 +331,106 @@ def epoch_shuffle(
         )
         .drop("__total")
     )
+
+
+def grouped_hash_rank(
+    df: DataFrame,
+    key: str,
+    seed: str,
+    part_cols: list[str],
+    n_shards: int = 8,
+    out_col: str = "rank",
+) -> DataFrame:
+    """Per-group deterministic permutation rank WITHOUT per-group global
+    sorts: the :func:`epoch_shuffle` hash-range decomposition generalized
+    to partition columns. Rank of a row within its ``part_cols`` group =
+    rows of the group in lower hash ranges + rank within its own range;
+    the windows partition on (group, hash_shard), so even a group holding
+    most of the corpus never sorts in one task — the 100 TB answer to
+    `row_number() OVER (PARTITION BY source ORDER BY md5(...))`, whose
+    per-source partitions go hot when sources are few and large. The
+    offsets side-pass is groups x shards rows (model-state-sized).
+    """
+    rk = F.md5(F.concat_ws(":", F.lit(seed), F.col(key).cast("string")))
+    h = F.conv(F.substring(rk, 1, 8), 16, 10).cast("bigint")
+    d = df.withColumn("__ghr_rk", rk).withColumn(
+        "__ghr_shard", F.shiftright(h * n_shards, 32).cast("int")
+    )
+    w = Window.partitionBy(*part_cols, "__ghr_shard").orderBy("__ghr_rk", key)
+    ranked = d.withColumn("__ghr_pos", F.row_number().over(w).cast("bigint"))
+    counts = d.groupBy(*part_cols, "__ghr_shard").agg(
+        F.count("*").alias("__ghr_n")
+    )
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("__ghr_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *part_cols,
+        "__ghr_shard",
+        F.coalesce(F.sum("__ghr_n").over(w_off), F.lit(0))
+        .cast("bigint")
+        .alias("__ghr_off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), [*part_cols, "__ghr_shard"])
+        .withColumn(out_col, F.col("__ghr_off") + F.col("__ghr_pos"))
+        .drop("__ghr_rk", "__ghr_shard", "__ghr_pos", "__ghr_off")
+    )
+
+
+def interleave_by_weight(
+    df: DataFrame,
+    key: str,
+    source_col: str,
+    weights: dict[str, int],
+    seed: str = "mix0",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic weighted multi-source interleave — the corpus
+    MIXING SCHEDULE of a training run: source s with integer weight w_s
+    contributes its k-th document (in a seeded per-source permutation)
+    at virtual time t = k · (D / w_s), D = lcm of all weights. Reading
+    the corpus in ``vtime`` order yields the classic stride-scheduling
+    interleave: every window of the stream contains sources in
+    proportion to their weights (deficit bounded by one stride), with
+    no randomness to drift between runs, engines, or cluster sizes.
+
+    All arithmetic is INTEGER (D/w_s divides exactly), so the schedule
+    is bit-portable and oracle-checkable; ties at equal vtime are
+    resolved by (source, rank) — a total order. Per-source ranks come
+    from :func:`grouped_hash_rank` (hash-range decomposition, no hot
+    per-source sort partitions). The output is (key, source, src_rank,
+    vtime); a dataloader range-reads by vtime, and epoch N simply
+    changes the seed.
+    """
+    import math
+
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive integers")
+    lcm = 1
+    for w in weights.values():
+        lcm = lcm * w // math.gcd(lcm, w)
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, lcm // w) for s, w in weights.items()],
+        f"{source_col} string, __stride long",
+    )
+    ranked = grouped_hash_rank(
+        df.where(F.col(source_col).isin(list(weights))),
+        key,
+        seed,
+        [source_col],
+        n_shards,
+        out_col="src_rank",
+    )
+    return (
+        ranked.join(F.broadcast(wdf), source_col)
+        .select(
+            F.col(key),
+            F.col(source_col),
+            F.col("src_rank"),
+            (F.col("src_rank") * F.col("__stride")).alias("vtime"),
+        )
+    )

@@ -132,6 +132,7 @@ _SAMPLING_PRIORITY = (
     "dd_source_overlap_exact_audit",
     "t_epoch_shard_shuffle",
     "dd_embedding_nn_incremental",
+    "t_interleave_by_weight",
     # -- then the remaining r6 block, oldest evidence first --
     "f_variant_props",
     "g3_bfs_hops",

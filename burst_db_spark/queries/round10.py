@@ -96,3 +96,47 @@ def dd_embedding_nn_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding mirror of dd_minhash_incremental's ingest shape."""
     emb = load(spark, sf_dir, "embeddings")
     return lsh_near_dup_incremental(emb, F.col("vec_id") % 3 == 0)
+
+# ---------------------------------------------------------------------------
+# T: deterministic weighted multi-source interleave (mixing schedule)
+
+from burst_db_spark.operators.packing import interleave_by_weight  # noqa: E402
+
+# weights 1/2/3 by source-number mod 3 — lcm 6, strides 6/3/2
+_MIX_WEIGHTS = {f"src{i}": 1 + (i % 3) for i in range(20)}
+_MIX_LCM = 6
+
+
+def _mix_values_sql() -> str:
+    return ", ".join(
+        f"('{s}', {_MIX_LCM // w})" for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+
+
+@register(
+    "t_interleave_by_weight",
+    oracle=f"""
+    WITH w(source, stride) AS (VALUES {_mix_values_sql()}),
+    r AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('mix0:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS src_rank
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, r.src_rank,
+           CAST(r.src_rank * w.stride AS BIGINT) AS vtime
+    FROM r JOIN w USING (source)
+    """,
+    tags=("llm-pipeline", "mixing", "interleave", "deterministic"),
+)
+def t_interleave_by_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus MIXING SCHEDULE: sources weighted 1/2/3 (by source
+    number mod 3) interleave by integer stride scheduling — source s
+    emits its k-th doc (seeded per-source permutation, hash-range ranks
+    with no hot per-source sort) at virtual time k·(lcm/w_s). Reading in
+    vtime order delivers weight-proportional mixing in every prefix,
+    deterministically (operators/packing.interleave_by_weight)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return interleave_by_weight(docs, "doc_id", "source", _MIX_WEIGHTS)
