@@ -185,6 +185,7 @@ HEADLINE = [
     "dd_embedding_nn_incremental",
     "w5_reference_dates",
     "t_interleave_by_weight",
+    "stream_minhash_incremental",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

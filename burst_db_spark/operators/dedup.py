@@ -403,6 +403,70 @@ def minhash_lsh_dedup(
     return out
 
 
+def row_local_minhash(
+    shingles_col: Column,
+    num_hashes: int = NUM_HASHES,
+) -> Column:
+    """The MinHash signature as ONE ROW-LOCAL array<bigint> expression —
+    ``array_min`` over the doc's shingle array per hash — with values
+    IDENTICAL to :func:`minhash_signatures` (same md5 seed family, same
+    digest slices; min over the same multiset). The batch path keeps its
+    explode+groupBy form (map-side partial agg, digest projected once
+    per shingle); this form exists for STREAMING ingest, where a per-doc
+    signature must be computable without a stateful aggregation — a doc
+    with no shingles yields NULLs (callers filter ``size(shingles) > 0``
+    to mirror the batch path, which emits no row for such docs)."""
+    def _hash_fn(seed: int, slice_idx: int):
+        # pyspark passes as many args as the lambda declares, so the
+        # captured constants must live in a closure, not default args
+        def fn(s: Column) -> Column:
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}:"), s)),
+                    1 + 8 * slice_idx,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+
+        return fn
+
+    sigs = []
+    for j in range(num_hashes):
+        seed, slice_idx = divmod(j, 4)
+        sigs.append(F.array_min(F.transform(shingles_col, _hash_fn(seed, slice_idx))))
+    return F.array(*sigs)
+
+
+def row_local_band_keys(
+    sig_col: Column,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> Column:
+    """LSH band keys from a materialized row-local signature array —
+    the same ``md5(concat_ws(',', h...))`` packing as
+    :func:`lsh_band_frame`, as one array<string> per row (band b at
+    index b+1). Streaming-safe: pure column math, no stack/groupBy."""
+    n_bands = num_hashes // band_rows
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(sig_col, b * band_rows + r + 1).cast(
+                            "string"
+                        )
+                        for r in range(band_rows)
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 def minhash_incremental_manifest(
     df: DataFrame,
     id_col: str,

@@ -133,6 +133,7 @@ _SAMPLING_PRIORITY = (
     "t_epoch_shard_shuffle",
     "dd_embedding_nn_incremental",
     "t_interleave_by_weight",
+    "stream_minhash_incremental",
     # -- then the remaining r6 block, oldest evidence first --
     "f_variant_props",
     "g3_bfs_hops",

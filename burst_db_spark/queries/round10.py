@@ -140,3 +140,137 @@ def t_interleave_by_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically (operators/packing.interleave_by_weight)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     return interleave_by_weight(docs, "doc_id", "source", _MIX_WEIGHTS)
+
+# ---------------------------------------------------------------------------
+# Streaming incremental MinHash dedup: the dd_minhash_incremental ingest
+# shape made CONTINUOUS. The old corpus's signature store (sig + band
+# frames) is the STATIC side of a stream-static equi-join — Spark keeps
+# zero join state for it; the arriving snapshot computes its signatures
+# ROW-LOCALLY (dedup.row_local_minhash — array_min over the doc's own
+# shingle array, bit-identical to the batch explode+groupBy signatures)
+# so no stateful aggregation precedes the join. The stream's single
+# stateful operator is the final per-new-doc manifest rollup
+# (collect_set dedupes multi-band matches). Batching-independent by
+# construction: the streamed manifest must equal the batch oracle
+# bit-for-bit.
+
+from burst_db_spark.queries.round9 import (  # noqa: E402
+    _SHINGLES_CTE as _R9_SHINGLES_CTE,
+    _inc_agree_sql as _r9_inc_agree_sql,
+    _inc_band_joins_sql as _r9_inc_band_joins_sql,
+    _minhash_pair_ctes as _r9_minhash_pair_ctes,
+)
+
+
+@register(
+    "stream_minhash_incremental",
+    oracle=f"""
+    WITH {_R9_SHINGLES_CTE},
+    {_r9_minhash_pair_ctes(None)},
+    newb AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+    oldb AS (SELECT * FROM bands WHERE doc_id % 3 <> 0),
+    candx AS (
+        SELECT DISTINCT new_id, old_id FROM (
+{_r9_inc_band_joins_sql()}
+        )
+    ),
+    ver AS (
+        SELECT c.new_id, c.old_id, ({_r9_inc_agree_sql()}) / 16.0 AS est
+        FROM candx c
+        JOIN sig a ON a.doc_id = c.new_id
+        JOIN sig b ON b.doc_id = c.old_id
+    )
+    SELECT new_id,
+           CAST(min(old_id) AS BIGINT) AS dup_of_min,
+           CAST(count(*) AS BIGINT) AS n_old_dups,
+           max(est) AS max_est_sim
+    FROM ver WHERE est >= 0.5
+    GROUP BY new_id
+    ORDER BY new_id
+    """,
+    tags=("streaming", "dedup", "minhash", "incremental", "llm-pipeline"),
+)
+def stream_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-snapshot docs STREAM in and probe the static old-corpus band
+    store (stream-static join, zero join state); signatures are computed
+    row-locally on the stream, the per-new-doc manifest rollup is the
+    only stateful operator (complete mode, availableNow drain). Must
+    equal the batch dd_minhash_incremental manifest bit-for-bit."""
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from burst_db_spark.operators import dedup as dd
+    from burst_db_spark.operators import text as tx
+    from burst_db_spark.streaming import incremental as st
+
+    docs = load(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 3 == 0
+
+    # static signature store (old corpus): batch signatures + bands
+    old_sigs = dd.minhash_signatures(docs.where(~is_new), "doc_id")
+    sig_arr = F.array(*[F.col(f"h{j}") for j in range(16)])
+    old_sig = old_sigs.select(
+        F.col("doc_id").alias("old_id"), sig_arr.alias("sig_b")
+    )
+    old_bands = dd.lsh_band_frame(old_sigs, "doc_id").select(
+        F.col("doc_id").alias("old_id"), "band_idx", "band_key"
+    )
+
+    new_corpus = docs.where(is_new).select("doc_id", "text")
+    tmp = _tempfile.mkdtemp(prefix="bds_inc_stream_")
+    data_dir = f"{tmp}/in"
+    new_corpus.coalesce(4).write.parquet(data_dir)
+    stream = st.file_stream(spark, data_dir, new_corpus.schema)
+
+    sh = tx.shingles(F.col("text"))
+    signed = (
+        stream.where(F.size(sh) > 0)
+        .select(
+            F.col("doc_id").alias("new_id"),
+            dd.row_local_minhash(sh).alias("sig_a"),
+        )
+        .select(
+            "new_id",
+            "sig_a",
+            F.posexplode(dd.row_local_band_keys(F.col("sig_a"))).alias(
+                "band_idx", "band_key"
+            ),
+        )
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        signed.join(old_bands, ["band_idx", "band_key"])
+        .join(old_sig, "old_id")
+        .withColumn("est", agree / F.lit(16.0))
+        .where(F.col("est") >= 0.5)
+    )
+    agg = scored.groupBy("new_id").agg(
+        F.collect_set("old_id").alias("dups"),
+        F.max("est").alias("max_est_sim"),
+    )
+    name = f"inc_dedup_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "new_id",
+            F.array_min("dups").cast("bigint").alias("dup_of_min"),
+            F.size("dups").cast("bigint").alias("n_old_dups"),
+            "max_est_sim",
+        )
+        .orderBy("new_id")
+    )
