@@ -186,6 +186,7 @@ HEADLINE = [
     "w5_reference_dates",
     "t_interleave_by_weight",
     "stream_minhash_incremental",
+    "dd_delete_propagation",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

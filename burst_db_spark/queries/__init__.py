@@ -134,6 +134,7 @@ _SAMPLING_PRIORITY = (
     "dd_embedding_nn_incremental",
     "t_interleave_by_weight",
     "stream_minhash_incremental",
+    "dd_delete_propagation",
     # -- then the remaining r6 block, oldest evidence first --
     "f_variant_props",
     "g3_bfs_hops",

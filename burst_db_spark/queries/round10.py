@@ -274,3 +274,80 @@ def stream_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("new_id")
     )
+
+# ---------------------------------------------------------------------------
+# DD: deletion propagation through dedup clusters (data governance).
+# Right-to-be-forgotten at corpus scale: deleting documents must not
+# silently delete their dedup CLUSTERS — when a cluster's surviving
+# representative (the min doc id the dedup pass kept) is itself deleted,
+# the next-smallest surviving member must be promoted, and clusters
+# whose members are all deleted must be surfaced as gone. One pass over
+# the cluster assignment (min-label CC, the sub-quadratic path), no
+# re-dedup of the corpus.
+
+from burst_db_spark.queries.round4 import (  # noqa: E402
+    _minhash_pair_ctes as _r4_minhash_pair_ctes,
+)
+
+_DEL_PRED = "doc_id % 17 = 0"
+
+
+@register(
+    "dd_delete_propagation",
+    oracle=f"""
+    WITH RECURSIVE {_R9_SHINGLES_CTE},
+    {_r4_minhash_pair_ctes(None)},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+              UNION SELECT id_b, id_a FROM lsh_pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    assign AS (SELECT src AS doc_id, min(dst) AS cluster_id
+               FROM reach GROUP BY src)
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN {_DEL_PRED} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_deleted,
+           CAST(min(CASE WHEN NOT ({_DEL_PRED}) THEN doc_id END) AS BIGINT)
+               AS new_rep,
+           cluster_id % 17 = 0 AS rep_changed
+    FROM assign GROUP BY cluster_id
+    HAVING sum(CASE WHEN {_DEL_PRED} THEN 1 ELSE 0 END) > 0
+    ORDER BY cluster_id
+    """,
+    tags=("dedup", "clustering", "governance", "deletion", "llm-pipeline"),
+)
+def dd_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clusters touched by a delete list (doc_id % 17 == 0): member and
+    deleted counts, the promoted representative (min SURVIVING member;
+    NULL when the whole cluster is forgotten), and whether the
+    representative changed (the old rep — the cluster_id itself, the
+    min member the dedup pass kept — was deleted). Reuses the stored
+    cluster assignment; the corpus is never re-deduped."""
+    from burst_db_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_dedup(docs, "doc_id", threshold=0.5)
+    cc = dd.connected_components(pairs, docs, "doc_id")
+    is_del = F.col("doc_id") % 17 == 0
+    return (
+        cc.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum(is_del.cast("int")).cast("bigint").alias("n_deleted"),
+            F.min(F.when(~is_del, F.col("doc_id")))
+            .cast("bigint")
+            .alias("new_rep"),
+        )
+        .where(F.col("n_deleted") > 0)
+        .select(
+            "cluster_id",
+            "n_members",
+            "n_deleted",
+            "new_rep",
+            (F.col("cluster_id") % 17 == 0).alias("rep_changed"),
+        )
+        .orderBy("cluster_id")
+    )
