@@ -614,3 +614,22 @@ def test_epoch_shuffle_no_global_sort_single_data_exchange(spark):
                 data_exchanges += 1
     # one per epoch (the query unions two epochs)
     assert data_exchanges == 2, plan
+
+
+def test_interleave_no_per_source_hot_window(spark):
+    """t_interleave_by_weight: per-source ranks come from the hash-range
+    decomposition, so the data-sized window partitions on
+    (source, __ghr_shard) — never on source alone (20 sources would mean
+    20 hot sort partitions at corpus scale) and never single-partition;
+    no rangepartitioning anywhere."""
+    plan = _plan("t_interleave_by_weight", spark)
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if line.strip().startswith("(") and ") Exchange" in line:
+            block = " ".join(lines[i : i + 3])
+            if "__ghr_rk" in block:
+                # the one data-sized exchange must carry the shard key
+                assert "__ghr_shard" in block, block
