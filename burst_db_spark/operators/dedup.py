@@ -403,6 +403,57 @@ def minhash_lsh_dedup(
     return out
 
 
+def shingle_digests(
+    shingles_col: Column,
+    num_hashes: int = NUM_HASHES,
+) -> Column:
+    """Per-shingle md5 digest arrays as ONE row-local column
+    (array<array<string>>: element i = the seeds' digests of shingle i)
+    — the hot half of the row-local MinHash. Project THIS into a real
+    column first, then derive the signature with
+    :func:`minhash_from_digests`: the 16 min-hashes are cheap substring
+    slices of these digests, and materializing them once keeps md5 at
+    K/4 evaluations per shingle (inlining the digest subtree into each
+    of the 16 mins re-evaluates md5 4x over — measured 5x slower at
+    sf0.1)."""
+    n_md5 = (num_hashes + 3) // 4
+    return F.transform(
+        shingles_col,
+        lambda s: F.array(
+            *[F.md5(F.concat(F.lit(f"{k}:"), s)) for k in range(n_md5)]
+        ),
+    )
+
+
+def minhash_from_digests(
+    digs_col: Column,
+    num_hashes: int = NUM_HASHES,
+) -> Column:
+    """Row-local MinHash signature (array<bigint>) from a MATERIALIZED
+    :func:`shingle_digests` column — values identical to
+    :func:`minhash_signatures`."""
+
+    def _min_fn(seed: int, slice_idx: int):
+        def fn(a: Column) -> Column:
+            return F.conv(
+                F.substring(
+                    F.element_at(a, seed + 1), 1 + 8 * slice_idx, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+
+        return fn
+
+    sigs = []
+    for j in range(num_hashes):
+        seed, slice_idx = divmod(j, 4)
+        sigs.append(
+            F.array_min(F.transform(digs_col, _min_fn(seed, slice_idx)))
+        )
+    return F.array(*sigs)
+
+
 def row_local_minhash(
     shingles_col: Column,
     num_hashes: int = NUM_HASHES,
@@ -415,28 +466,16 @@ def row_local_minhash(
     per shingle); this form exists for STREAMING ingest, where a per-doc
     signature must be computable without a stateful aggregation — a doc
     with no shingles yields NULLs (callers filter ``size(shingles) > 0``
-    to mirror the batch path, which emits no row for such docs)."""
-    def _hash_fn(seed: int, slice_idx: int):
-        # pyspark passes as many args as the lambda declares, so the
-        # captured constants must live in a closure, not default args
-        def fn(s: Column) -> Column:
-            return F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{seed}:"), s)),
-                    1 + 8 * slice_idx,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
+    to mirror the batch path, which emits no row for such docs).
 
-        return fn
-
-    sigs = []
-    for j in range(num_hashes):
-        seed, slice_idx = divmod(j, 4)
-        sigs.append(F.array_min(F.transform(shingles_col, _hash_fn(seed, slice_idx))))
-    return F.array(*sigs)
+    HOT-PATH NOTE: as one expression the digest subtree inlines into
+    each of the K mins (md5 re-evaluated 4x over; measured 5x slower at
+    sf0.1) — production callers project :func:`shingle_digests` into a
+    column first and derive the signature with
+    :func:`minhash_from_digests`, as stream_minhash_incremental does."""
+    return minhash_from_digests(
+        shingle_digests(shingles_col, num_hashes), num_hashes
+    )
 
 
 def row_local_band_keys(

@@ -223,11 +223,18 @@ def stream_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = st.file_stream(spark, data_dir, new_corpus.schema)
 
     sh = tx.shingles(F.col("text"))
+    # two-step signature: digests land in a real column first, so md5
+    # runs K/4 times per shingle instead of K (measured 5x at sf0.1;
+    # see dedup.shingle_digests)
     signed = (
         stream.where(F.size(sh) > 0)
         .select(
             F.col("doc_id").alias("new_id"),
-            dd.row_local_minhash(sh).alias("sig_a"),
+            dd.shingle_digests(sh).alias("digs"),
+        )
+        .select(
+            "new_id",
+            dd.minhash_from_digests(F.col("digs")).alias("sig_a"),
         )
         .select(
             "new_id",

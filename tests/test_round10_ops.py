@@ -1,0 +1,79 @@
+"""Round-10 operator invariants: row-local MinHash parity and the
+epoch-shuffle permutation law."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from burst_db_spark.catalog import load
+from burst_db_spark.operators import dedup as dd
+from burst_db_spark.operators import text as tx
+from tests.conftest import SF_DIR
+
+
+def test_row_local_minhash_matches_batch_signatures(spark):
+    """array_min row-local signatures (both the one-expression form and
+    the two-step digest form) == the batch explode+groupBy signatures,
+    per doc and per hash."""
+    docs = load(spark, SF_DIR, "documents")
+    batch = {
+        r["doc_id"]: tuple(r[f"h{j}"] for j in range(16))
+        for r in dd.minhash_signatures(docs, "doc_id").collect()
+    }
+    sh = tx.shingles(F.col("text"))
+    one = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in docs.where(F.size(sh) > 0)
+        .select("doc_id", dd.row_local_minhash(sh).alias("sig"))
+        .collect()
+    }
+    assert one == batch
+    two = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in docs.where(F.size(sh) > 0)
+        .select("doc_id", dd.shingle_digests(sh).alias("digs"))
+        .select("doc_id", dd.minhash_from_digests(F.col("digs")).alias("sig"))
+        .collect()
+    }
+    assert two == batch
+
+
+def test_row_local_band_keys_match_band_frame(spark):
+    docs = load(spark, SF_DIR, "documents")
+    sigs = dd.minhash_signatures(docs, "doc_id")
+    frame = {
+        (r["doc_id"], r["band_idx"]): r["band_key"]
+        for r in dd.lsh_band_frame(sigs, "doc_id").collect()
+    }
+    sh = tx.shingles(F.col("text"))
+    got = {}
+    rows = (
+        docs.where(F.size(sh) > 0)
+        .select("doc_id", dd.row_local_minhash(sh).alias("sig"))
+        .select("doc_id", dd.row_local_band_keys(F.col("sig")).alias("keys"))
+        .collect()
+    )
+    for r in rows:
+        for i, k in enumerate(r["keys"]):
+            got[(r["doc_id"], i)] = k
+    assert got == frame
+
+
+def test_epoch_shuffle_is_permutation_with_balanced_shards(spark):
+    """epoch_pos is a bijection 1..N; fixed-size shards differ by at
+    most one row; different seeds give different permutations."""
+    from burst_db_spark.operators.packing import epoch_shuffle
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id")
+    n = docs.count()
+    out = epoch_shuffle(docs, "doc_id", "e0", 8).collect()
+    assert sorted(r["epoch_pos"] for r in out) == list(range(1, n + 1))
+    sizes: dict[int, int] = {}
+    for r in out:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    other = epoch_shuffle(docs, "doc_id", "e1", 8).collect()
+    assert {r["doc_id"]: r["epoch_pos"] for r in other} != {
+        r["doc_id"]: r["epoch_pos"] for r in out
+    }
