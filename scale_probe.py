@@ -661,6 +661,36 @@ def dpp_cd_probe(spark, factor: int) -> dict[str, float]:
     return out
 
 
+def shuffle_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Scaling for the deterministic corpus shuffle + epoch sharding
+    (t_epoch_shard_shuffle): docs replicated ``factor``x with shifted
+    ids. The op is one hash exchange + per-range local sorts + a
+    broadcast offsets join (plan-shape-pinned), so wall should track the
+    scan ~linearly — this probe MEASURES that no hidden global sort or
+    skew creeps in as N grows."""
+    from burst_db_spark.operators.packing import epoch_shuffle
+
+    base = load(spark, "/root/testdata/sf0.1", "documents").select("doc_id")
+    out: dict[str, float] = {}
+    for label, f in (("", 1), ("_big", factor)):
+        reps = [
+            base.select((F.col("doc_id") + F.lit(r * SHIFT)).alias("doc_id"))
+            for r in range(f)
+        ]
+        c = reps[0]
+        for x in reps[1:]:
+            c = c.unionByName(x)
+        t0 = time.perf_counter()
+        epoch_shuffle(c, "doc_id", "ep0", 8).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[f"t_epoch_shard_shuffle_cd{label}"] = round(
+            time.perf_counter() - t0, 2
+        )
+        spark.catalog.clearCache()
+    return out
+
+
 def fuzzy_cd_probe(spark, factor: int) -> dict[str, float]:
     """Constant-density scaling for the FastSS fuzzy name join (j14).
     Replicas get a per-replica 3-char suffix (pairwise Levenshtein
@@ -828,6 +858,7 @@ _CD_PROBES = {
     "embedding": embedding_cd_probe,
     "embedding_inc": embedding_inc_cd_probe,
     "dpp": dpp_cd_probe,
+    "shuffle": shuffle_cd_probe,
     "fuzzy": fuzzy_cd_probe,
     "graph": graph_cd_probe,
 }
