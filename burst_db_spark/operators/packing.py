@@ -403,7 +403,8 @@ def interleave_by_weight(
     from :func:`grouped_hash_rank` (hash-range decomposition, no hot
     per-source sort partitions). The output is (key, source, src_rank,
     vtime); a dataloader range-reads by vtime, and epoch N simply
-    changes the seed.
+    changes the seed. Rows whose source is not in ``weights`` are
+    DROPPED (weight zero = not in the mix).
     """
     import math
 
