@@ -187,6 +187,7 @@ HEADLINE = [
     "t_interleave_by_weight",
     "stream_minhash_incremental",
     "dd_delete_propagation",
+    "w5b_reference_dates_events",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

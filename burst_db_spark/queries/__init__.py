@@ -135,6 +135,7 @@ _SAMPLING_PRIORITY = (
     "t_interleave_by_weight",
     "stream_minhash_incremental",
     "dd_delete_propagation",
+    "w5b_reference_dates_events",
     # -- then the remaining r6 block, oldest evidence first --
     "f_variant_props",
     "g3_bfs_hops",

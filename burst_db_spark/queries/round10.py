@@ -358,3 +358,105 @@ def dd_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+# ---------------------------------------------------------------------------
+# W5b: reference-date selection WITH per-frame event dates — the part of
+# the reference's state machine (reference_dates.py:105-157) the r10 w5
+# oracle left to pytest goldens: an event date without enough
+# accumulated acquisitions MOVES the last emitted reference instead of
+# appending one (and when the FIRST reference moves, the interval
+# anchor moves with it). The recursion emits a CHANGE row per append or
+# move; the final reference list takes, per (frame, ref_idx), the LAST
+# change — exactly python's refs[-1] = t overwrite. Event dates are
+# derived relationally on both sides (min event date + 10 and + 20 days
+# per frame), so no literals ride in the SQL.
+
+_W5B_INTERVAL = 7
+_W5B_MIN_ACQ = 5
+
+_W5B_ORACLE = f"""
+    WITH RECURSIVE ord AS (
+        SELECT CAST(user_id AS INTEGER) AS frame_fid, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        FROM events
+    ),
+    evd AS (
+        SELECT frame_fid, CAST(min(CAST(ts AS DATE)) + INTERVAL 10 DAY AS DATE) AS d
+        FROM ord GROUP BY frame_fid
+        UNION ALL
+        SELECT frame_fid, CAST(min(CAST(ts AS DATE)) + INTERVAL 20 DAY AS DATE)
+        FROM ord GROUP BY frame_fid
+    ),
+    walk AS (
+        SELECT frame_fid, rn, ts,
+               1 AS n_refs, ts AS first_ref, 1 AS grp, 1 AS chg
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.frame_fid, o.rn, o.ts,
+               CASE WHEN s.emit THEN s.n_refs + 1 ELSE s.n_refs END,
+               CASE WHEN s.mv AND s.n_refs = 1 THEN s.ts ELSE s.first_ref END,
+               CASE WHEN s.emit OR s.mv THEN 0 ELSE s.grp + 1 END,
+               CASE WHEN s.emit THEN 1 WHEN s.mv THEN 2 ELSE 0 END
+        FROM (
+            SELECT w.*, o.ts AS ots, o.rn AS orn,
+                   ((CAST(floor((epoch(o.ts) - epoch(w.first_ref))
+                                / 86400.0) AS BIGINT)
+                         >= w.n_refs * {_W5B_INTERVAL}
+                     OR e.d IS NOT NULL)
+                    AND w.grp + 1 >= {_W5B_MIN_ACQ}) AS emit,
+                   (e.d IS NOT NULL
+                    AND w.grp + 1 < {_W5B_MIN_ACQ}) AS mv
+            FROM walk w
+            JOIN ord o ON o.frame_fid = w.frame_fid AND o.rn = w.rn + 1
+            LEFT JOIN evd e ON e.frame_fid = o.frame_fid
+                           AND e.d = CAST(o.ts AS DATE)
+        ) s
+        JOIN ord o ON o.frame_fid = s.frame_fid AND o.rn = s.orn
+    )
+    SELECT frame_fid, CAST(n_refs AS INTEGER) AS ref_idx, ts AS ref_date
+    FROM walk WHERE chg > 0
+    QUALIFY row_number() OVER (
+        PARTITION BY frame_fid, n_refs ORDER BY rn DESC
+    ) = 1
+    """
+
+
+@register(
+    "w5b_reference_dates_events",
+    oracle=_W5B_ORACLE,
+    tags=("W5", "applyInPandas", "derived-oracle", "recursive-cte",
+          "event-dates"),
+)
+def w5b_reference_dates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-date selection WITH per-frame event dates (each frame's
+    min date + 10 and + 20 days): exercises the MOVE rule — an event
+    with < min_acquisitions accumulated relocates the last reference
+    (shifting the interval anchor when it is the first) — against a
+    recursive-CTE replay that reduces the overwrite to last-change-wins
+    per (frame, ref_idx)."""
+    from datetime import timedelta
+
+    from burst_db_spark.plans.reference_dates import reference_dates
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("int").alias("frame_fid"),
+        F.col("ts").alias("sensing_time"),
+    )
+    d0 = (
+        ev.groupBy("frame_fid")
+        .agg(F.min(F.to_date("sensing_time")).alias("d0"))
+        .collect()
+    )
+    events_map = {
+        int(r["frame_fid"]): [
+            (r["d0"] + timedelta(days=10)).strftime("%Y-%m-%d"),
+            (r["d0"] + timedelta(days=20)).strftime("%Y-%m-%d"),
+        ]
+        for r in d0
+    }
+    return reference_dates(
+        ev,
+        event_dates_by_key=events_map,
+        interval_days=_W5B_INTERVAL,
+        min_acquisitions=_W5B_MIN_ACQ,
+    )
