@@ -188,6 +188,7 @@ HEADLINE = [
     "stream_minhash_incremental",
     "dd_delete_propagation",
     "w5b_reference_dates_events",
+    "dd_snapshot_novelty",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

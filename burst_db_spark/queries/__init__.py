@@ -136,6 +136,7 @@ _SAMPLING_PRIORITY = (
     "stream_minhash_incremental",
     "dd_delete_propagation",
     "w5b_reference_dates_events",
+    "dd_snapshot_novelty",
     # -- then the remaining r6 block, oldest evidence first --
     "f_variant_props",
     "g3_bfs_hops",

@@ -460,3 +460,171 @@ def w5b_reference_dates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_days=_W5B_INTERVAL,
         min_acquisitions=_W5B_MIN_ACQ,
     )
+
+# ---------------------------------------------------------------------------
+# DD: snapshot novelty from KMV sketches — "how much genuinely NEW
+# content does this crawl bring?" answered from two k-row bottom-k
+# sketches (new-snapshot shingle hashes vs the old corpus's stored
+# sketch) by inclusion–exclusion over three KMV estimates (new, old,
+# union-of-sketches). Sub-k sides are EXACT (the sketch is the whole
+# set). All estimator math is integer (the a32 (k-1)·2^48 // r48
+# idiom), so the row hash-checks bit-for-bit. The exact validation
+# columns are LINEAR (distinct + anti-join distinct — no pairwise
+# term), so unlike the overlap matrix they may ride in the production
+# row.
+
+_NOV_K = 128
+
+
+def _nov_est_sql(n: str, r48: str) -> str:
+    return (
+        f"CASE WHEN {n} < {_NOV_K} THEN {n} "
+        f"ELSE ({_NOV_K} - 1) * {1 << 48} // {r48} END"
+    )
+
+
+@register(
+    "dd_snapshot_novelty",
+    oracle=f"""
+    WITH {_R9_SHINGLES_CTE},
+    hs AS (
+        SELECT DISTINCT
+               CASE WHEN d.doc_id % 3 = 0 THEN 'new' ELSE 'old' END AS side,
+               md5(s.shingle) AS h
+        FROM sh s JOIN documents d USING (doc_id)
+    ),
+    sk AS (
+        SELECT side, h FROM (
+            SELECT side, h,
+                   row_number() OVER (PARTITION BY side ORDER BY h) AS rn
+            FROM hs
+        ) WHERE rn <= {_NOV_K}
+    ),
+    per_side AS (
+        SELECT side, CAST(count(*) AS BIGINT) AS n_sk,
+               CAST('0x' || substr(max(h), 1, 12) AS BIGINT) AS r48
+        FROM sk GROUP BY side
+    ),
+    mu AS (
+        SELECT h FROM (
+            SELECT h, row_number() OVER (ORDER BY h) AS rn
+            FROM (SELECT DISTINCT h FROM sk)
+        ) WHERE rn <= {_NOV_K}
+    ),
+    u AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_sk,
+               CAST('0x' || substr(max(h), 1, 12) AS BIGINT) AS r48
+        FROM mu
+    ),
+    ests AS (
+        SELECT
+            (SELECT CAST({_nov_est_sql('n_sk', 'r48')} AS BIGINT)
+             FROM per_side WHERE side = 'new') AS est_new,
+            (SELECT CAST({_nov_est_sql('n_sk', 'r48')} AS BIGINT)
+             FROM per_side WHERE side = 'old') AS est_old,
+            (SELECT CAST({_nov_est_sql('n_sk', 'r48')} AS BIGINT)
+             FROM u) AS est_union
+    ),
+    exact AS (
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM hs
+             WHERE side = 'new') AS exact_new,
+            (SELECT CAST(count(*) AS BIGINT) FROM hs a
+             WHERE a.side = 'new' AND NOT EXISTS (
+                 SELECT 1 FROM hs b
+                 WHERE b.side = 'old' AND b.h = a.h)) AS exact_novel
+    )
+    SELECT est_new, est_old, est_union,
+           greatest(CAST(0 AS BIGINT),
+                    est_new + est_old - est_union) AS est_inter,
+           greatest(CAST(0 AS BIGINT),
+                    est_new - greatest(CAST(0 AS BIGINT),
+                                       est_new + est_old - est_union))
+               AS est_novel,
+           exact_new, exact_novel
+    FROM ests, exact
+    """,
+    tags=("dedup", "sketch", "kmv", "novelty", "llm-pipeline"),
+)
+def dd_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row novelty manifest for the new snapshot (doc_id % 3 == 0):
+    KMV estimates of new / old / union distinct shingle hashes, the
+    inclusion–exclusion intersection and novel-content estimates
+    (integer-exact, clamped at 0), and the LINEAR exact validation
+    columns. At 100 TB the old sketch is k stored rows; the new side is
+    the only thing hashed this ingest."""
+    from burst_db_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    sh = dd.doc_shingles(docs, "doc_id")
+    hs = (
+        sh.join(docs.select("doc_id"), "doc_id")
+        .select(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("new"))
+            .otherwise(F.lit("old"))
+            .alias("side"),
+            F.md5("shingle").alias("h"),
+        )
+        .distinct()
+    )
+    sk = dd.two_phase_bottom_k(hs, ["side"], "h", _NOV_K)
+    per_side = sk.groupBy("side").agg(
+        F.count("*").cast("bigint").alias("n_sk"),
+        F.conv(F.substring(F.max("h"), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("r48"),
+    )
+
+    def est(n: str = "n_sk", r: str = "r48"):
+        return F.when(F.col(n) < _NOV_K, F.col(n)).otherwise(
+            F.expr(f"CAST(({_NOV_K} - 1) * CAST({1 << 48} AS BIGINT)"
+                   f" DIV {r} AS BIGINT)")
+        ).cast("bigint")
+
+    from pyspark.sql import Window as _W
+
+    mu = (
+        sk.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(_W.orderBy("h")))
+        .where(F.col("rn") <= _NOV_K)
+    )
+    u = mu.agg(
+        F.count("*").cast("bigint").alias("n_sk"),
+        F.conv(F.substring(F.max("h"), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("r48"),
+    )
+    ests = (
+        per_side.groupBy()
+        .pivot("side", ["new", "old"])
+        .agg(F.first(est()))
+        .withColumnRenamed("new", "est_new")
+        .withColumnRenamed("old", "est_old")
+        .crossJoin(F.broadcast(u.select(est().alias("est_union"))))
+    )
+    new_hs = hs.where(F.col("side") == "new").select("h")
+    old_hs = hs.where(F.col("side") == "old").select("h")
+    exact = (
+        new_hs.agg(F.count("*").cast("bigint").alias("exact_new"))
+        .crossJoin(
+            F.broadcast(
+                new_hs.join(old_hs, "h", "left_anti")
+                .agg(F.count("*").cast("bigint").alias("exact_novel"))
+            )
+        )
+    )
+    inter = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.col("est_new") + F.col("est_old") - F.col("est_union"),
+    )
+    return ests.crossJoin(F.broadcast(exact)).select(
+        "est_new",
+        "est_old",
+        "est_union",
+        inter.alias("est_inter"),
+        F.greatest(F.lit(0).cast("bigint"), F.col("est_new") - inter)
+        .alias("est_novel"),
+        "exact_new",
+        "exact_novel",
+    )
