@@ -77,3 +77,31 @@ def test_epoch_shuffle_is_permutation_with_balanced_shards(spark):
     assert {r["doc_id"]: r["epoch_pos"] for r in other} != {
         r["doc_id"]: r["epoch_pos"] for r in out
     }
+
+
+def test_sampling_priority_and_headline_names_exist():
+    """Unknown names in _SAMPLING_PRIORITY are silently ignored (that's
+    deliberate, it lets planned queries pre-register) — which means a
+    TYPO would silently shift the driver's 50-row sampling prefix. Pin
+    every listed name (and every bench HEADLINE name) to a real
+    registered query."""
+    import importlib.util
+    import os
+
+    from burst_db_spark.queries import _SAMPLING_PRIORITY
+    from burst_db_spark.registry import all_queries
+
+    specs = all_queries()
+    missing = [n for n in _SAMPLING_PRIORITY if n not in specs]
+    assert not missing, f"_SAMPLING_PRIORITY typos: {missing}"
+
+    spec = importlib.util.spec_from_file_location(
+        "benchmod_check",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py"),
+    )
+    bm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bm)
+    missing_h = [n for n in bm.HEADLINE if n not in specs]
+    assert not missing_h, f"bench HEADLINE typos: {missing_h}"
+    missing_p = [n for n in bm.PINNED_SF if n not in bm.HEADLINE]
+    assert not missing_p, f"PINNED_SF names not in HEADLINE: {missing_p}"
