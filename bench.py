@@ -189,6 +189,8 @@ HEADLINE = [
     "dd_delete_propagation",
     "w5b_reference_dates_events",
     "dd_snapshot_novelty",
+    "t_padding_waste",
+    "t_tokenizer_fertility",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

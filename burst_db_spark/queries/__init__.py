@@ -137,6 +137,8 @@ _SAMPLING_PRIORITY = (
     "dd_delete_propagation",
     "w5b_reference_dates_events",
     "dd_snapshot_novelty",
+    "t_padding_waste",
+    "t_tokenizer_fertility",
     # -- then the remaining r6 block, oldest evidence first --
     "f_variant_props",
     "g3_bfs_hops",

@@ -628,3 +628,139 @@ def dd_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_new",
         "exact_novel",
     )
+
+# ---------------------------------------------------------------------------
+# T: padding-waste estimator — the batch-packing efficiency diagnostic a
+# training pipeline reads before choosing PADDED length-bucketed
+# batching over concat-and-chunk packing (t_pack_sequences). For each
+# power-of-two length bucket: docs, real tokens, padded slots
+# (n_docs x bucket ceiling), and the waste fraction. Pure map-side
+# column math + one groupBy — linear at any corpus size; the per-row
+# quantities are exact integers so the double division is the only
+# float and is written with identical operand order in both engines.
+
+from burst_db_spark.operators.text import token_count  # noqa: E402
+
+
+@register(
+    "t_padding_waste",
+    oracle="""
+    WITH tc AS (
+        SELECT CAST(length(regexp_replace(trim(text), ' +', ' ', 'g'))
+                    - length(replace(regexp_replace(trim(text),
+                                                    ' +', ' ', 'g'), ' ', ''))
+                    + (CASE WHEN trim(text) = '' THEN 0 ELSE 1 END)
+                    AS INTEGER) AS n_tokens
+        FROM documents
+    ),
+    b AS (
+        SELECT n_tokens,
+               CAST(CASE WHEN n_tokens <= 16 THEN 16
+                    ELSE power(2, ceil(log2(n_tokens))) END AS BIGINT)
+                   AS bucket_max
+        FROM tc
+    )
+    SELECT bucket_max,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(count(*) * bucket_max AS BIGINT) AS padded_slots,
+           1.0 - CAST(sum(n_tokens) AS DOUBLE)
+                 / CAST(count(*) * bucket_max AS DOUBLE) AS waste_frac
+    FROM b
+    GROUP BY bucket_max
+    ORDER BY bucket_max
+    """,
+    tags=("llm-pipeline", "packing", "diagnostics"),
+)
+def t_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per power-of-two length bucket (ceiling >= 16): document count,
+    real token total, padded slot total, and the padding waste fraction
+    — the table that says what length-bucketed padded batching costs vs
+    packing on this corpus."""
+    docs = load(spark, sf_dir, "documents")
+    tc = docs.select(token_count(F.col("text")).alias("n_tokens"))
+    bucket = F.when(F.col("n_tokens") <= 16, F.lit(16).cast("bigint")).otherwise(
+        F.expr("CAST(power(2, ceil(log2(n_tokens))) AS BIGINT)")
+    )
+    return (
+        tc.select("n_tokens", bucket.alias("bucket_max"))
+        .groupBy("bucket_max")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            (F.count("*") * F.first("bucket_max"))
+            .cast("bigint")
+            .alias("padded_slots"),
+        )
+        .select(
+            "bucket_max",
+            "n_docs",
+            "sum_tokens",
+            "padded_slots",
+            (
+                F.lit(1.0)
+                - F.col("sum_tokens").cast("double")
+                / F.col("padded_slots").cast("double")
+            ).alias("waste_frac"),
+        )
+        .orderBy("bucket_max")
+    )
+
+# ---------------------------------------------------------------------------
+# T: tokenizer fertility by source — tokens per byte (and per char) per
+# corpus source, the mix-diagnostic that flags sources the tokenizer
+# serves poorly. Integer sums per group; the two ratios are the only
+# doubles (identical operand order both engines).
+
+
+@register(
+    "t_tokenizer_fertility",
+    oracle="""
+    WITH tc AS (
+        SELECT source,
+               CAST(length(regexp_replace(trim(text), ' +', ' ', 'g'))
+                    - length(replace(regexp_replace(trim(text),
+                                                    ' +', ' ', 'g'), ' ', ''))
+                    + (CASE WHEN trim(text) = '' THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_tokens,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    )
+    SELECT source,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           CAST(sum(n_bytes) AS BIGINT) AS bytes,
+           CAST(sum(n_tokens) AS DOUBLE) / CAST(sum(n_bytes) AS DOUBLE)
+               AS tokens_per_byte,
+           CAST(sum(n_tokens) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE)
+               AS tokens_per_char
+    FROM tc GROUP BY source ORDER BY source
+    """,
+    tags=("llm-pipeline", "tokenizer", "diagnostics"),
+)
+def t_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source whitespace-token fertility: total tokens, total UTF-8
+    bytes, tokens/byte and tokens/char."""
+    docs = load(spark, sf_dir, "documents")
+    tc = docs.select(
+        "source",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+            F.sum("n_bytes").cast("bigint").alias("bytes"),
+            (
+                F.sum("n_tokens").cast("double")
+                / F.sum("n_bytes").cast("double")
+            ).alias("tokens_per_byte"),
+            (
+                F.sum("n_tokens").cast("double")
+                / F.sum("n_chars").cast("double")
+            ).alias("tokens_per_char"),
+        )
+        .orderBy("source")
+    )
