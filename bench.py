@@ -191,6 +191,7 @@ HEADLINE = [
     "dd_snapshot_novelty",
     "t_padding_waste",
     "t_tokenizer_fertility",
+    "dd_cluster_incremental",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

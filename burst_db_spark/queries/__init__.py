@@ -63,11 +63,11 @@ for _m in _MODULES:
 #      stream_watermark_append / stream_stream_join / mm_features)
 #   fill the 50-slot prefix exactly → after CORRECTNESS_r10 no registry
 #   row carries driver evidence older than r6.
-# The round-10 NEW/CHANGED rows (w5_reference_dates promoted to a
+# The 13 round-10 NEW/CHANGED rows (w5_reference_dates promoted to a
 # recursive-CTE oracle, the de-quadrated dd_source_overlap_matrix and
-# its split-out exact audit, t_epoch_shard_shuffle,
-# dd_embedding_nn_incremental) are staged DIRECTLY BEHIND the cut to
-# lead round 11 — this round the judge-prescribed prefix takes all 50
+# its split-out exact audit, and the round-10 additions through
+# dd_cluster_incremental) are staged DIRECTLY BEHIND the cut to lead
+# round 11 — this round the judge-prescribed prefix takes all 50
 # slots; the new rows are strict-sweep-verifiable meanwhile
 # (scripts/verify_strict.py covers the full registry).
 # Names not listed keep their module registration order after the
@@ -139,6 +139,7 @@ _SAMPLING_PRIORITY = (
     "dd_snapshot_novelty",
     "t_padding_waste",
     "t_tokenizer_fertility",
+    "dd_cluster_incremental",
     # -- then the remaining r6 block, oldest evidence first --
     "f_variant_props",
     "g3_bfs_hops",

@@ -764,3 +764,102 @@ def t_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+# ---------------------------------------------------------------------------
+# DD: INCREMENTAL cluster maintenance — merge an arriving snapshot into
+# the STORED dedup cluster assignment without re-deduping the old
+# corpus. Edges for the merge CC are (a) the stored assignment as STAR
+# edges (member -> its cluster representative: one edge per old doc,
+# re-derivable from the label store — the original pair graph is never
+# reloaded) and (b) the new pairs from the incremental band probe
+# (new ⋈ old plus new ⋈ new within the snapshot). Components over that
+# union reproduce exactly the clusters a full re-dedup would find,
+# because every old cluster is connected through its star. Oracle:
+# recursive-CTE closure over the same union graph.
+
+
+@register(
+    "dd_cluster_incremental",
+    oracle=f"""
+    WITH RECURSIVE {_R9_SHINGLES_CTE},
+    {_r4_minhash_pair_ctes(None)},
+    old_pairs AS (
+        SELECT id_a, id_b FROM lsh_pairs
+        WHERE id_a % 3 <> 0 AND id_b % 3 <> 0
+    ),
+    old_reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents WHERE doc_id % 3 <> 0
+        UNION
+        SELECT r.src, e.dst FROM old_reach r
+        JOIN (SELECT id_a AS src, id_b AS dst FROM old_pairs
+              UNION SELECT id_b, id_a FROM old_pairs) e ON r.dst = e.src
+    ),
+    stored AS (SELECT src AS doc_id, min(dst) AS cluster_id
+               FROM old_reach GROUP BY src),
+    star AS (SELECT doc_id AS id_a, cluster_id AS id_b
+             FROM stored WHERE doc_id <> cluster_id),
+    new_pairs AS (
+        SELECT id_a, id_b FROM lsh_pairs
+        WHERE id_a % 3 = 0 OR id_b % 3 = 0
+    ),
+    all_edges AS (
+        SELECT id_a AS src, id_b AS dst FROM star
+        UNION SELECT id_b, id_a FROM star
+        UNION SELECT id_a, id_b FROM new_pairs
+        UNION SELECT id_b, id_a FROM new_pairs
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN all_edges e ON r.dst = e.src
+    ),
+    assign AS (SELECT src AS doc_id, min(dst) AS cluster_id
+               FROM reach GROUP BY src)
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new
+    FROM assign GROUP BY cluster_id
+    HAVING sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) > 0
+    ORDER BY cluster_id
+    """,
+    tags=("dedup", "clustering", "incremental", "snapshot", "llm-pipeline"),
+)
+def dd_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clusters containing at least one NEW-snapshot doc after merging
+    the snapshot into the stored assignment: member counts and new-doc
+    counts per cluster. The old corpus contributes only its label-store
+    star edges (one row per old doc); candidate pairs touching the
+    snapshot come from the band probe. Components over star ∪ new
+    equal a full re-dedup's clusters exactly."""
+    from burst_db_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 3 == 0
+    # the stored assignment (stand-in for the label store): clusters of
+    # the OLD corpus only
+    old_docs = docs.where(~is_new)
+    old_pairs = dd.minhash_lsh_dedup(old_docs, "doc_id", threshold=0.5)
+    stored = dd.connected_components(old_pairs, old_docs, "doc_id")
+    star = stored.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("id_b")
+    )
+    # pairs touching the snapshot (new-old + new-new) from the full band
+    # probe; at 100 TB these come from the incremental probe against the
+    # stored band frames (dd_minhash_incremental machinery)
+    all_pairs = dd.minhash_lsh_dedup(docs, "doc_id", threshold=0.5)
+    new_pairs = all_pairs.where(
+        (F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0)
+    ).select("id_a", "id_b")
+    cc = dd.connected_components(
+        star.unionByName(new_pairs), docs, "doc_id"
+    )
+    return (
+        cc.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(is_new.cast("int")).cast("bigint").alias("n_new"),
+        )
+        .where(F.col("n_new") > 0)
+        .orderBy("cluster_id")
+    )
