@@ -316,6 +316,52 @@ def lsh_oracle_sql(
     """
 
 
+def _band_keys_kernel(plane_mat, n_bands: int, r: int):
+    """Arrow kernel computing sign-bit BAND KEYS (little-endian pack per
+    band, accumulating the plane dots PER POSITION — the exact packing
+    and fold order of lsh_band_keys / the oracle's CASE sum). Shared by
+    the multiprobe flip-all path and the incremental probe so the
+    load-bearing packing lives in ONE place."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _keys_udf(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy()).astype(np.float64)
+        acc = np.zeros((x.shape[0], plane_mat.shape[1]), dtype=np.float64)
+        for i in range(x.shape[1]):
+            acc += x[:, i : i + 1] * plane_mat[i : i + 1, :]
+        bits = (acc >= 0).astype(np.int32)
+        keys = np.zeros((x.shape[0], n_bands), dtype=np.int32)
+        for b in range(n_bands):
+            for j in range(r):
+                keys[:, b] |= bits[:, b * r + j] << j
+        return pd.Series(list(keys))
+
+    return _keys_udf
+
+
+def _cos_pairs_kernel():
+    """Arrow kernel for exact pairwise cosine, accumulated PER POSITION
+    (same addition order as the JVM left fold and DuckDB list_reduce, so
+    every cos is bit-identical cross-engine). Shared by the multiprobe
+    verify and the incremental verify."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def _cos_pairs(
+        va: pd.Series, vb: pd.Series, na: pd.Series, nb: pd.Series
+    ) -> pd.Series:
+        A = np.vstack(va.to_numpy()).astype(np.float64)
+        B = np.vstack(vb.to_numpy()).astype(np.float64)
+        acc = np.zeros(len(va), dtype=np.float64)
+        for i in range(A.shape[1]):
+            acc += A[:, i] * B[:, i]
+        return pd.Series(acc / (na.to_numpy() * nb.to_numpy()))
+
+    return _cos_pairs
+
+
 def probe_masks(bits_per_band: int) -> tuple[int, ...]:
     """Identity + every 1-bit flip of an r-bit band key. Round 6 fix:
     this was a hardcoded 4-bit tuple, so any r != 4 silently probed only
@@ -344,9 +390,13 @@ def lsh_near_dup_pairs_multiprobe(
     8 probed bands match 16 plain bands' recall while the signature
     (the thing materialized per corpus row at 100 TB) shrinks 2×.
 
-    ``max_probe_bits``: None (default) probes EVERY 1-bit flip — the
-    registry/oracle configuration. A value T < r switches to
-    QUERY-DIRECTED probing (Lv et al., VLDB 2007): only the T bits with
+    ``max_probe_bits``: None (default) probes EVERY 1-bit flip via the
+    static symmetric-halved path — the registry/oracle configuration.
+    ANY explicit budget T takes the QUERY-DIRECTED kernel (Lv et al.,
+    VLDB 2007), clamped to r (at T >= r its margin-ranked masks are
+    exactly the r single-bit flips, so the pair set equals flip-all;
+    the plan differs — per-vector masks, both-direction probing): only
+    the T bits with
     the smallest |plane margin| are flipped — those are the bits most
     likely to differ on a true near-neighbor, so a fixed probe budget
     keeps most of the flip-all recall while the probe-row volume stays
@@ -379,23 +429,11 @@ def lsh_near_dup_pairs_multiprobe(
     if directed:
         max_probe_bits = min(max_probe_bits, r)
 
-    # One Arrow pass computes the BAND KEYS directly (sign bits packed
-    # little-endian per band — bit j of band b is plane b·r+j, the exact
-    # packing of lsh_band_keys / the oracle's CASE sum). Doing the pack
-    # in numpy instead of a nested fold expression removes the dominant
-    # cold cost (codegen/JIT of an 8-band aggregate-of-zip_with tree).
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def _keys_udf(vecs: pd.Series) -> pd.Series:
-        x = np.vstack(vecs.to_numpy()).astype(np.float64)
-        acc = np.zeros((x.shape[0], plane_mat.shape[1]), dtype=np.float64)
-        for i in range(x.shape[1]):
-            acc += x[:, i : i + 1] * plane_mat[i : i + 1, :]
-        bits = (acc >= 0).astype(np.int32)
-        keys = np.zeros((x.shape[0], n_bands), dtype=np.int32)
-        for b in range(n_bands):
-            for j in range(r):
-                keys[:, b] |= bits[:, b * r + j] << j
-        return pd.Series(list(keys))
+    # One Arrow pass computes the BAND KEYS directly (numpy pack instead
+    # of a nested fold expression — removes the dominant cold cost of
+    # codegen/JIT on an 8-band aggregate-of-zip_with tree). Kernel shared
+    # with the incremental probe (_band_keys_kernel).
+    _keys_udf = _band_keys_kernel(plane_mat, n_bands, r)
 
     if not directed:
         sig = emb.select(
@@ -506,20 +544,8 @@ def lsh_near_dup_pairs_multiprobe(
         )
     )
 
-    # Arrow-batched verify: accumulate PER POSITION (acc += a_i·b_i over
-    # the whole batch), the same addition order as the JVM left fold and
-    # DuckDB's list_reduce — cosines stay bit-identical to the oracle,
-    # without the interpreted higher-order-function fold per candidate.
-    @F.pandas_udf("double")
-    def _cos_pairs(
-        va: pd.Series, vb: pd.Series, na: pd.Series, nb: pd.Series
-    ) -> pd.Series:
-        A = np.vstack(va.to_numpy()).astype(np.float64)
-        B = np.vstack(vb.to_numpy()).astype(np.float64)
-        acc = np.zeros(len(va), dtype=np.float64)
-        for i in range(A.shape[1]):
-            acc += A[:, i] * B[:, i]
-        return pd.Series(acc / (na.to_numpy() * nb.to_numpy()))
+    # Arrow-batched verify (shared kernel; see _cos_pairs_kernel)
+    _cos_pairs = _cos_pairs_kernel()
 
     scored = (
         cand.join(a, "id_a")
@@ -1063,25 +1089,12 @@ def lsh_near_dup_incremental(
     incremental row, so downstream keep/drop logic is family-agnostic.
     """
     import numpy as np
-    from pyspark.sql.types import ArrayType, IntegerType
 
     planes = lsh_planes(n_planes, dim=64)
     plane_mat = np.array(planes, dtype=np.float64).T
     r = bits_per_band
     n_bands = n_planes // r
-
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def _keys_udf(vecs: pd.Series) -> pd.Series:
-        x = np.vstack(vecs.to_numpy()).astype(np.float64)
-        acc = np.zeros((x.shape[0], plane_mat.shape[1]), dtype=np.float64)
-        for i in range(x.shape[1]):
-            acc += x[:, i : i + 1] * plane_mat[i : i + 1, :]
-        bits = (acc >= 0).astype(np.int32)
-        keys = np.zeros((x.shape[0], n_bands), dtype=np.int32)
-        for b in range(n_bands):
-            for j in range(r):
-                keys[:, b] |= bits[:, b * r + j] << j
-        return pd.Series(list(keys))
+    _keys_udf = _band_keys_kernel(plane_mat, n_bands, r)
 
     sig = emb.select(
         F.col(id_col).alias("vid"),
@@ -1105,19 +1118,9 @@ def lsh_near_dup_incremental(
         .distinct()
     )
 
-    # Arrow-batched exact-cosine verify, accumulated PER POSITION — the
-    # same addition order as the JVM left fold and DuckDB list_reduce,
-    # so every cos (and therefore max_cos) is bit-identical cross-engine.
-    @F.pandas_udf("double")
-    def _cos_pairs(
-        va: pd.Series, vb: pd.Series, na: pd.Series, nb: pd.Series
-    ) -> pd.Series:
-        A = np.vstack(va.to_numpy()).astype(np.float64)
-        B = np.vstack(vb.to_numpy()).astype(np.float64)
-        acc = np.zeros(len(va), dtype=np.float64)
-        for i in range(A.shape[1]):
-            acc += A[:, i] * B[:, i]
-        return pd.Series(acc / (na.to_numpy() * nb.to_numpy()))
+    # Arrow-batched exact-cosine verify (shared kernel; bit-identical
+    # cross-engine — see _cos_pairs_kernel)
+    _cos_pairs = _cos_pairs_kernel()
 
     a = sig.select(
         F.col("vid").alias("new_id"),

@@ -271,6 +271,13 @@ def stream_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # the memory sink holds the full result after the drain — the input
+    # fixture and checkpoint are dead weight; reclaim them so repeated
+    # bench/verify invocations don't accumulate /tmp dirs (the memory
+    # TABLE itself must stay registered: the returned frame reads it)
+    import shutil as _shutil
+
+    _shutil.rmtree(tmp, ignore_errors=True)
     return (
         spark.table(name)
         .select(
@@ -394,7 +401,9 @@ _W5B_ORACLE = f"""
         UNION ALL
         SELECT o.frame_fid, o.rn, o.ts,
                CASE WHEN s.emit THEN s.n_refs + 1 ELSE s.n_refs END,
-               CASE WHEN s.mv AND s.n_refs = 1 THEN s.ts ELSE s.first_ref END,
+               -- the move re-anchors at the CURRENT acquisition (python:
+               -- refs[-1] = t), i.e. s.ots — NOT the previous row's ts
+               CASE WHEN s.mv AND s.n_refs = 1 THEN s.ots ELSE s.first_ref END,
                CASE WHEN s.emit OR s.mv THEN 0 ELSE s.grp + 1 END,
                CASE WHEN s.emit THEN 1 WHEN s.mv THEN 2 ELSE 0 END
         FROM (
@@ -556,9 +565,10 @@ def dd_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from burst_db_spark.operators import dedup as dd
 
     docs = load(spark, sf_dir, "documents")
-    sh = dd.doc_shingles(docs, "doc_id")
+    # doc_shingles already carries doc_id — the side tag is computed
+    # directly on the shingle frame, no join back to docs
     hs = (
-        sh.join(docs.select("doc_id"), "doc_id")
+        dd.doc_shingles(docs, "doc_id")
         .select(
             F.when(F.col("doc_id") % 3 == 0, F.lit("new"))
             .otherwise(F.lit("old"))
@@ -646,10 +656,7 @@ from burst_db_spark.operators.text import token_count  # noqa: E402
     "t_padding_waste",
     oracle="""
     WITH tc AS (
-        SELECT CAST(length(regexp_replace(trim(text), ' +', ' ', 'g'))
-                    - length(replace(regexp_replace(trim(text),
-                                                    ' +', ' ', 'g'), ' ', ''))
-                    + (CASE WHEN trim(text) = '' THEN 0 ELSE 1 END)
+        SELECT CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
                     AS INTEGER) AS n_tokens
         FROM documents
     ),
@@ -718,10 +725,7 @@ def t_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tc AS (
         SELECT source,
-               CAST(length(regexp_replace(trim(text), ' +', ' ', 'g'))
-                    - length(replace(regexp_replace(trim(text),
-                                                    ' +', ' ', 'g'), ' ', ''))
-                    + (CASE WHEN trim(text) = '' THEN 0 ELSE 1 END)
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
                     AS BIGINT) AS n_tokens,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                CAST(length(text) AS BIGINT) AS n_chars
@@ -836,25 +840,33 @@ def dd_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % 3 == 0
+    # ONE dedup pass: signatures are per-doc-deterministic, so the
+    # old-only pair set is exactly the full pair set restricted to
+    # old×old — no second shingle/sign/band pass over the old corpus
+    # (the oracle's old_pairs CTE derives it the same way). Persisted
+    # once; split by predicate.
+    all_pairs = dd.minhash_lsh_dedup(docs, "doc_id", threshold=0.5)
+    all_p = all_pairs.select("id_a", "id_b").persist()
+    old_pairs = all_p.where(
+        (F.col("id_a") % 3 != 0) & (F.col("id_b") % 3 != 0)
+    )
     # the stored assignment (stand-in for the label store): clusters of
     # the OLD corpus only
     old_docs = docs.where(~is_new)
-    old_pairs = dd.minhash_lsh_dedup(old_docs, "doc_id", threshold=0.5)
     stored = dd.connected_components(old_pairs, old_docs, "doc_id")
     star = stored.where(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("id_b")
     )
-    # pairs touching the snapshot (new-old + new-new) from the full band
-    # probe; at 100 TB these come from the incremental probe against the
-    # stored band frames (dd_minhash_incremental machinery)
-    all_pairs = dd.minhash_lsh_dedup(docs, "doc_id", threshold=0.5)
-    new_pairs = all_pairs.where(
+    # pairs touching the snapshot (new-old + new-new); at 100 TB these
+    # come from the incremental probe against the stored band frames
+    # (dd_minhash_incremental machinery)
+    new_pairs = all_p.where(
         (F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0)
-    ).select("id_a", "id_b")
+    )
     cc = dd.connected_components(
         star.unionByName(new_pairs), docs, "doc_id"
     )
-    return (
+    out = (
         cc.groupBy("cluster_id")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
@@ -863,3 +875,8 @@ def dd_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_new") > 0)
         .orderBy("cluster_id")
     )
+    out._dedup_cached = (
+        all_p,
+        *getattr(all_pairs, "_dedup_cached", ()),
+    )  # release_dedup(out) unpersists
+    return out

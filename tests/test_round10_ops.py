@@ -105,3 +105,42 @@ def test_sampling_priority_and_headline_names_exist():
     assert not missing_h, f"bench HEADLINE typos: {missing_h}"
     missing_p = [n for n in bm.PINNED_SF if n not in bm.HEADLINE]
     assert not missing_p, f"PINNED_SF names not in HEADLINE: {missing_p}"
+
+
+def test_w5b_oracle_walk_matches_python_on_anchor_moving_case():
+    """The self-review repro: an event date fires the MOVE with
+    n_refs == 1, relocating the FIRST reference — the interval anchor
+    must move to the CURRENT acquisition (python refs[-1] = t), not the
+    previous row's ts. Runs the committed oracle SQL in DuckDB against
+    select_reference_dates on a synthetic single-frame series."""
+    from datetime import datetime, timedelta
+
+    import duckdb
+
+    from burst_db_spark.plans.reference_dates import select_reference_dates
+    from burst_db_spark.queries.round10 import _W5B_ORACLE
+
+    d0 = datetime(2020, 1, 6)
+    offsets = [0, 3, 10, 11, 12, 13, 14, 15, 18, 25, 32]
+    times = [d0 + timedelta(days=o) for o in offsets]
+    # event dates exactly as the query derives them: min date +10, +20
+    events = {(d0 + timedelta(days=10)).date(), (d0 + timedelta(days=20)).date()}
+    expect = select_reference_dates(
+        times, event_dates=events, interval_days=7, min_acquisitions=5
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (user_id INTEGER, ts TIMESTAMP)")
+    con.executemany(
+        "INSERT INTO events VALUES (1, ?)", [(t,) for t in times]
+    )
+    rows = con.execute(_W5B_ORACLE).fetchall()
+    got = [r[2] for r in sorted(rows, key=lambda r: r[1])]
+    assert got == expect, (got, expect)
+    # and the move path genuinely fired: a ref slot was superseded
+    assert len(expect) < len(
+        con.execute(
+            _W5B_ORACLE.split("SELECT frame_fid, CAST(n_refs AS INTEGER)")[0]
+            + "SELECT 1 FROM walk WHERE chg > 0"
+        ).fetchall()
+    )
