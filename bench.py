@@ -192,6 +192,9 @@ HEADLINE = [
     "t_padding_waste",
     "t_tokenizer_fertility",
     "dd_cluster_incremental",
+    # round-11 operators
+    "t_winnow_fingerprints",
+    "dd_winnow_overlap",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

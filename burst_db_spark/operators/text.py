@@ -388,3 +388,146 @@ def chunk_documents(
             ).alias("chunk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD'03 "MOSS")
+
+WINNOW_POS_MAX = 999_999_999  # 9-digit reversed-position pad bound
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 §3): hash every character ``k``-gram of the normalized
+    text, slide a window of ``w`` consecutive gram hashes, and select
+    each window's MINIMUM hash — rightmost position on ties (robust
+    winnowing's tie rule). Guarantees of the scheme:
+
+    - every shared substring of length >= ``k + w - 1`` between two
+      documents contributes at least one IDENTICAL selected
+      fingerprint to both (the detection guarantee), and
+    - expected density is 2 / (w + 1) of the gram count, so the
+      fingerprint set is a fixed small fraction of the corpus.
+
+    Plan shape (the 100 TB story): normalize + gram explode + ONE
+    per-document window min + distinct — no join, no UDF, and the only
+    exchange is the hash partition on ``id_col`` feeding the window.
+    The (hash asc, pos desc) selection order is encoded INTO the key
+    string — 15 hex md5 chars || zero-padded (WINNOW_POS_MAX - pos) —
+    so a plain ``MIN()`` window reproduces the argmin with the exact
+    tie-break, bit-identically on Spark and the DuckDB oracle (the
+    same portability idiom as ``fingerprint64``). Documents shorter
+    than ``k + w - 1`` chars have no complete window and emit no rows
+    (matches the reference scheme: nothing below the noise threshold
+    is fingerprinted).
+
+    Output: one row per selected (document, position): ``id_col``,
+    ``fp`` (15-hex-char gram hash), ``fp_pos`` (1-based gram start in
+    the normalized text), ``fp60`` (BIGINT form of ``fp`` for compact
+    downstream joins).
+    """
+    from pyspark.sql import Window
+
+    t = F.lower(F.trim(F.col(text_col)))
+    m = (F.length(t) - F.lit(k - 1)).alias("__m")  # gram count
+    grams = (
+        df.select(F.col(id_col), t.alias("__t"), m)
+        .filter(F.col("__m") >= w)
+        .select(
+            id_col,
+            "__m",
+            F.explode(F.sequence(F.lit(1), F.col("__m"))).alias("__pos"),
+            "__t",
+        )
+    )
+    key = F.concat(
+        F.substring(F.md5(F.col("__t").substr(F.col("__pos"), F.lit(k))), 1, 15),
+        F.lpad(
+            (F.lit(WINNOW_POS_MAX) - F.col("__pos")).cast("string"), 9, "0"
+        ),
+    )
+    win = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, w - 1)
+    return (
+        grams.select(id_col, "__m", "__pos", key.alias("__key"))
+        .withColumn("__wkey", F.min("__key").over(win))
+        # only positions that START a complete w-gram window are windows
+        .filter(F.col("__pos") <= F.col("__m") - F.lit(w - 1))
+        .select(id_col, "__wkey")
+        .distinct()
+        .select(
+            id_col,
+            F.substring("__wkey", 1, 15).alias("fp"),
+            (
+                F.lit(WINNOW_POS_MAX) - F.substring("__wkey", 16, 9).cast("int")
+            ).alias("fp_pos"),
+        )
+        .withColumn("fp60", F.conv(F.col("fp"), 16, 10).cast("bigint"))
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowed fingerprints —
+    the MOSS overlap measure. Candidate generation is an EQUI-join on
+    the fingerprint value over each doc's DISTINCT fingerprint set,
+    never an all-pairs comparison, with the same hot-key guard as the
+    shingle joins: a fingerprint present in > ``max_df`` documents
+    (boilerplate/license headers at corpus scale) is dropped from the
+    vocabulary on BOTH sides before the join, bounding any bucket's
+    pair fan-out at ``max_df``².
+
+    Output per pair: shared fingerprint count and the containment-style
+    overlap fraction shared / min(|fp_a|, |fp_b|) over the guarded
+    fingerprint sets.
+    """
+    fps = (
+        winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+        .select(id_col, "fp")
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    df_w = Window.partitionBy("fp")
+    fps = fps.withColumn("__df", F.count("*").over(df_w)).filter(
+        F.col("__df") <= max_df
+    )
+    sizes = fps.groupBy(id_col).agg(F.count("*").alias("__nfp"))
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__nfp").alias("nfp_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__nfp").alias("nfp_b"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared_fps",
+            "nfp_a",
+            "nfp_b",
+            (
+                F.col("shared_fps").cast("double")
+                / F.least("nfp_a", "nfp_b").cast("double")
+            ).alias("overlap_frac"),
+        )
+    )

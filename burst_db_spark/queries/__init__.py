@@ -34,6 +34,7 @@ _MODULES = (
     "round8",
     "round9",
     "round10",
+    "round11",
     "scalars",
     "similarity",
     "skewq",
@@ -140,6 +141,8 @@ _SAMPLING_PRIORITY = (
     "t_padding_waste",
     "t_tokenizer_fertility",
     "dd_cluster_incremental",
+    "t_winnow_fingerprints",
+    "dd_winnow_overlap",
     # -- then the remaining r6 block, oldest evidence first --
     "f_variant_props",
     "g3_bfs_hops",
