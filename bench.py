@@ -195,6 +195,8 @@ HEADLINE = [
     # round-11 operators
     "t_winnow_fingerprints",
     "dd_winnow_overlap",
+    "mm_image_dhash",
+    "mm_image_neardup_pairs",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

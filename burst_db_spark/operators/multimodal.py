@@ -349,3 +349,116 @@ def audio_window_features(
             yield pd.DataFrame(rows)
 
     return wavs.mapInPandas(_feat, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing + exact Hamming-threshold near-dup join
+
+DHASH_GRID = 8  # 8x8 gray samples -> 8 rows x 7 column comparisons = 56 bits
+DHASH_BITS = DHASH_GRID * (DHASH_GRID - 1)
+DHASH_BAND_BITS = 14
+DHASH_N_BANDS = DHASH_BITS // DHASH_BAND_BITS  # 4
+
+
+def image_dhash(media: DataFrame, grid: int = DHASH_GRID) -> DataFrame:
+    """Perceptual difference-hash (dHash) of binary image payloads:
+    REAL decode (magic-byte dispatch), integer luma grayscale
+    ``(299 R + 587 G + 114 B) // 1000``, nearest-neighbor sample onto a
+    ``grid x grid`` gray grid with the floor index map (the
+    ``resize_nearest`` contract), then one bit per adjacent-column
+    comparison ``gray[r, c+1] > gray[r, c]`` — 56 bits for the default
+    8x8 grid, packed little-endian into a BIGINT (bit ``r*(grid-1)+c``).
+
+    All-integer end to end, so an oracle can recompute the exact hash
+    relationally for deterministic pixels; a hash match therefore pins
+    the whole path: container encode, real decode, luma, resample, bit
+    packing. Arrow-batched mapInPandas — pixels never leave the worker,
+    only the 8-byte hash crosses."""
+    import numpy as np
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_media(bytes(payload))
+                px = np.asarray(d["pixels"], dtype=np.int64)
+                gray = (
+                    299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+                ) // 1000
+                h, w = gray.shape
+                ri = (np.arange(grid) * h) // grid
+                ci = (np.arange(grid) * w) // grid
+                g8 = gray[np.ix_(ri, ci)]
+                bits = (g8[:, 1:] > g8[:, :-1]).astype(np.int64)
+                shifts = (
+                    np.arange(grid).reshape(grid, 1) * (grid - 1)
+                    + np.arange(grid - 1).reshape(1, grid - 1)
+                )
+                rows.append(
+                    {"doc_id": doc_id, "dhash": int((bits << shifts).sum())}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
+
+    return media.mapInPandas(_run, "doc_id long, dhash long")
+
+
+def dhash_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = DHASH_N_BANDS,
+    band_bits: int = DHASH_BAND_BITS,
+) -> DataFrame:
+    """EXACT Hamming-threshold near-dup pairs over perceptual hashes via
+    pigeonhole banding: the 56-bit hash splits into ``n_bands`` disjoint
+    14-bit bands; any pair within Hamming distance ``max_hamming`` <
+    ``n_bands`` differs in at most ``max_hamming`` bands and therefore
+    AGREES on at least one — so the (band_idx, band_value) equi-join
+    has 100% recall by construction (no probability, unlike LSH), and
+    ``bit_count(xor)`` verifies candidates exactly.
+
+    The 100 TB shape: candidate volume is bounded by band-bucket
+    occupancy (a hash equi-join, never all-pairs); the verify is a
+    per-candidate integer popcount inside codegen. Requires
+    ``max_hamming < n_bands`` for the recall guarantee."""
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole recall needs max_hamming < n_bands")
+    mask = (1 << band_bits) - 1
+    bands = hashes.select(
+        "doc_id",
+        "dhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("dhash"), j * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("dhash").alias("ha"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("dhash").alias("hb"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

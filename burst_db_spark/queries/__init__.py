@@ -143,6 +143,8 @@ _SAMPLING_PRIORITY = (
     "dd_cluster_incremental",
     "t_winnow_fingerprints",
     "dd_winnow_overlap",
+    "mm_image_dhash",
+    "mm_image_neardup_pairs",
     # -- then the remaining r6 block, oldest evidence first --
     "f_variant_props",
     "g3_bfs_hops",

@@ -126,3 +126,139 @@ def dd_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.winnow_overlap_pairs(
         docs, "doc_id", k=_K, w=_W, min_shared=10, max_df=50
     )
+
+# ---------------------------------------------------------------------------
+# MM: perceptual image near-dup (dHash + pigeonhole-banded Hamming join)
+
+# Deterministic image fixture (the mm_bmp_resize idiom): pixel channel k
+# of doc i is ((r*13 + c*29 + k*17) * (1 + 2*(g%13)) + g*41 + i%3) % 256
+# with g = i // 3. Docs in one group differ by a UNIFORM +0/+1/+2 shift,
+# which leaves adjacent-column gray comparisons unchanged except where
+# the mod-256 wrap flips a relation — within-group dHash distance is a
+# few wrap-induced bit flips. ACROSS groups the odd multiplier is a
+# different bijection of Z/256, scrambling the comparison pattern
+# (measured cross-group mean Hamming ≈ 27/56): the fixture genuinely
+# separates near-dups from non-dups.
+_DHASH_SEL_CTES = """
+    s AS (
+        SELECT CAST(s_suppkey AS BIGINT) AS doc_id,
+               s_suppkey // 3 AS g, s_suppkey % 3 AS d
+        FROM supplier
+    ),
+    dims AS (SELECT doc_id, g, d, 16 + g % 5 AS h, 18 + g % 7 AS w FROM s),
+    grid AS (
+        SELECT doc_id, g, d, r.r, c.c,
+               (r.r * h) // 8 AS sr, (c.c * w) // 8 AS sc
+        FROM dims
+        CROSS JOIN (SELECT unnest(range(8)) AS r) r
+        CROSS JOIN (SELECT unnest(range(8)) AS c) c
+    ),
+    gray AS (
+        SELECT doc_id, r, c,
+               (  299 * (((sr * 13 + sc * 29 +  0) * (1 + 2 * (g % 13))
+                          + g * 41 + d) % 256)
+                + 587 * (((sr * 13 + sc * 29 + 17) * (1 + 2 * (g % 13))
+                          + g * 41 + d) % 256)
+                + 114 * (((sr * 13 + sc * 29 + 34) * (1 + 2 * (g % 13))
+                          + g * 41 + d) % 256)
+               ) // 1000 AS gy
+        FROM grid
+    ),
+    bits AS (
+        SELECT doc_id, r, c, gy,
+               lead(gy) OVER (PARTITION BY doc_id, r ORDER BY c) AS nxt
+        FROM gray
+    ),
+    hs AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN nxt > gy
+                             THEN CAST(1 AS BIGINT) << (r * 7 + c)
+                             ELSE 0 END) AS BIGINT) AS dhash
+        FROM bits WHERE c < 7
+        GROUP BY doc_id
+    )
+"""
+
+
+def _dhash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 24-bit BMP payloads over supplier ids (REAL
+    container encode — the decode path in image_dhash must parse it)."""
+    import numpy as np
+    import pandas as pd
+
+    from burst_db_spark.operators.multimodal import encode_bmp
+
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("doc_id")
+    )
+
+    def _make(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                g, d = i // 3, i % 3
+                h, w = 16 + g % 5, 18 + g % 7
+                r = np.arange(h).reshape(h, 1, 1)
+                c = np.arange(w).reshape(1, w, 1)
+                k = np.arange(3).reshape(1, 1, 3)
+                img = (
+                    ((r * 13 + c * 29 + k * 17) * (1 + 2 * (g % 13))
+                     + g * 41 + d) % 256
+                ).astype(np.uint8)
+                rows.append({"doc_id": i, "payload": encode_bmp(img)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return supp.mapInPandas(_make, "doc_id long, payload binary")
+
+
+@register(
+    "mm_image_dhash",
+    oracle=f"""
+    WITH {_DHASH_SEL_CTES}
+    SELECT doc_id, dhash FROM hs
+    """,
+    tags=("multimodal", "image", "phash", "real-decode", "llm-pipeline"),
+)
+def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash of real BMP payloads: deterministic
+    RGB images ride an ACTUAL 24-bit BMP container, are decoded by the
+    real pure-python codec, integer-luma grayscaled, floor-map sampled
+    onto an 8x8 grid, and packed into a 56-bit dHash
+    (operators/multimodal.image_dhash). The oracle recomputes every
+    gray sample and comparison bit relationally — a hash match pins
+    container encode, decode, luma, resample, and bit packing all at
+    once."""
+    from burst_db_spark.operators.multimodal import image_dhash
+
+    return image_dhash(_dhash_media(spark, sf_dir))
+
+
+@register(
+    "mm_image_neardup_pairs",
+    oracle=f"""
+    WITH {_DHASH_SEL_CTES}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+    FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    """,
+    tags=("multimodal", "image", "near-dup", "hamming", "llm-pipeline"),
+)
+def mm_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs at Hamming distance <= 3 over the
+    56-bit dHash, found by the PIGEONHOLE band join (4 disjoint 14-bit
+    bands; a pair within distance 3 must agree on >= 1 band — 100%
+    recall by construction, no LSH probability), verified by exact
+    popcount (operators/multimodal.dhash_neardup_pairs). The oracle is
+    the quadratic definition — the green hash row proves the banded
+    candidate set is LOSSLESS, the same audit pattern as
+    dd_jaccard_prefix_join."""
+    from burst_db_spark.operators.multimodal import (
+        dhash_neardup_pairs,
+        image_dhash,
+    )
+
+    return dhash_neardup_pairs(
+        image_dhash(_dhash_media(spark, sf_dir)), max_hamming=3
+    )
