@@ -197,6 +197,9 @@ HEADLINE = [
     "dd_winnow_overlap",
     "mm_image_dhash",
     "mm_image_neardup_pairs",
+    "mm_audio_fingerprint",
+    "mm_audio_neardup_pairs",
+    "t_vocab_coverage",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

@@ -462,3 +462,42 @@ def dhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+AUDIO_HASH_WINDOW = 32
+AUDIO_HASH_WINDOWS = 57  # 57 energies -> 56 comparison bits
+
+
+def audio_energy_hash(
+    wavs: DataFrame,
+    window: int = AUDIO_HASH_WINDOW,
+    n_windows: int = AUDIO_HASH_WINDOWS,
+) -> DataFrame:
+    """Perceptual audio fingerprint — the 1-D analog of
+    :func:`image_dhash`: REAL WAV decode, per-window sum-of-|amplitude|
+    energy profile over the first ``n_windows * window`` samples, one
+    bit per adjacent-window comparison ``energy[i+1] > energy[i]``
+    packed little-endian into a BIGINT (56 bits by default).
+
+    Energy-profile *shape* survives uniform gain/DC perturbations up to
+    comparison ties, which is what makes it a near-dup signal rather
+    than an exact digest. All-integer, so a relational oracle can
+    replay it for deterministic samples. Pairs come from the SAME
+    pigeonhole band join as images (:func:`dhash_neardup_pairs`) — one
+    Hamming-join operator serves every modality that can hash into 56
+    bits."""
+    import numpy as np
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_wav(bytes(payload))
+                x = np.abs(d["samples"].astype(np.int64))[: window * n_windows]
+                en = x.reshape(n_windows, window).sum(axis=1)
+                bits = (en[1:] > en[:-1]).astype(np.int64)
+                h = int((bits << np.arange(n_windows - 1)).sum())
+                rows.append({"doc_id": doc_id, "dhash": h})
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
+
+    return wavs.mapInPandas(_run, "doc_id long, dhash long")

@@ -145,6 +145,9 @@ _SAMPLING_PRIORITY = (
     "dd_winnow_overlap",
     "mm_image_dhash",
     "mm_image_neardup_pairs",
+    "mm_audio_fingerprint",
+    "mm_audio_neardup_pairs",
+    "t_vocab_coverage",
     # -- then the remaining r6 block, oldest evidence first --
     "f_variant_props",
     "g3_bfs_hops",

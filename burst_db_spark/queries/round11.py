@@ -262,3 +262,204 @@ def mm_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_neardup_pairs(
         image_dhash(_dhash_media(spark, sf_dir)), max_hamming=3
     )
+
+# ---------------------------------------------------------------------------
+# MM: audio fingerprint near-dup — the 1-D analog of the image dHash,
+# sharing dhash_neardup_pairs for pairing (one Hamming join, every
+# modality). Deterministic PCM16 fixture per supplier id i (g = i//3,
+# d = i%3): sample(t) =
+# ((t*(3 + g%11) + (t*t)//(7 + g%13) + g*97) % 4001) - 2000, plus
+# a +d perturbation confined to the LAST energy window — so docs in a
+# group differ in at most the final comparison bit (Hamming <= 1) while
+# different groups have scrambled energy profiles.
+
+_AU_WIN = 32
+_AU_NWIN = 57
+_AU_N = _AU_WIN * _AU_NWIN  # 1824 samples
+_AU_TAIL = _AU_N - _AU_WIN  # perturbation start
+
+
+_AUDIO_HS_CTES = f"""
+    s AS (
+        SELECT CAST(s_suppkey AS BIGINT) AS doc_id,
+               s_suppkey // 3 AS g, s_suppkey % 3 AS d
+        FROM supplier
+    ),
+    e AS (
+        SELECT doc_id,
+               list_transform(range(0, {_AU_NWIN}), W ->
+                   list_sum(list_transform(range(0, {_AU_WIN}), j ->
+                       abs((((W * {_AU_WIN} + j) * (3 + g % 11)
+                             + ((W * {_AU_WIN} + j) * (W * {_AU_WIN} + j))
+                               // (7 + g % 13)
+                             + g * 97)
+                            % 4001) - 2000
+                           + CASE WHEN W * {_AU_WIN} + j >= {_AU_TAIL}
+                                  THEN d ELSE 0 END)))) AS en
+        FROM s
+    ),
+    hs AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, {_AU_NWIN - 1}), W ->
+                   CASE WHEN en[W + 2] > en[W + 1]
+                        THEN CAST(1 AS BIGINT) << W
+                        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+        FROM e
+    )
+"""
+
+
+def _audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PCM16 WAV payloads over supplier ids (REAL wave
+    container encode — audio_energy_hash must parse it back)."""
+    import numpy as np
+    import pandas as pd
+
+    from burst_db_spark.operators.multimodal import encode_wav_pcm16
+
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("doc_id")
+    )
+
+    def _make(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                g, d = i // 3, i % 3
+                t = np.arange(_AU_N, dtype=np.int64)
+                x = (
+                    (t * (3 + g % 11) + (t * t) // (7 + g % 13) + g * 97)
+                    % 4001
+                ) - 2000
+                x = x + np.where(t >= _AU_TAIL, d, 0)
+                rows.append(
+                    {"doc_id": i, "payload": encode_wav_pcm16([int(v) for v in x])}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return supp.mapInPandas(_make, "doc_id long, payload binary")
+
+
+@register(
+    "mm_audio_fingerprint",
+    oracle=f"""
+    WITH {_AUDIO_HS_CTES}
+    SELECT doc_id, dhash FROM hs
+    """,
+    tags=("multimodal", "audio", "fingerprint", "real-decode",
+          "llm-pipeline"),
+)
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """56-bit audio energy-profile fingerprint of real PCM16 WAV
+    payloads (operators/multimodal.audio_energy_hash): container
+    encode → stdlib wave decode → 57-window |amplitude| energy profile
+    → adjacent-window comparison bits. The oracle replays every sample,
+    energy, and comparison relationally — a hash match pins the whole
+    audio path end to end."""
+    from burst_db_spark.operators.multimodal import audio_energy_hash
+
+    return audio_energy_hash(_audio_media(spark, sf_dir))
+
+
+@register(
+    "mm_audio_neardup_pairs",
+    oracle=f"""
+    WITH {_AUDIO_HS_CTES}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+    FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    """,
+    tags=("multimodal", "audio", "near-dup", "hamming", "llm-pipeline"),
+)
+def mm_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicates at Hamming <= 3 over the energy-profile
+    fingerprint, via the SAME pigeonhole band join that serves images
+    (operators/multimodal.dhash_neardup_pairs — one exact Hamming-join
+    operator across modalities). Oracle is the quadratic definition, so
+    a green row proves the banding lossless on the audio hashes too."""
+    from burst_db_spark.operators.multimodal import (
+        audio_energy_hash,
+        dhash_neardup_pairs,
+    )
+
+    return dhash_neardup_pairs(
+        audio_energy_hash(_audio_media(spark, sf_dir)), max_hamming=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# T: vocabulary coverage / OOV rate — the tokenizer-pipeline diagnostic
+# that decides whether a fixed vocabulary is adequate per source.
+
+_VOCAB_SIZE = 256
+
+
+@register(
+    "t_vocab_coverage",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT source,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT {_VOCAB_SIZE}),
+    st AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS BIGINT)
+               AS oov_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS DOUBLE)
+               / CAST(sum(c) AS DOUBLE) AS oov_rate
+    FROM st LEFT JOIN vocab v ON st.tok = v.tok
+    GROUP BY source
+    """,
+    tags=("text", "tokenizer", "vocabulary", "llm-pipeline"),
+)
+def t_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-256 frequency vocabulary (count desc, token asc — a TOTAL
+    order, so the rank-boundary tie is deterministic cross-engine) and
+    the per-source OOV rate against it. Scale shape: token counts get
+    map-side partial aggregation; the vocabulary is a TakeOrdered
+    (per-partition top-k, merge — never a global sort); the per-source
+    pass aggregates (source, token) first, then joins the BROADCAST
+    vocabulary, so the corpus shuffles only on its natural group keys.
+    At 100 TB the same plan holds with vocab size in the millions —
+    still executor-memory-sized for the broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tx.tokens(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(_VOCAB_SIZE)
+        .select("tok")
+    )
+    st = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    iv = F.when(F.col("__v").isNull(), F.col("c")).otherwise(F.lit(0))
+    return (
+        st.join(
+            F.broadcast(vocab.withColumn("__v", F.lit(1))), "tok", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(iv).alias("oov_tokens"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "oov_tokens",
+            (
+                F.col("oov_tokens").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("oov_rate"),
+        )
+    )

@@ -103,3 +103,75 @@ def test_banded_join_plan_is_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Audio energy-profile hash (the 1-D analog, same pairing operator)
+
+from burst_db_spark.operators.multimodal import (  # noqa: E402
+    AUDIO_HASH_WINDOW,
+    AUDIO_HASH_WINDOWS,
+    audio_energy_hash,
+    decode_wav,
+    encode_wav_pcm16,
+)
+
+
+def _wave(seed: int, tail_shift: int = 0) -> list[int]:
+    n = AUDIO_HASH_WINDOW * AUDIO_HASH_WINDOWS
+    out = []
+    for t in range(n):
+        x = ((t * (3 + seed % 11) + (t * t) // (7 + seed % 13) + seed * 97)
+             % 4001) - 2000
+        if t >= n - AUDIO_HASH_WINDOW:
+            x += tail_shift
+        out.append(x)
+    return out
+
+
+def _wav_media(spark, waves):
+    pdf = pd.DataFrame(
+        [{"doc_id": i, "payload": encode_wav_pcm16(w)} for i, w in waves]
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_wav_roundtrip_preserves_samples():
+    w = _wave(3)
+    assert list(decode_wav(encode_wav_pcm16(w))["samples"]) == w
+
+
+def test_audio_hash_matches_python_reference(spark):
+    """Independent recompute of the energy-profile hash."""
+    waves = [(1, _wave(4)), (2, _wave(9))]
+    got = {
+        r["doc_id"]: r["dhash"]
+        for r in audio_energy_hash(_wav_media(spark, waves)).collect()
+    }
+    for doc_id, w in waves:
+        en = [
+            sum(abs(x) for x in w[i * AUDIO_HASH_WINDOW:(i + 1) * AUDIO_HASH_WINDOW])
+            for i in range(AUDIO_HASH_WINDOWS)
+        ]
+        want = sum(
+            1 << i for i in range(AUDIO_HASH_WINDOWS - 1) if en[i + 1] > en[i]
+        )
+        assert got[doc_id] == want
+
+
+def test_audio_tail_perturbation_is_near(spark):
+    waves = [(1, _wave(5)), (2, _wave(5, tail_shift=2))]
+    got = {
+        r["doc_id"]: r["dhash"]
+        for r in audio_energy_hash(_wav_media(spark, waves)).collect()
+    }
+    assert bin(got[1] ^ got[2]).count("1") <= 1
+
+
+def test_audio_different_waves_are_far(spark):
+    waves = [(1, _wave(5)), (2, _wave(6))]
+    got = {
+        r["doc_id"]: r["dhash"]
+        for r in audio_energy_hash(_wav_media(spark, waves)).collect()
+    }
+    assert bin(got[1] ^ got[2]).count("1") > 10
