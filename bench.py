@@ -200,6 +200,8 @@ HEADLINE = [
     "mm_audio_fingerprint",
     "mm_audio_neardup_pairs",
     "t_vocab_coverage",
+    "a40_key_skew_report",
+    "k8_compaction_plan",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

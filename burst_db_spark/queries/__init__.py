@@ -148,6 +148,8 @@ _SAMPLING_PRIORITY = (
     "mm_audio_fingerprint",
     "mm_audio_neardup_pairs",
     "t_vocab_coverage",
+    "a40_key_skew_report",
+    "k8_compaction_plan",
     # -- then the remaining r6 block, oldest evidence first --
     "f_variant_props",
     "g3_bfs_hops",

@@ -463,3 +463,139 @@ def t_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# A40: join-key skew audit — the pre-join diagnostic a 100 TB pipeline
+# runs before choosing partitioning/salting for a shuffle key.
+
+
+@register(
+    "a40_key_skew_report",
+    oracle="""
+    WITH per_key AS (
+        SELECT 'user_id' AS key_name, CAST(user_id AS VARCHAR) AS k,
+               count(*) AS c
+        FROM events GROUP BY user_id
+        UNION ALL
+        SELECT 'event_type' AS key_name, event_type AS k, count(*) AS c
+        FROM events GROUP BY event_type
+    )
+    SELECT key_name,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(c) AS BIGINT) AS max_freq,
+           CAST(min(c) AS BIGINT) AS min_freq,
+           CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top1_share,
+           CAST(max(c) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+               / CAST(sum(c) AS DOUBLE) AS skew_ratio
+    FROM per_key
+    GROUP BY key_name
+    """,
+    tags=("A", "skew", "diagnostics", "llm-pipeline"),
+)
+def a40_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report for candidate join/partition keys
+    (user_id, event_type) in one scan: per-key frequencies via a
+    2-entry key-name explode, then max/min/top-share/skew-ratio
+    (max over mean frequency — >1 flags hot keys; the number that
+    decides between plain hash partitioning, AQE skew-join, and
+    explicit salting in operators/skew.py). Integer counts + one
+    division, so the report is bit-portable. Scale shape: both
+    aggregations get map-side partials; no sort, no window."""
+    ev = load(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("user_id").alias("key_name"),
+                    F.col("user_id").cast("string").alias("k"),
+                ),
+                F.struct(
+                    F.lit("event_type").alias("key_name"),
+                    F.col("event_type").alias("k"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.key_name", "e.k")
+    per_key = kv.groupBy("key_name", "k").agg(F.count("*").alias("c"))
+    return per_key.groupBy("key_name").agg(
+        F.sum("c").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("c").alias("max_freq"),
+        F.min("c").alias("min_freq"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "top1_share"
+        ),
+        (
+            F.max("c").cast("double")
+            * F.count("*").cast("double")
+            / F.sum("c").cast("double")
+        ).alias("skew_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K8: small-file compaction planner — per-partition bin packing of a
+# file inventory into target-size compaction groups.
+
+_COMPACT_TARGET = 40_000  # bytes per compaction bin (sf-sized demo)
+
+
+@register(
+    "k8_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+        SELECT source, lang,
+               CAST(sum(length(text)) AS BIGINT) AS size_bytes
+        FROM documents GROUP BY source, lang
+    ),
+    planned AS (
+        SELECT source, lang, size_bytes,
+               sum(size_bytes) OVER (
+                   PARTITION BY source
+                   ORDER BY size_bytes DESC, lang
+                   ROWS UNBOUNDED PRECEDING
+               ) - size_bytes AS cum_before
+        FROM files
+    )
+    SELECT source, lang, size_bytes,
+           CAST(cum_before // {_COMPACT_TARGET} AS INTEGER) AS bin
+    FROM planned
+    """,
+    tags=("K", "compaction", "maintenance", "llm-pipeline"),
+)
+def k8_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (the OPTIMIZE-style maintenance
+    pass a 100 TB table needs continuously): the file inventory — here
+    one 'file' per (source, lang) with its byte size — is packed into
+    target-size bins PER PARTITION COLUMN (source), cutting a new bin
+    whenever the size-desc running total crosses a multiple of the
+    target. The window partitions on source, so planning parallelizes
+    across table partitions and never needs a global sort; inventory
+    rows are metadata-sized (files, not records) by construction."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    files = docs.groupBy("source", "lang").agg(
+        F.sum(F.length("text")).alias("size_bytes")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("size_bytes"), "lang")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return files.select(
+        "source",
+        "lang",
+        "size_bytes",
+        (F.sum("size_bytes").over(w) - F.col("size_bytes")).alias(
+            "__cum_before"
+        ),
+    ).select(
+        "source",
+        "lang",
+        "size_bytes",
+        # integer div, not double division: exact past 2^53 (inventory
+        # byte totals at 100 TB overflow double precision)
+        F.expr(f"__cum_before div {_COMPACT_TARGET}").cast("int").alias("bin"),
+    )

@@ -329,6 +329,28 @@ def jaccard_cd_probe(spark, factor: int) -> dict[str, float]:
     return out
 
 
+def winnow_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Constant near-dup-density scaling for the winnowing fingerprint
+    overlap join (same disjoint-token-space corpus as jaccard_cd_probe:
+    per-replica token suffixes perturb the character stream, so
+    cross-replica fingerprint collisions are chance-level and true
+    overlap pairs grow ~factor). The per-doc window-min is embarrassingly
+    parallel; the pair join is bounded by the df<=max_df fingerprint
+    guard, so wall should track corpus size ~linearly."""
+    from burst_db_spark.operators.text import winnow_overlap_pairs
+
+    out: dict[str, float] = {}
+    for label, f in (("", 1), ("_big", factor)):
+        corpus = _cd_corpus(spark, f)
+        t0 = time.perf_counter()
+        winnow_overlap_pairs(
+            corpus, "doc_id", min_shared=10, max_df=50
+        ).write.format("noop").mode("overwrite").save()
+        out[f"dd_winnow_overlap_cd{label}"] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+    return out
+
+
 def int8_cd_probe(spark, factor: int) -> dict[str, float]:
     """Scaling for the int8 scalar-quantized sweep: candidate corpus
     grows ``factor``x (the constant-density embedding construction),
@@ -854,6 +876,7 @@ _CD_PROBES = {
     "containment": containment_cd_probe,
     "int8": int8_cd_probe,
     "minhash": minhash_cd_probe,
+    "winnow": winnow_cd_probe,
     "minhash_inc": minhash_inc_cd_probe,
     "embedding": embedding_cd_probe,
     "embedding_inc": embedding_inc_cd_probe,
