@@ -202,6 +202,7 @@ HEADLINE = [
     "t_vocab_coverage",
     "a40_key_skew_report",
     "k8_compaction_plan",
+    "mm_blob_byte_stats",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

@@ -150,6 +150,7 @@ _SAMPLING_PRIORITY = (
     "t_vocab_coverage",
     "a40_key_skew_report",
     "k8_compaction_plan",
+    "mm_blob_byte_stats",
     # -- then the remaining r6 block, oldest evidence first --
     "f_variant_props",
     "g3_bfs_hops",

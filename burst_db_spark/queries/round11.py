@@ -599,3 +599,36 @@ def k8_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         # byte totals at 100 TB overflow double precision)
         F.expr(f"__cum_before div {_COMPACT_TARGET}").cast("int").alias("bin"),
     )
+
+# ---------------------------------------------------------------------------
+# MM: zero-copy Arrow kernel (mapInArrow) — completes the python-UDF
+# surface matrix (pandas_udf / mapInPandas / applyInPandas /
+# applyInPandasWithState / UDTF / python DataSource / mapInArrow).
+
+
+@register(
+    "mm_blob_byte_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_bytes,
+           CAST(coalesce(list_sum(list_transform(
+                    range(1, length(text) + 1), i -> ascii(text[i]))), 0)
+                AS BIGINT) AS byte_sum
+    FROM documents
+    """,
+    tags=("multimodal", "arrow", "zero-copy", "llm-pipeline"),
+)
+def mm_blob_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob inventory stats through the zero-copy Arrow path
+    (operators/multimodal.blob_byte_stats): UTF-8 payloads of the
+    documents table, per-blob byte count + byte sum computed directly
+    on the Arrow buffers inside mapInArrow — no pandas conversion, no
+    per-row python. The oracle recomputes both from the characters
+    (the corpus is ASCII, so codepoint == byte — asserted by the
+    n_bytes == length(text) column itself: any non-ASCII row would
+    hash-mismatch)."""
+    from burst_db_spark.operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    media = mm.attach_binary_payload(docs, "doc_id")
+    return mm.blob_byte_stats(media)

@@ -175,3 +175,33 @@ def test_audio_different_waves_are_far(spark):
         for r in audio_energy_hash(_wav_media(spark, waves)).collect()
     }
     assert bin(got[1] ^ got[2]).count("1") > 10
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow zero-copy blob stats
+
+from burst_db_spark.operators.multimodal import blob_byte_stats  # noqa: E402
+
+
+def test_blob_byte_stats_matches_python(spark):
+    payloads = [b"", b"\x00", b"abc", bytes(range(256)), b"\xff" * 1000]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "doc_id long, payload binary"
+    )
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["byte_sum"])
+        for r in blob_byte_stats(df).collect()
+    }
+    want = {i: (len(p), sum(p)) for i, p in enumerate(payloads)}
+    assert got == want
+
+
+def test_blob_byte_stats_many_rows_multibatch(spark):
+    rows = [(i, bytes([i % 256]) * (i % 50)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").repartition(4)
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["byte_sum"])
+        for r in blob_byte_stats(df).collect()
+    }
+    want = {i: (len(p), sum(p)) for i, p in rows}
+    assert got == want
