@@ -203,6 +203,8 @@ HEADLINE = [
     "a40_key_skew_report",
     "k8_compaction_plan",
     "mm_blob_byte_stats",
+    "w19_event_transitions",
+    "j19_join_cardinality_estimate",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

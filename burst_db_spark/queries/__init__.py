@@ -151,6 +151,8 @@ _SAMPLING_PRIORITY = (
     "a40_key_skew_report",
     "k8_compaction_plan",
     "mm_blob_byte_stats",
+    "w19_event_transitions",
+    "j19_join_cardinality_estimate",
     # -- then the remaining r6 block, oldest evidence first --
     "f_variant_props",
     "g3_bfs_hops",

@@ -632,3 +632,151 @@ def mm_blob_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = mm.attach_binary_payload(docs, "doc_id")
     return mm.blob_byte_stats(media)
+
+# ---------------------------------------------------------------------------
+# W19: session Markov transition matrix — event-type bigram counts
+# within gap-sessions, with per-state row-normalized probabilities.
+
+_W19_GAP_S = 1800  # 30-min session gap, the w2_sessionize convention
+
+
+@register(
+    "w19_event_transitions",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {_W19_GAP_S}
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, event_id, ts, event_type,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM e
+    ),
+    bi AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id, session_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM s
+    ),
+    cnt AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM bi WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) / CAST(sum(n) OVER (
+               PARTITION BY from_type) AS DOUBLE) AS p
+    FROM cnt
+    """,
+    tags=("W", "sessionize", "markov", "product-analytics"),
+)
+def w19_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type transition matrix (the Markov-chain
+    view of user journeys): 30-min gap sessionization, consecutive-pair
+    extraction via lead() inside each session, bigram counts, and
+    row-normalized transition probabilities. ONE hash exchange on
+    user_id serves the gap window, the session cumsum, AND the lead
+    (same partitioning), then a small (|types|²-bounded) aggregate.
+    Every window orders by the TOTAL (ts, event_id) order — a
+    non-unique tie-break would make the session cumsum and the bigram
+    extraction order-dependent across engines. The tiny per-state normalization
+    rides a window over the |types|²-row count table — nothing
+    corpus-sized shuffles twice."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = (
+        F.when(
+            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+            > _W19_GAP_S,
+            1,
+        )
+        .otherwise(0)
+        + F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = ev.select(
+        "user_id", "event_id", "ts", "event_type", new_s.alias("__ns")
+    ).withColumn("session_id", F.sum("__ns").over(ws))
+    wl = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    bi = sess.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(wl).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = bi.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wn = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wn).cast("double")).alias(
+            "p"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J19: join-cardinality pre-estimate — size a join EXACTLY from per-key
+# count tables without materializing a single joined row.
+
+
+@register(
+    "j19_join_cardinality_estimate",
+    oracle="""
+    WITH ca AS (SELECT o_custkey AS k, count(*) AS c FROM orders
+                GROUP BY o_custkey),
+    cb AS (SELECT c_custkey AS k, count(*) AS c FROM customer
+           WHERE c_acctbal > 0 GROUP BY c_custkey)
+    SELECT CAST(sum(ca.c * cb.c) AS BIGINT) AS join_rows,
+           CAST(count(*) AS BIGINT) AS shared_keys,
+           CAST(max(ca.c * cb.c) AS BIGINT) AS max_key_rows,
+           CAST(max(ca.c * cb.c) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+               / CAST(sum(ca.c * cb.c) AS DOUBLE) AS output_skew_ratio
+    FROM ca JOIN cb ON ca.k = cb.k
+    """,
+    tags=("J", "cardinality", "planning", "diagnostics"),
+)
+def j19_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT join-output cardinality without running the join:
+    |A ⋈ B| = Σ_k cA(k)·cB(k) over shared keys, from the two per-key
+    count tables — at 100 TB this turns a 'will this join explode?'
+    question into two partial-aggregated count scans plus a key-domain-
+    sized join, and the max-key/skew columns say whether the REAL join
+    needs salting before anyone pays for it. Demonstrated on
+    orders ⋈ positive-balance customers."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    ca = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("ca")
+    )
+    cb = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count("*").alias("cb")
+    )
+    per_key = ca.join(cb, "k").select(
+        (F.col("ca") * F.col("cb")).alias("kr")
+    )
+    return per_key.agg(
+        F.sum("kr").alias("join_rows"),
+        F.count("*").alias("shared_keys"),
+        F.max("kr").alias("max_key_rows"),
+        (
+            F.max("kr").cast("double")
+            * F.count("*").cast("double")
+            / F.sum("kr").cast("double")
+        ).alias("output_skew_ratio"),
+    )
