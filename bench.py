@@ -205,6 +205,8 @@ HEADLINE = [
     "mm_blob_byte_stats",
     "w19_event_transitions",
     "j19_join_cardinality_estimate",
+    "f_pipe_syntax",
+    "dd_winnow_clusters",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

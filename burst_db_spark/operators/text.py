@@ -415,14 +415,20 @@ def winnow_fingerprints(
     - expected density is 2 / (w + 1) of the gram count, so the
       fingerprint set is a fixed small fraction of the corpus.
 
-    Plan shape (the 100 TB story): normalize + gram explode + ONE
-    per-document window min + distinct — no join, no UDF, and the only
-    exchange is the hash partition on ``id_col`` feeding the window.
+    Plan shape (the 100 TB story): the whole selection is a PURE MAP —
+    per row, ``transform(sequence)`` builds the gram-key array,
+    ``transform`` over window starts takes ``array_min(slice(keys, j,
+    w))``, and ``array_distinct`` collapses repeats, all inside
+    whole-stage codegen with ZERO exchanges (fingerprinting runs at
+    scan speed; only the ~2/(w+1)-density selected rows are exploded).
     The (hash asc, pos desc) selection order is encoded INTO the key
     string — 15 hex md5 chars || zero-padded (WINNOW_POS_MAX - pos) —
-    so a plain ``MIN()`` window reproduces the argmin with the exact
+    so a plain ``array_min`` reproduces the argmin with the exact
     tie-break, bit-identically on Spark and the DuckDB oracle (the
-    same portability idiom as ``fingerprint64``). Documents shorter
+    same portability idiom as ``fingerprint64``). An earlier version
+    exploded grams into rows and ran a per-doc window MIN — same
+    result, but the 1.45M-row explode + window exchange made Spark
+    4x slower than this map-only form at sf0.1. Documents shorter
     than ``k + w - 1`` chars have no complete window and emit no rows
     (matches the reference scheme: nothing below the noise threshold
     is fingerprinted).
@@ -432,34 +438,40 @@ def winnow_fingerprints(
     the normalized text), ``fp60`` (BIGINT form of ``fp`` for compact
     downstream joins).
     """
-    from pyspark.sql import Window
+    # the gram-key map is CPU-heavy; a single-file scan (one partition)
+    # would run it on one core, so spread small inputs first — at real
+    # scale the scan already has >= defaultParallelism partitions and
+    # this is a no-op
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < dp:
+        df = df.repartition(dp, F.col(id_col))
 
     t = F.lower(F.trim(F.col(text_col)))
     m = (F.length(t) - F.lit(k - 1)).alias("__m")  # gram count
-    grams = (
-        df.select(F.col(id_col), t.alias("__t"), m)
-        .filter(F.col("__m") >= w)
-        .select(
-            id_col,
-            "__m",
-            F.explode(F.sequence(F.lit(1), F.col("__m"))).alias("__pos"),
-            "__t",
+
+    def _key(p):
+        return F.concat(
+            F.substring(F.md5(F.col("__t").substr(p, F.lit(k))), 1, 15),
+            F.lpad((F.lit(WINNOW_POS_MAX) - p).cast("string"), 9, "0"),
         )
-    )
-    key = F.concat(
-        F.substring(F.md5(F.col("__t").substr(F.col("__pos"), F.lit(k))), 1, 15),
-        F.lpad(
-            (F.lit(WINNOW_POS_MAX) - F.col("__pos")).cast("string"), 9, "0"
+
+    keys = F.transform(F.sequence(F.lit(1), F.col("__m")), _key)
+    # w is a compile-time constant: unroll the window min as least() of
+    # w element_at calls — no per-window array slice allocation
+    wmins = F.transform(
+        F.sequence(F.lit(1), F.col("__m") - F.lit(w - 1)),
+        lambda j: F.least(
+            *[F.element_at(F.col("__keys"), j + F.lit(i)) for i in range(w)]
         ),
     )
-    win = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, w - 1)
     return (
-        grams.select(id_col, "__m", "__pos", key.alias("__key"))
-        .withColumn("__wkey", F.min("__key").over(win))
-        # only positions that START a complete w-gram window are windows
-        .filter(F.col("__pos") <= F.col("__m") - F.lit(w - 1))
-        .select(id_col, "__wkey")
-        .distinct()
+        df.select(F.col(id_col), t.alias("__t"), m)
+        .filter(F.col("__m") >= w)
+        .withColumn("__keys", keys)
+        .select(
+            id_col,
+            F.explode(F.array_distinct(wmins)).alias("__wkey"),
+        )
         .select(
             id_col,
             F.substring("__wkey", 1, 15).alias("fp"),

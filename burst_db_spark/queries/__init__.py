@@ -153,6 +153,8 @@ _SAMPLING_PRIORITY = (
     "mm_blob_byte_stats",
     "w19_event_transitions",
     "j19_join_cardinality_estimate",
+    "f_pipe_syntax",
+    "dd_winnow_clusters",
     # -- then the remaining r6 block, oldest evidence first --
     "f_variant_props",
     "g3_bfs_hops",

@@ -780,3 +780,95 @@ def j19_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
             / F.sum("kr").cast("double")
         ).alias("output_skew_ratio"),
     )
+
+# ---------------------------------------------------------------------------
+# F: SQL pipe syntax (Spark 4.0+ `|>` operators) — surface parity for
+# the newest SQL composition form; same decimal-sum idiom as q5 so the
+# revenue double is bit-identical cross-engine.
+
+
+@register(
+    "f_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18, 6))) AS DECIMAL(28, 6))
+                AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+    tags=("F", "sql-surface", "pipe-syntax", "spark4"),
+)
+def f_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (`FROM ... |> WHERE |> EXTEND |> AGGREGATE |>
+    ORDER BY`, Spark 4.0's linear query composition): revenue by return
+    flag over date-filtered lineitem. Parses to the SAME logical plan
+    as the nested-SQL oracle (filter pushed to the scan, partial+final
+    aggregate), so this row pins that the new surface is plan-neutral,
+    not just syntax sugar. Decimal-accumulated revenue keeps the double
+    bit-identical across engines (the q5 idiom)."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("pipe_lineitem")
+    return spark.sql("""
+        FROM pipe_lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |> EXTEND CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18, 6)) AS rev
+        |> AGGREGATE CAST(CAST(SUM(rev) AS DECIMAL(28, 6)) AS DOUBLE)
+                         AS revenue,
+                     CAST(COUNT(*) AS BIGINT) AS n_lines
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, revenue, n_lines
+    """)
+
+# ---------------------------------------------------------------------------
+# DD: winnow overlap pairs -> duplicate clusters (the MOSS pipeline
+# completed: fingerprint -> overlap -> connected components).
+
+from burst_db_spark.operators import dedup as dd  # noqa: E402
+
+
+@register(
+    "dd_winnow_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_WINNOW_SEL_CTES},
+    fps AS (SELECT DISTINCT doc_id, substr(wkey, 1, 15) AS fp FROM sel),
+    guard AS (
+        SELECT * FROM fps WHERE fp IN (
+            SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM guard a JOIN guard b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= 10
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    """,
+    tags=("dedup", "winnowing", "clustering", "connected-components",
+          "llm-pipeline"),
+)
+def dd_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete MOSS dedup pipeline as one plan: winnowed
+    fingerprints → guarded overlap pairs (shared ≥ 10) → connected
+    components → every document labeled with its cluster's min doc_id.
+    Spark side: the same min-label machinery as dd_dedup_clusters
+    (union-find under the small-graph gate, distributed label
+    propagation above it); oracle: recursive-CTE transitive closure
+    over the identical pair graph."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = tx.winnow_overlap_pairs(
+        docs, "doc_id", k=_K, w=_W, min_shared=10, max_df=50
+    ).select("id_a", "id_b")
+    return dd.connected_components(pairs, docs, "doc_id")
