@@ -207,6 +207,7 @@ HEADLINE = [
     "j19_join_cardinality_estimate",
     "f_pipe_syntax",
     "dd_winnow_clusters",
+    "dd_simhash_neardup",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

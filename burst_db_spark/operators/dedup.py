@@ -801,18 +801,26 @@ def connected_components(
 
 
 def simhash_fingerprints(
-    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 32,
+    features: "Column | None" = None,
 ) -> DataFrame:
-    """SimHash over distinct tokens: bit k of the fingerprint is the
-    majority vote of token-hash bit k.
+    """SimHash over distinct features (tokens by default; pass an array
+    ``features`` column — e.g. word shingles — for more distinctive
+    votes on small-vocabulary corpora): bit k of the fingerprint is the
+    majority vote of feature-hash bit k.
 
-    Relational shape: explode tokens → explode bit positions → count votes
-    per (doc, bit) → weighted sum — associative all the way down.
+    Relational shape: explode features → explode bit positions → count
+    votes per (doc, bit) → weighted sum — associative all the way down.
     """
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    feats = (
+        features
+        if features is not None
+        else F.array_distinct(tokens(F.col(text_col)))
     )
+    toks = df.select(F.col(id_col), F.explode(feats).alias("tok"))
     h = _md5_hash32(F.col("tok"), 0)
     toks = toks.select(F.col(id_col), h.alias("th"))
     bits_df = toks.select(

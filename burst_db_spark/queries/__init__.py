@@ -155,6 +155,7 @@ _SAMPLING_PRIORITY = (
     "j19_join_cardinality_estimate",
     "f_pipe_syntax",
     "dd_winnow_clusters",
+    "dd_simhash_neardup",
     # -- then the remaining r6 block, oldest evidence first --
     "f_variant_props",
     "g3_bfs_hops",

@@ -872,3 +872,71 @@ def dd_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", k=_K, w=_W, min_shared=10, max_df=50
     ).select("id_a", "id_b")
     return dd.connected_components(pairs, docs, "doc_id")
+
+# ---------------------------------------------------------------------------
+# DD: SimHash near-dup pairs — the 32-bit text fingerprint paired by
+# the SAME pigeonhole band join (4x8-bit bands; exact for Hamming <= 3).
+
+from burst_db_spark.queries.textops import _TOKS  # noqa: E402
+
+_SIMHASH_HS_CTES = f"""
+    toks0 AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    toks AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS tok
+        FROM toks0
+    ),
+    th AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('0:' || tok), 1, 8)) AS BIGINT) AS th
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, b.bit,
+               CAST(sum((th >> b.bit) & 1) AS BIGINT) AS ones,
+               CAST(count(*) AS BIGINT) AS n
+        FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) b
+        GROUP BY doc_id, b.bit
+    ),
+    hs AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN ones * 2 > n
+                             THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS dhash
+        FROM votes GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "dd_simhash_neardup",
+    oracle=f"""
+    WITH {_SIMHASH_HS_CTES}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+    FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    """,
+    tags=("dedup", "simhash", "hamming", "llm-pipeline"),
+)
+def dd_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs at Hamming <= 3, paired by the SAME
+    pigeonhole band join that serves image dHash and audio fingerprints
+    (multimodal.dhash_neardup_pairs with 4 disjoint 8-bit bands over the
+    32-bit simhash — a pair within distance 3 must agree on >= 1 band,
+    100% recall by construction). One operator now serves Hamming-
+    threshold pairing for text, image, and audio fingerprints.
+
+    Votes come from word SHINGLES, not unigrams: this corpus draws from
+    a small shared vocabulary, so unigram simhashes saturate (measured
+    mean pairwise distance 6.7/32 — 2M pairs under 3 at sf0.1), while
+    shingle features decorrelate (mean 15.9 ≈ random; 242 true pairs).
+    Oracle is the quadratic definition over the identical simhash
+    values, so a green row proves the banding lossless here too."""
+    from burst_db_spark.operators.multimodal import dhash_neardup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    hashes = dd.simhash_fingerprints(
+        docs, "doc_id", features=tx.shingles(F.col("text"))
+    ).select("doc_id", F.col("simhash").cast("bigint").alias("dhash"))
+    return dhash_neardup_pairs(hashes, max_hamming=3, n_bands=4, band_bits=8)
