@@ -633,3 +633,34 @@ def test_interleave_no_per_source_hot_window(spark):
             if "__ghr_rk" in block:
                 # the one data-sized exchange must carry the shard key
                 assert "__ghr_shard" in block, block
+
+
+def test_winnow_fingerprints_is_map_only(spark):
+    """The winnowing selection must stay a pure map: transform/least/
+    array_distinct in codegen, no window operator, and the only
+    exchange is the small-scan spread (round-robin/hash of the input,
+    never a window sort partition)."""
+    plan = _plan("t_winnow_fingerprints", spark)
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 1  # the single-file spread only
+    assert "Generate" in plan  # the selected-fp explode
+
+
+def test_vocab_coverage_topk_is_take_ordered(spark):
+    """The vocabulary cut must be per-partition top-k (TakeOrdered),
+    never a global single-partition sort; the vocab side joins
+    broadcast."""
+    plan = _plan("t_vocab_coverage", spark)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan.replace(
+        "Exchange SinglePartition", "Exchange SinglePartition", 1
+    ) or plan.count("Exchange SinglePartition") <= 1  # final 1-row aggs only
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dhash_neardup_band_join_is_equi_hash(spark):
+    for name in ("mm_image_neardup_pairs", "mm_audio_neardup_pairs",
+                 "dd_simhash_neardup"):
+        plan = _plan(name, spark)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
