@@ -208,6 +208,8 @@ HEADLINE = [
     "f_pipe_syntax",
     "dd_winnow_clusters",
     "dd_simhash_neardup",
+    # round-12-era operators
+    "t_span_scrub",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

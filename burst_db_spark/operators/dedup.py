@@ -812,30 +812,32 @@ def simhash_fingerprints(
     votes on small-vocabulary corpora): bit k of the fingerprint is the
     majority vote of feature-hash bit k.
 
-    Relational shape: explode features → explode bit positions → count
-    votes per (doc, bit) → weighted sum — associative all the way down.
+    Relational shape: explode features → ONE groupBy(id) computing all
+    ``bits`` majority votes as conditional sums in a single pass. (The
+    earlier shape exploded ``sequence(0, bits-1)`` per token — a bits×
+    row materialization before the partial aggregate; the per-bit votes
+    are independent columns, so wide aggregation needs no explode.)
     """
-    feats = (
-        features
-        if features is not None
-        else F.array_distinct(tokens(F.col(text_col)))
+    # distinct features always — a caller-supplied array with duplicates
+    # would silently turn majority votes into multiplicity-weighted ones
+    feats = F.array_distinct(
+        features if features is not None else tokens(F.col(text_col))
     )
     toks = df.select(F.col(id_col), F.explode(feats).alias("tok"))
     h = _md5_hash32(F.col("tok"), 0)
     toks = toks.select(F.col(id_col), h.alias("th"))
-    bits_df = toks.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        F.col("th"),
-    ).withColumn("vote", F.expr("shiftright(th, bit) & 1"))
-    per_bit = bits_df.groupBy(id_col, "bit").agg(
-        F.sum("vote").alias("ones"), F.count("*").alias("n")
-    )
-    # 2^bit via pow (exact for bit < 53) — portable to the DuckDB oracle
-    fp_bit = F.when(
-        F.col("ones") * 2 > F.col("n"), F.pow(F.lit(2.0), F.col("bit")).cast("bigint")
-    ).otherwise(F.lit(0).cast("bigint"))
-    return per_bit.groupBy(id_col).agg(F.sum(fp_bit).alias("simhash"))
+    vote_aggs = [
+        F.sum(F.shiftright(F.col("th"), k).bitwiseAND(F.lit(1))).alias(f"__o{k}")
+        for k in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(F.count("*").alias("__n"), *vote_aggs)
+    fp = None
+    for k in range(bits):
+        bit_k = F.when(
+            F.col(f"__o{k}") * 2 > F.col("__n"), F.lit(1 << k).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        fp = bit_k if fp is None else fp + bit_k
+    return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
 def doc_token_spans(
@@ -907,6 +909,62 @@ def span_dup_stats(
         "n_dup_spans",
         dup_frac.alias("dup_frac"),
         (dup_frac <= F.lit(max_dup_frac)).alias("keep"),
+    )
+
+
+def span_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    span_len: int = 10,
+    max_span_df: int = 1,
+) -> DataFrame:
+    """C4-style span REMOVAL — the dedup TRANSFORM, where
+    :func:`span_dup_stats` is only the statistic: every span whose text
+    occurs in more than ``max_span_df`` DISTINCT documents is deleted
+    from every document containing it (C4 drops all copies of any
+    thrice-seen line, Raffel et al. JMLR'20 §2.2; here the "line" is a
+    fixed token window, matching :func:`doc_token_spans` on a corpus
+    with no line delimiters), and the surviving spans are reassembled
+    in position order into ``clean_text``.
+
+    Shape: spans → corpus span-df (distinct + partially-aggregated
+    count) → equi-join back on the span text → one groupBy(doc) whose
+    reassembly is ``array_sort(collect_list(struct(span_idx, span)))``
+    — per-doc sort of an in-memory array (docs are KB-sized), never a
+    window or global sort. Docs whose spans are ALL removed surface
+    with empty ``clean_text`` through the left join from the doc-spine
+    aggregate. Three shuffles total (two on the span key, one on the
+    doc key), each carrying at most the original text volume.
+    """
+    spans = doc_token_spans(df, id_col, text_col, span_len)
+    freq = (
+        spans.select(id_col, "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count("*").cast("bigint").alias("__span_df"))
+    )
+    kept = spans.join(freq, "span").filter(F.col("__span_df") <= max_span_df)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").cast("bigint").alias("n_spans_kept"),
+    )
+    totals = spans.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_spans")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_spans",
+        F.coalesce("n_spans_kept", F.lit(0).cast("bigint")).alias(
+            "n_spans_kept"
+        ),
     )
 
 

@@ -494,6 +494,12 @@ def audio_energy_hash(
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 d = decode_wav(bytes(payload))
                 x = np.abs(d["samples"].astype(np.int64))[: window * n_windows]
+                if len(x) < window * n_windows:
+                    raise ValueError(
+                        f"audio_energy_hash needs >= {window * n_windows} "
+                        f"samples ({n_windows} windows x {window}); clip "
+                        f"doc_id={doc_id} has {len(x)}"
+                    )
                 en = x.reshape(n_windows, window).sum(axis=1)
                 bits = (en[1:] > en[:-1]).astype(np.int64)
                 h = int((bits << np.arange(n_windows - 1)).sum())
@@ -524,11 +530,22 @@ def blob_byte_stats(media: DataFrame) -> DataFrame:
             off_dtype = (
                 np.int64 if pa.types.is_large_binary(blobs.type) else np.int32
             )
+            if blobs.null_count:
+                raise ValueError(
+                    "blob_byte_stats: null payloads present — filter or "
+                    "coalesce them upstream (nulls would silently report "
+                    "n_bytes=0)"
+                )
             bufs = blobs.buffers()
             offs = np.frombuffer(bufs[1], dtype=off_dtype)[
                 blobs.offset : blobs.offset + len(blobs) + 1
             ].astype(np.int64)
-            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            # an all-empty column may carry a None data buffer
+            data = (
+                np.zeros(0, dtype=np.uint8)
+                if bufs[2] is None
+                else np.frombuffer(bufs[2], dtype=np.uint8)
+            )
             cum = np.zeros(len(data) + 1, dtype=np.int64)
             np.cumsum(data, dtype=np.int64, out=cum[1:])
             n_bytes = (offs[1:] - offs[:-1]).astype(np.int32)

@@ -402,6 +402,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 8,
     w: int = 4,
+    spread_small_input: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD 2003 §3): hash every character ``k``-gram of the normalized
@@ -439,12 +440,16 @@ def winnow_fingerprints(
     downstream joins).
     """
     # the gram-key map is CPU-heavy; a single-file scan (one partition)
-    # would run it on one core, so spread small inputs first — at real
-    # scale the scan already has >= defaultParallelism partitions and
-    # this is a no-op
-    dp = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < dp:
-        df = df.repartition(dp, F.col(id_col))
+    # would run it on one core. Spreading is an EXPLICIT OPT-IN for
+    # small local fixtures only: on a real cluster a moderately-
+    # partitioned 100 TB table has fewer partitions than total cores
+    # too, and an unconditional repartition here would shuffle the
+    # entire text column (plus df.rdd forces an RDD conversion just to
+    # read the partition count). Default: trust the scan's partitioning.
+    if spread_small_input:
+        dp = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < dp:
+            df = df.repartition(dp, F.col(id_col))
 
     t = F.lower(F.trim(F.col(text_col)))
     m = (F.length(t) - F.lit(k - 1)).alias("__m")  # gram count
@@ -491,6 +496,7 @@ def winnow_overlap_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_df: int = 50,
+    spread_small_input: bool = False,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowed fingerprints —
     the MOSS overlap measure. Candidate generation is an EQUI-join on
@@ -506,7 +512,10 @@ def winnow_overlap_pairs(
     fingerprint sets.
     """
     fps = (
-        winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+        winnow_fingerprints(
+            df, id_col, text_col, k=k, w=w,
+            spread_small_input=spread_small_input,
+        )
         .select(id_col, "fp")
         .distinct()
     )

@@ -92,3 +92,59 @@ def reference_dates(
 
     schema = f"{key} int, ref_idx int, ref_date timestamp"
     return acq.select(key, ts_col).groupBy(key).applyInPandas(_per_key, schema)
+
+
+def reference_dates_cogrouped(
+    acq: DataFrame,
+    events: DataFrame,
+    key: str = "frame_fid",
+    ts_col: str = "sensing_time",
+    event_date_col: str = "event_date",
+    interval_days: int = INTERVAL_DAYS,
+    min_acquisitions: int = MIN_ACQS,
+) -> DataFrame:
+    """(key, ref_idx, ref_date) with per-key event dates as JOINABLE
+    STATE: ``events`` is a (key, event_date) DataFrame cogrouped with
+    the acquisitions, so event dates shuffle to the task that owns the
+    key. The dict-parameter path in :func:`reference_dates` mirrors the
+    reference's small hand-curated ``EVENT_DATES_BY_FRAME`` constant
+    (reference_dates.py:110-112) and stays for parity; THIS is the
+    generic 100 TB shape — a driver-collected dict is pickled into
+    every task and grows with the key count, a cogrouped DataFrame
+    does not."""
+
+    def _per_key(acq_pdf: pd.DataFrame, ev_pdf: pd.DataFrame) -> pd.DataFrame:
+        if acq_pdf.empty:
+            # key present only in events: no acquisitions, no references
+            # (typed empty Series — a bare [] is float64 and Arrow can't
+            # cast double → timestamp)
+            return pd.DataFrame(
+                {
+                    key: pd.Series([], dtype="int64"),
+                    "ref_idx": pd.Series([], dtype="int64"),
+                    "ref_date": pd.Series([], dtype="datetime64[ns]"),
+                }
+            )
+        k = acq_pdf[key].iloc[0]
+        times = [t.to_pydatetime() for t in pd.to_datetime(acq_pdf[ts_col])]
+        ev = (
+            set(pd.to_datetime(ev_pdf[event_date_col]).dt.date)
+            if len(ev_pdf)
+            else None
+        )
+        refs = select_reference_dates(times, ev, interval_days, min_acquisitions)
+        return pd.DataFrame(
+            {
+                key: [k] * len(refs),
+                "ref_idx": range(1, len(refs) + 1),
+                "ref_date": refs,
+            }
+        )
+
+    schema = f"{key} int, ref_idx int, ref_date timestamp"
+    return (
+        acq.select(key, ts_col)
+        .groupBy(key)
+        .cogroup(events.select(key, event_date_col).groupBy(key))
+        .applyInPandas(_per_key, schema)
+    )

@@ -442,30 +442,28 @@ def w5b_reference_dates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     with < min_acquisitions accumulated relocates the last reference
     (shifting the interval anchor when it is the first) — against a
     recursive-CTE replay that reduces the overwrite to last-change-wins
-    per (frame, ref_idx)."""
-    from datetime import timedelta
-
-    from burst_db_spark.plans.reference_dates import reference_dates
+    per (frame, ref_idx). Event dates arrive as a cogrouped DataFrame
+    (plans/reference_dates.reference_dates_cogrouped) — never a
+    driver-collected dict pickled into every task."""
+    from burst_db_spark.plans.reference_dates import reference_dates_cogrouped
 
     ev = load(spark, sf_dir, "events").select(
         F.col("user_id").cast("int").alias("frame_fid"),
         F.col("ts").alias("sensing_time"),
     )
-    d0 = (
+    evd = (
         ev.groupBy("frame_fid")
         .agg(F.min(F.to_date("sensing_time")).alias("d0"))
-        .collect()
+        .select(
+            "frame_fid",
+            F.explode(
+                F.array(F.date_add("d0", 10), F.date_add("d0", 20))
+            ).alias("event_date"),
+        )
     )
-    events_map = {
-        int(r["frame_fid"]): [
-            (r["d0"] + timedelta(days=10)).strftime("%Y-%m-%d"),
-            (r["d0"] + timedelta(days=20)).strftime("%Y-%m-%d"),
-        ]
-        for r in d0
-    }
-    return reference_dates(
+    return reference_dates_cogrouped(
         ev,
-        event_dates_by_key=events_map,
+        evd,
         interval_days=_W5B_INTERVAL,
         min_acquisitions=_W5B_MIN_ACQ,
     )

@@ -79,7 +79,9 @@ def t_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing, window argmin, tie-break, position recovery) bit-identical
     across engines."""
     docs = load(spark, sf_dir, "documents")
-    return tx.winnow_fingerprints(docs, "doc_id", k=_K, w=_W)
+    return tx.winnow_fingerprints(
+        docs, "doc_id", k=_K, w=_W, spread_small_input=True
+    )
 
 
 @register(
@@ -124,7 +126,8 @@ def dd_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle/LSH dedups."""
     docs = load(spark, sf_dir, "documents")
     return tx.winnow_overlap_pairs(
-        docs, "doc_id", k=_K, w=_W, min_shared=10, max_df=50
+        docs, "doc_id", k=_K, w=_W, min_shared=10, max_df=50,
+        spread_small_input=True,
     )
 
 # ---------------------------------------------------------------------------
@@ -869,7 +872,8 @@ def dd_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the identical pair graph."""
     docs = load(spark, sf_dir, "documents")
     pairs = tx.winnow_overlap_pairs(
-        docs, "doc_id", k=_K, w=_W, min_shared=10, max_df=50
+        docs, "doc_id", k=_K, w=_W, min_shared=10, max_df=50,
+        spread_small_input=True,
     ).select("id_a", "id_b")
     return dd.connected_components(pairs, docs, "doc_id")
 

@@ -344,9 +344,47 @@ def winnow_cd_probe(spark, factor: int) -> dict[str, float]:
         corpus = _cd_corpus(spark, f)
         t0 = time.perf_counter()
         winnow_overlap_pairs(
-            corpus, "doc_id", min_shared=10, max_df=50
+            corpus, "doc_id", min_shared=10, max_df=50,
+            spread_small_input=True,
         ).write.format("noop").mode("overwrite").save()
         out[f"dd_winnow_overlap_cd{label}"] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+    return out
+
+
+def winnow_clusters_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Constant near-dup-density scaling for the FULL MOSS pipeline
+    (fingerprints → guarded overlap pairs → connected components):
+    fingerprinting is map-only and the pair join is df<=max_df bounded,
+    so the open question at 100x is the CC stage — pair volume under
+    the guard feeds min-label propagation (or driver union-find when
+    n_edges <= local_edge_gate; the probe reports which path ran)."""
+    from burst_db_spark.operators.dedup import (
+        CC_LOCAL_EDGE_GATE,
+        connected_components,
+    )
+    from burst_db_spark.operators.text import winnow_overlap_pairs
+
+    out: dict[str, float] = {}
+    for label, f in (("", 1), ("_big", factor)):
+        corpus = _cd_corpus(spark, f)
+        t0 = time.perf_counter()
+        pairs = winnow_overlap_pairs(
+            corpus, "doc_id", min_shared=10, max_df=50,
+            spread_small_input=True,
+        ).select("id_a", "id_b").persist()
+        n_edges = pairs.count()
+        connected_components(pairs, corpus, "doc_id").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        out[f"dd_winnow_clusters_cd{label}"] = round(
+            time.perf_counter() - t0, 2
+        )
+        out[f"dd_winnow_clusters_cd{label}_edges"] = n_edges
+        out[f"dd_winnow_clusters_cd{label}_gate"] = int(
+            n_edges <= CC_LOCAL_EDGE_GATE
+        )
+        pairs.unpersist()
         spark.catalog.clearCache()
     return out
 
@@ -877,6 +915,7 @@ _CD_PROBES = {
     "int8": int8_cd_probe,
     "minhash": minhash_cd_probe,
     "winnow": winnow_cd_probe,
+    "winnow_clusters": winnow_clusters_cd_probe,
     "minhash_inc": minhash_inc_cd_probe,
     "embedding": embedding_cd_probe,
     "embedding_inc": embedding_inc_cd_probe,

@@ -205,3 +205,27 @@ def test_blob_byte_stats_many_rows_multibatch(spark):
     }
     want = {i: (len(p), sum(p)) for i, p in rows}
     assert got == want
+
+
+def test_blob_byte_stats_all_empty_column(spark):
+    """An all-empty binary column may carry a None Arrow data buffer —
+    must report n_bytes=0, never crash in np.frombuffer."""
+    df = spark.createDataFrame(
+        [(1, b""), (2, b"")], "doc_id long, payload binary"
+    ).coalesce(1)
+    got = {r["doc_id"]: r["n_bytes"] for r in blob_byte_stats(df).collect()}
+    assert got == {1: 0, 2: 0}
+
+
+def test_blob_byte_stats_rejects_null_payload(spark):
+    df = spark.createDataFrame(
+        [(1, b"abc"), (2, None)], "doc_id long, payload binary"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="null payloads"):
+        blob_byte_stats(df).collect()
+
+
+def test_audio_hash_short_clip_raises_clearly(spark):
+    short = [(1, _wave(3)[: AUDIO_HASH_WINDOW * 2])]  # far below the floor
+    with pytest.raises(Exception, match="samples"):
+        audio_energy_hash(_wav_media(spark, short)).collect()

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -20,6 +21,14 @@ def _plan(name: str, spark) -> str:
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def _count_nodes(plan: str, node: str) -> int:
+    """Count physical-plan NODES of a given type. Formatted explain
+    prints each node twice (once in the tree as `+- Exchange (3)`, once
+    as the detail header `(3) Exchange`), so `plan.count("Exchange")`
+    double-counts; only the detail headers are counted here."""
+    return len(re.findall(rf"^\(\d+\) {node}\b", plan, re.M))
 
 
 def test_filter_pushdown_reaches_scan(spark):
@@ -45,11 +54,7 @@ def test_interval_antijoin_is_hash_not_nested_loop(spark):
 
 def test_sessionize_label_single_exchange(spark):
     plan = _plan("w3_batch_labels", spark)
-    # formatted mode prints each Exchange node twice (tree + details)
-    n_exchanges = sum(
-        1 for l in plan.splitlines() if l.strip().startswith("Exchange")
-    )
-    assert n_exchanges <= 1, plan
+    assert _count_nodes(plan, "Exchange") <= 1, plan
 
 
 def test_aggregates_have_partial_phase(spark):
@@ -642,7 +647,7 @@ def test_winnow_fingerprints_is_map_only(spark):
     never a window sort partition)."""
     plan = _plan("t_winnow_fingerprints", spark)
     assert "Window" not in plan
-    assert plan.count("Exchange") <= 1  # the single-file spread only
+    assert _count_nodes(plan, "Exchange") <= 1  # the single-file spread only
     assert "Generate" in plan  # the selected-fp explode
 
 
@@ -652,9 +657,9 @@ def test_vocab_coverage_topk_is_take_ordered(spark):
     broadcast."""
     plan = _plan("t_vocab_coverage", spark)
     assert "TakeOrderedAndProject" in plan
-    assert "Exchange SinglePartition" not in plan.replace(
-        "Exchange SinglePartition", "Exchange SinglePartition", 1
-    ) or plan.count("Exchange SinglePartition") <= 1  # final 1-row aggs only
+    # at most one single-partition exchange (the final 1-row agg only)
+    single = len(re.findall(r"Arguments: SinglePartition", plan))
+    assert single <= 1, plan
     assert "BroadcastHashJoin" in plan
 
 

@@ -150,6 +150,34 @@ def test_refdates_spark_matches_python(spark):
         assert got_by_key[key] == select_reference_dates(times), f"key {key}"
 
 
+def test_refdates_cogrouped_matches_dict_path(spark):
+    """The cogrouped (joinable-state) variant must agree row-for-row
+    with the dict-parameter path on the same per-key event dates —
+    including a key that has events but no acquisitions (must emit
+    nothing) and a key with acquisitions but no events."""
+    from burst_db_spark.plans.reference_dates import reference_dates_cogrouped
+
+    acq = spark.createDataFrame(
+        [(k, t) for k in (1, 2) for t in _times("2016-07-01", 40, 12)],
+        "frame_fid int, sensing_time timestamp",
+    )
+    ev_map = {1: ["2016-08-18", "2016-10-05"]}  # key 2: no events
+    ev_df = spark.createDataFrame(
+        [(1, "2016-08-18"), (1, "2016-10-05"), (9, "2016-01-01")],
+        "frame_fid int, event_date string",
+    ).withColumn("event_date", F.to_date("event_date"))
+    want = sorted(
+        (r["frame_fid"], r["ref_idx"], r["ref_date"])
+        for r in reference_dates(acq, event_dates_by_key=ev_map).collect()
+    )
+    got = sorted(
+        (r["frame_fid"], r["ref_idx"], r["ref_date"])
+        for r in reference_dates_cogrouped(acq, ev_df).collect()
+    )
+    assert got == want
+    assert not any(k == 9 for k, _, _ in got)  # events-only key emits nothing
+
+
 # ------------------------------------------------------------- blackout
 
 

@@ -118,6 +118,30 @@ def test_span_dup_stats_known(spark):
     assert got[3]["dup_frac"] == 1.0 and got[3]["keep"] is False
 
 
+def test_span_scrub_removes_all_copies_and_reassembles(spark):
+    from burst_db_spark.operators.dedup import span_scrub
+
+    shared = " ".join(f"w{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    uniq_c = " ".join(f"c{i}" for i in range(10))
+    df = _docs(
+        spark,
+        [
+            (1, shared + " " + uniq_a + " " + uniq_c),  # middle span kept
+            (2, shared + " " + uniq_b),
+            (3, shared),  # fully scrubbed
+        ],
+    )
+    got = {r["doc_id"]: r for r in span_scrub(df, "doc_id", span_len=10).collect()}
+    # the shared span vanishes from EVERY doc; order of survivors kept
+    assert got[1]["clean_text"] == uniq_a + " " + uniq_c
+    assert got[1]["n_spans"] == 3 and got[1]["n_spans_kept"] == 2
+    assert got[2]["clean_text"] == uniq_b
+    assert got[3]["clean_text"] == "" and got[3]["n_spans_kept"] == 0
+    assert set(got) == {1, 2, 3}  # fully-scrubbed docs still surface
+
+
 # -- SemDeDup ---------------------------------------------------------------
 
 
