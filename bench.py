@@ -210,6 +210,14 @@ HEADLINE = [
     "dd_simhash_neardup",
     # round-12-era operators
     "t_span_scrub",
+    "t_dsir_importance",
+    "t_cluster_safe_splits",
+    "t_rrf_hybrid_search",
+    "dd_hard_negatives",
+    "w20_mean_shift_changepoint",
+    "dd_ppjoin_positional",
+    "t_dsir_bucket_audit",
+    "t_select_curate_pipeline",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

@@ -273,6 +273,136 @@ def jaccard_prefix_pairs(
     return out
 
 
+def jaccard_ppjoin_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard join with the full PPJoin POSITIONAL filter (Xiao
+    et al. WWW'08) on top of :func:`jaccard_prefix_pairs`' prefix +
+    length filters — same lossless output, strictly fewer candidates
+    reaching the verify join.
+
+    For a shared prefix token at (1-indexed) positions i in A's order
+    and j in B's order, the overlap is bounded by
+    ``shared_so_far + min(|A| - i, |B| - j)``; a pair with jaccard >= t
+    needs overlap >= t/(1+t) * (|A| + |B|). Both the FIRST shared token
+    (shared_so_far = 1) and the LAST shared prefix token
+    (shared_so_far = count of shared prefix tokens) yield valid bounds;
+    candidates failing either die BEFORE the array_intersect verify.
+    All bound arithmetic is exact integers + one fixed-form double
+    compare — deterministic on any engine.
+
+    Scale shape: identical to the prefix join (df window, doc-id
+    assembly, prefix equi-join, verify equi-joins) plus one groupBy on
+    the candidate pair — which REPLACES the prefix join's distinct(), so
+    the positional filter costs no extra shuffle.
+    """
+    from pyspark.sql import Window
+
+    sh = doc_shingles(df, id_col, text_col, n)
+    w = Window.partitionBy("shingle")
+    ranked = sh.withColumn("__df", F.count("*").over(w))
+    docs = (
+        ranked.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("shingle")))
+            ).alias("__ordered"),
+            F.count("*").alias("n_sh"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_sh"),
+            F.transform("__ordered", lambda s: s["shingle"]).alias("toks"),
+        )
+        .withColumn(
+            "prefix",
+            F.slice(
+                "toks",
+                1,
+                (
+                    F.col("n_sh")
+                    - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int")
+                    + 1
+                ),
+            ),
+        )
+    )
+    docs = docs.persist()  # same cache policy as jaccard_prefix_pairs
+    a = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("n_sh").alias("__na"),
+        F.posexplode("prefix").alias("__ia", "ptok"),
+    ).withColumn("__ia", F.col("__ia") + 1)
+    b = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("n_sh").alias("__nb"),
+        F.posexplode("prefix").alias("__ib", "ptok"),
+    ).withColumn("__ib", F.col("__ib") + 1)
+    matches = a.join(
+        b,
+        (a.ptok == b.ptok)
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.col("__nb") >= F.lit(threshold) * F.col("__na"))
+        & (F.col("__na") >= F.lit(threshold) * F.col("__nb")),
+    ).select("id_a", "id_b", "__na", "__nb", "__ia", "__ib")
+    # one groupBy replaces the prefix join's distinct(): the first- and
+    # last-shared-token positional bounds come from min/max position
+    # pairs (the global token order is shared, so argmin of __ia is
+    # argmin of __ib)
+    rem = F.least(
+        F.col("__na") - F.min("__ia"), F.col("__nb") - F.min("__ib")
+    )
+    rem_last = F.least(
+        F.col("__na") - F.max("__ia"), F.col("__nb") - F.max("__ib")
+    )
+    cand = (
+        matches.groupBy("id_a", "id_b", "__na", "__nb")
+        .agg(
+            (F.lit(1) + rem).alias("__ub_first"),
+            (F.count("*") + rem_last).alias("__ub_last"),
+        )
+        .where(
+            # overlap >= t/(1+t)*(na+nb), cross-multiplied so the compare
+            # is exact for binary-representable thresholds (0.5 default:
+            # both products are exact doubles — no rounding can prune a
+            # boundary pair)
+            F.least("__ub_first", "__ub_last").cast("double")
+            * F.lit(1.0 + threshold)
+            >= F.lit(threshold)
+            * (F.col("__na") + F.col("__nb")).cast("double")
+        )
+        .select("id_a", "id_b")
+    )
+    fa = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("n_sh").alias("n_a"),
+        F.col("toks").alias("toks_a"),
+    )
+    fb = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("n_sh").alias("n_b"),
+        F.col("toks").alias("toks_b"),
+    )
+    common = F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
+    out = (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("common", common)
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+    )
+    out._dedup_cached = (docs,)  # release_dedup(out) unpersists
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

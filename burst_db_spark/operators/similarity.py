@@ -1221,3 +1221,77 @@ def lsh_incremental_oracle_sql(
     GROUP BY new_id
     ORDER BY new_id
     """
+
+
+def mine_triplets(
+    emb: DataFrame,
+    n_anchors: int = 20,
+    n_neg: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-hard triplet mining for contrastive/metric training.
+
+    Per anchor: the POSITIVE is its nearest same-label neighbor; the
+    HARD NEGATIVES are the top-``n_neg`` different-label neighbors whose
+    cosine is strictly below the positive's (the "semi-hard" band of
+    Schroff et al. FaceNet 2015 — hard enough to carry gradient, not so
+    hard they are likely label noise). One scored candidate frame feeds
+    both selections, so the embedding table is scanned once.
+
+    Scale shape: anchors are broadcast (a training batch, not the
+    corpus); candidates stream partition-local; the only shuffles are
+    the two per-anchor top-k windows (groups bounded by |anchors|). At
+    100 TB the brute candidate scan swaps for the IVF/LSH candidate
+    generators in this module — the selection windows are unchanged.
+    """
+    anchors = emb.where(F.col(id_col) < n_anchors).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("av"),
+        F.col(label_col).alias("albl"),
+    )
+    cand = emb.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("clbl"),
+    )
+    scored = (
+        cand.join(F.broadcast(anchors), F.col("cand_id") != F.col("anchor_id"))
+        .withColumn("cos", cosine(F.col("av"), F.col("cv")))
+        .select("anchor_id", "albl", "cand_id", "clbl", "cos")
+    )
+    wpos = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    pos = (
+        scored.where(F.col("clbl") == F.col("albl"))
+        .withColumn("r", F.row_number().over(wpos))
+        .where(F.col("r") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("pos_id"),
+            F.col("cos").alias("cos_pos"),
+        )
+    )
+    neg_cand = (
+        scored.where(F.col("clbl") != F.col("albl"))
+        .join(pos, "anchor_id")
+        .where(F.col("cos") < F.col("cos_pos"))
+    )
+    wneg = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    return (
+        neg_cand.withColumn("neg_rank", F.row_number().over(wneg))
+        .where(F.col("neg_rank") <= n_neg)
+        .select(
+            "anchor_id",
+            "pos_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+            "cos_pos",
+            F.col("cos").alias("cos_neg"),
+            (F.col("cos_pos") - F.col("cos")).alias("margin"),
+        )
+    )

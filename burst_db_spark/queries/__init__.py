@@ -131,6 +131,15 @@ _SAMPLING_PRIORITY = (
     "f_regex_extract",
     "f_variant_props",
     # ---- 50-slot prefix cut line ----
+    # -- round-12 additions: staged to LEAD the r12 rotation --
+    "t_dsir_importance",
+    "t_cluster_safe_splits",
+    "t_rrf_hybrid_search",
+    "dd_hard_negatives",
+    "w20_mean_shift_changepoint",
+    "dd_ppjoin_positional",
+    "t_dsir_bucket_audit",
+    "t_select_curate_pipeline",
     # -- then the remaining r6 block, oldest evidence first --
     "g3_bfs_hops",
     "knn_cosine_brute",

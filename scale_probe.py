@@ -908,6 +908,62 @@ _HEAP_FLOORS_GB = {
     ("containment", 100): 32,  # full probe-side inverted index
 }
 
+def dsir_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Scaling for DSIR importance selection: replicate documents with
+    per-replica token suffixes (vocabulary grows with the corpus, so the
+    64-bucket hashed model absorbs genuinely new features, not clones).
+    DSIR has NO pair join — cost is one explode + one (doc, bucket)
+    reduce + a broadcast of the 64-row model — so wall should track
+    corpus tokens ~linearly and the model frame stays 64 rows at any
+    factor (the property that makes the fit a pure reduce at 100 TB)."""
+    from burst_db_spark.operators.selection import dsir_scores
+    from burst_db_spark.operators.dedup import release_dedup
+
+    docs0 = load(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text", "lang"
+    )
+    out: dict[str, float] = {}
+    for label, f in (("", 1), ("_big", factor)):
+        reps = []
+        for r in range(f):
+            reps.append(
+                docs0.select(
+                    (F.col("doc_id") + F.lit(r * SHIFT)).alias("doc_id"),
+                    F.regexp_replace("text", r"(\S+)", f"$1x{r}").alias("text"),
+                    "lang",
+                )
+            )
+        corpus = reps[0]
+        for c in reps[1:]:
+            corpus = corpus.unionByName(c)
+        t0 = time.perf_counter()
+        res = dsir_scores(corpus, F.col("lang") == "en", top_n=50)
+        res.write.format("noop").mode("overwrite").save()
+        out[f"t_dsir_cd{label}"] = round(time.perf_counter() - t0, 2)
+        release_dedup(res)
+        spark.catalog.clearCache()
+    return out
+
+
+def ppjoin_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Constant near-dup-density scaling for the PPJoin positional-filter
+    join (same disjoint-token-space corpus as jaccard_cd_probe) — run
+    next to --probe jaccard to compare the positional filter's candidate
+    pruning against the prefix-only join at the same rungs."""
+    from burst_db_spark.operators.dedup import jaccard_ppjoin_pairs
+
+    out: dict[str, float] = {}
+    for label, f in (("", 1), ("_big", factor)):
+        corpus = _cd_corpus(spark, f)
+        t0 = time.perf_counter()
+        jaccard_ppjoin_pairs(corpus, "doc_id", threshold=0.5).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        out[f"dd_ppjoin_cd{label}"] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+    return out
+
+
 _CD_PROBES = {
     "spatial": lambda spark, f: spatial_cd_probe(spark, n_small=100_000, factor=f),
     "jaccard": jaccard_cd_probe,
@@ -923,6 +979,8 @@ _CD_PROBES = {
     "shuffle": shuffle_cd_probe,
     "fuzzy": fuzzy_cd_probe,
     "graph": graph_cd_probe,
+    "dsir": dsir_cd_probe,
+    "ppjoin": ppjoin_cd_probe,
 }
 
 

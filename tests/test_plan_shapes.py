@@ -669,3 +669,23 @@ def test_dhash_neardup_band_join_is_equi_hash(spark):
         plan = _plan(name, spark)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_dsir_selection_is_take_ordered(spark):
+    """DSIR's top-N cut must compile to TakeOrderedAndProject (per-
+    partition heaps + driver merge) — a global row_number window over
+    the whole raw pool is the plan that dies at 100 TB. The sel_rank
+    window runs AFTER the N-row cut, so the only single-partition
+    exchange feeds a frame of top_n rows."""
+    plan = _plan("t_dsir_importance", spark)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rrf_modality_lists_are_take_ordered(spark):
+    """Both RRF modality lists (BM25 and cosine) must be cut with
+    TakeOrderedAndProject before ranking — RRF fuses top-k LISTS, it
+    never ranks the full corpus per modality. (Catalyst also folds the
+    final fused top-20 into a third TakeOrdered — a bonus, not a
+    requirement, so the assertion is >= 2.)"""
+    plan = _plan("t_rrf_hybrid_search", spark)
+    assert _count_nodes(plan, "TakeOrderedAndProject") >= 2
