@@ -218,6 +218,9 @@ HEADLINE = [
     "dd_ppjoin_positional",
     "t_dsir_bucket_audit",
     "t_select_curate_pipeline",
+    "t_dsir_gumbel_sample",
+    "mm_scene_cuts",
+    "stream_mean_shift",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

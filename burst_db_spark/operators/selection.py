@@ -85,26 +85,25 @@ def features_sql(text_expr: str) -> str:
     )
 
 
-def dsir_scores(
+def dsir_scored_frame(
     docs: DataFrame,
     target: Column,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = DSIR_BUCKETS,
     alpha: float = DSIR_ALPHA,
-    top_n: int = 50,
-) -> DataFrame:
-    """DSIR importance scores for every RAW-pool doc (``NOT target``).
+) -> tuple[DataFrame, DataFrame]:
+    """(scored, cached) — every raw-pool doc with ``n_feats`` and
+    ``dsir_score``, plus the persisted (doc, bucket) frame the caller
+    must hand to ``release_dedup`` via ``_dedup_cached``. Shared by the
+    top-k selector and the Gumbel resampler.
 
     Plan: one explode of hashed features → one (doc, bucket) count
     reduce (map-side combined); the n_buckets-row dual count frame
     (target vs raw) aggregates THAT, so the corpus is tokenized and
-    shuffled exactly once (ReusedExchange dedupes the shared scan). The
-    per-bucket smoothed log-ratio frame is broadcast back; the
-    per-doc score is an ordered fold over its bucket contributions.
-    Returns the ``top_n`` selected docs with ``dsir_score``, ``n_feats``
-    and ``sel_rank`` — the deterministic top-k variant of the paper's
-    resampling step, in TakeOrdered shape (no global ranking window).
+    shuffled exactly once. The per-bucket smoothed log-ratio frame is
+    broadcast back; the per-doc score is an ordered fold over its
+    bucket contributions.
     """
     tokd = docs.select(
         F.col(id_col), target.alias("__t"), tokens(F.col(text_col)).alias("__toks")
@@ -171,11 +170,27 @@ def dsir_scores(
             ),
         )
     )
-    # top-N via orderBy().limit() → TakeOrderedAndProject (per-partition
-    # heaps + driver merge), NOT a global row_number sort: ranking the
-    # whole raw pool in one window partition is exactly the plan that
-    # dies at 100 TB. sel_rank is then a window over the N-row survivor
-    # frame only.
+    return scored, doc_bucket
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    alpha: float = DSIR_ALPHA,
+    top_n: int = 50,
+) -> DataFrame:
+    """Deterministic DSIR top-N selection (see :func:`dsir_scored_frame`
+    for the model plan). Top-N via orderBy().limit() →
+    TakeOrderedAndProject (per-partition heaps + driver merge), NOT a
+    global row_number sort: ranking the whole raw pool in one window
+    partition is exactly the plan that dies at 100 TB. ``sel_rank`` is
+    then a window over the N-row survivor frame only."""
+    scored, doc_bucket = dsir_scored_frame(
+        docs, target, id_col, text_col, n_buckets, alpha
+    )
     topn = scored.orderBy(F.col("dsir_score").desc(), F.col(id_col)).limit(
         top_n
     )
@@ -185,6 +200,64 @@ def dsir_scores(
         "n_feats",
         "dsir_score",
         F.row_number().over(w).cast("int").alias("sel_rank"),
+    )
+    out._dedup_cached = (doc_bucket,)  # release_dedup(out) unpersists
+    return out
+
+
+def hashed_gumbel(key: Column, salt: str = "g") -> Column:
+    """Deterministic standard-Gumbel noise from an md5-derived uniform:
+    u = (h32 + 0.5) / 2^32 with h32 the first 8 md5 hex digits of
+    ``salt ':' key`` (never exactly 0 or 1), G = -ln(-ln(u)), rounded to
+    6 decimals so a last-ulp ``ln`` divergence between engines cannot
+    change the value. Derandomizes Gumbel-top-k sampling: reproducible
+    across engines, executors, and retries — the property a SAMPLER in
+    a distributed pipeline must have and ``rand()`` does not."""
+    h32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    return F.round(-F.log(-F.log(u)), 6)
+
+
+def dsir_gumbel_sample(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    alpha: float = DSIR_ALPHA,
+    top_n: int = 50,
+) -> DataFrame:
+    """DSIR's ACTUAL resampling step (Gumbel-top-k): taking the top-N of
+    ``dsir_score + Gumbel`` samples N docs WITHOUT replacement with
+    probability proportional to exp(dsir_score) — i.e. to the importance
+    weight itself (Vieira 2014; Kim et al. 2016). The Gumbel keys are
+    hashed, not random (:func:`hashed_gumbel`), so the sample is
+    reproducible and the plan stays a pure TakeOrdered — per-partition
+    heaps, no RNG state, no global sort."""
+    scored, doc_bucket = dsir_scored_frame(
+        docs, target, id_col, text_col, n_buckets, alpha
+    )
+    keyed = scored.select(
+        id_col,
+        "n_feats",
+        "dsir_score",
+        hashed_gumbel(F.col(id_col)).alias("gumbel"),
+    ).withColumn("sample_key", F.col("dsir_score") + F.col("gumbel"))
+    topn = keyed.orderBy(F.col("sample_key").desc(), F.col(id_col)).limit(
+        top_n
+    )
+    w = Window.orderBy(F.col("sample_key").desc(), F.col(id_col))
+    out = topn.select(
+        id_col,
+        "n_feats",
+        "dsir_score",
+        "gumbel",
+        "sample_key",
+        F.row_number().over(w).cast("int").alias("sample_rank"),
     )
     out._dedup_cached = (doc_bucket,)  # release_dedup(out) unpersists
     return out

@@ -140,6 +140,9 @@ _SAMPLING_PRIORITY = (
     "dd_ppjoin_positional",
     "t_dsir_bucket_audit",
     "t_select_curate_pipeline",
+    "t_dsir_gumbel_sample",
+    "mm_scene_cuts",
+    "stream_mean_shift",
     # -- then the remaining r6 block, oldest evidence first --
     "g3_bfs_hops",
     "knn_cosine_brute",

@@ -736,3 +736,276 @@ def t_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.span_scrub(
         docs, "doc_id", span_len=_SPAN_LEN, max_span_df=_MAX_SPAN_DF
     )
+
+
+# -- Gumbel-top-k DSIR resampling ---------------------------------------------
+
+_GUMBEL_SQL = (
+    "round(-ln(-ln((CAST(('0x' || substr(md5('g:' || CAST(doc_id AS VARCHAR)),"
+    " 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)), 6)"
+)
+
+
+@register(
+    "t_dsir_gumbel_sample",
+    oracle=f"""
+    WITH {_dsir_hashed_ctes("documents", "lang = 'en'", _TOP_N)},
+    keyed AS (
+        SELECT doc_id, n_feats, dsir_score,
+               {_GUMBEL_SQL} AS gumbel
+        FROM scored
+    ),
+    k2 AS (SELECT keyed.*, dsir_score + gumbel AS sample_key FROM keyed)
+    SELECT doc_id, n_feats, dsir_score, gumbel, sample_key,
+           CAST(row_number() OVER w AS INTEGER) AS sample_rank
+    FROM k2
+    WINDOW w AS (ORDER BY sample_key DESC, doc_id)
+    QUALIFY sample_rank <= {_TOP_N}
+    """,
+    tags=("text", "selection", "dsir", "sampling", "gumbel", "llm-pipeline"),
+)
+def t_dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's ACTUAL resampling step, derandomized: top-50 of
+    dsir_score + Gumbel samples 50 docs without replacement with
+    probability proportional to exp(score) = the importance weight
+    (Gumbel-top-k; operators/selection.dsir_gumbel_sample). The Gumbel
+    noise is md5-derived — u = (h32 + 0.5)/2^32, G = -ln(-ln(u)),
+    6-dp rounded — so the SAMPLE is reproducible across engines,
+    executors, and retries, and the plan stays a TakeOrdered (no RNG
+    state, no global sort): the only sampler shape that is both
+    statistically faithful and replayable at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    return sel.dsir_gumbel_sample(
+        docs, F.col("lang") == "en", top_n=_TOP_N
+    )
+
+
+# -- Video scene-cut detection -------------------------------------------------
+
+_CUT_FACTOR = 1.5
+
+
+@register(
+    "mm_scene_cuts",
+    oracle=f"""
+    WITH meta AS (
+        SELECT user_id AS video_id,
+               least(count(*), 40) AS nf
+        FROM events GROUP BY user_id
+    ),
+    dists AS (
+        SELECT video_id, nf,
+               unnest(range(0, nf - 1)) AS k
+        FROM meta WHERE nf >= 2
+    ),
+    d2 AS (
+        SELECT video_id, nf, k,
+               CAST(list_sum(list_transform(range(32), j ->
+                   abs(CAST((video_id * 31 + (k + 1) * 7 + j) % 256 AS BIGINT)
+                       - CAST((video_id * 31 + k * 7 + j) % 256 AS BIGINT))
+               )) AS BIGINT) AS dist
+        FROM dists
+    ),
+    agg AS (
+        SELECT video_id,
+               CAST(count(*) AS BIGINT) AS n_boundaries,
+               CAST(sum(dist) AS BIGINT) AS sum_dist,
+               CAST(max(dist) AS BIGINT) AS max_dist
+        FROM d2 GROUP BY video_id
+    )
+    SELECT a.video_id, a.n_boundaries, a.sum_dist, a.max_dist,
+           CAST(sum(CASE WHEN CAST(d.dist AS DOUBLE)
+                              > {_CUT_FACTOR!r} * (CAST(a.sum_dist AS DOUBLE)
+                                 / CAST(a.n_boundaries AS DOUBLE))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
+    FROM d2 d JOIN agg a USING (video_id)
+    GROUP BY a.video_id, a.n_boundaries, a.sum_dist, a.max_dist
+    """,
+    tags=("multimodal", "video", "scene-cut", "decode", "mapInPandas"),
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over opaque video blobs: an Arrow-batched
+    mapInPandas stage decodes each video's REAL frame bytes and emits
+    one row per frame boundary with the L1 inter-frame distance; a
+    boundary is a cut when its distance exceeds 1.5x the video's mean.
+    The oracle re-derives every distance from the fixture generator
+    formula — independent of the Python decode, so frame-offset bugs
+    are caught cross-engine. Scale shape: blobs never leave their
+    partition (decode is map-only); the only shuffle is the partial-agg
+    on video_id; the cut threshold is a broadcast-sized per-video
+    mean."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    from burst_db_spark.queries.round7 import _video_fixture
+
+    path = _video_fixture(spark, sf_dir)
+    vids = spark.read.parquet(path)
+
+    def _dists(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out_v, out_k, out_d = [], [], []
+            for vid, nf, payload in zip(
+                pdf["video_id"].astype(int),
+                pdf["n_frames"].astype(int),
+                pdf["payload"],
+            ):
+                if nf < 2:
+                    continue
+                frames = np.frombuffer(payload, dtype=np.uint8).reshape(
+                    nf, 32
+                )
+                d = np.abs(
+                    frames[1:].astype(np.int64)
+                    - frames[:-1].astype(np.int64)
+                ).sum(axis=1)
+                out_v.extend([vid] * (nf - 1))
+                out_k.extend(range(nf - 1))
+                out_d.extend(int(x) for x in d)
+            yield pd.DataFrame(
+                {"video_id": out_v, "k": out_k, "dist": out_d}
+            )
+
+    d2 = vids.mapInPandas(_dists, "video_id long, k int, dist long")
+    agg = d2.groupBy("video_id").agg(
+        F.count("*").cast("bigint").alias("n_boundaries"),
+        F.sum("dist").cast("bigint").alias("sum_dist"),
+        F.max("dist").cast("bigint").alias("max_dist"),
+    )
+    mean_dist = F.col("sum_dist").cast("double") / F.col(
+        "n_boundaries"
+    ).cast("double")
+    return (
+        d2.join(agg, "video_id")
+        .groupBy("video_id", "n_boundaries", "sum_dist", "max_dist")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dist").cast("double")
+                    > F.lit(_CUT_FACTOR) * mean_dist,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_cuts")
+        )
+    )
+
+
+# -- Streaming changepoint: incrementally-maintained daily counts -> detector
+
+
+@register(
+    "stream_mean_shift",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT event_type,
+               CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS baseline
+        FROM daily GROUP BY event_type
+    ),
+    win AS (
+        SELECT event_type, day, n,
+               CAST(sum(n) OVER w_pre AS BIGINT) AS pre_sum,
+               CAST(count(*) OVER w_pre AS BIGINT) AS pre_n,
+               CAST(sum(n) OVER w_post AS BIGINT) AS post_sum,
+               CAST(count(*) OVER w_post AS BIGINT) AS post_n
+        FROM daily
+        WINDOW w_pre AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+               w_post AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)
+    )
+    SELECT w.event_type, w.day, w.n,
+           CAST(post_sum AS DOUBLE) / 7.0
+           - CAST(pre_sum AS DOUBLE) / 7.0 AS delta,
+           abs(CAST(post_sum AS DOUBLE) / 7.0
+               - CAST(pre_sum AS DOUBLE) / 7.0) > 0.25 * b.baseline
+               AS is_shift
+    FROM win w JOIN base b USING (event_type)
+    WHERE pre_n = 7 AND post_n = 7
+    """,
+    tags=("streaming", "changepoint", "window", "oracle-checked"),
+)
+def stream_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-on changepoint monitoring: Structured Streaming maintains
+    the per-type DAILY COUNT state incrementally (tumbling 1-day
+    windows, complete mode, availableNow drain), and the two-window
+    mean-shift detector (w20) runs as a batch analytic over the
+    maintained snapshot — the standard state-maintenance/detector split
+    (the detector needs 7-day flanks, so it reads the snapshot, not the
+    stream). Must equal w20_mean_shift_changepoint's oracle exactly:
+    the streamed daily counts are integers, so stream task order cannot
+    perturb anything."""
+    import tempfile
+    import uuid
+
+    from burst_db_spark.streaming import incremental as st
+
+    src = load(spark, sf_dir, "events").select("event_type", "ts")
+    tmp = tempfile.mkdtemp(prefix="bds_stream_shift_")
+    data_dir = f"{tmp}/in"
+    src.write.parquet(data_dir)
+    stream = st.file_stream(spark, data_dir, src.schema)
+    agg = (
+        stream.groupBy(F.window(F.col("ts"), "1 day"), F.col("event_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "event_type",
+            F.to_date(F.col("window.start")).alias("day"),
+            "n",
+        )
+    )
+    name = f"shift_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    daily = spark.table(name)
+
+    # baseline via an unbounded window over the SAME frame (a second
+    # scan of the memory table + join trips Spark's conflicting-
+    # reference resolution on self-derived plans; the window also reuses
+    # the per-type partitioning the flank windows already shuffle on)
+    w_all = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_pre = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    w_post = Window.partitionBy("event_type").orderBy("day").rowsBetween(0, 6)
+    win = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w_pre).cast("bigint").alias("pre_sum"),
+        F.count("*").over(w_pre).cast("bigint").alias("pre_n"),
+        F.sum("n").over(w_post).cast("bigint").alias("post_sum"),
+        F.count("*").over(w_post).cast("bigint").alias("post_n"),
+        (
+            F.sum("n").over(w_all).cast("double")
+            / F.count("*").over(w_all).cast("double")
+        ).alias("baseline"),
+    )
+    mean_pre = F.col("pre_sum").cast("double") / F.lit(7.0)
+    mean_post = F.col("post_sum").cast("double") / F.lit(7.0)
+    return (
+        win.where((F.col("pre_n") == 7) & (F.col("post_n") == 7))
+        .select(
+            "event_type",
+            "day",
+            "n",
+            (mean_post - mean_pre).alias("delta"),
+            (
+                F.abs(mean_post - mean_pre) > F.lit(0.25) * F.col("baseline")
+            ).alias("is_shift"),
+        )
+    )

@@ -224,3 +224,72 @@ def test_ppjoin_positional_matches_prefix_and_quadratic(spark):
     assert pp == prefix
     assert {(a, b) for a, b, *_ in pp} == {(a, b) for a, b, *_ in quad}
     assert pp, "fixture should contain near-dup pairs"
+
+
+def test_hashed_gumbel_matches_python(spark):
+    """The derandomized Gumbel keys equal -ln(-ln((md5_32 + 0.5)/2^32))
+    rounded to 6 decimals, computed independently in Python."""
+    df = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", sel.hashed_gumbel(F.col("doc_id")).alias("g")
+        ).collect()
+    }
+    for doc_id, g in got.items():
+        h32 = int(hashlib.md5(f"g:{doc_id}".encode()).hexdigest()[:8], 16)
+        u = (h32 + 0.5) / 4294967296.0
+        assert g == round(-math.log(-math.log(u)), 6)
+    # and the noise is actually spread out (a degenerate hash would
+    # collapse the sample to the deterministic top-k)
+    assert len(set(got.values())) > 190
+
+
+def test_dsir_gumbel_sample_is_weighted_not_topk(spark):
+    """The Gumbel sample must (a) rank by score+gumbel exactly, and
+    (b) differ from the deterministic top-k (it is a SAMPLE — if it
+    equals plain top-k the noise did nothing)."""
+    docs = load(spark, SF_DIR, "documents")
+    target = F.col("lang") == "en"
+    samp = sel.dsir_gumbel_sample(docs, target, top_n=30).collect()
+    assert len(samp) == 30
+    for r in samp:
+        assert abs(r["sample_key"] - (r["dsir_score"] + r["gumbel"])) < 1e-12
+    keys = [r["sample_key"] for r in sorted(samp, key=lambda r: r["sample_rank"])]
+    assert keys == sorted(keys, reverse=True)
+    det = {r["doc_id"] for r in sel.dsir_scores(docs, target, top_n=30).collect()}
+    assert {r["doc_id"] for r in samp} != det
+
+
+def test_scene_cuts_counts_against_generator(spark):
+    """n_cuts / distances re-derived from the video fixture's generator
+    formula in plain Python must match the decoded Spark result."""
+    from burst_db_spark.registry import all_queries
+
+    rows = {
+        r["video_id"]: r
+        for r in all_queries()["mm_scene_cuts"].build(spark, SF_DIR).collect()
+    }
+    assert rows
+    events = load(spark, SF_DIR, "events")
+    nf_by_vid = {
+        r["user_id"]: min(r["count"], 40)
+        for r in events.groupBy("user_id").count().collect()
+    }
+    for vid, r in rows.items():
+        nf = nf_by_vid[vid]
+        dists = [
+            sum(
+                abs(
+                    ((vid * 31 + (k + 1) * 7 + j) % 256)
+                    - ((vid * 31 + k * 7 + j) % 256)
+                )
+                for j in range(32)
+            )
+            for k in range(nf - 1)
+        ]
+        assert r["n_boundaries"] == len(dists)
+        assert r["sum_dist"] == sum(dists)
+        assert r["max_dist"] == max(dists)
+        mean = sum(dists) / len(dists)
+        assert r["n_cuts"] == sum(1 for d in dists if d > 1.5 * mean)
