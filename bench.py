@@ -221,6 +221,10 @@ HEADLINE = [
     "t_dsir_gumbel_sample",
     "mm_scene_cuts",
     "stream_mean_shift",
+    "t_unimax_allocation",
+    "a42_psi_drift",
+    "dd_cluster_best_survivor",
+    "t_pipeline_provenance",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

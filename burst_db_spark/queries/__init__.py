@@ -36,6 +36,7 @@ _MODULES = (
     "round10",
     "round11",
     "round12",
+    "round13",
     "scalars",
     "similarity",
     "skewq",
@@ -143,6 +144,10 @@ _SAMPLING_PRIORITY = (
     "t_dsir_gumbel_sample",
     "mm_scene_cuts",
     "stream_mean_shift",
+    "t_unimax_allocation",
+    "a42_psi_drift",
+    "dd_cluster_best_survivor",
+    "t_pipeline_provenance",
     # -- then the remaining r6 block, oldest evidence first --
     "g3_bfs_hops",
     "knn_cosine_brute",

@@ -1,0 +1,475 @@
+"""Round-13-era queries (added in build round 11): corpus GOVERNANCE
+operators — UniMax language-budget allocation (Chung et al., ICLR 2023
+water-filling with per-language epoch caps), PSI distribution-drift
+monitoring between corpus snapshots, quality-ranked near-dup survivor
+selection, and per-document pipeline provenance (why each doc survived
+or was dropped).
+
+Reference parity: opera-adt/burst_db has no corpus-governance layer —
+these extend the LLM-pipeline surface (SURVEY.md "beyond the reference"
+mandate).
+
+Cross-engine determinism: counts and prefix sums are exact BIGINTs; the
+water level and PSI use single fixed-form double divisions; the one
+transcendental (PSI's ln ratio) is rounded to 6 decimals on both
+engines; survivor choice breaks ties on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from burst_db_spark.catalog import load
+from burst_db_spark.operators import dedup as dd
+from burst_db_spark.operators import text as tx
+from burst_db_spark.queries.textops import _SHINGLES_CTE, _TOKS
+from burst_db_spark.registry import register
+
+# -- UniMax: water-filling language allocation --------------------------------
+
+_UNIMAX_EPOCH_CAP = 2  # max epochs per language
+_UNIMAX_BUDGET_FRAC = 0.5  # budget = 50% of total corpus tokens
+
+
+@register(
+    "t_unimax_allocation",
+    oracle=f"""
+    WITH langs AS (
+        SELECT lang, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    caps AS (
+        SELECT lang, n_tokens,
+               CAST(n_tokens * {_UNIMAX_EPOCH_CAP} AS BIGINT) AS cap
+        FROM langs
+    ),
+    tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens,
+               CAST(count(*) AS BIGINT) AS n_langs
+        FROM caps
+    ),
+    ordered AS (
+        SELECT lang, n_tokens, cap,
+               CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS i,
+               CAST(COALESCE(sum(cap) OVER (
+                   ORDER BY cap, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS prefix_below
+        FROM caps
+    ),
+    budget AS (
+        SELECT CAST(floor({_UNIMAX_BUDGET_FRAC!r}
+                          * CAST(corpus_tokens AS DOUBLE)) AS BIGINT) AS b,
+               n_langs
+        FROM tot
+    ),
+    levels AS (
+        SELECT o.*, b,
+               (CAST(b AS DOUBLE) - CAST(prefix_below AS DOUBLE))
+               / CAST(n_langs - i + 1 AS DOUBLE) AS level
+        FROM ordered o CROSS JOIN budget
+    ),
+    valid AS (
+        SELECT * FROM levels
+        WHERE level <= CAST(cap AS DOUBLE)
+          AND (i = 1 OR level >= 0)
+        QUALIFY row_number() OVER (ORDER BY i) = 1
+    ),
+    final AS (
+        SELECT l.lang, l.n_tokens, l.cap,
+               CASE WHEN v.level IS NULL THEN CAST(l.cap AS DOUBLE)
+                    WHEN CAST(l.cap AS DOUBLE) < v.level
+                         THEN CAST(l.cap AS DOUBLE)
+                    ELSE v.level END AS alloc
+        FROM caps l LEFT JOIN valid v ON TRUE
+    )
+    SELECT lang, n_tokens, cap, alloc,
+           alloc / CAST(n_tokens AS DOUBLE) AS epochs
+    FROM final
+    """,
+    tags=("text", "sampling", "unimax", "allocation", "llm-pipeline"),
+)
+def t_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. ICLR'23): given a
+    token budget (50% of the corpus) and a per-language cap of 2
+    epochs, water-fill — every language gets the common level L with
+    sum(min(cap_l, L)) = budget, capped languages keep their cap. The
+    level is found CLOSED-FORM with one window pass over the
+    cap-sorted languages (prefix sums locate the binding segment), so
+    the iterative water-filling loop never runs: the whole allocator is
+    a 5-row broadcast-sized plan at any corpus size (the heavy part is
+    the token count, a map-side-combined scan)."""
+    docs = load(spark, sf_dir, "documents")
+    langs = docs.groupBy("lang").agg(
+        F.sum(tx.token_count(F.col("text")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    caps = langs.select(
+        "lang",
+        "n_tokens",
+        (F.col("n_tokens") * _UNIMAX_EPOCH_CAP).cast("bigint").alias("cap"),
+    )
+    tot = caps.agg(
+        F.sum("n_tokens").cast("bigint").alias("corpus_tokens"),
+        F.count("*").cast("bigint").alias("n_langs"),
+    )
+    w = Window.orderBy("cap", "lang")
+    ordered = caps.select(
+        "lang",
+        "n_tokens",
+        "cap",
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.coalesce(
+            F.sum("cap").over(
+                Window.orderBy("cap", "lang").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("prefix_below"),
+    )
+    budget = tot.select(
+        F.floor(
+            F.lit(_UNIMAX_BUDGET_FRAC) * F.col("corpus_tokens").cast("double")
+        )
+        .cast("bigint")
+        .alias("b"),
+        "n_langs",
+    )
+    levels = ordered.crossJoin(F.broadcast(budget)).withColumn(
+        "level",
+        (F.col("b").cast("double") - F.col("prefix_below").cast("double"))
+        / (F.col("n_langs") - F.col("i") + 1).cast("double"),
+    )
+    valid = (
+        levels.where(
+            (F.col("level") <= F.col("cap").cast("double"))
+            & ((F.col("i") == 1) | (F.col("level") >= 0))
+        )
+        .withColumn("__r", F.row_number().over(Window.orderBy("i")))
+        .where(F.col("__r") == 1)
+        .select(F.col("level").alias("vlevel"))
+    )
+    final = caps.join(F.broadcast(valid), how="left").select(
+        "lang",
+        "n_tokens",
+        "cap",
+        F.when(F.col("vlevel").isNull(), F.col("cap").cast("double"))
+        .when(F.col("cap").cast("double") < F.col("vlevel"), F.col("cap").cast("double"))
+        .otherwise(F.col("vlevel"))
+        .alias("alloc"),
+    )
+    return final.select(
+        "lang",
+        "n_tokens",
+        "cap",
+        "alloc",
+        (F.col("alloc") / F.col("n_tokens").cast("double")).alias("epochs"),
+    )
+
+
+# -- PSI distribution drift between snapshots ---------------------------------
+
+_PSI_BINS = 16
+_PSI_ALPHA = 0.5
+
+
+@register(
+    "a42_psi_drift",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT event_type,
+               CAST(event_id % 2 AS INTEGER) AS snap,
+               CAST(floor(value / 25.0) AS BIGINT) AS bin
+        FROM events
+    ),
+    binned AS (
+        SELECT event_type, bin,
+               CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c_old,
+               CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c_new
+        FROM tagged GROUP BY event_type, bin
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(sum(c_old) AS BIGINT) AS z_old,
+               CAST(sum(c_new) AS BIGINT) AS z_new,
+               CAST(count(*) AS BIGINT) AS n_bins
+        FROM binned GROUP BY event_type
+    ),
+    probs AS (
+        SELECT b.event_type, b.bin,
+               (CAST(c_old AS DOUBLE) + {_PSI_ALPHA!r})
+               / (CAST(z_old AS DOUBLE)
+                  + {_PSI_ALPHA!r} * CAST(n_bins AS DOUBLE)) AS p_old,
+               (CAST(c_new AS DOUBLE) + {_PSI_ALPHA!r})
+               / (CAST(z_new AS DOUBLE)
+                  + {_PSI_ALPHA!r} * CAST(n_bins AS DOUBLE)) AS p_new
+        FROM binned b JOIN tot USING (event_type)
+    ),
+    terms AS (
+        SELECT event_type, bin,
+               (p_new - p_old) * round(ln(p_new / p_old), 6) AS term
+        FROM probs
+    )
+    SELECT event_type,
+           list_reduce(list_prepend(0.0, list(term ORDER BY bin)),
+                       (x, y) -> x + y) AS psi,
+           CAST(count(*) AS BIGINT) AS n_bins
+    FROM terms GROUP BY event_type
+    """,
+    tags=("aggregate", "drift", "psi", "monitoring"),
+)
+def a42_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus snapshots (event_id
+    parity stands in for old/new ingests): per event_type, bin `value`
+    into width-25 buckets, smooth both distributions (add-0.5 over the
+    observed bins), psi = sum (p_new - p_old) * ln(p_new/p_old) with the
+    ln rounded to 6dp and the sum folded in bin order. PSI >= 0 always;
+    the standard drift gate (alert at 0.2) a 100 TB ingest pipeline
+    runs per partition before accepting a new snapshot. One shuffle on
+    (type, bin), then a per-type fold."""
+    events = load(spark, sf_dir, "events")
+    tagged = events.select(
+        "event_type",
+        (F.col("event_id") % 2).cast("int").alias("snap"),
+        F.floor(F.col("value") / F.lit(25.0)).cast("bigint").alias("bin"),
+    )
+    binned = tagged.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_old"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_new"),
+    )
+    tot = binned.groupBy("event_type").agg(
+        F.sum("c_old").cast("bigint").alias("z_old"),
+        F.sum("c_new").cast("bigint").alias("z_new"),
+        F.count("*").cast("bigint").alias("n_bins"),
+    )
+    a = _PSI_ALPHA
+    probs = binned.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bin",
+        (
+            (F.col("c_old").cast("double") + F.lit(a))
+            / (
+                F.col("z_old").cast("double")
+                + F.lit(a) * F.col("n_bins").cast("double")
+            )
+        ).alias("p_old"),
+        (
+            (F.col("c_new").cast("double") + F.lit(a))
+            / (
+                F.col("z_new").cast("double")
+                + F.lit(a) * F.col("n_bins").cast("double")
+            )
+        ).alias("p_new"),
+    )
+    terms = probs.select(
+        "event_type",
+        "bin",
+        (
+            (F.col("p_new") - F.col("p_old"))
+            * F.round(F.log(F.col("p_new") / F.col("p_old")), 6)
+        ).alias("term"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("bin", "term"))).alias("__c"),
+            F.count("*").cast("bigint").alias("n_bins"),
+        )
+        .select(
+            "event_type",
+            F.aggregate("__c", F.lit(0.0), lambda acc, x: acc + x["term"]).alias(
+                "psi"
+            ),
+            "n_bins",
+        )
+    )
+
+
+# -- Quality-ranked near-dup survivor selection --------------------------------
+
+_QUALITY_SQL = r"""
+    CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 5 THEN 0.0
+         ELSE 1.0 - least(1.0,
+              length(regexp_replace(text, '[^.!?,;]', '', 'g'))
+              / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1))
+    END
+"""
+
+
+@register(
+    "dd_cluster_best_survivor",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.2
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (
+        SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    ),
+    q AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents),
+    ranked AS (
+        SELECT l.cluster_id, l.doc_id, q.quality,
+               row_number() OVER (
+                   PARTITION BY l.cluster_id
+                   ORDER BY q.quality DESC, l.doc_id
+               ) AS rk,
+               CAST(count(*) OVER (PARTITION BY l.cluster_id) AS BIGINT)
+                   AS n_members
+        FROM labels l JOIN q USING (doc_id)
+    )
+    SELECT cluster_id,
+           doc_id AS survivor_id,
+           quality AS survivor_quality,
+           n_members
+    FROM ranked WHERE rk = 1 AND n_members > 1
+    """,
+    tags=("dedup", "clustering", "survivor", "quality", "llm-pipeline"),
+)
+def dd_cluster_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked survivor selection: within every MULTI-MEMBER
+    near-dup cluster keep the HIGHEST-QUALITY document (tie -> lowest
+    id), not the arbitrary min-id — the selection rule a production
+    dedup actually wants (the kept copy should be the best one). One
+    per-cluster window over the label frame; singleton clusters are
+    excluded (nothing to choose)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", threshold=0.2)
+    labels = dd.connected_components(pairs, docs, "doc_id")
+    q = tx.quality_features(docs.select("doc_id", "text")).select(
+        "doc_id", F.col("quality_score").alias("quality")
+    )
+    wq = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    ranked = (
+        labels.join(q, "doc_id")
+        .withColumn("rk", F.row_number().over(wq))
+        .withColumn("n_members", F.count("*").over(wc).cast("bigint"))
+    )
+    return (
+        ranked.where((F.col("rk") == 1) & (F.col("n_members") > 1))
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("quality").alias("survivor_quality"),
+            "n_members",
+        )
+    )
+
+
+# -- Per-document pipeline provenance ------------------------------------------
+
+
+@register(
+    "t_pipeline_provenance",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.2
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (
+        SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    ),
+    staged AS (
+        SELECT d.doc_id,
+               {_QUALITY_SQL} >= 0.5 AS passed_quality,
+               d.doc_id != min(d.doc_id) OVER (
+                   PARTITION BY md5(lower(trim(d.text)))) AS is_exact_dup,
+               l.cluster_id != d.doc_id AS is_near_dup_loser
+        FROM documents d JOIN labels l ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, passed_quality, is_exact_dup, is_near_dup_loser,
+           CASE WHEN NOT passed_quality THEN 'drop:quality'
+                WHEN is_exact_dup THEN 'drop:exact_dup'
+                WHEN is_near_dup_loser THEN 'drop:near_dup'
+                ELSE 'kept' END AS final_status
+    FROM staged
+    """,
+    tags=("text", "pipeline", "provenance", "llm-pipeline"),
+)
+def t_pipeline_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document pipeline provenance: every doc carries its stage
+    verdicts (quality gate, exact-dup, near-dup cluster loser = not the
+    min-id representative) and a first-failing-stage final_status — the
+    audit trail a 100 TB curation run must emit so that 'why was this
+    doc dropped' is a lookup, not a re-run. All verdicts come from ONE
+    plan: the digest window, the quality expression, and the CC label
+    frame each add no driver round-trips."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", threshold=0.2)
+    labels = dd.connected_components(pairs, docs, "doc_id")
+    q = tx.quality_features(docs.select("doc_id", "text"))
+    wdig = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
+    staged = (
+        q.withColumn("keep_id", F.min("doc_id").over(wdig))
+        .join(labels, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("quality_score") >= 0.5).alias("passed_quality"),
+            (F.col("doc_id") != F.col("keep_id")).alias("is_exact_dup"),
+            (F.col("cluster_id") != F.col("doc_id")).alias(
+                "is_near_dup_loser"
+            ),
+        )
+    )
+    return staged.select(
+        "doc_id",
+        "passed_quality",
+        "is_exact_dup",
+        "is_near_dup_loser",
+        F.when(~F.col("passed_quality"), F.lit("drop:quality"))
+        .when(F.col("is_exact_dup"), F.lit("drop:exact_dup"))
+        .when(F.col("is_near_dup_loser"), F.lit("drop:near_dup"))
+        .otherwise(F.lit("kept"))
+        .alias("final_status"),
+    )

@@ -1,0 +1,141 @@
+"""Round-13-era operator invariants: UniMax allocation, PSI drift,
+quality-ranked survivors, pipeline provenance."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from burst_db_spark.catalog import load
+from burst_db_spark.operators import text as tx
+from burst_db_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+
+def test_unimax_matches_iterative_water_filling(spark):
+    """The closed-form window allocator == the textbook iterative
+    water-filling loop, and the standard invariants hold: alloc <= cap,
+    epochs <= cap factor, binding level exhausts the budget."""
+    out = {
+        r["lang"]: r
+        for r in all_queries()["t_unimax_allocation"]
+        .build(spark, SF_DIR)
+        .collect()
+    }
+    assert out
+    caps = {l: r["cap"] for l, r in out.items()}
+    n_tok = {l: r["n_tokens"] for l, r in out.items()}
+    budget = math.floor(0.5 * sum(n_tok.values()))
+
+    # iterative reference: raise the water level until the budget is spent
+    remaining = float(budget)
+    active = dict(caps)
+    alloc = {l: 0.0 for l in caps}
+    while active and remaining > 1e-9:
+        share = remaining / len(active)
+        binding = {l: c for l, c in active.items() if c - alloc[l] <= share}
+        if not binding:
+            for l in active:
+                alloc[l] += share
+            remaining = 0.0
+        else:
+            for l, c in binding.items():
+                remaining -= c - alloc[l]
+                alloc[l] = float(c)
+                del active[l]
+    for l, r in out.items():
+        assert r["alloc"] <= r["cap"] + 1e-6
+        assert abs(r["alloc"] - alloc[l]) < 1e-6, (l, r["alloc"], alloc[l])
+        assert abs(r["epochs"] - r["alloc"] / n_tok[l]) < 1e-12
+        assert r["epochs"] <= 2 + 1e-9
+    assert abs(sum(r["alloc"] for r in out.values()) - budget) < 1e-3
+
+
+def test_psi_drift_reference_and_invariants(spark):
+    """PSI >= 0, and each type's value matches an independent Python
+    computation over the same parity split and width-25 bins."""
+    rows = {
+        r["event_type"]: r
+        for r in all_queries()["a42_psi_drift"].build(spark, SF_DIR).collect()
+    }
+    assert rows
+    ev = load(spark, SF_DIR, "events").select(
+        "event_type", "event_id", "value"
+    ).collect()
+    from collections import defaultdict
+
+    cnt: dict = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for r in ev:
+        b = math.floor(r["value"] / 25.0)
+        cnt[r["event_type"]][b][r["event_id"] % 2] += 1
+    for et, r in rows.items():
+        bins = cnt[et]
+        z_old = sum(v[0] for v in bins.values())
+        z_new = sum(v[1] for v in bins.values())
+        nb = len(bins)
+        psi = 0.0
+        for b in sorted(bins):
+            p_old = (bins[b][0] + 0.5) / (z_old + 0.5 * nb)
+            p_new = (bins[b][1] + 0.5) / (z_new + 0.5 * nb)
+            psi += (p_new - p_old) * round(math.log(p_new / p_old), 6)
+        assert r["n_bins"] == nb
+        assert abs(r["psi"] - psi) < 1e-9
+        assert r["psi"] >= -1e-12  # PSI is a symmetrized KL: non-negative
+
+
+def test_cluster_best_survivor_is_max_quality(spark):
+    """Every survivor has the max quality score in its cluster (tie ->
+    lowest id), and only multi-member clusters appear."""
+    from burst_db_spark.operators import dedup as dd
+
+    docs = load(spark, SF_DIR, "documents")
+    out = all_queries()["dd_cluster_best_survivor"].build(spark, SF_DIR).collect()
+    assert out
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", threshold=0.2)
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.connected_components(pairs, docs, "doc_id").collect()
+    }
+    q = {
+        r["doc_id"]: r["quality_score"]
+        for r in tx.quality_features(docs.select("doc_id", "text"))
+        .select("doc_id", "quality_score")
+        .collect()
+    }
+    members: dict = {}
+    for d, c in labels.items():
+        members.setdefault(c, []).append(d)
+    for r in out:
+        mem = members[r["cluster_id"]]
+        assert len(mem) == r["n_members"] > 1
+        best = min(mem, key=lambda d: (-q[d], d))
+        assert r["survivor_id"] == best
+        assert r["survivor_quality"] == q[best]
+
+
+def test_pipeline_provenance_statuses_consistent(spark):
+    """final_status is the FIRST failing stage; kept docs pass every
+    stage; every doc appears exactly once."""
+    docs = load(spark, SF_DIR, "documents")
+    out = all_queries()["t_pipeline_provenance"].build(spark, SF_DIR).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        if r["final_status"] == "kept":
+            assert r["passed_quality"]
+            assert not r["is_exact_dup"]
+            assert not r["is_near_dup_loser"]
+        elif r["final_status"] == "drop:quality":
+            assert not r["passed_quality"]
+        elif r["final_status"] == "drop:exact_dup":
+            assert r["passed_quality"] and r["is_exact_dup"]
+        elif r["final_status"] == "drop:near_dup":
+            assert (
+                r["passed_quality"]
+                and not r["is_exact_dup"]
+                and r["is_near_dup_loser"]
+            )
+        else:
+            raise AssertionError(r["final_status"])
+    statuses = {r["final_status"] for r in out}
+    assert "kept" in statuses
