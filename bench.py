@@ -225,6 +225,8 @@ HEADLINE = [
     "a42_psi_drift",
     "dd_cluster_best_survivor",
     "t_pipeline_provenance",
+    "knn_matryoshka_funnel",
+    "a43_bootstrap_ci",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

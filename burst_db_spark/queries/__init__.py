@@ -148,6 +148,8 @@ _SAMPLING_PRIORITY = (
     "a42_psi_drift",
     "dd_cluster_best_survivor",
     "t_pipeline_provenance",
+    "knn_matryoshka_funnel",
+    "a43_bootstrap_ci",
     # -- then the remaining r6 block, oldest evidence first --
     "g3_bfs_hops",
     "knn_cosine_brute",

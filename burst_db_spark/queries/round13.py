@@ -473,3 +473,217 @@ def t_pipeline_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("kept"))
         .alias("final_status"),
     )
+
+
+# -- Matryoshka funnel ANN ------------------------------------------------------
+
+_MRL_PREFIX = 16  # coarse search dims (of 64)
+_MRL_CAND = 50    # candidates surviving the coarse stage
+_MRL_QUERIES = 10
+_MRL_TOP = 3
+
+_DOT_N = (
+    "list_reduce(list_transform(range(1, {n} + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _cos_n_sql(a: str, b: str, n: int) -> str:
+    dot = _DOT_N.format(a=a, b=b, n=n)
+    na = _DOT_N.format(a=a, b=a, n=n)
+    nb = _DOT_N.format(a=b, b=b, n=n)
+    return f"{dot} / (sqrt({na}) * sqrt({nb}))"
+
+
+@register(
+    "knn_matryoshka_funnel",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {_MRL_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    coarse AS (
+        SELECT query_id, neighbor_id, cv, qv,
+               {_cos_n_sql("qv", "cv", _MRL_PREFIX)} AS cos16
+        FROM c CROSS JOIN q WHERE neighbor_id != query_id
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY cos16 DESC, neighbor_id
+        ) <= {_MRL_CAND}
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_cos_n_sql("qv", "cv", 64)} DESC, neighbor_id
+           ) AS INTEGER) AS rank,
+           {_cos_n_sql("qv", "cv", 64)} AS cos
+    FROM coarse
+    QUALIFY rank <= {_MRL_TOP}
+    """,
+    tags=("similarity", "ann", "matryoshka", "funnel"),
+)
+def knn_matryoshka_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka funnel search (Kusupati et al. NeurIPS'22): rank by
+    the FIRST 16 embedding dims (4x less compute and 4x less IO with a
+    dimension-pruned scan), keep 50 candidates per query, rerank those
+    with the full 64-dim cosine. MRL-trained embeddings concentrate
+    signal in the prefix, so the funnel loses little recall while the
+    coarse stage touches a quarter of the vector bytes — the standard
+    memory-bandwidth play for 100 TB vector search. Both stages are
+    bounded per-query windows over a broadcast query set."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < _MRL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    from burst_db_spark.operators.similarity import cosine
+
+    coarse_cos = cosine(
+        F.slice(F.col("qv"), 1, _MRL_PREFIX), F.slice(F.col("cv"), 1, _MRL_PREFIX)
+    )
+    w_coarse = Window.partitionBy("query_id").orderBy(
+        F.col("cos16").desc(), F.col("neighbor_id")
+    )
+    coarse = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos16", coarse_cos)
+        .withColumn("__r", F.row_number().over(w_coarse))
+        .where(F.col("__r") <= _MRL_CAND)
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        coarse.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w_full).cast("int"))
+        .where(F.col("rank") <= _MRL_TOP)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+# -- Deterministic Poisson-bootstrap confidence intervals -----------------------
+
+_BOOT_B = 32
+# Poisson(1) CDF thresholds: P(X<=k) for k = 0..4; u above the last -> 5
+_POIS_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+]
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = "".join(
+        f"WHEN {u} <= {t!r} THEN {k} " for k, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches}ELSE 5 END"
+
+
+@register(
+    "a43_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+        SELECT event_type, event_id, value,
+               CAST(unnest(range({_BOOT_B})) AS INTEGER) AS b
+        FROM events
+    ),
+    w AS (
+        SELECT event_type, b, value,
+               {_pois_case_sql(
+                   "((CAST(('0x' || substr(md5('boot:' || CAST(b AS VARCHAR) "
+                   "|| ':' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+                   "+ 0.5) / 4294967296.0)"
+               )} AS wt
+        FROM reps
+    ),
+    means AS (
+        SELECT event_type, b,
+               CAST(CAST(sum(wt * CAST(value AS DECIMAL(18, 6)))
+                    AS DECIMAL(28, 6)) AS DOUBLE)
+               / CAST(sum(wt) AS DOUBLE) AS m
+        FROM w WHERE wt > 0
+        GROUP BY event_type, b
+    ),
+    ranked AS (
+        SELECT event_type, m,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY m, b) AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+        FROM means
+    )
+    SELECT event_type,
+           min(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+           min(CASE WHEN rn = nb - 1 THEN m END) AS ci_hi,
+           min(nb) AS n_resamples
+    FROM ranked GROUP BY event_type
+    """,
+    tags=("aggregate", "bootstrap", "statistics", "deterministic-sampling"),
+)
+def a43_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-type mean value,
+    fully DETERMINISTIC: each (row, resample) weight is Poisson(1)
+    drawn by inverting the CDF on an md5-derived uniform — the classic
+    single-pass bootstrap for data too large to resample by index
+    (Chamandy et al., Google 2012), made replayable across engines and
+    retries. Weighted sums accumulate in DECIMAL so shuffle order
+    cannot perturb them; the CI is the 2nd / (B-1)th order statistic of
+    the B=32 resample means. One explode(B) + one (type, b) map-side-
+    combined reduce — no per-row state, no RNG."""
+    events = load(spark, sf_dir, "events")
+    reps = events.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).withColumn("b", F.col("b").cast("int"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint").cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    wt = F.lit(5)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        wt = F.when(u <= F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(wt)
+    w = reps.withColumn("wt", wt)
+    means = (
+        w.where(F.col("wt") > 0)
+        .groupBy("event_type", "b")
+        .agg(
+            (
+                F.sum(
+                    F.col("wt") * F.col("value").cast("decimal(18,6)")
+                )
+                .cast("decimal(28,6)")
+                .cast("double")
+                / F.sum("wt").cast("double")
+            ).alias("m")
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("m", "b")
+    wc = Window.partitionBy("event_type")
+    ranked = means.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "nb", F.count("*").over(wc).cast("bigint")
+    )
+    return ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
+        F.min(F.when(F.col("rn") == F.col("nb") - 1, F.col("m"))).alias(
+            "ci_hi"
+        ),
+        F.min("nb").alias("n_resamples"),
+    )

@@ -139,3 +139,86 @@ def test_pipeline_provenance_statuses_consistent(spark):
             raise AssertionError(r["final_status"])
     statuses = {r["final_status"] for r in out}
     assert "kept" in statuses
+
+
+def test_matryoshka_funnel_invariants_and_recall(spark):
+    """Ranks are 1..3 per query; the full-dim cosine is exact; the
+    funnel keeps useful recall vs brute-force top-3."""
+    from burst_db_spark.operators.similarity import cosine_topk
+
+    out = (
+        all_queries()["knn_matryoshka_funnel"].build(spark, SF_DIR).collect()
+    )
+    emb = load(spark, SF_DIR, "embeddings")
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(10))
+    for q, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == [1, 2, 3]
+    brute = cosine_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=3
+    ).collect()
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    fset = {(r["query_id"], r["neighbor_id"]) for r in out}
+    recall = len(bset & fset) / len(bset)
+    assert recall >= 0.5, f"funnel recall {recall} too low"
+
+
+def test_bootstrap_ci_deterministic_and_sane(spark):
+    """Re-running yields identical CIs (hashed Poisson weights, no RNG);
+    lo <= hi; the full-sample mean falls inside every 95% interval; and
+    the Poisson weights match an independent Python inversion."""
+    import hashlib
+
+    q = all_queries()["a43_bootstrap_ci"]
+    a = sorted(map(tuple, q.build(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, q.build(spark, SF_DIR).collect()))
+    assert a == b
+    ev = load(spark, SF_DIR, "events")
+    means = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type")
+        .agg(F.avg("value").alias("m"))
+        .collect()
+    }
+    for et, lo, hi, nb in a:
+        assert nb == 32
+        assert lo <= hi
+        assert lo <= means[et] <= hi
+
+    # spot-check the hashed Poisson inversion against the query's own
+    # weight expression evaluated in Spark
+    from burst_db_spark.queries.round13 import _POIS_CDF
+
+    rows = spark.createDataFrame(
+        [(0, 1), (3, 17), (31, 999)], "b int, event_id long"
+    )
+    u_col = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint").cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    wt = F.lit(5)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        wt = F.when(u_col <= F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(wt)
+    got = {(r["b"], r["event_id"]): r["wt"] for r in rows.select("b", "event_id", wt.alias("wt")).collect()}
+    for (bb, eid), w_spark in got.items():
+        h = int(hashlib.md5(f"boot:{bb}:{eid}".encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        expect = next((k for k, t in enumerate(_POIS_CDF) if u <= t), 5)
+        assert w_spark == expect
