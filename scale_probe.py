@@ -369,8 +369,13 @@ def winnow_clusters_cd_probe(spark, factor: int) -> dict[str, float]:
     for label, f in (("", 1), ("_big", factor)):
         corpus = _cd_corpus(spark, f)
         t0 = time.perf_counter()
+        # min_shared=2 (not the registered query's 10): the per-replica
+        # token suffix makes every "xN "-containing gram hot, so the
+        # max_df guard strips most shared fingerprints — at min_shared=10
+        # the probe corpus has ZERO pairs and the CC stage under test
+        # never runs. 2 restores realistic pair density (481 pairs at 1x).
         pairs = winnow_overlap_pairs(
-            corpus, "doc_id", min_shared=10, max_df=50,
+            corpus, "doc_id", min_shared=2, max_df=50,
             spread_small_input=True,
         ).select("id_a", "id_b").persist()
         n_edges = pairs.count()
