@@ -227,6 +227,8 @@ HEADLINE = [
     "t_pipeline_provenance",
     "knn_matryoshka_funnel",
     "a43_bootstrap_ci",
+    "t_zipf_slope",
+    "t_heaps_law",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

@@ -150,6 +150,8 @@ _SAMPLING_PRIORITY = (
     "t_pipeline_provenance",
     "knn_matryoshka_funnel",
     "a43_bootstrap_ci",
+    "t_zipf_slope",
+    "t_heaps_law",
     # -- then the remaining r6 block, oldest evidence first --
     "g3_bfs_hops",
     "knn_cosine_brute",

@@ -687,3 +687,183 @@ def a43_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("nb").alias("n_resamples"),
     )
+
+
+# -- Corpus-statistics diagnostics: Zipf slope + Heaps law ----------------------
+
+_ZIPF_TOP = 200
+
+
+@register(
+    "t_zipf_slope",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_TOKS}) AS term FROM documents
+    ),
+    freq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS f
+        FROM toks GROUP BY term
+    ),
+    top AS (
+        SELECT term, f,
+               CAST(row_number() OVER (ORDER BY f DESC, term) AS BIGINT)
+                   AS rnk
+        FROM freq
+        QUALIFY rnk <= {_ZIPF_TOP}
+    ),
+    xy AS (
+        SELECT rnk,
+               round(ln(CAST(rnk AS DOUBLE)), 6) AS x,
+               round(ln(CAST(f AS DOUBLE)), 6) AS y
+        FROM top
+    ),
+    folds AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               list_reduce(list_prepend(0.0, list(x ORDER BY rnk)),
+                           (a, b) -> a + b) AS sx,
+               list_reduce(list_prepend(0.0, list(y ORDER BY rnk)),
+                           (a, b) -> a + b) AS sy,
+               list_reduce(list_prepend(0.0, list(x * x ORDER BY rnk)),
+                           (a, b) -> a + b) AS sxx,
+               list_reduce(list_prepend(0.0, list(x * y ORDER BY rnk)),
+                           (a, b) -> a + b) AS sxy
+        FROM xy
+    )
+    SELECT n AS n_terms,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / (CAST(n AS DOUBLE) * sxx - sx * sx) AS zipf_slope,
+           (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+           / CAST(n AS DOUBLE) AS intercept
+    FROM folds
+    """,
+    tags=("text", "statistics", "zipf", "diagnostics", "llm-pipeline"),
+)
+def t_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law diagnostic: OLS slope of ln(freq) on ln(rank) over the
+    top-200 corpus terms — natural-language corpora sit near -1, and a
+    drifting slope is an early signal of boilerplate floods or
+    synthetic-text contamination. Top-k via TakeOrdered; the regression
+    runs over exactly 200 rows with rank-ordered folds, so every float
+    sum is order-pinned; the two ln calls are 6dp-rounded."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tx.tokens(F.col("text"))).alias("term"))
+    freq = toks.groupBy("term").agg(F.count("*").cast("bigint").alias("f"))
+    top = (
+        freq.orderBy(F.col("f").desc(), F.col("term"))
+        .limit(_ZIPF_TOP)
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.col("f").desc(), F.col("term")))
+            .cast("bigint"),
+        )
+    )
+    xy = top.select(
+        "rnk",
+        F.round(F.log(F.col("rnk").cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("f").cast("double")), 6).alias("y"),
+    )
+    folds = xy.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.array_sort(F.collect_list(F.struct("rnk", "x"))).alias("__x"),
+        F.array_sort(F.collect_list(F.struct("rnk", "y"))).alias("__y"),
+        F.array_sort(
+            F.collect_list(F.struct("rnk", (F.col("x") * F.col("x")).alias("v")))
+        ).alias("__xx"),
+        F.array_sort(
+            F.collect_list(F.struct("rnk", (F.col("x") * F.col("y")).alias("v")))
+        ).alias("__xy"),
+    ).select(
+        "n",
+        F.aggregate("__x", F.lit(0.0), lambda a, s: a + s["x"]).alias("sx"),
+        F.aggregate("__y", F.lit(0.0), lambda a, s: a + s["y"]).alias("sy"),
+        F.aggregate("__xx", F.lit(0.0), lambda a, s: a + s["v"]).alias("sxx"),
+        F.aggregate("__xy", F.lit(0.0), lambda a, s: a + s["v"]).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    slope = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return folds.select(
+        F.col("n").alias("n_terms"),
+        slope.alias("zipf_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / n_d).alias("intercept"),
+    )
+
+
+_HEAPS_STEP = 50  # docs per checkpoint
+
+
+@register(
+    "t_heaps_law",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    first_seen AS (
+        SELECT term, CAST(min(doc_id) AS BIGINT) AS first_doc
+        FROM toks GROUP BY term
+    ),
+    doc_tokens AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+        FROM toks GROUP BY doc_id
+    ),
+    checkpoints AS (
+        SELECT CAST(doc_id // {_HEAPS_STEP} AS BIGINT) AS cp,
+               CAST(max(doc_id) AS BIGINT) AS last_doc
+        FROM doc_tokens GROUP BY 1
+    ),
+    cum AS (
+        SELECT c.cp, c.last_doc,
+               (SELECT CAST(sum(n_tok) AS BIGINT) FROM doc_tokens d
+                WHERE d.doc_id <= c.last_doc) AS tokens_cum,
+               (SELECT CAST(count(*) AS BIGINT) FROM first_seen f
+                WHERE f.first_doc <= c.last_doc) AS vocab_cum
+        FROM checkpoints c
+    )
+    SELECT cp, last_doc, tokens_cum, vocab_cum
+    FROM cum
+    """,
+    tags=("text", "statistics", "heaps", "diagnostics", "llm-pipeline"),
+)
+def t_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law growth curve: cumulative vocabulary size vs cumulative
+    token count at every 50-doc checkpoint (doc-id order). A corpus
+    whose vocabulary stops growing is repeating itself — the curve is
+    the canonical dedup-health diagnostic. ALL-INTEGER output. Spark
+    plan: per-term first-seen doc (one groupBy), per-checkpoint token
+    totals, then cumulative sums via a window over the tiny checkpoint
+    frame — never a quadratic correlated subquery (that formulation is
+    left to the oracle, where DuckDB's optimizer handles 10 rows)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")
+    )
+    first_seen = toks.groupBy("term").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+    doc_tokens = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tok")
+    )
+    cp_col = (F.col("doc_id") / _HEAPS_STEP).cast("bigint")
+    # per-checkpoint increments, then running totals over the tiny
+    # checkpoint frame (a single-partition window over ~n_docs/50 rows)
+    tok_inc = doc_tokens.groupBy(cp_col.alias("cp")).agg(
+        F.sum("n_tok").cast("bigint").alias("tok_inc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )
+    voc_inc = first_seen.groupBy(
+        (F.col("first_doc") / _HEAPS_STEP).cast("bigint").alias("cp")
+    ).agg(F.count("*").cast("bigint").alias("voc_inc"))
+    wcum = Window.orderBy("cp").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tok_inc.join(voc_inc, "cp", "left")
+        .fillna(0, subset=["voc_inc"])
+        .select(
+            "cp",
+            "last_doc",
+            F.sum("tok_inc").over(wcum).cast("bigint").alias("tokens_cum"),
+            F.sum("voc_inc").over(wcum).cast("bigint").alias("vocab_cum"),
+        )
+    )

@@ -222,3 +222,57 @@ def test_bootstrap_ci_deterministic_and_sane(spark):
         u = (h + 0.5) / 4294967296.0
         expect = next((k for k, t in enumerate(_POIS_CDF) if u <= t), 5)
         assert w_spark == expect
+
+
+def test_zipf_slope_matches_python_ols(spark):
+    """Slope/intercept match an independent Python OLS on the same
+    6dp-rounded ln(rank)/ln(freq) points, and the slope is negative
+    (frequencies decay with rank by construction)."""
+    from collections import Counter
+
+    row = all_queries()["t_zipf_slope"].build(spark, SF_DIR).collect()[0]
+    docs = load(spark, SF_DIR, "documents").select("text").collect()
+    cnt: Counter = Counter()
+    for r in docs:
+        cnt.update(r["text"].lower().strip().split())
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    pts = [
+        (round(math.log(i + 1), 6), round(math.log(f), 6))
+        for i, (_, f) in enumerate(top)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row["n_terms"] == n
+    assert abs(row["zipf_slope"] - slope) < 1e-9
+    assert row["zipf_slope"] < 0
+
+
+def test_heaps_law_cumulative_invariants(spark):
+    """Cumulative curves are monotone; the last checkpoint equals the
+    corpus totals; vocabulary growth decelerates overall (Heaps)."""
+    rows = sorted(
+        all_queries()["t_heaps_law"].build(spark, SF_DIR).collect(),
+        key=lambda r: r["cp"],
+    )
+    assert rows
+    docs = load(spark, SF_DIR, "documents").select("text").collect()
+    vocab = set()
+    total = 0
+    for r in docs:
+        ts = r["text"].lower().strip().split()
+        total += len(ts)
+        vocab.update(ts)
+    for a, b in zip(rows, rows[1:]):
+        assert b["tokens_cum"] > a["tokens_cum"]
+        assert b["vocab_cum"] >= a["vocab_cum"]
+    assert rows[-1]["tokens_cum"] == total
+    assert rows[-1]["vocab_cum"] == len(vocab)
+    # deceleration: the second half of the corpus adds fewer new terms
+    mid = rows[len(rows) // 2 - 1]
+    assert (
+        rows[-1]["vocab_cum"] - mid["vocab_cum"] < mid["vocab_cum"]
+    )
