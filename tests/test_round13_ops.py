@@ -187,8 +187,9 @@ def test_bootstrap_ci_deterministic_and_sane(spark):
         assert lo <= hi
         assert lo <= means[et] <= hi
 
-    # spot-check the hashed Poisson inversion against the query's own
-    # weight expression evaluated in Spark
+    # spot-check the sliced-digest Poisson inversion against the query's
+    # own weight expression evaluated in Spark (one md5 digest = four
+    # 32-bit uniforms: seed = b // 4, hex slice = b % 4)
     from burst_db_spark.queries.round13 import _POIS_CDF
 
     rows = spark.createDataFrame(
@@ -196,18 +197,14 @@ def test_bootstrap_ci_deterministic_and_sane(spark):
     )
     u_col = (
         F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("boot:"),
-                        F.col("b").cast("string"),
-                        F.lit(":"),
-                        F.col("event_id").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
+            F.md5(
+                F.concat(
+                    F.lit("boot"),
+                    (F.col("b") / 4).cast("int").cast("string"),
+                    F.lit(":"),
+                    F.col("event_id").cast("string"),
+                )
+            ).substr((F.col("b") % 4) * 8 + 1, F.lit(8)),
             16,
             10,
         ).cast("bigint").cast("double")
@@ -218,7 +215,8 @@ def test_bootstrap_ci_deterministic_and_sane(spark):
         wt = F.when(u_col <= F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(wt)
     got = {(r["b"], r["event_id"]): r["wt"] for r in rows.select("b", "event_id", wt.alias("wt")).collect()}
     for (bb, eid), w_spark in got.items():
-        h = int(hashlib.md5(f"boot:{bb}:{eid}".encode()).hexdigest()[:8], 16)
+        dig = hashlib.md5(f"boot{bb // 4}:{eid}".encode()).hexdigest()
+        h = int(dig[(bb % 4) * 8 : (bb % 4) * 8 + 8], 16)
         u = (h + 0.5) / 4294967296.0
         expect = next((k for k, t in enumerate(_POIS_CDF) if u <= t), 5)
         assert w_spark == expect
