@@ -229,6 +229,9 @@ HEADLINE = [
     "a43_bootstrap_ci",
     "t_zipf_slope",
     "t_heaps_law",
+    "t_pmi_collocations",
+    "a44_ks_drift",
+    "t_renyi_diversity",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

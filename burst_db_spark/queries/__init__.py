@@ -152,6 +152,9 @@ _SAMPLING_PRIORITY = (
     "a43_bootstrap_ci",
     "t_zipf_slope",
     "t_heaps_law",
+    "t_pmi_collocations",
+    "a44_ks_drift",
+    "t_renyi_diversity",
     # -- then the remaining r6 block, oldest evidence first --
     "g3_bfs_hops",
     "knn_cosine_brute",

@@ -881,3 +881,266 @@ def t_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("voc_inc").over(wcum).cast("bigint").alias("vocab_cum"),
         )
     )
+
+
+# -- PMI collocations ------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 50
+
+
+@register(
+    "t_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    uni AS (
+        SELECT unnest(t) AS term FROM toks
+    ),
+    ucnt AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY term
+    ),
+    utot AS (SELECT CAST(sum(c) AS BIGINT) AS zu FROM ucnt),
+    bi AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(range(1, len(t))) AS r(i)
+    ),
+    bcnt AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+        FROM bi GROUP BY w1, w2
+    ),
+    btot AS (SELECT CAST(sum(c) AS BIGINT) AS zb FROM bcnt),
+    pmi AS (
+        SELECT b.w1, b.w2, b.c AS pair_count,
+               round(ln(
+                   (CAST(b.c AS DOUBLE) / CAST(zb AS DOUBLE))
+                   / ((CAST(u1.c AS DOUBLE) / CAST(zu AS DOUBLE))
+                      * (CAST(u2.c AS DOUBLE) / CAST(zu AS DOUBLE)))
+               ), 6) AS pmi
+        FROM bcnt b
+        JOIN ucnt u1 ON u1.term = b.w1
+        JOIN ucnt u2 ON u2.term = b.w2
+        CROSS JOIN utot CROSS JOIN btot
+        WHERE b.c >= {_PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, pair_count, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INTEGER)
+               AS rnk
+    FROM pmi
+    QUALIFY rnk <= {_PMI_TOP}
+    """,
+    tags=("text", "collocations", "pmi", "statistics", "llm-pipeline"),
+)
+def t_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining via pointwise mutual information (Church &
+    Hanks 1990): PMI = ln(p(w1,w2) / (p(w1)p(w2))) over adjacent token
+    bigrams with count >= 5, top-50 by PMI — the classic detector of
+    multi-word expressions a tokenizer or phrase index should treat as
+    units. Two shuffles (unigram + bigram counts), two broadcast
+    marginal joins, TakeOrdered cut; the one ln is 6dp-rounded."""
+    docs = load(spark, sf_dir, "documents")
+    toks_arr = docs.select(tx.tokens(F.col("text")).alias("t"))
+    uni = toks_arr.select(F.explode("t").alias("term"))
+    ucnt = uni.groupBy("term").agg(F.count("*").cast("bigint").alias("c"))
+    utot = ucnt.agg(F.sum("c").cast("bigint").alias("zu"))
+    bi = toks_arr.where(F.size("t") > 1).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bcnt = bi.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    btot = bcnt.agg(F.sum("c").cast("bigint").alias("zb"))
+    u1 = ucnt.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    pmi_col = F.round(
+        F.log(
+            (F.col("c").cast("double") / F.col("zb").cast("double"))
+            / (
+                (F.col("c1").cast("double") / F.col("zu").cast("double"))
+                * (F.col("c2").cast("double") / F.col("zu").cast("double"))
+            )
+        ),
+        6,
+    )
+    pmi = (
+        bcnt.where(F.col("c") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1", "w2", F.col("c").alias("pair_count"), pmi_col.alias("pmi")
+        )
+    )
+    top = pmi.orderBy(
+        F.col("pmi").desc(), F.col("w1"), F.col("w2")
+    ).limit(_PMI_TOP)
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+    return top.select(
+        "w1",
+        "w2",
+        "pair_count",
+        "pmi",
+        F.row_number().over(w).cast("int").alias("rnk"),
+    )
+
+
+# -- Two-sample Kolmogorov-Smirnov drift test -------------------------------------
+
+
+@register(
+    "a44_ks_drift",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_type, value,
+               CAST(event_id % 2 AS INTEGER) AS snap
+        FROM events
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+               CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1
+        FROM tagged GROUP BY event_type
+    ),
+    ecdf AS (
+        SELECT event_type, value,
+               CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) OVER w
+                    AS BIGINT) AS c0,
+               CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) OVER w
+                    AS BIGINT) AS c1
+        FROM tagged
+        WINDOW w AS (PARTITION BY event_type ORDER BY value
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT e.event_type,
+           max(abs(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                   - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))) AS ks_d,
+           min(n0) AS n_old, min(n1) AS n_new
+    FROM ecdf e JOIN tot USING (event_type)
+    GROUP BY e.event_type
+    """,
+    tags=("aggregate", "drift", "ks-test", "monitoring"),
+)
+def a44_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between corpus
+    snapshots (event_id parity): D = max |ECDF_old - ECDF_new| over the
+    per-type value distribution — the nonparametric complement to the
+    binned PSI gate (a42), sensitive to shape changes bins smear out.
+    ECDFs come from ONE ranked window pass over the combined sample
+    (RANGE frame so ties accumulate identically in both engines);
+    every count is an exact BIGINT and D is a max of two-division
+    doubles."""
+    events = load(spark, sf_dir, "events")
+    tagged = events.select(
+        "event_type",
+        "value",
+        (F.col("event_id") % 2).cast("int").alias("snap"),
+    )
+    tot = tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    ecdf = tagged.select(
+        "event_type",
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("c0"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("c1"),
+    )
+    return (
+        ecdf.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("c0").cast("double") / F.col("n0").cast("double")
+                    - F.col("c1").cast("double") / F.col("n1").cast("double")
+                )
+            ).alias("ks_d"),
+            F.min("n0").alias("n_old"),
+            F.min("n1").alias("n_new"),
+        )
+    )
+
+
+# -- Renyi vocabulary diversity ----------------------------------------------------
+
+
+@register(
+    "t_renyi_diversity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKS}) AS term FROM documents
+    ),
+    cnt AS (
+        SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY source, term
+    ),
+    agg AS (
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS z,
+               CAST(sum(c * c) AS BIGINT) AS ssq,
+               CAST(count(*) AS BIGINT) AS vocab
+        FROM cnt GROUP BY source
+    )
+    SELECT source, vocab, z AS n_tokens,
+           round(-ln(CAST(ssq AS DOUBLE)
+                     / (CAST(z AS DOUBLE) * CAST(z AS DOUBLE))), 6) AS h2,
+           (CAST(z AS DOUBLE) * CAST(z AS DOUBLE)) / CAST(ssq AS DOUBLE)
+               AS effective_vocab
+    FROM agg
+    """,
+    tags=("text", "diversity", "entropy", "diagnostics", "llm-pipeline"),
+)
+def t_renyi_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Renyi-2 vocabulary diversity per source: H2 = -ln(sum p_t^2) and
+    the effective vocabulary 1/sum p_t^2 (the Simpson/collision
+    diversity) — a source whose effective vocab collapses relative to
+    its raw vocab is template spam. sum p^2 = sum(c^2)/z^2 with both
+    sums EXACT BIGINTs, so the only float ops are one division and one
+    6dp-rounded ln — bit-stable at any shuffle order."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tx.tokens(F.col("text"))).alias("term")
+    )
+    cnt = toks.groupBy("source", "term").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    agg = cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("z"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ssq"),
+        F.count("*").cast("bigint").alias("vocab"),
+    )
+    z_d = F.col("z").cast("double")
+    ssq_d = F.col("ssq").cast("double")
+    return agg.select(
+        "source",
+        "vocab",
+        F.col("z").alias("n_tokens"),
+        F.round(-F.log(ssq_d / (z_d * z_d)), 6).alias("h2"),
+        ((z_d * z_d) / ssq_d).alias("effective_vocab"),
+    )

@@ -274,3 +274,94 @@ def test_heaps_law_cumulative_invariants(spark):
     assert (
         rows[-1]["vocab_cum"] - mid["vocab_cum"] < mid["vocab_cum"]
     )
+
+
+def test_pmi_collocations_match_python(spark):
+    """Top-PMI pairs match an independent Python computation (same
+    6dp-rounded ln, same >= 5 count floor, same tiebreaks)."""
+    from collections import Counter
+
+    out = all_queries()["t_pmi_collocations"].build(spark, SF_DIR).collect()
+    assert len(out) == 50
+    docs = load(spark, SF_DIR, "documents").select("text").collect()
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for r in docs:
+        ts = r["text"].lower().strip().split()
+        uni.update(ts)
+        bi.update(zip(ts, ts[1:]))
+    zu, zb = sum(uni.values()), sum(bi.values())
+    pmi = {
+        (w1, w2): round(
+            math.log((c / zb) / ((uni[w1] / zu) * (uni[w2] / zu))), 6
+        )
+        for (w1, w2), c in bi.items()
+        if c >= 5
+    }
+    top = sorted(pmi.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    expect = [(w1, w2, pmi_v) for (w1, w2), pmi_v in top]
+    got = [
+        (r["w1"], r["w2"], r["pmi"])
+        for r in sorted(out, key=lambda r: r["rnk"])
+    ]
+    assert got == expect
+    for r in out:
+        assert r["pair_count"] >= 5
+
+
+def test_ks_drift_matches_python_ecdf(spark):
+    """KS D equals the max ECDF gap computed independently, per type."""
+    rows = {
+        r["event_type"]: r
+        for r in all_queries()["a44_ks_drift"].build(spark, SF_DIR).collect()
+    }
+    ev = load(spark, SF_DIR, "events").select(
+        "event_type", "event_id", "value"
+    ).collect()
+    from collections import defaultdict
+
+    samples: dict = defaultdict(lambda: ([], []))
+    for r in ev:
+        samples[r["event_type"]][r["event_id"] % 2].append(r["value"])
+    for et, r in rows.items():
+        old, new = samples[et]
+        old.sort()
+        new.sort()
+        pts = sorted(set(old) | set(new))
+        import bisect
+
+        d = max(
+            abs(
+                bisect.bisect_right(old, v) / len(old)
+                - bisect.bisect_right(new, v) / len(new)
+            )
+            for v in pts
+        )
+        assert r["n_old"] == len(old) and r["n_new"] == len(new)
+        assert abs(r["ks_d"] - d) < 1e-12
+        assert 0 <= r["ks_d"] <= 1
+
+
+def test_renyi_diversity_exact_integers(spark):
+    """h2 / effective vocab match exact integer sums of squared counts."""
+    from collections import Counter, defaultdict
+
+    rows = {
+        r["source"]: r
+        for r in all_queries()["t_renyi_diversity"].build(spark, SF_DIR).collect()
+    }
+    docs = load(spark, SF_DIR, "documents").select("source", "text").collect()
+    per_src: dict = defaultdict(Counter)
+    for r in docs:
+        per_src[r["source"]].update(r["text"].lower().strip().split())
+    assert set(rows) == set(per_src)
+    for src, cnt in per_src.items():
+        z = sum(cnt.values())
+        ssq = sum(c * c for c in cnt.values())
+        r = rows[src]
+        assert r["vocab"] == len(cnt)
+        assert r["n_tokens"] == z
+        assert r["h2"] == round(-math.log(ssq / (z * z)), 6)
+        assert abs(r["effective_vocab"] - (z * z) / ssq) < 1e-9
+        # effective vocab can never exceed the raw vocab
+        assert r["effective_vocab"] <= r["vocab"] + 1e-9
