@@ -232,6 +232,9 @@ HEADLINE = [
     "t_pmi_collocations",
     "a44_ks_drift",
     "t_renyi_diversity",
+    "t_mmr_rerank",
+    "a45_mann_whitney",
+    "t_good_turing",
 ]
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic

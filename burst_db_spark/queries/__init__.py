@@ -155,6 +155,9 @@ _SAMPLING_PRIORITY = (
     "t_pmi_collocations",
     "a44_ks_drift",
     "t_renyi_diversity",
+    "t_mmr_rerank",
+    "a45_mann_whitney",
+    "t_good_turing",
     # -- then the remaining r6 block, oldest evidence first --
     "g3_bfs_hops",
     "knn_cosine_brute",

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from burst_db_spark.catalog import load
 from burst_db_spark.operators import dedup as dd
 from burst_db_spark.operators import text as tx
+from burst_db_spark.queries.similarity import _cos_sql
 from burst_db_spark.queries.textops import _SHINGLES_CTE, _TOKS
 from burst_db_spark.registry import register
 
@@ -1143,4 +1144,303 @@ def t_renyi_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z").alias("n_tokens"),
         F.round(-F.log(ssq_d / (z_d * z_d)), 6).alias("h2"),
         ((z_d * z_d) / ssq_d).alias("effective_vocab"),
+    )
+
+
+# -- MMR diversified rerank ------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_K = 5
+_MMR_POOL = 20
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled-K MMR in DuckDB: sel_i picked by max of
+    lambda*rel - (1-lambda)*max(sim to sel_1..i-1); both engines share
+    the exact arithmetic shape (fixed-form lambda products, cosine
+    folds, id tiebreaks)."""
+    lam = _MMR_LAMBDA
+    ctes = [
+        f"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS MATERIALIZED (
+        SELECT vec_id AS neighbor_id, embedding AS cv,
+               {_cos_sql("qv", "embedding")} AS rel
+        FROM embeddings CROSS JOIN q
+        WHERE vec_id != 0
+        QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id)
+                <= {_MMR_POOL}
+    ),
+    s1 AS MATERIALIZED (
+        SELECT neighbor_id, cv, rel, {lam!r} * rel AS mmr, 1 AS sel_rank
+        FROM cand
+        QUALIFY row_number() OVER (ORDER BY rel DESC, neighbor_id) = 1
+    )"""
+    ]
+    prev = ["s1"]
+    for step in range(2, _MMR_K + 1):
+        sel_union = " UNION ALL ".join(
+            f"SELECT cv FROM {p}" for p in prev
+        )
+        ctes.append(
+            f"""s{step} AS MATERIALIZED (
+        SELECT c.neighbor_id, c.cv, c.rel,
+               {lam!r} * c.rel - {1.0 - lam!r} * (
+                   SELECT max({_cos_sql("c.cv", "s.cv")})
+                   FROM ({sel_union}) s
+               ) AS mmr,
+               {step} AS sel_rank
+        FROM cand c
+        WHERE c.neighbor_id NOT IN
+              ({" UNION ALL ".join(f"SELECT neighbor_id FROM {p}" for p in prev)})
+        QUALIFY row_number() OVER (ORDER BY mmr DESC, neighbor_id) = 1
+    )"""
+        )
+        prev.append(f"s{step}")
+    union = " UNION ALL ".join(
+        f"SELECT neighbor_id, rel, mmr, CAST(sel_rank AS INTEGER) AS sel_rank FROM {p}"
+        for p in prev
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + union
+
+
+@register(
+    "t_mmr_rerank",
+    oracle=_mmr_oracle_sql(),
+    tags=("retrieval", "mmr", "diversity", "llm-pipeline"),
+)
+def t_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein,
+    SIGIR'98): from the top-20 cosine pool for query vector 0, pick 5
+    results greedily by lambda*relevance - (1-lambda)*max-similarity-to-
+    already-selected — the classic relevance/diversity trade-off for
+    retrieval-augmented sampling. The greedy loop is K=5 steps over a
+    20-row candidate frame: each step collects ONE selected row (model
+    state, like a k-means centroid), so the driver holds K rows total
+    and the heavy work — the pool cut — is a single TakeOrdered over
+    the corpus. The oracle unrolls the identical K steps in SQL."""
+    from burst_db_spark.operators.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    pool = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+            cosine(F.col("qv"), F.col("embedding")).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("neighbor_id"))
+        .limit(_MMR_POOL)
+    )
+    cand = [
+        (r["neighbor_id"], r["cv"], r["rel"]) for r in pool.collect()
+    ]
+
+    def _cos_local(a: list, b: list) -> float:
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+            na += float(x) * float(x)
+            nb += float(y) * float(y)
+        import math as _m
+
+        return dot / (_m.sqrt(na) * _m.sqrt(nb))
+
+    lam = _MMR_LAMBDA
+    selected: list[tuple[int, float, float, int]] = []
+    sel_vecs: list[list] = []
+    remaining = dict((nid, (cv, rel)) for nid, cv, rel in cand)
+    for step in range(1, _MMR_K + 1):
+        best = None
+        # ids iterate ascending, so strict > keeps the LOWEST id on ties
+        for nid in sorted(remaining):
+            cv, rel = remaining[nid]
+            if sel_vecs:
+                penalty = max(_cos_local(cv, sv) for sv in sel_vecs)
+                mmr = lam * rel - (1.0 - lam) * penalty
+            else:
+                mmr = lam * rel
+            if best is None or mmr > best[1]:
+                best = (nid, mmr, rel)
+        nid, mmr, rel = best
+        selected.append((nid, rel, mmr, step))
+        sel_vecs.append(remaining.pop(nid)[0])
+    return spark.createDataFrame(
+        selected, "neighbor_id long, rel double, mmr double, sel_rank int"
+    )
+
+
+# -- Mann-Whitney U drift test ----------------------------------------------------
+
+
+@register(
+    "a45_mann_whitney",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_type, value,
+               CAST(event_id % 2 AS INTEGER) AS snap
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, snap,
+               (CAST(count(*) OVER w_lt AS DOUBLE)
+                + (CAST(count(*) OVER w_le AS DOUBLE)
+                   - CAST(count(*) OVER w_lt AS DOUBLE) + 1.0) / 2.0)
+                   AS avg_rank
+        FROM tagged
+        WINDOW w_lt AS (PARTITION BY event_type ORDER BY value
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        EXCLUDE GROUP),
+               w_le AS (PARTITION BY event_type ORDER BY value
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+               CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               sum(CASE WHEN snap = 0 THEN avg_rank ELSE 0.0 END) AS r0
+        FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n0 AS n_old, n1 AS n_new,
+           r0 - CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) + 1.0) / 2.0
+               AS u_old,
+           CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+           - (r0 - CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) + 1.0) / 2.0)
+               AS u_new
+    FROM sums
+    """,
+    tags=("aggregate", "drift", "mann-whitney", "monitoring"),
+)
+def a45_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between corpus snapshots (event_id parity), per
+    event type: U_old = R_old - n0(n0+1)/2 with midrank tie handling —
+    the rank-based drift test that complements KS (a44: max ECDF gap)
+    and PSI (a42: binned divergence). Midranks come from two RANGE-frame
+    counts (strictly-less and less-or-equal); every rank is an integer
+    or integer+0.5, so the double sums are EXACT (halves of ints are
+    representable) and shuffle order cannot perturb them."""
+    events = load(spark, sf_dir, "events")
+    tagged = events.select(
+        "event_type",
+        "value",
+        (F.col("event_id") % 2).cast("int").alias("snap"),
+    )
+    w_le = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    # count of strictly-smaller values = rank() - 1 (rank() counts the
+    # first row of each tie group); DuckDB's EXCLUDE GROUP frame and
+    # Spark's rank()-1 agree exactly
+    r = F.rank().over(
+        Window.partitionBy("event_type").orderBy("value")
+    )
+    cnt_le = F.count("*").over(w_le)
+    avg_rank = (
+        (r - 1).cast("double")
+        + (cnt_le.cast("double") - (r - 1).cast("double") + F.lit(1.0))
+        / F.lit(2.0)
+    )
+    ranked = tagged.select(
+        "event_type", "snap", avg_rank.alias("avg_rank")
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(
+            F.when(F.col("snap") == 0, F.col("avg_rank")).otherwise(0.0)
+        ).alias("r0"),
+    )
+    n0d = F.col("n0").cast("double")
+    n1d = F.col("n1").cast("double")
+    u_old = F.col("r0") - n0d * (n0d + F.lit(1.0)) / F.lit(2.0)
+    return sums.select(
+        "event_type",
+        F.col("n0").alias("n_old"),
+        F.col("n1").alias("n_new"),
+        u_old.alias("u_old"),
+        (n0d * n1d - u_old).alias("u_new"),
+    )
+
+
+# -- Good-Turing unseen-mass estimate ---------------------------------------------
+
+
+@register(
+    "t_good_turing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest({_TOKS}) AS term FROM documents
+    ),
+    cnt AS (
+        SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY lang, term
+    ),
+    fof AS (
+        SELECT lang,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2
+        FROM cnt GROUP BY lang
+    )
+    SELECT lang, n_tokens, vocab, n1 AS n_hapax, n2 AS n_dis,
+           CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS p_unseen,
+           CASE WHEN n1 > 0
+                THEN 2.0 * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE)
+           END AS r1_star
+    FROM fof
+    """,
+    tags=("text", "statistics", "good-turing", "diagnostics", "llm-pipeline"),
+)
+def t_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-mass estimate per language: P(next token is
+    novel) = N1/N (hapax proportion) and the adjusted count for
+    singletons r1* = 2*N2/N1 (Gale & Sampson's simple GT) — the
+    coverage diagnostic that says how much of a language's vocabulary
+    the corpus has NOT yet seen, i.e. whether more crawl would still
+    add signal. Frequency-of-frequencies is one extra reduce over the
+    (lang, term) counts; everything but two final divisions is an exact
+    BIGINT."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(tx.tokens(F.col("text"))).alias("term")
+    )
+    cnt = toks.groupBy("lang", "term").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    fof = cnt.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    return fof.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        F.col("n1").alias("n_hapax"),
+        F.col("n2").alias("n_dis"),
+        (F.col("n1").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "p_unseen"
+        ),
+        F.when(
+            F.col("n1") > 0,
+            F.lit(2.0) * F.col("n2").cast("double")
+            / F.col("n1").cast("double"),
+        ).alias("r1_star"),
     )

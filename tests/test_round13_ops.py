@@ -365,3 +365,107 @@ def test_renyi_diversity_exact_integers(spark):
         assert abs(r["effective_vocab"] - (z * z) / ssq) < 1e-9
         # effective vocab can never exceed the raw vocab
         assert r["effective_vocab"] <= r["vocab"] + 1e-9
+
+
+def test_mmr_rerank_greedy_invariants(spark):
+    """Five unique picks; first pick is the max-relevance doc; every
+    later pick maximizes lambda*rel - (1-lambda)*max-sim among the
+    remaining pool (re-derived in Python from the raw vectors)."""
+    out = sorted(
+        all_queries()["t_mmr_rerank"].build(spark, SF_DIR).collect(),
+        key=lambda r: r["sel_rank"],
+    )
+    assert [r["sel_rank"] for r in out] == [1, 2, 3, 4, 5]
+    assert len({r["neighbor_id"] for r in out}) == 5
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        return dot / (na * nb)
+
+    q = emb[0]
+    rel = {i: cos(q, v) for i, v in emb.items() if i != 0}
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:20]
+    sel = []
+    for step, r in enumerate(out, 1):
+        best, best_score = None, None
+        for i in pool:
+            if i in sel:
+                continue
+            pen = max((cos(emb[i], emb[j]) for j in sel), default=0.0)
+            score = 0.7 * rel[i] - (0.3 * pen if sel else 0.0)
+            if best is None or score > best_score:
+                best, best_score = i, score
+        assert r["neighbor_id"] == best, (step, r["neighbor_id"], best)
+        assert abs(r["mmr"] - best_score) < 1e-9
+        sel.append(best)
+
+
+def test_mann_whitney_matches_python_ranks(spark):
+    """U statistics match a midrank computation in Python, and
+    u_old + u_new == n0*n1 exactly."""
+    rows = {
+        r["event_type"]: r
+        for r in all_queries()["a45_mann_whitney"].build(spark, SF_DIR).collect()
+    }
+    ev = load(spark, SF_DIR, "events").select(
+        "event_type", "event_id", "value"
+    ).collect()
+    from collections import defaultdict
+
+    samples: dict = defaultdict(list)
+    for r in ev:
+        samples[r["event_type"]].append((r["value"], r["event_id"] % 2))
+    for et, r in rows.items():
+        vals = sorted(samples[et])
+        # midranks
+        n = len(vals)
+        r0 = 0.0
+        i = 0
+        while i < n:
+            j = i
+            while j < n and vals[j][0] == vals[i][0]:
+                j += 1
+            avg = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                if vals[k][1] == 0:
+                    r0 += avg
+            i = j
+        n0 = sum(1 for _, s in vals if s == 0)
+        n1 = n - n0
+        u_old = r0 - n0 * (n0 + 1) / 2.0
+        assert r["n_old"] == n0 and r["n_new"] == n1
+        assert abs(r["u_old"] - u_old) < 1e-9
+        assert abs(r["u_old"] + r["u_new"] - n0 * n1) < 1e-9
+
+
+def test_good_turing_matches_counter(spark):
+    """Hapax/dis counts and the unseen-mass estimate match a Counter."""
+    from collections import Counter, defaultdict
+
+    rows = {
+        r["lang"]: r
+        for r in all_queries()["t_good_turing"].build(spark, SF_DIR).collect()
+    }
+    docs = load(spark, SF_DIR, "documents").select("lang", "text").collect()
+    per_lang: dict = defaultdict(Counter)
+    for r in docs:
+        per_lang[r["lang"]].update(r["text"].lower().strip().split())
+    assert set(rows) == set(per_lang)
+    for lang, cnt in per_lang.items():
+        n1 = sum(1 for c in cnt.values() if c == 1)
+        n2 = sum(1 for c in cnt.values() if c == 2)
+        z = sum(cnt.values())
+        r = rows[lang]
+        assert r["n_hapax"] == n1 and r["n_dis"] == n2
+        assert r["vocab"] == len(cnt) and r["n_tokens"] == z
+        assert abs(r["p_unseen"] - n1 / z) < 1e-12
+        if n1 > 0:
+            assert abs(r["r1_star"] - 2.0 * n2 / n1) < 1e-12
+        else:
+            assert r["r1_star"] is None
