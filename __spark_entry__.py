@@ -39,14 +39,15 @@ def oracle_sql() -> dict[str, str]:
     EXPECTED-NO-ORACLE (by design, not failures): exactly the names in
     :func:`rows_only_by_design`. Each is an ITERATIVE algorithm whose
     state threads through driver-paced rounds (BPE merge training and
-    its encoder; Lloyd's k-means cell assignment; the DP frame solver's
-    fixpoint) — not expressible as one SQL statement. Every one carries
-    pytest goldens/invariants against an independent single-process
-    implementation, and each family ALSO has an oracle-checked sibling
-    that hash-checks the same machinery end-to-end
-    (t_bpe_reconstruction, knn_ivf_learned_exhaustive,
-    ep2_burst_catalog): a ``no_oracle`` record for these five names is
-    the weaker check the driver contract documents, not a red row.
+    its encoder; Lloyd's k-means cell assignment) — not expressible as
+    one SQL statement. Every one carries pytest goldens/invariants
+    against an independent single-process implementation, and each
+    family ALSO has an oracle-checked sibling that hash-checks the same
+    machinery end-to-end (t_bpe_reconstruction,
+    knn_ivf_learned_exhaustive): a ``no_oracle`` record for these three
+    names is the weaker check the driver contract documents, not a red
+    row. (The EP1 DP-solver rows were promoted to full recursive-CTE
+    oracles in round 12 — plans/ep1_oracle.py.)
     """
     return {
         name: spec.oracle
@@ -72,13 +73,5 @@ def rows_only_by_design() -> dict[str, str]:
         "knn_cosine_ivf_learned": (
             "pruned nprobe=1 search over Lloyd-trained cells; "
             "oracle-checked sibling: knn_ivf_learned_exhaustive"
-        ),
-        "ep1_minimal_db": (
-            "DP frame solver fixpoint (brute-force-optimality pytest); "
-            "oracle-checked sibling: ep2_burst_catalog"
-        ),
-        "ep1_frame_partition": (
-            "DP frame solver fixpoint (brute-force-optimality pytest); "
-            "oracle-checked sibling: ep2_burst_catalog"
         ),
     }

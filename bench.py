@@ -235,7 +235,67 @@ HEADLINE = [
     "t_mmr_rerank",
     "a45_mann_whitney",
     "t_good_turing",
+    # round-13-era operators (build round 12)
+    "dd_d4_diversify",
+    "knn_kmeans_unrolled",
+    "t_soft_dedup_weights",
+    "t_hill_tail_index",
+    "t_ccnet_buckets",
 ]
+
+# Regression-signal curation (VERDICT r11 item #6): the headline suite
+# grew 169→195 queries in r11 and the diffuse +6% median drift tracked
+# SUITE SIZE (later queries run in a more contended/GC-pressured
+# session), not plan changes. The fix is ordering + scoping: the ~40
+# queries with cross-round driver history (present in ≥3 of the last 5
+# driver bench records, r7-r11) run FIRST each session, so their
+# timings are comparable round-over-round; new additions bench after
+# and graduate into the pinned set as they accumulate history. The
+# BENCH_DELTA suspect gate computes over the pinned set only —
+# unpinned deltas stay in the record as informational.
+PINNED_HISTORY = (
+    "dd_docs_cascade_pipeline",
+    "dd_embedding_nn",
+    "dd_embedding_nn_directed",
+    "dd_embedding_nn_multiprobe",
+    "dd_jaccard_prefix_join",
+    "dd_lsh_cluster_dedup",
+    "dd_minhash_lsh",
+    "dd_ngram_jaccard",
+    "f_recursive_cte_gapfill",
+    "f_try_arithmetic",
+    "frame_lookup",
+    "g2_triangle_stats",
+    "g3_bfs_hops",
+    "g4_cc_iterative",
+    "j17_bloom_prejoin",
+    "j7_spatial_join",
+    "j_spatial_knn",
+    "knn_cosine_ivf_multiprobe",
+    "knn_ivf_int8_funnel",
+    "knn_ivf_learned_exhaustive",
+    "mm_audio_windows",
+    "s11_zarr_cube",
+    "s14_zarr_py_writer",
+    "stream_decontaminate_bloom",
+    "stream_interval_counts",
+    "stream_kmv_sketch",
+    "stream_ohlc_complete",
+    "stream_stream_join",
+    "stream_tdigest_quantiles",
+    "stream_watermark_append",
+    "stream_zarr_append_sink",
+    "t_bpe_encode",
+    "t_bpe_reconstruction",
+    "t_containment_join",
+    "t_containment_survivors",
+    "t_decontaminate_bloom",
+    "t_docs_minhash_pipeline",
+    "t_lsh_band_config_sweep",
+    "t_repetition_stats",
+    "t_substring_dedup",
+    "w17_mad_anomaly",
+)
 
 # Audit-only quadratic baselines (they exist to VERIFY the sub-quadratic
 # operators, not to race them): pinned to sf0.01 inside the headline so
@@ -291,13 +351,19 @@ def write_delta(
         record["prev_round"] = os.path.basename(path)
         common: dict[str, object] = {}
         cur_total = prev_total = 0.0
+        pin_cur = pin_prev = 0.0
         suspects = []
+        suspects_unpinned = []
         for name, prev in prev_q.items():
             cur = timings.get(name)
             if not isinstance(cur, (int, float)):
                 continue
             cur_total += cur
             prev_total += prev
+            pinned = name in PINNED_HISTORY
+            if pinned:
+                pin_cur += cur
+                pin_prev += prev
             sp = spreads.get(name) or [cur]
             entry = {
                 "cur": cur,
@@ -307,16 +373,23 @@ def write_delta(
             }
             # a real regression must hold across ALL runs: if even the
             # best-of-N is >1.5x prev but the spread floor is near prev,
-            # it's contention; flag only consistent slowdowns
+            # it's contention; flag only consistent slowdowns. The
+            # suspect GATE is scoped to the pinned cross-round set
+            # (measured first in the session, so comparable); unpinned
+            # flags are informational — they ran late in a session whose
+            # size may differ from the previous round's.
             if prev and cur > 1.5 * prev:
                 entry["suspect"] = True
-                suspects.append(name)
+                (suspects if pinned else suspects_unpinned).append(name)
             common[name] = entry
         record["common"] = common
         record["n_common"] = len(common)
         record["common_total_cur"] = round(cur_total, 3)
         record["common_total_prev"] = round(prev_total, 3)
+        record["pinned_total_cur"] = round(pin_cur, 3)
+        record["pinned_total_prev"] = round(pin_prev, 3)
         record["suspects"] = suspects
+        record["suspects_unpinned_informational"] = suspects_unpinned
         break
     try:
         with open(delta_path, "w") as fh:
@@ -352,7 +425,12 @@ def main() -> None:
     # 6.0s vs 1.1s uncontended) that burned judge time to disprove; the
     # spread makes environment noise self-identifying in the record.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    for name in HEADLINE:
+    # pinned cross-round queries first (comparable session position),
+    # everything else after in registration order
+    ordered = [n for n in PINNED_HISTORY if n in HEADLINE] + [
+        n for n in HEADLINE if n not in PINNED_HISTORY
+    ]
+    for name in ordered:
         # failure isolation: one broken query must cost ONE entry, not the
         # whole round's perf record (round 3 lost all numbers to a single
         # AnalysisException at query 7)

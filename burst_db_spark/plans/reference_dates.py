@@ -102,16 +102,60 @@ def reference_dates_cogrouped(
     event_date_col: str = "event_date",
     interval_days: int = INTERVAL_DAYS,
     min_acquisitions: int = MIN_ACQS,
+    broadcast_events: bool = False,
 ) -> DataFrame:
     """(key, ref_idx, ref_date) with per-key event dates as JOINABLE
     STATE: ``events`` is a (key, event_date) DataFrame cogrouped with
     the acquisitions, so event dates shuffle to the task that owns the
     key. The dict-parameter path in :func:`reference_dates` mirrors the
     reference's small hand-curated ``EVENT_DATES_BY_FRAME`` constant
-    (reference_dates.py:110-112) and stays for parity; THIS is the
-    generic 100 TB shape — a driver-collected dict is pickled into
+    (reference_dates.py:110-112) and stays for parity; the cogroup is
+    the generic 100 TB shape — a driver-collected dict is pickled into
     every task and grows with the key count, a cogrouped DataFrame
-    does not."""
+    does not.
+
+    ``broadcast_events=True`` (VERDICT r11 #3): when the caller KNOWS
+    the events side is broadcast-sized (e.g. a per-key aggregate of a
+    dimension, bounded by key count × a small constant), skip the second
+    groupBy + cogroup machinery entirely — collect the per-key event
+    dates into one array row per key, broadcast-left-join that onto the
+    acquisitions, and run a single ``groupBy(key).applyInPandas`` with
+    the dates carried as a column. Same oracle hash, one shuffle instead
+    of two grouped exchanges. The events frame is still never collected
+    to the driver — the broadcast is Spark's, sized by the JOIN side,
+    not a dict pickled into every task closure."""
+    if broadcast_events:
+        import pyspark.sql.functions as F
+
+        ev_arr = (
+            events.select(key, event_date_col)
+            .groupBy(key)
+            .agg(
+                F.collect_set(
+                    F.col(event_date_col).cast("date")
+                ).alias("__event_dates")
+            )
+        )
+        joined = acq.select(key, ts_col).join(F.broadcast(ev_arr), key, "left")
+
+        def _per_key_bcast(pdf: pd.DataFrame) -> pd.DataFrame:
+            k = pdf[key].iloc[0]
+            times = [t.to_pydatetime() for t in pd.to_datetime(pdf[ts_col])]
+            dates = pdf["__event_dates"].iloc[0]
+            ev = set(dates) if dates is not None and len(dates) else None
+            refs = select_reference_dates(
+                times, ev, interval_days, min_acquisitions
+            )
+            return pd.DataFrame(
+                {
+                    key: [k] * len(refs),
+                    "ref_idx": range(1, len(refs) + 1),
+                    "ref_date": refs,
+                }
+            )
+
+        schema = f"{key} int, ref_idx int, ref_date timestamp"
+        return joined.groupBy(key).applyInPandas(_per_key_bcast, schema)
 
     def _per_key(acq_pdf: pd.DataFrame, ev_pdf: pd.DataFrame) -> pd.DataFrame:
         if acq_pdf.empty:

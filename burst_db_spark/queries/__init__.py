@@ -37,6 +37,7 @@ _MODULES = (
     "round11",
     "round12",
     "round13",
+    "round14",
     "scalars",
     "similarity",
     "skewq",
@@ -58,81 +59,25 @@ for _m in _MODULES:
         )
 
 # The driver's correctness gate samples a PREFIX of the registration order
-# (exactly 50 rows/round, measured r1-r10). Round-11 rotation policy
-# (executes VERDICT r10 "Next round" items #2 and #7 EXACTLY as
-# prescribed):
-#   1. the 26 rows with NO driver evidence in any CORRECTNESS_r*.json
-#      (the r10 new/changed + late additions), plus
-#   2. w5_reference_dates and dd_source_overlap_matrix, whose r10
-#      rewrites (recursive-CTE oracle promotion / de-quadration)
-#      postdate their last driver sample, plus
-#   3. dd_simhash — its voting kernel was de-exploded this round, plus
-#   4. the 21 oldest (r6-evidence) rows, alphabetical,
-#   filling the 50-slot prefix exactly → after CORRECTNESS_r11 every
-#   registry row has driver evidence, none of it older than r6, and the
-#   remaining r6 block is staged directly behind the cut for r12.
+# (exactly 50 rows/round, measured r1-r11). Round-12 rotation policy
+# (executes VERDICT r11 "Next round" items #1 and #2):
+#   1. the 25 round-11 additions — the only rows with NO driver evidence
+#      in any CORRECTNESS_r*.json — lead, exactly as staged last round;
+#   2. ep1_frame_partition / ep1_minimal_db follow: their brand-new
+#      recursive-CTE oracles (plans/ep1_oracle.py, VERDICT #1) must get
+#      driver HASH evidence this round — these were the only rows the
+#      record could ever render as `err`, now fully checkable;
+#   3. w5b_reference_dates_events: its cogroup path gained a broadcast
+#      fast path this round (VERDICT #3) — resample under the new plan;
+#   4. fill to exactly 50 with the oldest-evidence (r6) block,
+#      alphabetical; the 3 that don't fit (w4_run_length, w6_water_year,
+#      w7_first_significant_block) are staged directly behind the cut to
+#      lead r13 → after CORRECTNESS_r12 min evidence age is r6 for only
+#      those 3 rows, r7+ for everything else.
 # Names not listed keep their module registration order after the
 # prefix; unknown names are ignored (lets planned queries pre-register).
 _SAMPLING_PRIORITY = (
-    # -- the 26 rows with NO driver evidence yet (r10 new/changed +
-    # late additions; cumulative CORRECTNESS covers every other row) --
-    "dd_source_overlap_exact_audit",
-    "t_epoch_shard_shuffle",
-    "dd_embedding_nn_incremental",
-    "t_interleave_by_weight",
-    "stream_minhash_incremental",
-    "dd_delete_propagation",
-    "w5b_reference_dates_events",
-    "dd_snapshot_novelty",
-    "t_padding_waste",
-    "t_tokenizer_fertility",
-    "dd_cluster_incremental",
-    "t_winnow_fingerprints",
-    "dd_winnow_overlap",
-    "mm_image_dhash",
-    "mm_image_neardup_pairs",
-    "mm_audio_fingerprint",
-    "mm_audio_neardup_pairs",
-    "t_vocab_coverage",
-    "a40_key_skew_report",
-    "k8_compaction_plan",
-    "mm_blob_byte_stats",
-    "w19_event_transitions",
-    "j19_join_cardinality_estimate",
-    "f_pipe_syntax",
-    "dd_winnow_clusters",
-    "dd_simhash_neardup",
-    # -- the 2 rows whose r10 rewrite postdates their last sample --
-    "w5_reference_dates",       # promoted to recursive-CTE oracle in r10
-    "dd_source_overlap_matrix",  # de-quadrated in r10
-    # -- NEW this round --
-    "t_span_scrub",
-    # -- changed THIS round (de-exploded voting) --
-    "dd_simhash",
-    # -- fill to 50 with the OLDEST driver evidence (r6 block),
-    # freshness floor: after r11, min evidence round >= r7 trajectory --
-    "a10_multi_minmax",
-    "a11_named_agg_pct",
-    "a15_summary_stats",
-    "a16_percentiles",
-    "a17_cube",
-    "a5_string_agg_distinct",
-    "a8_first_seen",
-    "a9_count_per_day",
-    "dd_corpus_survivors",
-    "dd_dedup_clusters",
-    "dd_exact",
-    "dd_minhash_lsh",
-    "dd_ngram_jaccard",
-    "ep1_frame_partition",
-    "ep1_minimal_db",
-    "f_conditional_gauntlet",
-    "f_date_gauntlet",
-    "f_math_gauntlet",
-    "f_regex_extract",
-    "f_variant_props",
-    # ---- 50-slot prefix cut line ----
-    # -- round-12 additions: staged to LEAD the r12 rotation --
+    # -- the 25 round-11 additions (no driver evidence yet) --
     "t_dsir_importance",
     "t_cluster_safe_splits",
     "t_rrf_hybrid_search",
@@ -158,7 +103,13 @@ _SAMPLING_PRIORITY = (
     "t_mmr_rerank",
     "a45_mann_whitney",
     "t_good_turing",
-    # -- then the remaining r6 block, oldest evidence first --
+    # -- oracle-promoted THIS round (plans/ep1_oracle.py): first-ever
+    # hash-checked driver sample --
+    "ep1_frame_partition",
+    "ep1_minimal_db",
+    # -- plan changed THIS round (broadcast fast path, VERDICT #3) --
+    "w5b_reference_dates_events",
+    # -- fill to 50 with the OLDEST driver evidence (r6 block) --
     "g3_bfs_hops",
     "knn_cosine_brute",
     "knn_cosine_ivf",
@@ -168,6 +119,29 @@ _SAMPLING_PRIORITY = (
     "s6_geojson_roundtrip",
     "s7_envelope_roundtrip",
     "skew_salted_count",
+    "stream_daily_counts",
+    "t_decontaminate",
+    "t_fingerprint",
+    "t_lang_guess",
+    "t_quality_filter",
+    "t_quality_score",
+    "t_redact_pii",
+    "t_split_assign",
+    "t_token_stats",
+    "t_top_tfidf",
+    "u2_reconcile_snapshots",
+    "u3_union_all",
+    "w1_first_value",
+    # ---- 50-slot prefix cut line ----
+    # -- round-12 additions + r6-evidence remainder: staged to LEAD r13 --
+    "dd_d4_diversify",
+    "knn_kmeans_unrolled",
+    "t_soft_dedup_weights",
+    "t_hill_tail_index",
+    "t_ccnet_buckets",
+    "w4_run_length",
+    "w6_water_year",
+    "w7_first_significant_block",
 )
 
 from burst_db_spark.registry import set_order_prefix as _set_order_prefix  # noqa: E402

@@ -64,19 +64,35 @@ def o5_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ep1_minimal_oracle() -> str:
+    from burst_db_spark.plans.ep1_oracle import minimal_db_oracle_sql
+
+    return minimal_db_oracle_sql()
+
+
+def _ep1_partition_oracle() -> str:
+    from burst_db_spark.plans.ep1_oracle import frame_partition_oracle_sql
+
+    return frame_partition_oracle_sql()
+
+
 @register(
     "ep1_minimal_db",
-    oracle=None,
-    tags=("EP1", "geo", "utm", "rows-only"),
+    oracle=_ep1_minimal_oracle(),
+    tags=("EP1", "geo", "utm"),
 )
 def ep1_minimal_db(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP1 tail end-to-end (build_frame_db.py:409-450 + make_minimal_db):
     frames -> EPSG classification (incl. antimeridian + Norway/Svalbard
     rules) -> per-EPSG forward projection -> meter envelope -> 30 m snap
-    with 5 km margin -> the minimal-DB integer columns. Rows-only: the
-    Transverse-Mercator series isn't SQL-expressible; exactness is
-    anchored by golden tests against the published utm-package vector
-    (tests/test_geo.py)."""
+    with 5 km margin -> the minimal-DB integer columns. Oracle: full SQL
+    re-derivation (plans/ep1_oracle.py) — the DP replayed as a recursive
+    CTE, the split/EPSG/Greenland geometry in closed form, and the Snyder
+    projection series transcribed term-for-term; all-integer output, so
+    the 30 m snap absorbs libm-vs-numpy ulp noise (measured margin:
+    ≥0.0019 grid units ≈ 5.6 cm). Exactness of the projection itself is
+    additionally anchored by golden tests against the published
+    utm-package vector (tests/test_geo.py)."""
     from burst_db_spark.plans import fixtures
     from burst_db_spark.plans.frame_db import build_frames, enrich_frames
 
@@ -89,13 +105,17 @@ def ep1_minimal_db(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ep1_frame_partition",
-    oracle=None,
-    tags=("EP1", "F5", "applyInPandas", "rows-only"),
+    oracle=_ep1_partition_oracle(),
+    tags=("EP1", "F5", "applyInPandas"),
 )
 def ep1_frame_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP1 frame partitioning end-to-end on the deterministic burst
     fixtures (sf-independent): land-run grouping → per-run DP solver →
-    frames table. Rows-only: the DP optimum isn't SQL-expressible."""
+    frames table. Oracle: the DP optimum IS SQL-expressible at fixture
+    size — plans/ep1_oracle.py enumerates every size composition with a
+    recursive CTE and reproduces the solver's exact descending-size
+    tie-break via reversed-path lexicographic order (hash-exact vs the
+    applyInPandas solver, doubles included)."""
     from burst_db_spark.plans import fixtures
     from burst_db_spark.plans.frame_db import build_frames
 

@@ -442,9 +442,11 @@ def w5b_reference_dates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     with < min_acquisitions accumulated relocates the last reference
     (shifting the interval anchor when it is the first) — against a
     recursive-CTE replay that reduces the overwrite to last-change-wins
-    per (frame, ref_idx). Event dates arrive as a cogrouped DataFrame
-    (plans/reference_dates.reference_dates_cogrouped) — never a
-    driver-collected dict pickled into every task."""
+    per (frame, ref_idx). Event dates arrive as a DataFrame — never a
+    driver-collected dict pickled into every task: broadcast-joined as a
+    per-key array here (the events side is a bounded per-key aggregate),
+    with the cogroup path of reference_dates_cogrouped retained for
+    unbounded event sets."""
     from burst_db_spark.plans.reference_dates import reference_dates_cogrouped
 
     ev = load(spark, sf_dir, "events").select(
@@ -461,11 +463,15 @@ def w5b_reference_dates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("event_date"),
         )
     )
+    # evd is a per-key aggregate (2 dates/frame) — broadcast-sized by
+    # construction, so take the single-shuffle fast path (VERDICT r11 #3);
+    # the cogroup path remains the default for unbounded event sets
     return reference_dates_cogrouped(
         ev,
         evd,
         interval_days=_W5B_INTERVAL,
         min_acquisitions=_W5B_MIN_ACQ,
+        broadcast_events=True,
     )
 
 # ---------------------------------------------------------------------------

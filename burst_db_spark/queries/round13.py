@@ -640,7 +640,12 @@ def a43_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniforms, so the B=32 draws cost 8 md5 evaluations per row, all
     computed BEFORE the explode — measured 8.7 s -> the md5 stage drops
     4x at sf0.1."""
-    events = load(spark, sf_dir, "events")
+    return bootstrap_ci_frame(load(spark, sf_dir, "events"))
+
+
+def bootstrap_ci_frame(events: DataFrame) -> DataFrame:
+    """a43 core on an arbitrary (event_type, event_id, value) frame —
+    shared by the registered query and scale_probe's bootstrap rung."""
     n_digs = _BOOT_B // 4
     digs = events.select(
         "event_type",

@@ -969,6 +969,73 @@ def ppjoin_cd_probe(spark, factor: int) -> dict[str, float]:
     return out
 
 
+def splits_cd_probe(spark, factor: int) -> dict[str, float]:
+    """End-to-end leakage-safe split pipeline (t_cluster_safe_splits):
+    near-dup pairs at threshold 0.2 → connected components → cluster-id
+    split hashing + leak audit, on the constant near-dup-density corpus
+    (disjoint token spaces per replica — VERDICT r11 #4 names the
+    near-dup EDGE VOLUME under the low 0.2 threshold as the term to
+    watch: each replica contributes the same within-replica pair set,
+    so the true edge count grows ~factor; anything superlinear in the
+    wall is the shingle join's candidate stage or CC, not the data).
+    ``n_chars`` is recomputed from the suffixed text so the rollup sums
+    reflect the probe corpus, like the registered query's input."""
+    from burst_db_spark.operators import dedup as dd
+    from burst_db_spark.operators import selection as sel
+    from burst_db_spark.operators.dedup import release_dedup
+
+    out: dict[str, float] = {}
+    for label, f in (("", 1), ("_big", factor)):
+        corpus = _cd_corpus(spark, f).withColumn(
+            "n_chars", F.length("text").cast("bigint")
+        )
+        t0 = time.perf_counter()
+        pairs = dd.ngram_jaccard_pairs(corpus, "doc_id", threshold=0.2)
+        labels = dd.connected_components(pairs, corpus, "doc_id")
+        res = sel.leakage_safe_splits(
+            corpus, pairs.select("id_a", "id_b"), labels
+        )
+        res.write.format("noop").mode("overwrite").save()
+        out[f"t_splits_cd{label}"] = round(time.perf_counter() - t0, 2)
+        out[f"t_splits_edges{label}"] = pairs.count()
+        release_dedup(pairs)
+        spark.catalog.clearCache()
+    return out
+
+
+def bootstrap_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Scaling for the deterministic Poisson-bootstrap CI (a43): events
+    replicated ``factor``x with shifted event_ids (the md5 digest input,
+    so every replica draws fresh weights). Expected FLAT-linear: the
+    plan is 8 md5s/row hoisted before a ×32 explode and one
+    (type, b) map-side-combined decimal reduce — no pair join, no
+    window over the full frame; this probe PROVES the absence of a
+    superlinear term rather than hunting one (VERDICT r11 #4)."""
+    from burst_db_spark.queries.round13 import bootstrap_ci_frame
+
+    ev0 = load(spark, "/root/testdata/sf0.1", "events").select(
+        "event_id", "event_type", "value"
+    )
+    out: dict[str, float] = {}
+    for label, f in (("", 1), ("_big", factor)):
+        reps = [
+            ev0.select(
+                (F.col("event_id") + F.lit(r * SHIFT)).alias("event_id"),
+                "event_type",
+                "value",
+            )
+            for r in range(f)
+        ]
+        ev = reps[0]
+        for x in reps[1:]:
+            ev = ev.unionByName(x)
+        t0 = time.perf_counter()
+        bootstrap_ci_frame(ev).write.format("noop").mode("overwrite").save()
+        out[f"a43_bootstrap_cd{label}"] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+    return out
+
+
 _CD_PROBES = {
     "spatial": lambda spark, f: spatial_cd_probe(spark, n_small=100_000, factor=f),
     "jaccard": jaccard_cd_probe,

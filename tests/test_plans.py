@@ -178,6 +178,65 @@ def test_refdates_cogrouped_matches_dict_path(spark):
     assert not any(k == 9 for k, _, _ in got)  # events-only key emits nothing
 
 
+def test_refdates_three_paths_agree_randomized(spark):
+    """Property test (VERDICT r11 #8): the dict path, the cogroup path,
+    and the broadcast fast path must be byte-identical on a randomized
+    fixture that forces the edge cases — an event before any reference
+    interval elapses (MOVE rule at the start), an event ON the exact
+    interval boundary, an event after the final acquisition (never
+    seen), keys with empty event sets, and an events-only key."""
+    import random
+    from datetime import timedelta
+
+    from burst_db_spark.plans.reference_dates import reference_dates_cogrouped
+
+    rng = random.Random(0xEF12)
+    base = datetime(2016, 7, 1)
+    acq_rows, ev_rows, ev_map = [], [], {}
+    for k in range(1, 9):
+        n = rng.randint(16, 60)
+        gaps = [rng.choice([6, 12, 12, 12, 24, 48]) for _ in range(n - 1)]
+        times, t = [base], base
+        for g in gaps:
+            t = t + timedelta(days=g)
+            times.append(t)
+        acq_rows += [(k, t) for t in times]
+        dates = []
+        if k % 4 == 1:  # early event: MOVE rule with the first group
+            dates.append(times[min(3, n - 1)].date())
+        if k % 4 == 2:  # event exactly on an interval-boundary sample
+            dates.append(times[n // 2].date())
+            dates.append((times[-1] + timedelta(days=30)).date())  # unseen
+        if k % 4 == 3:  # two events in one stretch
+            dates += [times[5].date(), times[7].date()]
+        # k % 4 == 0: no events at all
+        if dates:
+            ev_map[k] = [d.isoformat() for d in dates]
+            ev_rows += [(k, d.isoformat()) for d in dates]
+    ev_rows.append((99, "2016-01-01"))  # events-only key: emits nothing
+
+    acq = spark.createDataFrame(acq_rows, "frame_fid int, sensing_time timestamp")
+    ev_df = spark.createDataFrame(
+        ev_rows, "frame_fid int, event_date string"
+    ).withColumn("event_date", F.to_date("event_date"))
+
+    want = sorted(
+        (r["frame_fid"], r["ref_idx"], r["ref_date"])
+        for r in reference_dates(
+            acq, event_dates_by_key=ev_map, min_acquisitions=5
+        ).collect()
+    )
+    for bcast in (False, True):
+        got = sorted(
+            (r["frame_fid"], r["ref_idx"], r["ref_date"])
+            for r in reference_dates_cogrouped(
+                acq, ev_df, min_acquisitions=5, broadcast_events=bcast
+            ).collect()
+        )
+        assert got == want, f"broadcast_events={bcast}"
+        assert not any(k == 99 for k, _, _ in got)
+
+
 # ------------------------------------------------------------- blackout
 
 
