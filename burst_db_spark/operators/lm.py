@@ -235,11 +235,11 @@ def trigram_backoff_scores(
     )
 
 
-def bigram_lm_oracle_sql(toks_expr: str) -> str:
-    """DuckDB twin of :func:`bigram_lm_scores` — same smoothing, same
-    position-ordered fold, same final division."""
-    return f"""
-    WITH toks AS (
+def bigram_lm_ctes(toks_expr: str) -> str:
+    """The CTE chain of :func:`bigram_lm_oracle_sql` up to ``contrib``
+    (no WITH keyword, no trailing comma) — composable into larger
+    oracles (t_ccnet_buckets builds per-language buckets on top)."""
+    return f"""toks AS (
         SELECT doc_id, unnest({toks_expr}) AS w FROM documents
     ),
     uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY w),
@@ -259,7 +259,14 @@ def bigram_lm_oracle_sql(toks_expr: str) -> str:
         FROM bg JOIN bi USING (w1, w2)
         JOIN uni ON bg.w1 = uni.w
         CROSS JOIN vocab
-    )
+    )"""
+
+
+def bigram_lm_oracle_sql(toks_expr: str) -> str:
+    """DuckDB twin of :func:`bigram_lm_scores` — same smoothing, same
+    position-ordered fold, same final division."""
+    return f"""
+    WITH {bigram_lm_ctes(toks_expr)}
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
            list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
@@ -267,3 +274,5 @@ def bigram_lm_oracle_sql(toks_expr: str) -> str:
                / CAST(count(*) AS DOUBLE) AS mean_p
     FROM contrib GROUP BY doc_id
     """
+
+

@@ -759,6 +759,120 @@ def assign_cells(
     )
 
 
+def kmeans_unrolled_stats(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    rounds: int = 2,
+) -> DataFrame:
+    """Fixed-round Lloyd k-means with NO driver-side model state — and,
+    because every step is deterministic RELATIONAL algebra, the whole
+    training loop is oracle-checkable (unlike :func:`kmeans_codebook`,
+    whose driver-paced iteration count makes its consumer rows-only).
+
+    - **Seeds**: the ``k`` vectors with the smallest (md5(id) 32-bit
+      slice, id) — same rule as ``kmeans_codebook``; cell ids 1..k in
+      that order.
+    - **Assign**: broadcast the k-row centroid FRAME (model rides the
+      join, never the closure), L2² by ascending-dim fold, argmin via
+      ``min(struct(dist, cell))`` — an agg with map-side combine, no
+      per-vector window.
+    - **Update**: per-(cell, dim) mean with DECIMAL(38,12) accumulation
+      — exact and shuffle-order-free, so the new centroid doubles are
+      bit-identical on any engine/partitioning (a raw double sum here
+      would drift by ulps between engines and flip boundary
+      assignments next round).
+    - ``rounds`` assign→update cycles, then stats of the FINAL
+      assignment: (cell, n_members, cnorm6 = round(‖centroid‖, 6)).
+
+    Scale shape per round: one broadcast join (k·N intermediate rows,
+    k is the model size knob) + one (cell, dim) reduce; nothing ever
+    collects. Cells that lose all members simply drop out of the
+    centroid frame — both engines derive them from the same groupBy.
+    """
+    spark = emb.sparkSession
+
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    seeds = (
+        emb.select(
+            F.col(vec_col).alias("cv"), F.col(id_col).alias("sid"), h.alias("h")
+        )
+        .orderBy("h", "sid")
+        .limit(k)
+    )
+    # k-row model frame: a single-partition window here is the MODEL,
+    # not data (k rows)
+    wseed = Window.orderBy("h", "sid")
+    cents = seeds.withColumn("cell", F.row_number().over(wseed)).select(
+        "cell", F.transform("cv", lambda x: x.cast("double")).alias("cv")
+    )
+
+    def _assign(centroids: DataFrame) -> DataFrame:
+        e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.col("cv"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            e.join(F.broadcast(centroids))
+            .withColumn("__dist", dist)
+            .groupBy("id")
+            .agg(
+                F.min(F.struct("__dist", "cell"))["cell"].alias("cell"),
+                F.any_value("v").alias("v"),
+            )
+        )
+
+    def _update(assigned: DataFrame) -> DataFrame:
+        return (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(
+                (
+                    F.sum(
+                        F.col("x").cast("double").cast("decimal(38,12)")
+                    ).cast("double")
+                    / F.count("*").cast("double")
+                ).alias("m")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+
+    cur = cents
+    assigned = None
+    for _ in range(rounds):
+        assigned = _assign(cur)
+        cur = _update(assigned)
+    counts = assigned.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    cnorm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ),
+        6,
+    )
+    return counts.join(cur, "cell").select(
+        "cell", "n_members", cnorm.alias("cnorm6")
+    )
+
+
 def probe_cells(
     emb: DataFrame,
     centroids: list[list[float]],

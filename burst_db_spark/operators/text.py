@@ -356,6 +356,89 @@ def curriculum_buckets_scalable(
     )
 
 
+def grouped_ntile_scalable(
+    df: DataFrame,
+    group_col: str,
+    order: list[Column],
+    n_buckets: int = 3,
+    out_col: str = "bucket",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """PER-GROUP exact ntile without per-group single-partition sorts —
+    the grouped twin of :func:`curriculum_buckets_scalable`.
+
+    A plain ``Window.partitionBy(group)`` ntile funnels each group
+    through ONE task; when groups are huge and few (languages, sources —
+    the CCNet shape), that's a straggler at 100 TB. Instead:
+
+    1. ``repartitionByRange`` on (group, *order) → each group spans a
+       RUN of ordered partitions, every partition sorts in parallel;
+    2. per-(partition, group) counts — tiny (≤ parts × |groups| rows) —
+       collected, prefix-summed per group into rank offsets + group
+       totals, broadcast back;
+    3. per-group global rank = offset + local row_number (window keyed
+       by (partition, group) — parallel);
+    4. NTILE arithmetic from (rank, group total): first N mod n buckets
+       hold ceil(N/n) rows — bit-equal to the global-window NTILE rule
+       on both engines.
+
+    Contract: group CARDINALITY is small (the collect in step 2 is
+    parts × |groups| rows — model-sized); group SIZE is unbounded. For
+    millions of tiny groups use the plain grouped window instead — each
+    group already fits a task there.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, F.col(group_col), *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = (
+        ranged.groupBy("__pid", group_col)
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    totals: dict[object, int] = {}
+    for r in counts:
+        totals[r[group_col]] = totals.get(r[group_col], 0) + r["cnt"]
+    offsets, acc = [], {}
+    for r in sorted(counts, key=lambda r: (str(r[group_col]), r["__pid"])):
+        g = r[group_col]
+        offsets.append((int(r["__pid"]), g, acc.get(g, 0), totals[g]))
+        acc[g] = acc.get(g, 0) + r["cnt"]
+    schema = StructType(
+        [
+            StructField("__pid", LongType()),
+            df.schema[group_col],
+            StructField("__off", LongType()),
+            StructField("__gtot", LongType()),
+        ]
+    )
+    odf = spark.createDataFrame(
+        [(p, g, o, t) for p, g, o, t in offsets] or [(0, None, 0, 0)], schema
+    )
+    w = Window.partitionBy("__pid", group_col).orderBy(*order)
+    rank0 = F.row_number().over(w) + F.col("__off") - 1  # 0-based in-group
+    n = F.lit(n_buckets).cast("long")
+    q = F.floor(F.col("__gtot") / n)
+    rem = F.col("__gtot") % n
+    boundary = rem * (q + 1)
+    bucket = (
+        F.when(F.col("__gtot") < n, rank0 + 1)
+        .when(rank0 < boundary, F.floor(rank0 / (q + 1)) + 1)
+        .otherwise(rem + F.floor((rank0 - boundary) / q) + 1)
+    )
+    return (
+        ranged.join(F.broadcast(odf), ["__pid", group_col])
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("__pid", "__off", "__gtot")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

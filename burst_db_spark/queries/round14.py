@@ -1,0 +1,465 @@
+"""Round-14-era queries (added in build round 12): data-pruning and
+corpus-diagnostics operators from the LLM curation literature —
+
+- D4 diversification (Tirumala et al., NeurIPS 2023): SemDeDup within
+  k-means cells, then drop the most PROTOTYPICAL survivors per cell
+  (closest to their centroid) — dedup removes copies, prototype pruning
+  removes redundancy.
+- Oracle-checked UNROLLED k-means (fixed Lloyd rounds, decimal-mean
+  centroids): the training loop itself hash-checks against DuckDB —
+  the first k-means in this repo whose UPDATE step is cross-engine
+  verified, not just its downstream search.
+- SoftDeDup reweighting (He et al., 2024): keep duplicates, down-weight
+  them 1/|dup group| — the gradient-preserving alternative to dropping.
+- Hill tail-index (Hill 1975): the heavy-tail exponent of the token
+  frequency distribution per language — complements the Zipf-slope OLS
+  with an estimator that uses only the top-k order statistics.
+- CCNet perplexity buckets (Wenzek et al., LREC 2020): per-language
+  head/middle/tail terciles of an LM quality score, with the per-GROUP
+  exact-ntile computed by the distributed global-rank pattern
+  (operators/text.grouped_ntile_scalable), not a one-task-per-language
+  window.
+
+Reference parity: opera-adt/burst_db has no corpus layer — these extend
+the LLM-pipeline surface (SURVEY.md "beyond the reference" mandate).
+
+Cross-engine determinism: counts/ranks are exact integers; cosines and
+L2 distances are ascending-dim folds (bit-identical per the
+similarity-family precedent); centroid means accumulate in
+DECIMAL(38,12) (order-free); every transcendental output (ln, norms)
+is rounded to 6 decimals on both engines; ties break on ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from burst_db_spark.catalog import load
+from burst_db_spark.operators import lm
+from burst_db_spark.operators import similarity as sim
+from burst_db_spark.operators import text as tx
+from burst_db_spark.queries.similarity import _cos_sql
+from burst_db_spark.queries.textops import _TOKS
+from burst_db_spark.registry import register
+
+# -- D4: SemDeDup + prototype pruning -----------------------------------------
+
+_D4_K = 16
+_D4_TAU = 0.5
+_D4_CENTS = sim.lsh_planes(_D4_K, dim=64)  # deterministic coarse centroids
+# drop the top 1/4 most-prototypical survivors per cell: rn*4 <= n
+_D4_DROP_NUM, _D4_DROP_DEN = 1, 4
+
+
+def _cents_lit_sql() -> str:
+    return (
+        "["
+        + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in _D4_CENTS)
+        + "]"
+    )
+
+
+def _cell_dist_sql(c: list[float]) -> str:
+    lit = "[" + ", ".join(repr(x) for x in c) + "]"
+    return (
+        "list_reduce(list_transform(range(1, 65), i -> "
+        f"(CAST(embedding[i] AS DOUBLE) - ({lit})[i]) * "
+        f"(CAST(embedding[i] AS DOUBLE) - ({lit})[i])), (x, y) -> x + y)"
+    )
+
+
+_D4_DISTS = "[" + ",\n           ".join(_cell_dist_sql(c) for c in _D4_CENTS) + "]"
+
+
+@register(
+    "dd_d4_diversify",
+    oracle=f"""
+    WITH d AS (
+        SELECT vec_id, embedding, {_D4_DISTS} AS dists FROM embeddings
+    ),
+    a AS (SELECT vec_id AS id, embedding AS v,
+                 CAST(list_position(dists, list_min(dists)) AS INTEGER) AS cell
+          FROM d),
+    drops AS (
+        SELECT DISTINCT y.id
+        FROM a AS x JOIN a AS y ON x.cell = y.cell AND x.id < y.id
+        WHERE {_cos_sql("x.v", "y.v")} >= {_D4_TAU!r}
+    ),
+    cents AS (SELECT {_cents_lit_sql()} AS cs),
+    f AS (
+        SELECT a.id, a.cell, (drops.id IS NOT NULL) AS dropped,
+               {_cos_sql("a.v", "cs[a.cell]")} AS proto
+        FROM a LEFT JOIN drops ON a.id = drops.id CROSS JOIN cents
+    ),
+    surv AS (
+        SELECT id,
+               CAST(row_number() OVER (
+                   PARTITION BY cell ORDER BY proto DESC, id
+               ) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n
+        FROM f WHERE NOT dropped
+    )
+    SELECT f.id AS vec_id, f.cell,
+           CASE WHEN f.dropped THEN 'semdedup'
+                WHEN s.rn * {_D4_DROP_DEN} <= s.n * {_D4_DROP_NUM}
+                    THEN 'prototype'
+                ELSE 'kept' END AS status,
+           round(f.proto, 6) AS proto6
+    FROM f LEFT JOIN surv s ON f.id = s.id
+    """,
+    tags=("dedup", "semantic", "embedding", "d4", "pruning"),
+)
+def dd_d4_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (Tirumala et al. 2023): SemDeDup drops within-cell near-copies
+    (cosine >= tau, min-id survives), then PROTOTYPE PRUNING drops the
+    quarter of survivors per cell CLOSEST to their centroid (most
+    redundant with the cluster's mode) — the diverse tail is what's
+    worth training on. Per-vector verdict + 6dp prototypicality.
+
+    Scale shape: cell assignment is a broadcast-codebook argmin; the
+    dedup pair join is cell-bucketed (Σ|cell|², never N²); the
+    prototype rank is a per-cell window whose partitions are the SAME
+    bounded cells (k ∝ N keeps them executor-sized)."""
+    emb = load(spark, sf_dir, "embeddings")
+    flags = sim.semdedup_flags(emb, _D4_CENTS, tau=_D4_TAU)
+    cents = spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(_D4_CENTS)],
+        "cell int, cv array<double>",
+    )
+    proto = (
+        flags.join(
+            emb.select(F.col("vec_id"), F.col("embedding").alias("v")),
+            "vec_id",
+        )
+        .join(F.broadcast(cents), "cell")
+        .withColumn("proto", sim.cosine(F.col("v"), F.col("cv")))
+        .select("vec_id", "cell", "dropped", "proto")
+    )
+    wr = Window.partitionBy("cell").orderBy(F.col("proto").desc(), "vec_id")
+    wc = Window.partitionBy("cell")
+    surv = (
+        proto.where(~F.col("dropped"))
+        .withColumn("rn", F.row_number().over(wr).cast("bigint"))
+        .withColumn("n", F.count("*").over(wc).cast("bigint"))
+        .select("vec_id", "rn", "n")
+    )
+    return proto.join(surv, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.when(F.col("dropped"), F.lit("semdedup"))
+        .when(
+            F.col("rn") * _D4_DROP_DEN <= F.col("n") * _D4_DROP_NUM,
+            F.lit("prototype"),
+        )
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+        F.round("proto", 6).alias("proto6"),
+    )
+
+
+# -- Oracle-checked unrolled k-means -------------------------------------------
+
+_KM_K = 16
+_KM_ROUNDS = 2
+_KM_SEED_H = (
+    "CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+_KM_DIST = (
+    "list_reduce(list_transform(range(1, 65), i -> "
+    "(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), (x, y) -> x + y)"
+)
+
+
+def _km_round_ctes(rnd: int, cent_src: str) -> str:
+    """One assign+update Lloyd round as CTEs a{rnd}/c{rnd}."""
+    return f"""
+    a{rnd} AS (
+        SELECT id, cell, v FROM (
+            SELECT e.id, c.cell, e.v, {_KM_DIST} AS dist
+            FROM e CROSS JOIN {cent_src} c
+        )
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, cell) = 1
+    ),
+    c{rnd} AS (
+        SELECT cell, list(m ORDER BY dim) AS cv
+        FROM (
+            SELECT cell, dim,
+                   CAST(sum(CAST(x AS DECIMAL(38, 12))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS m
+            FROM (SELECT cell, unnest(v) AS x,
+                         unnest(range(1, 65)) AS dim
+                  FROM a{rnd})
+            GROUP BY cell, dim
+        ) GROUP BY cell
+    )"""
+
+
+@register(
+    "knn_kmeans_unrolled",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id AS id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT v AS cv, id AS sid, {_KM_SEED_H} AS h
+        FROM e ORDER BY h, sid LIMIT {_KM_K}
+    ),
+    c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY h, sid) AS INTEGER) AS cell,
+               cv
+        FROM seeds
+    ),
+    {_km_round_ctes(1, "c0")},
+    {_km_round_ctes(2, "c1")}
+    SELECT a.cell, CAST(count(*) AS BIGINT) AS n_members,
+           round(sqrt(list_reduce(
+               list_prepend(0.0, list_transform(c.cv, x -> x * x)),
+               (x, y) -> x + y)), 6) AS cnorm6
+    FROM a2 a JOIN c2 c USING (cell)
+    GROUP BY a.cell, c.cv
+    """,
+    tags=("knn", "kmeans", "embedding", "oracle-checked-training"),
+)
+def knn_kmeans_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds, fully relational and HASH-CHECKED end-to-end
+    (operators/similarity.kmeans_unrolled_stats): deterministic md5
+    seeds, broadcast-frame assignment (min(struct(dist, cell)) — agg
+    with map-side combine, no per-vector window), DECIMAL(38,12)
+    centroid means so the update step is shuffle-order-free and
+    bit-equal on any engine. The driver-paced ``kmeans_codebook``
+    variant stays for open-ended convergence (its consumer is the
+    documented rows-only row); THIS row proves the training arithmetic."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.kmeans_unrolled_stats(emb, k=_KM_K, rounds=_KM_ROUNDS)
+
+
+# -- SoftDeDup: duplicate reweighting instead of dropping ----------------------
+
+
+@register(
+    "t_soft_dedup_weights",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source, md5(text) AS digest,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    g AS (
+        SELECT *, CAST(count(*) OVER (PARTITION BY digest) AS BIGINT) AS dup
+        FROM d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT digest) AS BIGINT) AS n_unique_texts,
+           CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+           CAST(sum(CAST(round(CAST(n_tokens AS DOUBLE) / CAST(dup AS DOUBLE),
+                               6) AS DECIMAL(18, 6)))
+                AS DECIMAL(28, 6)) AS effective_tokens
+    FROM g GROUP BY source
+    """,
+    tags=("dedup", "soft-dedup", "reweighting", "tokens"),
+)
+def t_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup (He et al. 2024): instead of DROPPING exact duplicates,
+    down-weight every copy by 1/|dup group| so the group contributes one
+    document's worth of gradient. Per-source ledger: raw vs effective
+    token mass (the gap IS the duplication tax). Per-doc weighted tokens
+    are rounded to 6dp then DECIMAL-summed — order-free, hash-exact.
+
+    Scale shape: one digest count (window over the dup key — the same
+    shuffle the dedup would need anyway) + one per-source rollup; no
+    pair join at all."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("digest"),
+        F.size(tx.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    g = d.withColumn(
+        "dup", F.count("*").over(Window.partitionBy("digest")).cast("bigint")
+    )
+    eff = F.round(
+        F.col("n_tokens").cast("double") / F.col("dup").cast("double"), 6
+    ).cast("decimal(18,6)")
+    return g.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("digest").cast("bigint").alias("n_unique_texts"),
+        F.sum("n_tokens").cast("bigint").alias("raw_tokens"),
+        F.sum(eff).cast("decimal(28,6)").alias("effective_tokens"),
+    )
+
+
+# -- Hill tail-index of the token frequency distribution -----------------------
+
+_HILL_K = 50
+
+
+@register(
+    "t_hill_tail_index",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest({_TOKS}) AS term FROM documents
+    ),
+    freq AS (
+        SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY lang, term
+    ),
+    ranked AS (
+        SELECT lang, c,
+               CAST(row_number() OVER (
+                   PARTITION BY lang ORDER BY c DESC, term
+               ) AS BIGINT) AS r
+        FROM freq
+        QUALIFY r <= {_HILL_K} + 1
+    ),
+    kth AS (
+        SELECT lang, c AS ck1,
+               CAST(r - 1 AS BIGINT) AS k_used
+        FROM ranked
+        QUALIFY row_number() OVER (PARTITION BY lang ORDER BY r DESC) = 1
+    ),
+    terms AS (
+        SELECT r.lang, k.k_used,
+               CAST(round(ln(CAST(r.c AS DOUBLE) / CAST(k.ck1 AS DOUBLE)), 6)
+                    AS DECIMAL(18, 6)) AS ln6
+        FROM ranked r JOIN kth k USING (lang)
+        WHERE r.r <= k.k_used
+    )
+    SELECT lang, CAST(min(k_used) AS BIGINT) AS k_used,
+           round(CAST(CAST(sum(ln6) AS DECIMAL(28, 6)) AS DOUBLE)
+                 / CAST(min(k_used) AS DOUBLE), 6) AS hill_h,
+           round(CAST(min(k_used) AS DOUBLE)
+                 / CAST(CAST(sum(ln6) AS DECIMAL(28, 6)) AS DOUBLE), 6)
+               AS alpha
+    FROM terms
+    WHERE k_used >= 1
+    GROUP BY lang
+    """,
+    tags=("text", "statistics", "heavy-tail", "hill"),
+)
+def t_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill (1975) tail-index per language over the top-k token
+    frequencies: H = (1/k) Σ ln(f_i / f_{k+1}), α = 1/H — the standard
+    heavy-tail exponent estimator from order statistics alone.
+    Complements the Zipf OLS (which fits ALL top ranks): a diverging
+    gap between α and the Zipf slope flags a distorted head (template
+    spam inflates a few ranks without bending the tail).
+
+    Determinism: ln terms rounded 6dp then DECIMAL-summed (order-free);
+    H and α are single fixed-form divisions of that exact sum. The
+    per-language rank window partitions by lang over the vocab-sized
+    frequency frame — per-group TakeOrdered at scale; k+1 rows per
+    language survive."""
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select("lang", F.explode(tx.tokens(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    wr = Window.partitionBy("lang").orderBy(F.col("c").desc(), "term")
+    ranked = (
+        freq.withColumn("r", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("r") <= _HILL_K + 1)
+        .select("lang", "c", "r")
+    )
+    wlast = Window.partitionBy("lang").orderBy(F.col("r").desc())
+    kth = (
+        ranked.withColumn("rn", F.row_number().over(wlast))
+        .where(F.col("rn") == 1)
+        .select(
+            "lang",
+            F.col("c").alias("ck1"),
+            (F.col("r") - 1).cast("bigint").alias("k_used"),
+        )
+    )
+    ln6 = F.round(
+        F.log(F.col("c").cast("double") / F.col("ck1").cast("double")), 6
+    ).cast("decimal(18,6)")
+    terms = (
+        ranked.join(kth, "lang")
+        .where(F.col("r") <= F.col("k_used"))
+        .select("lang", "k_used", ln6.alias("ln6"))
+    )
+    s = F.sum("ln6").cast("decimal(28,6)").cast("double")
+    kd = F.min("k_used").cast("double")
+    return (
+        terms.where(F.col("k_used") >= 1)
+        .groupBy("lang")
+        .agg(
+            F.min("k_used").cast("bigint").alias("k_used"),
+            F.round(s / kd, 6).alias("hill_h"),
+            F.round(kd / s, 6).alias("alpha"),
+        )
+    )
+
+
+# -- CCNet head/middle/tail perplexity buckets ---------------------------------
+
+
+@register(
+    "t_ccnet_buckets",
+    oracle=f"""
+    WITH {lm.bigram_lm_ctes(_TOKS)},
+    scores AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
+                           (x, y) -> x + y)
+                   / CAST(count(*) AS DOUBLE) AS mean_p
+        FROM contrib GROUP BY doc_id
+    ),
+    b AS (
+        SELECT s.doc_id, d.lang, s.n_bigrams, s.mean_p,
+               CAST(ntile(3) OVER (
+                   PARTITION BY d.lang ORDER BY s.mean_p DESC, s.doc_id
+               ) AS INTEGER) AS bucket
+        FROM scores s JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket_label,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+           min(mean_p) AS min_p,
+           max(mean_p) AS max_p
+    FROM b GROUP BY lang, bucket
+    """,
+    tags=("text", "ccnet", "perplexity", "ntile", "grouped-scalable"),
+)
+def t_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet (Wenzek et al. 2020) quality bucketing: per-language
+    head/middle/tail TERCILES of the LM score (higher mean transition
+    probability = lower perplexity = head). The per-group exact ntile
+    runs through operators/text.grouped_ntile_scalable — range-partition
+    on (lang, score), per-(partition, lang) offsets, parallel local
+    ranks — NEVER a one-task-per-language window (the straggler a
+    Window.partitionBy(lang) would create when one language dominates
+    a 100 TB crawl). Per (lang, bucket) rollup with exact counts; the
+    min/max score bounds are straight copies of the cross-engine-equal
+    fold doubles."""
+    docs = load(spark, sf_dir, "documents")
+    scores = lm.bigram_lm_scores(docs, "doc_id").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    bucketed = tx.grouped_ntile_scalable(
+        scores,
+        "lang",
+        [F.col("mean_p").desc(), F.col("doc_id")],
+        n_buckets=3,
+    )
+    return bucketed.groupBy(
+        "lang",
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket_label"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("sum_bigrams"),
+        F.min("mean_p").alias("min_p"),
+        F.max("mean_p").alias("max_p"),
+    )

@@ -147,6 +147,15 @@ ARITH_EXPLAINED = {
     # exactly representable in double AND in DECIMAL(18,6); the cast
     # has zero error, so no midpoint is ever in play.
     "w14_ewma_halflife": "power(2.0,k) exact dyadic values; casts lossless",
+    # round(x, 6) runs on the SAME double in both engines (single
+    # fixed-form division), yielding the double nearest a 6dp decimal;
+    # the DECIMAL(18,6) cast of that value is lossless (6dp grid step
+    # 1e-6 >> double eps at these magnitudes), and the decimal SUM is
+    # then order-free — the same device as a43's Poisson weights.
+    "t_soft_dedup_weights": "6dp-round on identical doubles, then "
+                            "lossless decimal cast; order-free sum",
+    "t_hill_tail_index": "ln 6dp-rounded on identical doubles before "
+                         "the lossless decimal cast; order-free sum",
 }
 
 
