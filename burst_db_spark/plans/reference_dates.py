@@ -59,6 +59,64 @@ def select_reference_dates(
     return refs
 
 
+_DAY_NS = 86_400_000_000_000
+_EPOCH_ORD = 719_163  # date(1970, 1, 1).toordinal()
+
+
+def _select_reference_ns(
+    ts_ns: list[int],
+    event_days: set[int] | None,
+    interval_days: int,
+    min_acquisitions: int,
+) -> list[int]:
+    """Integer-nanosecond twin of :func:`select_reference_dates` — the
+    hot kernel. Works on SORTED epoch-ns ints: ``timedelta.days`` is
+    ``(t - ref0) // DAY_NS`` for the positive diffs here, and
+    ``t.date()`` is ``t // DAY_NS`` (naive post-1970 timestamps), so
+    the two are step-for-step identical (pytest pins equality on
+    randomized fixtures incl. intra-day times). Exists because building
+    100k ``datetime`` objects per task dominated the w5b wall — the
+    int loop is ~5x cheaper and the Arrow→numpy view is zero-copy."""
+    events = event_days or ()
+    refs: list[int] = []
+    group = 0
+    for t in ts_ns:
+        if not refs:
+            refs.append(t)
+            group = 1
+            continue
+        group += 1
+        interval_passed = (t - refs[0]) // _DAY_NS >= len(refs) * interval_days
+        is_event = (t // _DAY_NS) in events
+        if interval_passed or is_event:
+            if group >= min_acquisitions:
+                refs.append(t)
+                group = 0
+            elif is_event:
+                refs[-1] = t
+                group = 0
+    return refs
+
+
+def _refs_frame(key: str, k, refs_ns: list[int]) -> pd.DataFrame:
+    import numpy as np
+
+    return pd.DataFrame(
+        {
+            key: [k] * len(refs_ns),
+            "ref_idx": range(1, len(refs_ns) + 1),
+            "ref_date": np.asarray(refs_ns, dtype="int64").view("M8[ns]"),
+        }
+    )
+
+
+def _ts_ns_sorted(series: pd.Series) -> list[int]:
+    import numpy as np
+
+    vals = series.to_numpy(dtype="datetime64[ns]").astype("int64")
+    return np.sort(vals).tolist()
+
+
 def reference_dates(
     acq: DataFrame,
     key: str = "frame_fid",
@@ -69,26 +127,22 @@ def reference_dates(
 ) -> DataFrame:
     """(key, ref_idx, ref_date) — one row per emitted reference."""
     events_map = {
-        int(k): {datetime.strptime(d, "%Y-%m-%d").date() for d in v}
+        int(k): {
+            datetime.strptime(d, "%Y-%m-%d").date().toordinal() - _EPOCH_ORD
+            for d in v
+        }
         for k, v in (event_dates_by_key or {}).items()
     }
 
     def _per_key(pdf: pd.DataFrame) -> pd.DataFrame:
         k = pdf[key].iloc[0]
-        times = [t.to_pydatetime() for t in pd.to_datetime(pdf[ts_col])]
-        refs = select_reference_dates(
-            times,
+        refs = _select_reference_ns(
+            _ts_ns_sorted(pdf[ts_col]),
             events_map.get(int(k)),
             interval_days,
             min_acquisitions,
         )
-        return pd.DataFrame(
-            {
-                key: [k] * len(refs),
-                "ref_idx": range(1, len(refs) + 1),
-                "ref_date": refs,
-            }
-        )
+        return _refs_frame(key, k, refs)
 
     schema = f"{key} int, ref_idx int, ref_date timestamp"
     return acq.select(key, ts_col).groupBy(key).applyInPandas(_per_key, schema)
@@ -140,19 +194,16 @@ def reference_dates_cogrouped(
 
         def _per_key_bcast(pdf: pd.DataFrame) -> pd.DataFrame:
             k = pdf[key].iloc[0]
-            times = [t.to_pydatetime() for t in pd.to_datetime(pdf[ts_col])]
             dates = pdf["__event_dates"].iloc[0]
-            ev = set(dates) if dates is not None and len(dates) else None
-            refs = select_reference_dates(
-                times, ev, interval_days, min_acquisitions
+            ev = (
+                {d.toordinal() - _EPOCH_ORD for d in dates}
+                if dates is not None and len(dates)
+                else None
             )
-            return pd.DataFrame(
-                {
-                    key: [k] * len(refs),
-                    "ref_idx": range(1, len(refs) + 1),
-                    "ref_date": refs,
-                }
+            refs = _select_reference_ns(
+                _ts_ns_sorted(pdf[ts_col]), ev, interval_days, min_acquisitions
             )
+            return _refs_frame(key, k, refs)
 
         schema = f"{key} int, ref_idx int, ref_date timestamp"
         return joined.groupBy(key).applyInPandas(_per_key_bcast, schema)
@@ -170,20 +221,22 @@ def reference_dates_cogrouped(
                 }
             )
         k = acq_pdf[key].iloc[0]
-        times = [t.to_pydatetime() for t in pd.to_datetime(acq_pdf[ts_col])]
         ev = (
-            set(pd.to_datetime(ev_pdf[event_date_col]).dt.date)
+            set(
+                (
+                    pd.to_datetime(ev_pdf[event_date_col])
+                    .to_numpy(dtype="datetime64[ns]")
+                    .astype("int64")
+                    // _DAY_NS
+                ).tolist()
+            )
             if len(ev_pdf)
             else None
         )
-        refs = select_reference_dates(times, ev, interval_days, min_acquisitions)
-        return pd.DataFrame(
-            {
-                key: [k] * len(refs),
-                "ref_idx": range(1, len(refs) + 1),
-                "ref_date": refs,
-            }
+        refs = _select_reference_ns(
+            _ts_ns_sorted(acq_pdf[ts_col]), ev, interval_days, min_acquisitions
         )
+        return _refs_frame(key, k, refs)
 
     schema = f"{key} int, ref_idx int, ref_date timestamp"
     return (

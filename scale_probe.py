@@ -1053,6 +1053,8 @@ _CD_PROBES = {
     "graph": graph_cd_probe,
     "dsir": dsir_cd_probe,
     "ppjoin": ppjoin_cd_probe,
+    "splits": splits_cd_probe,
+    "bootstrap": bootstrap_cd_probe,
 }
 
 

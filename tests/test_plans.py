@@ -178,6 +178,55 @@ def test_refdates_cogrouped_matches_dict_path(spark):
     assert not any(k == 9 for k, _, _ in got)  # events-only key emits nothing
 
 
+def test_refdates_ns_kernel_equals_datetime_reference():
+    """The integer-ns hot kernel must be step-for-step identical to the
+    pure-datetime reference implementation on randomized fixtures with
+    INTRA-DAY times (the floor-division day-diff and the t.date()
+    membership are the two places a naive rewrite could diverge)."""
+    import random
+    from datetime import timedelta
+
+    from burst_db_spark.plans.reference_dates import (
+        _DAY_NS,
+        _EPOCH_ORD,
+        _select_reference_ns,
+        select_reference_dates,
+    )
+
+    rng = random.Random(0xA11CE)
+    for trial in range(50):
+        n = rng.randint(2, 80)
+        t = datetime(2016, 7, 1) + timedelta(hours=rng.randint(0, 23))
+        times = [t]
+        for _ in range(n - 1):
+            t = t + timedelta(
+                days=rng.choice([5, 11, 12, 13, 30]),
+                hours=rng.randint(0, 23),
+                minutes=rng.randint(0, 59),
+            )
+            times.append(t)
+        events = {
+            rng.choice(times).date() for _ in range(rng.randint(0, 3))
+        } or None
+        interval = rng.choice([60, 120, 365])
+        min_acq = rng.choice([2, 5, 15])
+        want = select_reference_dates(times, events, interval, min_acq)
+        ts_ns = sorted(
+            int((x - datetime(1970, 1, 1)).total_seconds() * 1_000_000_000)
+            for x in times
+        )
+        ev_days = (
+            {d.toordinal() - _EPOCH_ORD for d in events} if events else None
+        )
+        got_ns = _select_reference_ns(ts_ns, ev_days, interval, min_acq)
+        got = [
+            datetime(1970, 1, 1) + timedelta(microseconds=x // 1000)
+            for x in got_ns
+        ]
+        assert got == want, f"trial {trial}"
+        assert all(x % _DAY_NS >= 0 for x in got_ns)
+
+
 def test_refdates_three_paths_agree_randomized(spark):
     """Property test (VERDICT r11 #8): the dict path, the cogroup path,
     and the broadcast fast path must be byte-identical on a randomized
