@@ -241,6 +241,9 @@ HEADLINE = [
     "t_soft_dedup_weights",
     "t_hill_tail_index",
     "t_ccnet_buckets",
+    "t_gopher_rules",
+    "t_char_entropy",
+    "dd_cluster_bcubed_audit",
 ]
 
 # Regression-signal curation (VERDICT r11 item #6): the headline suite

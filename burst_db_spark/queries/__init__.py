@@ -139,6 +139,9 @@ _SAMPLING_PRIORITY = (
     "t_soft_dedup_weights",
     "t_hill_tail_index",
     "t_ccnet_buckets",
+    "t_gopher_rules",
+    "t_char_entropy",
+    "dd_cluster_bcubed_audit",
     "w4_run_length",
     "w6_water_year",
     "w7_first_significant_block",

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from burst_db_spark.catalog import load
+from burst_db_spark.operators import dedup as dd
 from burst_db_spark.operators import lm
 from burst_db_spark.operators import similarity as sim
 from burst_db_spark.operators import text as tx
@@ -462,4 +463,404 @@ def t_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bigrams").cast("bigint").alias("sum_bigrams"),
         F.min("mean_p").alias("min_p"),
         F.max("mean_p").alias("max_p"),
+    )
+
+
+# -- Gopher quality rules --------------------------------------------------------
+
+# Rae et al. 2021 (Gopher), Appendix A filter battery. Thresholds are the
+# paper's; every ratio test is an INTEGER cross-multiplication so both
+# engines compare exact ints, never floats.
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@register(
+    "t_gopher_rules",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, source,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(list_reduce(list_prepend(0, list_transform(
+                   toks, t -> len(t))), (x, y) -> x + y) AS BIGINT)
+                   AS sum_word_len,
+               CAST(len(list_filter(toks,
+                   t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT)
+                   AS n_alpha_words,
+               CAST(len(list_filter(toks,
+                   t -> t LIKE '%#%' OR t LIKE '%...%')) AS BIGINT)
+                   AS n_symbol_words,
+               CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                   t -> t IN {_GOPHER_STOPS!r})) AS BIGINT)
+                   AS n_stop_hits
+        FROM w
+    ),
+    flags AS (
+        SELECT doc_id, source, n_words,
+               (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+                   AS ok_word_count,
+               (sum_word_len >= 3 * n_words
+                AND sum_word_len <= 10 * n_words) AS ok_mean_word_len,
+               (n_symbol_words * 10 <= n_words) AS ok_symbol_ratio,
+               (n_alpha_words * 10 >= n_words * 8) AS ok_alpha_words,
+               (n_stop_hits >= 2) AS ok_stopwords
+        FROM feats
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ok_word_count AND ok_mean_word_len
+                          AND ok_symbol_ratio AND ok_alpha_words
+                          AND ok_stopwords THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass,
+           CAST(sum(CASE WHEN NOT ok_word_count THEN 1 ELSE 0 END)
+               AS BIGINT) AS fail_word_count,
+           CAST(sum(CASE WHEN NOT ok_mean_word_len THEN 1 ELSE 0 END)
+               AS BIGINT) AS fail_mean_word_len,
+           CAST(sum(CASE WHEN NOT ok_symbol_ratio THEN 1 ELSE 0 END)
+               AS BIGINT) AS fail_symbol_ratio,
+           CAST(sum(CASE WHEN NOT ok_alpha_words THEN 1 ELSE 0 END)
+               AS BIGINT) AS fail_alpha_words,
+           CAST(sum(CASE WHEN NOT ok_stopwords THEN 1 ELSE 0 END)
+               AS BIGINT) AS fail_stopwords
+    FROM flags GROUP BY source
+    """,
+    tags=("text", "quality", "gopher", "rules"),
+)
+def t_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher (Rae et al. 2021) repetition-free quality rule battery,
+    per-source attrition ledger: word-count bounds, mean word length in
+    [3, 10], symbol-to-word ratio <= 0.1 (# / ellipsis), >= 80% words
+    with an alphabetic character, >= 2 canonical stopwords. Every ratio
+    is an integer cross-multiplication (sum_word_len >= 3*n_words, not
+    a float mean) — no float ever crosses the engine boundary.
+
+    Scale shape: a pure map over docs (one tokens() projection, array
+    lambdas) + one per-source rollup; no UDF, no shuffle beyond the
+    final groupBy."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = docs.select(
+        "doc_id", "source", tx.tokens(F.col("text")).alias("toks")
+    )
+    n_words = F.size("toks").cast("bigint")
+    sum_word_len = F.aggregate(
+        F.transform("toks", F.length), F.lit(0), lambda a, x: a + x
+    ).cast("bigint")
+    n_alpha = F.size(
+        F.filter("toks", lambda t: t.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    n_symbol = F.size(
+        F.filter(
+            "toks", lambda t: t.contains("#") | t.contains("...")
+        )
+    ).cast("bigint")
+    n_stop = F.size(
+        F.filter(
+            F.transform("toks", F.lower),
+            lambda t: t.isin(*_GOPHER_STOPS),
+        )
+    ).cast("bigint")
+    flags = toks.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        n_words.between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS).alias(
+            "ok_word_count"
+        ),
+        (
+            (sum_word_len >= 3 * n_words) & (sum_word_len <= 10 * n_words)
+        ).alias("ok_mean_word_len"),
+        (n_symbol * 10 <= n_words).alias("ok_symbol_ratio"),
+        (n_alpha * 10 >= n_words * 8).alias("ok_alpha_words"),
+        (n_stop >= 2).alias("ok_stopwords"),
+    )
+    ok_all = (
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio")
+        & F.col("ok_alpha_words")
+        & F.col("ok_stopwords")
+    )
+
+    def _fails(c: str) -> F.Column:
+        return F.sum((~F.col(c)).cast("int")).cast("bigint")
+
+    return flags.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(ok_all.cast("int")).cast("bigint").alias("n_pass"),
+        _fails("ok_word_count").alias("fail_word_count"),
+        _fails("ok_mean_word_len").alias("fail_mean_word_len"),
+        _fails("ok_symbol_ratio").alias("fail_symbol_ratio"),
+        _fails("ok_alpha_words").alias("fail_alpha_words"),
+        _fails("ok_stopwords").alias("fail_stopwords"),
+    )
+
+
+# -- Character-entropy quality signal --------------------------------------------
+
+
+@register(
+    "t_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(text) + 1),
+                                     i -> text[i])) AS ch
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS distinct_chars
+        FROM counts GROUP BY doc_id
+    ),
+    terms AS (
+        SELECT c.doc_id,
+               CAST(round(-(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                          * ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)),
+                          9) AS DECIMAL(18, 9)) AS term9
+        FROM counts c JOIN tot t USING (doc_id)
+    )
+    SELECT t.doc_id, t.n AS n_chars, t.distinct_chars,
+           round(CAST(CAST(sum(s.term9) AS DECIMAL(28, 9)) AS DOUBLE), 6)
+               AS entropy6
+    FROM tot t JOIN terms s ON t.doc_id = s.doc_id
+    GROUP BY t.doc_id, t.n, t.distinct_chars
+    """,
+    tags=("text", "quality", "entropy"),
+)
+def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap spam /
+    binary-junk / keyboard-mash detector (low entropy = repeated
+    characters, high entropy near log(alphabet) = random bytes). Terms
+    -p·ln(p) are 9dp-rounded then DECIMAL-summed (order-free), final
+    entropy reported at 6dp.
+
+    Scale shape: one char explode (output size = corpus chars — the
+    same cost as any tokenize), one (doc, char) count with map-side
+    combine, one per-doc rollup. No UDF."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text")),
+                lambda i: F.col("text").substr(i, F.lit(1)),
+            )
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("distinct_chars"),
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term9 = F.round(-p * F.log(p), 9).cast("decimal(18,9)")
+    terms = counts.join(tot, "doc_id").select("doc_id", term9.alias("term9"))
+    return (
+        tot.join(
+            terms.groupBy("doc_id").agg(
+                F.sum("term9").cast("decimal(28,9)").alias("s")
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars"),
+            "distinct_chars",
+            F.round(F.col("s").cast("double"), 6).alias("entropy6"),
+        )
+    )
+
+
+# -- B-cubed extrinsic cluster-quality audit --------------------------------------
+
+_B3_TAU = 0.5
+_B3_MAX_DF = 50
+
+
+def _bcubed_oracle_sql() -> str:
+    # round4 precedes round14 in the package import order, so the banded
+    # minhash CTE builder is importable at module load
+    from burst_db_spark.queries.round4 import _minhash_pair_ctes
+    from burst_db_spark.queries.textops import _SHINGLES_CTE
+
+    return f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_minhash_pair_ctes(None, _B3_TAU)},
+    shg AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   count(*) OVER (PARTITION BY shingle) AS df
+            FROM sh
+        ) WHERE df <= {_B3_MAX_DF}
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+              FROM shg GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS common
+        FROM shg a JOIN shg b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    gold_pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE common / (sa.n_sh + sb.n_sh - common) >= {_B3_TAU}
+    ),
+    pe AS (SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+           UNION SELECT id_b, id_a FROM lsh_pairs),
+    ge AS (SELECT id_a AS src, id_b AS dst FROM gold_pairs
+           UNION SELECT id_b, id_a FROM gold_pairs),
+    preach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM preach r JOIN pe e ON r.dst = e.src
+    ),
+    greach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM greach r JOIN ge e ON r.dst = e.src
+    ),
+    plabels AS (SELECT src AS doc_id, min(dst) AS pred_id
+                FROM preach GROUP BY src),
+    glabels AS (SELECT src AS doc_id, min(dst) AS gold_id
+                FROM greach GROUP BY src),
+    jj AS (SELECT p.doc_id, p.pred_id, g.gold_id
+           FROM plabels p JOIN glabels g USING (doc_id)),
+    cells AS (
+        SELECT pred_id, gold_id, CAST(count(*) AS BIGINT) AS cnt
+        FROM jj GROUP BY pred_id, gold_id
+    ),
+    sp AS (SELECT pred_id, sum(cnt) AS size_p FROM cells GROUP BY pred_id),
+    sg AS (SELECT gold_id, sum(cnt) AS size_g FROM cells GROUP BY gold_id),
+    terms AS (
+        SELECT
+            CAST(round(CAST(cnt * cnt AS DOUBLE) / CAST(size_p AS DOUBLE), 9)
+                 AS DECIMAL(18, 9)) AS p9,
+            CAST(round(CAST(cnt * cnt AS DOUBLE) / CAST(size_g AS DOUBLE), 9)
+                 AS DECIMAL(18, 9)) AS r9
+        FROM cells JOIN sp USING (pred_id) JOIN sg USING (gold_id)
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT pred_id) AS BIGINT) AS n_pred_clusters,
+               CAST(count(DISTINCT gold_id) AS BIGINT) AS n_gold_clusters
+        FROM jj
+    ),
+    sums AS (
+        SELECT CAST(CAST(sum(p9) AS DECIMAL(28, 9)) AS DOUBLE) AS ps,
+               CAST(CAST(sum(r9) AS DECIMAL(28, 9)) AS DOUBLE) AS rs
+        FROM terms
+    )
+    SELECT n_docs, n_pred_clusters, n_gold_clusters,
+           round(ps / CAST(n_docs AS DOUBLE), 6) AS bcubed_precision,
+           round(rs / CAST(n_docs AS DOUBLE), 6) AS bcubed_recall,
+           round(2.0 * round(ps / CAST(n_docs AS DOUBLE), 6)
+                     * round(rs / CAST(n_docs AS DOUBLE), 6)
+                 / (round(ps / CAST(n_docs AS DOUBLE), 6)
+                    + round(rs / CAST(n_docs AS DOUBLE), 6)), 6)
+               AS bcubed_f1
+    FROM tot CROSS JOIN sums
+    """
+
+
+@register(
+    "dd_cluster_bcubed_audit",
+    oracle=_bcubed_oracle_sql(),
+    tags=("dedup", "audit", "bcubed", "cluster-quality"),
+)
+def dd_cluster_bcubed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) of the
+    PRODUCTION MinHash-LSH dedup clusters against the exact-Jaccard gold
+    clusters at the same threshold — CLUSTER-level quality where
+    dd_lsh_quality_audit measures PAIR-level recall: B³ penalizes
+    over-merging (precision) and over-splitting (recall) per document,
+    so a single bridged mega-cluster shows up here even when pair recall
+    looks fine.
+
+    Per doc d: P(d) = |C(d) ∩ L(d)| / |C(d)|, R(d) = same / |L(d)|;
+    reported as corpus means. Computed cell-wise: Σ cnt²/|C| over the
+    (pred, gold) contingency cells — each term 9dp-rounded then
+    DECIMAL-summed (order-free), means rounded 6dp.
+
+    Scale shape: two pair joins (banded LSH + df-guarded exact), two
+    min-label CCs, one contingency groupBy — every stage is the
+    already-rung-measured machinery; the contingency table is
+    cluster-count-sized."""
+    docs = load(spark, sf_dir, "documents")
+    lsh_pairs = dd.minhash_lsh_dedup(docs, "doc_id", threshold=_B3_TAU).select(
+        "id_a", "id_b"
+    )
+    gold_pairs = dd.ngram_jaccard_pairs(
+        docs, "doc_id", threshold=_B3_TAU, max_df=_B3_MAX_DF
+    ).select("id_a", "id_b")
+    pred = dd.connected_components(lsh_pairs, docs, "doc_id").select(
+        "doc_id", F.col("cluster_id").alias("pred_id")
+    )
+    gold = dd.connected_components(gold_pairs, docs, "doc_id").select(
+        "doc_id", F.col("cluster_id").alias("gold_id")
+    )
+    j = pred.join(gold, "doc_id")
+    cells = j.groupBy("pred_id", "gold_id").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    sp = cells.groupBy("pred_id").agg(F.sum("cnt").alias("size_p"))
+    sg = cells.groupBy("gold_id").agg(F.sum("cnt").alias("size_g"))
+    terms = (
+        cells.join(sp, "pred_id")
+        .join(sg, "gold_id")
+        .select(
+            F.round(
+                (F.col("cnt") * F.col("cnt")).cast("double")
+                / F.col("size_p").cast("double"),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("p9"),
+            F.round(
+                (F.col("cnt") * F.col("cnt")).cast("double")
+                / F.col("size_g").cast("double"),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("r9"),
+        )
+    )
+    tot = j.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("pred_id").cast("bigint").alias("n_pred_clusters"),
+        F.countDistinct("gold_id").cast("bigint").alias("n_gold_clusters"),
+    )
+    sums = terms.agg(
+        F.sum("p9").cast("decimal(28,9)").cast("double").alias("ps"),
+        F.sum("r9").cast("decimal(28,9)").cast("double").alias("rs"),
+    )
+    out = tot.join(sums)
+    prec = F.round(F.col("ps") / F.col("n_docs").cast("double"), 6)
+    rec = F.round(F.col("rs") / F.col("n_docs").cast("double"), 6)
+    return out.select(
+        "n_docs",
+        "n_pred_clusters",
+        "n_gold_clusters",
+        prec.alias("bcubed_precision"),
+        rec.alias("bcubed_recall"),
+    ).withColumn(
+        "bcubed_f1",
+        F.round(
+            2.0
+            * F.col("bcubed_precision")
+            * F.col("bcubed_recall")
+            / (F.col("bcubed_precision") + F.col("bcubed_recall")),
+            6,
+        ),
     )

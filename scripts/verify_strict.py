@@ -156,6 +156,11 @@ ARITH_EXPLAINED = {
                             "lossless decimal cast; order-free sum",
     "t_hill_tail_index": "ln 6dp-rounded on identical doubles before "
                          "the lossless decimal cast; order-free sum",
+    "t_char_entropy": "-p*ln(p) 9dp-rounded on identical doubles before "
+                      "the lossless decimal cast; order-free sum",
+    "dd_cluster_bcubed_audit": "cnt^2/size 9dp-rounded on identical "
+                               "integer-derived doubles before the "
+                               "lossless decimal cast; order-free sum",
 }
 
 

@@ -233,3 +233,82 @@ def test_ccnet_buckets_cover_all_scored_docs(spark):
     for lang, b in by_lang.items():
         if "head" in b and "tail" in b:
             assert b["head"]["min_p"] >= b["tail"]["max_p"] - 1e-12, lang
+
+
+# ----------------------------------------------------- Gopher + entropy
+
+
+def test_gopher_rules_match_python(spark):
+    from burst_db_spark.queries.round14 import (
+        _GOPHER_MAX_WORDS,
+        _GOPHER_MIN_WORDS,
+        _GOPHER_STOPS,
+        t_gopher_rules,
+    )
+
+    docs = load(spark, SF, "documents").collect()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    import re
+
+    for r in docs:
+        w = r["text"].strip().split()
+        n = len(w)
+        ok = (
+            _GOPHER_MIN_WORDS <= n <= _GOPHER_MAX_WORDS
+            and 3 * n <= sum(len(t) for t in w) <= 10 * n
+            and 10 * sum(1 for t in w if "#" in t or "..." in t) <= n
+            and 10 * sum(1 for t in w if re.search("[A-Za-z]", t)) >= 8 * n
+            and sum(1 for t in w if t.lower() in _GOPHER_STOPS) >= 2
+        )
+        a = agg[r["source"]]
+        a[0] += 1
+        a[1] += int(ok)
+    got = {r["source"]: r for r in t_gopher_rules(spark, SF).collect()}
+    assert set(got) == set(agg)
+    for src, (n, npass) in agg.items():
+        assert got[src]["n_docs"] == n
+        assert got[src]["n_pass"] == npass, src
+
+
+def test_char_entropy_matches_python(spark):
+    from burst_db_spark.queries.round14 import t_char_entropy
+
+    docs = load(spark, SF, "documents").collect()
+    got = {r["doc_id"]: r for r in t_char_entropy(spark, SF).collect()}
+    from collections import Counter
+
+    for r in docs[:100]:
+        c = Counter(r["text"])
+        n = sum(c.values())
+        h = sum(round(-(v / n) * math.log(v / n), 9) for v in c.values())
+        g = got[r["doc_id"]]
+        assert g["n_chars"] == n
+        assert g["distinct_chars"] == len(c)
+        assert abs(g["entropy6"] - round(h, 6)) < 2e-6
+        # bounds: 0 <= H <= ln(distinct)
+        assert -1e-9 <= g["entropy6"] <= math.log(max(len(c), 2)) + 1e-6
+
+
+def test_bcubed_bounds_and_perfect_self(spark):
+    """B-cubed P/R are in (0, 1]; comparing the gold clustering against
+    itself must give exactly 1.0/1.0 (re-derived in Python from the same
+    contingency construction)."""
+    from burst_db_spark.queries.round14 import dd_cluster_bcubed_audit
+
+    row = dd_cluster_bcubed_audit(spark, SF).collect()[0]
+    assert 0 < row["bcubed_precision"] <= 1.0
+    assert 0 < row["bcubed_recall"] <= 1.0
+    assert 0 < row["bcubed_f1"] <= 1.0
+    assert row["n_pred_clusters"] <= row["n_docs"]
+    assert row["n_gold_clusters"] <= row["n_docs"]
+    # python self-comparison sanity: identical labelings -> P = R = 1
+    labels = {i: i % 7 for i in range(50)}
+    from collections import Counter
+
+    cells = Counter((v, v) for v in labels.values())
+    sizes = Counter(labels.values())
+    n = len(labels)
+    p = sum(c * c / sizes[pg[0]] for pg, c in cells.items()) / n
+    assert abs(p - 1.0) < 1e-12
