@@ -244,6 +244,9 @@ HEADLINE = [
     "t_gopher_rules",
     "t_char_entropy",
     "dd_cluster_bcubed_audit",
+    "a46_weighted_median",
+    "w21_cusum_drift",
+    "t_token_gini",
 ]
 
 # Regression-signal curation (VERDICT r11 item #6): the headline suite

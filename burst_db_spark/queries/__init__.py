@@ -142,6 +142,9 @@ _SAMPLING_PRIORITY = (
     "t_gopher_rules",
     "t_char_entropy",
     "dd_cluster_bcubed_audit",
+    "a46_weighted_median",
+    "w21_cusum_drift",
+    "t_token_gini",
     "w4_run_length",
     "w6_water_year",
     "w7_first_significant_block",

@@ -864,3 +864,210 @@ def dd_cluster_bcubed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ),
     )
+
+
+# -- Exact weighted median per group ---------------------------------------------
+
+
+@register(
+    "a46_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS v,
+               CAST(l_quantity AS BIGINT) AS wt, l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    c AS (
+        SELECT flag, v, wt,
+               sum(wt) OVER (PARTITION BY flag
+                             ORDER BY v, l_orderkey, l_linenumber
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(wt) OVER (PARTITION BY flag) AS tot
+        FROM w
+    )
+    SELECT flag,
+           CAST(min(tot) AS BIGINT) AS total_weight,
+           min(CASE WHEN 2 * cum >= tot THEN v END) AS weighted_median
+    FROM c GROUP BY flag
+    """,
+    tags=("aggregate", "weighted-median", "robust-statistics"),
+)
+def a46_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per group: the smallest value whose
+    cumulative weight reaches half the group total (2·cum >= tot — pure
+    integer compare, no float quantile interpolation). The robust
+    location statistic quality pipelines prefer over the mean when a
+    few giant documents would dominate.
+
+    Scale shape: one cumulative-sum window over the group's value order
+    (a per-group sort — the same cost as any exact quantile; the
+    sketch family a19/a35 covers the approximate path at 100 TB)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wc = Window.partitionBy("flag").orderBy("v", "l_orderkey", "l_linenumber")
+    wt = Window.partitionBy("flag")
+    c = li.withColumn(
+        "cum", F.sum("wt").over(wc.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("tot", F.sum("wt").over(wt))
+    return c.groupBy("flag").agg(
+        F.min("tot").cast("bigint").alias("total_weight"),
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("v"))).alias(
+            "weighted_median"
+        ),
+    )
+
+
+# -- CUSUM drift detector (Page 1954) --------------------------------------------
+
+_CUSUM_BASE_DAYS = 7
+
+
+@register(
+    "w21_cusum_drift",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT event_type,
+               CAST(sum(n) AS BIGINT) AS sum_base
+        FROM (
+            SELECT event_type, n,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS rn
+            FROM daily
+        ) WHERE rn <= {_CUSUM_BASE_DAYS}
+        GROUP BY event_type
+    ),
+    dev AS (
+        SELECT d.event_type, d.day,
+               {_CUSUM_BASE_DAYS} * d.n - b.sum_base AS x
+        FROM daily d JOIN base b USING (event_type)
+    ),
+    psum AS (
+        SELECT event_type, day,
+               sum(x) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS p
+        FROM dev
+    ),
+    pref AS (
+        SELECT event_type, day, p,
+               LEAST(0, min(p) OVER (PARTITION BY event_type ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING)) AS runmin
+        FROM psum
+    ),
+    base2 AS (SELECT event_type, sum_base FROM base)
+    SELECT p.event_type, p.day,
+           CAST(p.p - p.runmin AS BIGINT) AS cusum_scaled,
+           (p.p - p.runmin) > 2 * b.sum_base AS drift_flag
+    FROM pref p JOIN base2 b USING (event_type)
+    """,
+    tags=("window", "cusum", "drift", "changepoint"),
+)
+def w21_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector (Page 1954) on per-type daily
+    counts, ALL-INTEGER: deviations are scaled by the baseline window
+    length (x_t = 7·n_t − Σ first-7-days) so no division ever happens,
+    and the sequential recursion S_t = max(0, S_{t-1} + x_t) is
+    computed by the prefix-sum identity S_t = P_t − min(0, min_{j≤t}
+    P_j) — two stacked windows instead of an un-parallelizable scan.
+    Flags when the cumulated positive drift exceeds 2 baseline-weeks.
+    Complements w20's two-window mean-shift: CUSUM accumulates SMALL
+    persistent shifts the flank comparison misses."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    wd = Window.partitionBy("event_type").orderBy("day")
+    base = (
+        daily.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") <= _CUSUM_BASE_DAYS)
+        .groupBy("event_type")
+        .agg(F.sum("n").cast("bigint").alias("sum_base"))
+    )
+    dev = daily.join(F.broadcast(base), "event_type").withColumn(
+        "x", _CUSUM_BASE_DAYS * F.col("n") - F.col("sum_base")
+    )
+    wcum = wd.rowsBetween(Window.unboundedPreceding, 0)
+    pref = dev.withColumn("p", F.sum("x").over(wcum)).withColumn(
+        "runmin", F.least(F.lit(0), F.min("p").over(wcum))
+    )
+    return pref.select(
+        "event_type",
+        "day",
+        (F.col("p") - F.col("runmin")).cast("bigint").alias("cusum_scaled"),
+        ((F.col("p") - F.col("runmin")) > 2 * F.col("sum_base")).alias(
+            "drift_flag"
+        ),
+    )
+
+
+# -- Gini concentration of the token distribution ---------------------------------
+
+
+@register(
+    "t_token_gini",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKS}) AS term FROM documents
+    ),
+    freq AS (
+        SELECT source, term, CAST(count(*) AS BIGINT) AS f
+        FROM toks GROUP BY source, term
+    ),
+    ranked AS (
+        SELECT source, f,
+               CAST(row_number() OVER (PARTITION BY source
+                                       ORDER BY f, term) AS BIGINT) AS i,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n,
+               CAST(sum(f) OVER (PARTITION BY source) AS BIGINT) AS tot
+        FROM freq
+    )
+    SELECT source,
+           CAST(min(n) AS BIGINT) AS vocab,
+           CAST(min(tot) AS BIGINT) AS n_tokens,
+           CAST(sum((2 * i - n - 1) * f) AS BIGINT) AS gini_num,
+           CAST(min(n) * min(tot) AS BIGINT) AS gini_den,
+           round(CAST(sum((2 * i - n - 1) * f) AS DOUBLE)
+                 / CAST(min(n) * min(tot) AS DOUBLE), 6) AS gini6
+    FROM ranked GROUP BY source
+    """,
+    tags=("text", "statistics", "gini", "concentration"),
+)
+def t_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the token-frequency distribution per source —
+    the concentration complement to the Rényi/Zipf diagnostics (G near 1
+    = a few terms dominate = template spam; G near 0 = uniform). The
+    numerator Σ(2i−n−1)·f over ascending-frequency ranks is EXACT
+    BIGINT arithmetic; only the final ratio is a single rounded
+    division, so the row hash-checks without any fold-order care."""
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select("source", F.explode(tx.tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    wr = Window.partitionBy("source").orderBy("f", "term")
+    ws = Window.partitionBy("source")
+    ranked = (
+        freq.withColumn("i", F.row_number().over(wr).cast("bigint"))
+        .withColumn("n", F.count("*").over(ws).cast("bigint"))
+        .withColumn("tot", F.sum("f").over(ws).cast("bigint"))
+    )
+    num = F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("f")).cast("bigint")
+    return ranked.groupBy("source").agg(
+        F.min("n").cast("bigint").alias("vocab"),
+        F.min("tot").cast("bigint").alias("n_tokens"),
+        num.alias("gini_num"),
+        (F.min("n") * F.min("tot")).cast("bigint").alias("gini_den"),
+        F.round(
+            num.cast("double") / (F.min("n") * F.min("tot")).cast("double"), 6
+        ).alias("gini6"),
+    )

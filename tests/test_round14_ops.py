@@ -312,3 +312,84 @@ def test_bcubed_bounds_and_perfect_self(spark):
     n = len(labels)
     p = sum(c * c / sizes[pg[0]] for pg, c in cells.items()) / n
     assert abs(p - 1.0) < 1e-12
+
+
+# --------------------------------------- weighted median / CUSUM / Gini
+
+
+def test_weighted_median_matches_python(spark):
+    from burst_db_spark.queries.round14 import a46_weighted_median
+
+    li = load(spark, SF, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity",
+        "l_orderkey", "l_linenumber",
+    ).collect()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in li:
+        groups[r["l_returnflag"]].append(
+            (r["l_extendedprice"], r["l_orderkey"], r["l_linenumber"],
+             int(r["l_quantity"]))
+        )
+    got = {r["flag"]: r for r in a46_weighted_median(spark, SF).collect()}
+    for flag, rows in groups.items():
+        rows.sort()
+        tot = sum(w for *_, w in rows)
+        cum = 0
+        med = None
+        for v, _, _, w in rows:
+            cum += w
+            if 2 * cum >= tot:
+                med = v
+                break
+        g = got[flag]
+        assert g["total_weight"] == tot
+        assert g["weighted_median"] == med, flag
+
+
+def test_cusum_matches_sequential_recursion(spark):
+    """The prefix-sum identity must equal the textbook sequential
+    S_t = max(0, S_{t-1} + x_t) recursion."""
+    from burst_db_spark.queries.round14 import (
+        _CUSUM_BASE_DAYS,
+        w21_cusum_drift,
+    )
+
+    ev = load(spark, SF, "events").select("event_type", "ts").collect()
+    from collections import Counter, defaultdict
+
+    daily = Counter((r["event_type"], r["ts"].date()) for r in ev)
+    series = defaultdict(list)
+    for (t, d), n in sorted(daily.items()):
+        series[t].append((d, n))
+    got = {(r["event_type"], r["day"]): r for r in w21_cusum_drift(spark, SF).collect()}
+    for t, pts in series.items():
+        base = sum(n for _, n in pts[:_CUSUM_BASE_DAYS])
+        s = 0
+        for d, n in pts:
+            s = max(0, s + (_CUSUM_BASE_DAYS * n - base))
+            g = got[(t, d)]
+            assert g["cusum_scaled"] == s, (t, d)
+            assert g["drift_flag"] == (s > 2 * base)
+
+
+def test_token_gini_matches_python_and_bounds(spark):
+    from burst_db_spark.queries.round14 import t_token_gini
+
+    docs = load(spark, SF, "documents").collect()
+    from collections import Counter, defaultdict
+
+    freq = defaultdict(Counter)
+    for r in docs:
+        freq[r["source"]].update(r["text"].strip().split())
+    got = {r["source"]: r for r in t_token_gini(spark, SF).collect()}
+    for src, c in freq.items():
+        fs = sorted(c.items(), key=lambda kv: (kv[1], kv[0]))
+        n = len(fs)
+        tot = sum(f for _, f in fs)
+        num = sum((2 * (i + 1) - n - 1) * f for i, (_, f) in enumerate(fs))
+        g = got[src]
+        assert g["vocab"] == n and g["n_tokens"] == tot
+        assert g["gini_num"] == num
+        assert 0 <= g["gini6"] < 1
