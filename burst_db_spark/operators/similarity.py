@@ -868,9 +868,28 @@ def kmeans_unrolled_stats(
         ),
         6,
     )
-    return counts.join(cur, "cell").select(
+    stats = counts.join(cur, "cell").select(
         "cell", "n_members", cnorm.alias("cnorm6")
     )
+    stats._kmeans_state = (assigned, cur)  # (final assignment, centroids)
+    return stats
+
+
+def kmeans_unrolled_state(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    rounds: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """(final assignment (id, cell, v), final centroids (cell, cv)) from
+    the fixed-round relational Lloyd of :func:`kmeans_unrolled_stats` —
+    the trained, occupancy-BALANCED cell structure downstream semantic
+    ops build on (data-blind hyperplane 'centroids' measured 37x
+    occupancy-sum-of-squares growth at 10x data where the trained cells
+    stay exactly linear — SCALING.md d4 rung)."""
+    stats = kmeans_unrolled_stats(emb, id_col, vec_col, k, rounds)
+    return stats._kmeans_state
 
 
 def probe_cells(
@@ -1037,7 +1056,12 @@ def semdedup_flags(
     Scale shape: the pair join is a self-equi-join on the cell id, so
     candidate work is Σ|cell|² rather than N² — the same banded-join
     discipline as MinHash-LSH, with k chosen so cells stay executor-sized
-    (k ∝ N / target_cell). No driver state, no cartesian.
+    (k ∝ N / target_cell). The Σ|cell|² bound only holds when the
+    codebook BALANCES occupancy: centroids must be trained on the data
+    (``kmeans_unrolled_state`` / ``kmeans_codebook``), not arbitrary
+    hyperplanes — the scale probe measured Σ|cell|² growing 37x at 10x
+    data under data-blind centroids vs exactly linear under trained
+    ones (SCALING.md d4 rung). No driver state, no cartesian.
     """
     cells = assign_cells(emb, centroids, id_col, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cell"

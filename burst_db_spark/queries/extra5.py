@@ -71,7 +71,15 @@ _SEM_DISTS = "[" + ",\n           ".join(_cent_dist_sql(c) for c in _SEM_CENTS) 
 )
 def dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: within-coarse-cell cosine dedup, min-id survivor —
-    the cluster-then-compare semantic twin of MinHash-LSH's banding."""
+    the cluster-then-compare semantic twin of MinHash-LSH's banding.
+
+    This row is the GIVEN-CODEBOOK form (centroids supplied by the
+    caller, here fixed hyperplane literals). At scale the codebook must
+    be TRAINED or occupancy skews — the d4 probe measured Σ|cell|²
+    growing 37x at 10x data under data-blind centroids vs exactly
+    linear under trained cells (SCALING.md) — so the production path is
+    ``dd_d4_diversify``'s unrolled-k-means cells; this row pins the
+    operator's behavior when the codebook comes from outside."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.semdedup_flags(emb, _SEM_CENTS, tau=_SEM_TAU)
 

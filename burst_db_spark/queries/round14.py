@@ -44,119 +44,11 @@ from burst_db_spark.queries.similarity import _cos_sql
 from burst_db_spark.queries.textops import _TOKS
 from burst_db_spark.registry import register
 
-# -- D4: SemDeDup + prototype pruning -----------------------------------------
+# -- D4: SemDeDup + prototype pruning over TRAINED cells ------------------------
 
-_D4_K = 16
 _D4_TAU = 0.5
-_D4_CENTS = sim.lsh_planes(_D4_K, dim=64)  # deterministic coarse centroids
 # drop the top 1/4 most-prototypical survivors per cell: rn*4 <= n
 _D4_DROP_NUM, _D4_DROP_DEN = 1, 4
-
-
-def _cents_lit_sql() -> str:
-    return (
-        "["
-        + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in _D4_CENTS)
-        + "]"
-    )
-
-
-def _cell_dist_sql(c: list[float]) -> str:
-    lit = "[" + ", ".join(repr(x) for x in c) + "]"
-    return (
-        "list_reduce(list_transform(range(1, 65), i -> "
-        f"(CAST(embedding[i] AS DOUBLE) - ({lit})[i]) * "
-        f"(CAST(embedding[i] AS DOUBLE) - ({lit})[i])), (x, y) -> x + y)"
-    )
-
-
-_D4_DISTS = "[" + ",\n           ".join(_cell_dist_sql(c) for c in _D4_CENTS) + "]"
-
-
-@register(
-    "dd_d4_diversify",
-    oracle=f"""
-    WITH d AS (
-        SELECT vec_id, embedding, {_D4_DISTS} AS dists FROM embeddings
-    ),
-    a AS (SELECT vec_id AS id, embedding AS v,
-                 CAST(list_position(dists, list_min(dists)) AS INTEGER) AS cell
-          FROM d),
-    drops AS (
-        SELECT DISTINCT y.id
-        FROM a AS x JOIN a AS y ON x.cell = y.cell AND x.id < y.id
-        WHERE {_cos_sql("x.v", "y.v")} >= {_D4_TAU!r}
-    ),
-    cents AS (SELECT {_cents_lit_sql()} AS cs),
-    f AS (
-        SELECT a.id, a.cell, (drops.id IS NOT NULL) AS dropped,
-               {_cos_sql("a.v", "cs[a.cell]")} AS proto
-        FROM a LEFT JOIN drops ON a.id = drops.id CROSS JOIN cents
-    ),
-    surv AS (
-        SELECT id,
-               CAST(row_number() OVER (
-                   PARTITION BY cell ORDER BY proto DESC, id
-               ) AS BIGINT) AS rn,
-               CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n
-        FROM f WHERE NOT dropped
-    )
-    SELECT f.id AS vec_id, f.cell,
-           CASE WHEN f.dropped THEN 'semdedup'
-                WHEN s.rn * {_D4_DROP_DEN} <= s.n * {_D4_DROP_NUM}
-                    THEN 'prototype'
-                ELSE 'kept' END AS status,
-           round(f.proto, 6) AS proto6
-    FROM f LEFT JOIN surv s ON f.id = s.id
-    """,
-    tags=("dedup", "semantic", "embedding", "d4", "pruning"),
-)
-def dd_d4_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D4 (Tirumala et al. 2023): SemDeDup drops within-cell near-copies
-    (cosine >= tau, min-id survives), then PROTOTYPE PRUNING drops the
-    quarter of survivors per cell CLOSEST to their centroid (most
-    redundant with the cluster's mode) — the diverse tail is what's
-    worth training on. Per-vector verdict + 6dp prototypicality.
-
-    Scale shape: cell assignment is a broadcast-codebook argmin; the
-    dedup pair join is cell-bucketed (Σ|cell|², never N²); the
-    prototype rank is a per-cell window whose partitions are the SAME
-    bounded cells (k ∝ N keeps them executor-sized)."""
-    emb = load(spark, sf_dir, "embeddings")
-    flags = sim.semdedup_flags(emb, _D4_CENTS, tau=_D4_TAU)
-    cents = spark.createDataFrame(
-        [(i + 1, c) for i, c in enumerate(_D4_CENTS)],
-        "cell int, cv array<double>",
-    )
-    proto = (
-        flags.join(
-            emb.select(F.col("vec_id"), F.col("embedding").alias("v")),
-            "vec_id",
-        )
-        .join(F.broadcast(cents), "cell")
-        .withColumn("proto", sim.cosine(F.col("v"), F.col("cv")))
-        .select("vec_id", "cell", "dropped", "proto")
-    )
-    wr = Window.partitionBy("cell").orderBy(F.col("proto").desc(), "vec_id")
-    wc = Window.partitionBy("cell")
-    surv = (
-        proto.where(~F.col("dropped"))
-        .withColumn("rn", F.row_number().over(wr).cast("bigint"))
-        .withColumn("n", F.count("*").over(wc).cast("bigint"))
-        .select("vec_id", "rn", "n")
-    )
-    return proto.join(surv, "vec_id", "left").select(
-        "vec_id",
-        "cell",
-        F.when(F.col("dropped"), F.lit("semdedup"))
-        .when(
-            F.col("rn") * _D4_DROP_DEN <= F.col("n") * _D4_DROP_NUM,
-            F.lit("prototype"),
-        )
-        .otherwise(F.lit("kept"))
-        .alias("status"),
-        F.round("proto", 6).alias("proto6"),
-    )
 
 
 # -- Oracle-checked unrolled k-means -------------------------------------------
@@ -235,6 +127,119 @@ def knn_kmeans_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented rows-only row); THIS row proves the training arithmetic."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.kmeans_unrolled_stats(emb, k=_KM_K, rounds=_KM_ROUNDS)
+
+
+@register(
+    "dd_d4_diversify",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id AS id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT v AS cv, id AS sid, {_KM_SEED_H} AS h
+        FROM e ORDER BY h, sid LIMIT {_KM_K}
+    ),
+    c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY h, sid) AS INTEGER) AS cell,
+               cv
+        FROM seeds
+    ),
+    {_km_round_ctes(1, "c0")},
+    {_km_round_ctes(2, "c1")},
+    drops AS (
+        SELECT DISTINCT y.id
+        FROM a2 AS x JOIN a2 AS y ON x.cell = y.cell AND x.id < y.id
+        WHERE {_cos_sql("x.v", "y.v")} >= {_D4_TAU!r}
+    ),
+    f AS (
+        SELECT a.id, a.cell, (drops.id IS NOT NULL) AS dropped,
+               {_cos_sql("a.v", "c.cv")} AS proto
+        FROM a2 a JOIN c2 c USING (cell)
+        LEFT JOIN drops ON a.id = drops.id
+    ),
+    surv AS (
+        SELECT id,
+               CAST(row_number() OVER (
+                   PARTITION BY cell ORDER BY proto DESC, id
+               ) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n
+        FROM f WHERE NOT dropped
+    )
+    SELECT f.id AS vec_id, f.cell,
+           CASE WHEN f.dropped THEN 'semdedup'
+                WHEN s.rn * {_D4_DROP_DEN} <= s.n * {_D4_DROP_NUM}
+                    THEN 'prototype'
+                ELSE 'kept' END AS status,
+           round(f.proto, 6) AS proto6
+    FROM f LEFT JOIN surv s ON f.id = s.id
+    """,
+    tags=("dedup", "semantic", "embedding", "d4", "pruning",
+          "trained-cells"),
+)
+def dd_d4_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (Tirumala et al. 2023), the paper's ACTUAL pipeline end-to-end
+    and fully hash-checked: k-means cells (two unrolled Lloyd rounds —
+    the oracle replays the training CTEs of knn_kmeans_unrolled), then
+    SemDeDup within cells (cosine >= tau, min-id survives), then
+    PROTOTYPE PRUNING — drop the quarter of survivors per cell CLOSEST
+    to their trained centroid (rn·4 <= n, pure ints).
+
+    TRAINED cells are load-bearing at scale, not a nicety: with
+    data-blind hyperplane "centroids" the 10x probe measured occupancy
+    sum-of-squares growing 37x (one cell held 62% of the corpus — the
+    within-cell pair join goes quadratic); under trained cells max
+    occupancy stayed ~constant and Σ|cell|² grew exactly linearly
+    (SCALING.md d4 rung). k ∝ N is the knob; the dd_semdedup row keeps
+    the given-codebook form for externally-trained centroids."""
+    emb = load(spark, sf_dir, "embeddings")
+    asg, cents = sim.kmeans_unrolled_state(emb, k=_KM_K, rounds=_KM_ROUNDS)
+    a = asg.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "cell")
+    b = asg.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "cell")
+    sim_pairs = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(sim.cosine(F.col("va"), F.col("vb")) >= F.lit(_D4_TAU))
+        .select("id_b")
+        .distinct()
+    )
+    proto = (
+        asg.join(F.broadcast(cents), "cell")
+        .join(
+            sim_pairs.withColumnRenamed("id_b", "id").withColumn(
+                "__drop", F.lit(True)
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            "cell",
+            F.coalesce(F.col("__drop"), F.lit(False)).alias("dropped"),
+            sim.cosine(F.col("v"), F.col("cv")).alias("proto"),
+        )
+    )
+    wr = Window.partitionBy("cell").orderBy(F.col("proto").desc(), "id")
+    wc = Window.partitionBy("cell")
+    surv = (
+        proto.where(~F.col("dropped"))
+        .withColumn("rn", F.row_number().over(wr).cast("bigint"))
+        .withColumn("n", F.count("*").over(wc).cast("bigint"))
+        .select("id", "rn", "n")
+    )
+    return proto.join(surv, "id", "left").select(
+        F.col("id").alias("vec_id"),
+        "cell",
+        F.when(F.col("dropped"), F.lit("semdedup"))
+        .when(
+            F.col("rn") * _D4_DROP_DEN <= F.col("n") * _D4_DROP_NUM,
+            F.lit("prototype"),
+        )
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+        F.round("proto", 6).alias("proto6"),
+    )
 
 
 # -- SoftDeDup: duplicate reweighting instead of dropping ----------------------

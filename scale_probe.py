@@ -1036,6 +1036,112 @@ def bootstrap_cd_probe(spark, factor: int) -> dict[str, float]:
     return out
 
 
+def _emb_replicated(spark, factor: int):
+    """embeddings replicated ``factor``x with shifted ids and a
+    per-replica deterministic ±1 SIGN PATTERN multiplied elementwise:
+    within-replica cosines are EXACTLY preserved (signs cancel), while
+    cross-replica cosines collapse to ~N(0, 1/64) noise — so near-dup
+    density stays constant instead of every clone matching its source
+    at cosine 1.0."""
+    emb = load(spark, "/root/testdata/sf0.1", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    reps = []
+    for r in range(factor):
+        sign = F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.when(
+                F.xxhash64(i.cast("string"), F.lit(r)) % 2 == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        )
+        reps.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * SHIFT)).alias("vec_id"),
+                F.zip_with(
+                    "embedding", sign, lambda x, s: x.cast("double") * s
+                ).alias("embedding"),
+            )
+        )
+    out = reps[0]
+    for x in reps[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def d4_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Constant near-dup-density scaling for the D4 pipeline over
+    TRAINED cells with k ∝ N (16·factor centroids, two unrolled Lloyd
+    rounds — the registered query's structure).
+
+    Trained cells are what keeps the within-cell pair join linear: the
+    earlier data-blind-hyperplane design measured occupancy
+    sum-of-squares growing 37x at 10x data (one cell held 62% of the
+    corpus); trained cells hold max occupancy ~constant and Σ|cell|²
+    exactly linear. The measured trade this probe prices: the broadcast
+    ASSIGNMENT is k·N rows per round, so k ∝ N makes assignment the
+    N²-ish term at extreme scale — past that point the assignment
+    itself goes hierarchical (coarse-quantize the codebook; the IVF
+    funnel rows are that machinery), while the dedup/prune stages stay
+    linear. The probe reports the whole pipeline wall."""
+    from pyspark.sql import Window
+
+    from burst_db_spark.operators import similarity as sim
+    from burst_db_spark.queries.round14 import _D4_TAU
+
+    out: dict[str, float] = {}
+    for label, f in (("", 1), ("_big", factor)):
+        emb = _emb_replicated(spark, f)
+        t0 = time.perf_counter()
+        asg, cents = sim.kmeans_unrolled_state(emb, k=16 * f, rounds=2)
+        a = asg.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "cell")
+        b = asg.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "cell")
+        sim_pairs = (
+            a.join(b, "cell")
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(sim.cosine(F.col("va"), F.col("vb")) >= F.lit(_D4_TAU))
+            .select("id_b")
+            .distinct()
+        )
+        flags = asg.join(
+            sim_pairs.withColumnRenamed("id_b", "id").withColumn(
+                "__drop", F.lit(True)
+            ),
+            "id",
+            "left",
+        ).select(
+            "id", "cell", F.coalesce("__drop", F.lit(False)).alias("dropped")
+        )
+        wr = Window.partitionBy("cell").orderBy("id")
+        pruned = flags.where(~F.col("dropped")).withColumn(
+            "rn", F.row_number().over(wr)
+        )
+        pruned.write.format("noop").mode("overwrite").save()
+        out[f"dd_d4_cd{label}"] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+    return out
+
+
+def kmeans_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Scaling for the oracle-checked unrolled k-means: k is the MODEL
+    size knob and stays fixed (16), so per-round cost is the k·N
+    broadcast-join assignment + one (cell, dim) decimal reduce — both
+    linear in N. This probe proves the training loop itself has no
+    superlinear term (the decimal sums are single-pass, never a
+    window)."""
+    from burst_db_spark.operators.similarity import kmeans_unrolled_stats
+
+    out: dict[str, float] = {}
+    for label, f in (("", 1), ("_big", factor)):
+        emb = _emb_replicated(spark, f)
+        t0 = time.perf_counter()
+        kmeans_unrolled_stats(emb, k=16, rounds=2).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[f"knn_kmeans_cd{label}"] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+    return out
+
+
 _CD_PROBES = {
     "spatial": lambda spark, f: spatial_cd_probe(spark, n_small=100_000, factor=f),
     "jaccard": jaccard_cd_probe,
@@ -1055,6 +1161,8 @@ _CD_PROBES = {
     "ppjoin": ppjoin_cd_probe,
     "splits": splits_cd_probe,
     "bootstrap": bootstrap_cd_probe,
+    "d4": d4_cd_probe,
+    "kmeans": kmeans_cd_probe,
 }
 
 

@@ -78,26 +78,40 @@ def test_kmeans_unrolled_improves_or_holds_inertia(spark):
 # ------------------------------------------------------------------- D4
 
 
-def test_d4_statuses_consistent_with_semdedup(spark):
+def test_d4_statuses_consistent_with_trained_cells(spark):
+    """Statuses partition the corpus; 'semdedup' rows are exactly the
+    within-trained-cell min-id losers; per cell exactly
+    floor(survivors/4) rows are prototype-pruned."""
+    from burst_db_spark.operators import similarity as sim
     from burst_db_spark.queries.round14 import (
-        _D4_CENTS,
         _D4_TAU,
+        _KM_K,
+        _KM_ROUNDS,
         dd_d4_diversify,
     )
 
-    out = {r["vec_id"]: r for r in dd_d4_diversify(spark, SF).collect()}
     emb = load(spark, SF, "embeddings")
-    flags = {
-        r["vec_id"]: r["dropped"]
-        for r in sim.semdedup_flags(emb, _D4_CENTS, tau=_D4_TAU).collect()
-    }
-    assert set(out) == set(flags)
-    for vid, dropped in flags.items():
-        if dropped:
-            assert out[vid]["status"] == "semdedup"
-        else:
-            assert out[vid]["status"] in ("prototype", "kept")
-    # per cell: exactly floor(survivors/4) prototype-pruned
+    out = {r["vec_id"]: r for r in dd_d4_diversify(spark, SF).collect()}
+    assert len(out) == emb.count()
+    asg, _ = sim.kmeans_unrolled_state(emb, k=_KM_K, rounds=_KM_ROUNDS)
+    import numpy as np
+
+    rows = asg.collect()
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(
+            (r["id"], np.array(r["v"], dtype=np.float64))
+        )
+    dropped = set()
+    for cell, members in by_cell.items():
+        members.sort()
+        for i, (ida, va) in enumerate(members):
+            for idb, vb in members[i + 1 :]:
+                cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+                if cos >= _D4_TAU:
+                    dropped.add(idb)
+    for vid, r in out.items():
+        assert (r["status"] == "semdedup") == (vid in dropped), vid
     from collections import Counter
 
     surv = Counter(r["cell"] for r in out.values() if r["status"] != "semdedup")
