@@ -247,6 +247,7 @@ HEADLINE = [
     "a46_weighted_median",
     "w21_cusum_drift",
     "t_token_gini",
+    "o7_hilbert_layout",
 ]
 
 # Regression-signal curation (VERDICT r11 item #6): the headline suite

@@ -20,40 +20,59 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def hilbert_code(x: Column, y: Column, bits: int = 8) -> Column:
-    """Hilbert distance of the cell (x, y) on a 2^bits × 2^bits grid.
+def with_hilbert_code(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    bits: int = 8,
+    out: str = "hcode",
+) -> DataFrame:
+    """Attach the Hilbert distance of cell (x, y) on a 2^bits × 2^bits
+    grid as column ``out``.
 
     Unrolled xy2d: walk levels s = 2^(bits-1) .. 1; at each level the
     quadrant contributes s²·((3·rx) XOR ry) and the coordinates are
-    rotated/flipped into the subsquare frame. rx/ry/x/y are plain
-    bigint column expressions rebuilt per level (expression depth is
-    2·bits — fine for layout-granularity bit widths)."""
-    cx = x.cast("bigint")
-    cy = y.cast("bigint")
-    d = F.lit(0).cast("bigint")
+    rotated/flipped into the subsquare frame. Each level's state is
+    MATERIALIZED as projected columns (one ``select`` per level) — the
+    recurrence references x and y twice per level, so inlining it into
+    a single Column expression doubles the tree per level (2^bits
+    analysis blowup); the projection chain keeps it linear, exactly
+    like the nested-subquery DuckDB twin (:func:`hilbert_sql_query`).
+    Still a pure map: no shuffle, no UDF, whole-stage-codegen'd."""
+    cur = df.withColumns(
+        {
+            "__hx": x.cast("bigint"),
+            "__hy": y.cast("bigint"),
+            "__hd": F.lit(0).cast("bigint"),
+        }
+    )
     s = 1 << (bits - 1)
     while s > 0:
-        rx = F.when(cx.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(
+        hx, hy, hd = F.col("__hx"), F.col("__hy"), F.col("__hd")
+        rx = F.when(hx.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(
             F.lit(0)
         ).cast("bigint")
-        ry = F.when(cy.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(
+        ry = F.when(hy.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(
             F.lit(0)
         ).cast("bigint")
-        d = d + F.lit(s).cast("bigint") * F.lit(s) * (
-            (F.lit(3) * rx).bitwiseXOR(ry)
+        cur = cur.withColumns(
+            {
+                "__hd": hd
+                + F.lit(s).cast("bigint")
+                * F.lit(s)
+                * ((F.lit(3) * rx).bitwiseXOR(ry)),
+                "__hx": F.when(
+                    ry == 0,
+                    F.when(rx == 1, F.lit(s - 1) - hy).otherwise(hy),
+                ).otherwise(hx),
+                "__hy": F.when(
+                    ry == 0,
+                    F.when(rx == 1, F.lit(s - 1) - hx).otherwise(hx),
+                ).otherwise(hy),
+            }
         )
-        # rotate: if ry == 0 { if rx == 1 { x = s-1-x; y = s-1-y }; swap }
-        nx = F.when(
-            ry == 0,
-            F.when(rx == 1, F.lit(s - 1) - cy).otherwise(cy),
-        ).otherwise(cx)
-        ny = F.when(
-            ry == 0,
-            F.when(rx == 1, F.lit(s - 1) - cx).otherwise(cx),
-        ).otherwise(cy)
-        cx, cy = nx, ny
         s //= 2
-    return d.cast("bigint")
+    return cur.withColumn(out, F.col("__hd")).drop("__hx", "__hy", "__hd")
 
 
 def hilbert_sql_query(
@@ -108,7 +127,7 @@ def hilbert_write(
     """Persist Hilbert-clustered parquet: one range exchange on the code
     + in-partition sort, same cost as any global sort, paid once at
     write time (the OPTIMIZE ZORDER BY analog with better locality)."""
-    coded = df.withColumn("__h", hilbert_code(x, y, bits))
+    coded = with_hilbert_code(df, x, y, bits, out="__h")
     (
         coded.repartitionByRange(n_files, "__h")
         .sortWithinPartitions("__h")

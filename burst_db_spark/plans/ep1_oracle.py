@@ -114,8 +114,10 @@ def _greenland_sql() -> tuple[str, str]:
 #  frame_db constants TARGET=9, MIN=5, MAX=10 => DP sizes 4..9, badness
 #  |size+1-9|^3.)
 # ---------------------------------------------------------------------------
-_FRAMES_CTES = f"""
-trip AS (
+# The deterministic fixture replica (fixtures.burst_triplets(600, 12)) —
+# standalone so other oracles can reuse the same synthetic points
+# (o7_hilbert_layout quantizes trip.lon/lat for its curve comparison).
+TRIP_CTE = """trip AS (
     -- fixtures.burst_triplets(600, 12): land window bounds fold to
     -- [3, 50*2//5=20] and [50*3//5=30, 50-2=48]
     SELECT
@@ -129,7 +131,10 @@ trip AS (
         CAST(b.burst_id * 7 % 340 - 170 AS DOUBLE) AS lon,
         CAST((b.burst_id - 1) % 50 AS DOUBLE) * 150 / 50 - 75 AS lat
     FROM range(1, 601) b(burst_id)
-),
+)"""
+
+_FRAMES_CTES = f"""
+{TRIP_CTE},
 -- widen_land_runs pass 1: grow short land runs symmetrically
 runs0 AS (
     SELECT *, SUM(chg) OVER (PARTITION BY track ORDER BY pos

@@ -145,6 +145,7 @@ _SAMPLING_PRIORITY = (
     "a46_weighted_median",
     "w21_cusum_drift",
     "t_token_gini",
+    "o7_hilbert_layout",
     "w4_run_length",
     "w6_water_year",
     "w7_first_significant_block",
