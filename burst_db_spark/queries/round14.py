@@ -19,6 +19,12 @@ corpus-diagnostics operators from the LLM curation literature —
   exact-ntile computed by the distributed global-rank pattern
   (operators/text.grouped_ntile_scalable), not a one-task-per-language
   window.
+- Gopher rule battery (Rae et al. 2021) — all-integer ratio tests;
+  character entropy (spam/junk signal); B-cubed cluster-quality audit
+  (Bagga & Baldwin 1998) of the production LSH clusters vs exact gold;
+  exact weighted median; CUSUM drift (Page 1954) via the prefix-sum
+  identity; token-Gini concentration; Hilbert-vs-Morton layout quality
+  measured as contiguous code runs per bbox query.
 
 Reference parity: opera-adt/burst_db has no corpus layer — these extend
 the LLM-pipeline surface (SURVEY.md "beyond the reference" mandate).
