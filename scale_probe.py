@@ -1142,6 +1142,52 @@ def kmeans_cd_probe(spark, factor: int) -> dict[str, float]:
     return out
 
 
+def ntile_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Grouped exact ntile under GROUP SKEW — the scenario
+    operators/text.grouped_ntile_scalable exists for: a synthetic
+    corpus where ONE language holds 80% of the rows (the CCNet shape on
+    a real crawl). A/B per rung: the plain
+    ``Window.partitionBy(lang)`` ntile (funnels the dominant language
+    through one task) vs the grouped global-rank pattern (range
+    partitions + broadcast offsets — every partition ranks in
+    parallel). Base N = 100k rows so the 100x rung is 10M."""
+    from pyspark.sql import Window
+
+    from burst_db_spark.operators.text import grouped_ntile_scalable
+
+    out: dict[str, float] = {}
+    for label, f in (("", 1), ("_big", factor)):
+        n = 100_000 * f
+        df = (
+            spark.range(n)
+            .select(
+                F.col("id"),
+                F.when(F.col("id") % 10 < 8, F.lit("major"))
+                .otherwise(
+                    F.concat(F.lit("minor"), (F.col("id") % 19).cast("string"))
+                )
+                .alias("lang"),
+                (F.xxhash64("id") % 1_000_000).alias("score"),
+            )
+            .persist()
+        )
+        df.count()
+        t0 = time.perf_counter()
+        grouped_ntile_scalable(
+            df, "lang", [F.col("score"), F.col("id")], n_buckets=3
+        ).write.format("noop").mode("overwrite").save()
+        out[f"ntile_grouped_cd{label}"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        w = Window.partitionBy("lang").orderBy("score", "id")
+        df.withColumn("bucket", F.ntile(3).over(w)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[f"ntile_window_cd{label}"] = round(time.perf_counter() - t0, 2)
+        df.unpersist()
+        spark.catalog.clearCache()
+    return out
+
+
 _CD_PROBES = {
     "spatial": lambda spark, f: spatial_cd_probe(spark, n_small=100_000, factor=f),
     "jaccard": jaccard_cd_probe,
@@ -1163,6 +1209,7 @@ _CD_PROBES = {
     "bootstrap": bootstrap_cd_probe,
     "d4": d4_cd_probe,
     "kmeans": kmeans_cd_probe,
+    "ntile": ntile_cd_probe,
 }
 
 

@@ -689,3 +689,79 @@ def test_rrf_modality_lists_are_take_ordered(spark):
     requirement, so the assertion is >= 2.)"""
     plan = _plan("t_rrf_hybrid_search", spark)
     assert _count_nodes(plan, "TakeOrderedAndProject") >= 2
+
+
+# ---------------------------------------------------------------------------
+# round-14 operators
+
+
+def test_ccnet_buckets_grouped_ntile_is_range_partitioned(spark):
+    """The per-language exact ntile must use the grouped global-rank
+    pattern: a RANGE partition on (lang, score, id) feeding windows
+    partitioned by (__pid, lang) — never a one-task-per-language window
+    and never a global rank. (The LM model's 1-ROW vocab aggregate is a
+    legitimate SinglePartition — model state, not data — so the pin
+    targets the window spec, not the whole plan.)"""
+    plan = _plan("t_ccnet_buckets", spark)
+    assert "rangepartitioning(lang" in plan
+    assert "windowspecdefinition(__pid" in plan
+    # no window partitioned by lang alone (the straggler shape)
+    assert not re.search(r"windowspecdefinition\(lang#\d+, m", plan)
+
+
+def test_soft_dedup_no_pair_join(spark):
+    """SoftDeDup is reweighting, not pair-finding: the plan must carry
+    NO join at all — one digest window + one rollup."""
+    plan = _plan("t_soft_dedup_weights", spark)
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert _count_nodes(plan, node) == 0, node
+
+
+def test_gopher_rules_map_plus_single_rollup(spark):
+    """The rule battery is a pure map over docs + one aggregate: exactly
+    one Exchange (the per-source rollup), no joins, no windows."""
+    plan = _plan("t_gopher_rules", spark)
+    assert _count_nodes(plan, "Exchange") == 1
+    assert _count_nodes(plan, "Window") == 0
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert _count_nodes(plan, node) == 0, node
+
+
+def test_kmeans_unrolled_broadcast_model_no_window_over_vectors(spark):
+    """Every k-means assignment must ride a BROADCAST of the k-row
+    centroid frame (the model), never shuffle the corpus against it;
+    argmin is an aggregate, so the only Windows allowed are the k-row
+    seed numbering."""
+    plan = _plan("knn_kmeans_unrolled", spark)
+    assert _count_nodes(plan, "BroadcastExchange") >= 2  # one per round
+    assert _count_nodes(plan, "CartesianProduct") == 0
+    assert _count_nodes(plan, "BroadcastNestedLoopJoin") >= 1  # k-row model join
+
+
+def test_hilbert_layout_no_shuffle_before_filter(spark):
+    """Curve coding is a pure map: the only exchanges in the layout
+    query serve the two tiny aggregates, and no join is a cartesian over
+    the grid."""
+    plan = _plan("o7_hilbert_layout", spark)
+    assert _count_nodes(plan, "CartesianProduct") == 0
+    # run counting is an integer anti-join, never a sort-based window
+    assert _count_nodes(plan, "Window") == 0
+
+
+def test_cusum_two_window_passes_no_self_join(spark):
+    """The CUSUM prefix-sum identity costs windows, not joins: no
+    self-join of the daily series against itself."""
+    plan = _plan("w21_cusum_drift", spark)
+    assert _count_nodes(plan, "CartesianProduct") == 0
+    assert _count_nodes(plan, "Window") >= 2  # prefix sum + running min
+    assert _count_nodes(plan, "SortMergeJoin") == 0
+
+
+def test_weighted_median_single_group_sort(spark):
+    """Exact weighted median: one window pass over the per-group order,
+    no joins."""
+    plan = _plan("a46_weighted_median", spark)
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert _count_nodes(plan, node) == 0, node
+    assert _count_nodes(plan, "Window") >= 1
