@@ -248,6 +248,7 @@ HEADLINE = [
     "w21_cusum_drift",
     "t_token_gini",
     "o7_hilbert_layout",
+    "stream_cusum",
 ]
 
 # Regression-signal curation (VERDICT r11 item #6): the headline suite

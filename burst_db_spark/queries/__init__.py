@@ -146,6 +146,7 @@ _SAMPLING_PRIORITY = (
     "w21_cusum_drift",
     "t_token_gini",
     "o7_hilbert_layout",
+    "stream_cusum",
     "w4_run_length",
     "w6_water_year",
     "w7_first_significant_block",

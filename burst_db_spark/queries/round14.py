@@ -1181,3 +1181,119 @@ def o7_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return stats("hcode", "hilbert").unionByName(stats("mcode", "morton"))
+
+
+# -- Streaming CUSUM: state maintenance + the w21 detector ------------------------
+
+
+@register(
+    "stream_cusum",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT event_type,
+               CAST(sum(n) AS BIGINT) AS sum_base
+        FROM (
+            SELECT event_type, n,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS rn
+            FROM daily
+        ) WHERE rn <= {_CUSUM_BASE_DAYS}
+        GROUP BY event_type
+    ),
+    dev AS (
+        SELECT d.event_type, d.day,
+               {_CUSUM_BASE_DAYS} * d.n - b.sum_base AS x
+        FROM daily d JOIN base b USING (event_type)
+    ),
+    psum AS (
+        SELECT event_type, day,
+               sum(x) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS p
+        FROM dev
+    ),
+    pref AS (
+        SELECT event_type, day, p,
+               LEAST(0, min(p) OVER (PARTITION BY event_type ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING)) AS runmin
+        FROM psum
+    ),
+    base2 AS (SELECT event_type, sum_base FROM base)
+    SELECT p.event_type, p.day,
+           CAST(p.p - p.runmin AS BIGINT) AS cusum_scaled,
+           (p.p - p.runmin) > 2 * b.sum_base AS drift_flag
+    FROM pref p JOIN base2 b USING (event_type)
+    """,
+    tags=("streaming", "cusum", "drift", "oracle-checked"),
+)
+def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-on CUSUM drift monitoring: Structured Streaming maintains
+    the per-type DAILY COUNT state (tumbling 1-day windows, complete
+    mode, availableNow drain) and the w21 detector — the prefix-sum
+    identity over ALL-INTEGER scaled deviations — runs over the
+    maintained snapshot. Same state-maintenance/detector split as
+    stream_mean_shift (the detector's running min needs the full
+    ordered series, so it reads the snapshot); the CUSUM accumulates
+    SMALL persistent shifts the flank comparison misses, so the two
+    monitors are complements on the same maintained state. Must equal
+    w21_cusum_drift's oracle exactly — streamed counts are integers,
+    stream task order cannot perturb anything."""
+    import tempfile
+    import uuid
+
+    from burst_db_spark.streaming import incremental as st
+
+    src = load(spark, sf_dir, "events").select("event_type", "ts")
+    tmp = tempfile.mkdtemp(prefix="bds_stream_cusum_")
+    data_dir = f"{tmp}/in"
+    src.write.parquet(data_dir)
+    stream = st.file_stream(spark, data_dir, src.schema)
+    agg = (
+        stream.groupBy(F.window(F.col("ts"), "1 day"), F.col("event_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "event_type",
+            F.to_date(F.col("window.start")).alias("day"),
+            "n",
+        )
+    )
+    name = f"cusum_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    daily = spark.table(name)
+
+    wd = Window.partitionBy("event_type").orderBy("day")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, 0)
+    # baseline over the SAME frame (no second scan of the memory table)
+    base = F.sum(
+        F.when(F.row_number().over(wd) <= _CUSUM_BASE_DAYS, F.col("n"))
+    ).over(
+        Window.partitionBy("event_type").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    ).cast("bigint")
+    dev = daily.withColumn("sum_base", base).withColumn(
+        "x", _CUSUM_BASE_DAYS * F.col("n") - F.col("sum_base")
+    )
+    pref = dev.withColumn("p", F.sum("x").over(wcum)).withColumn(
+        "runmin", F.least(F.lit(0), F.min("p").over(wcum))
+    )
+    return pref.select(
+        "event_type",
+        "day",
+        (F.col("p") - F.col("runmin")).cast("bigint").alias("cusum_scaled"),
+        ((F.col("p") - F.col("runmin")) > 2 * F.col("sum_base")).alias(
+            "drift_flag"
+        ),
+    )

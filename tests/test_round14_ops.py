@@ -445,3 +445,13 @@ def test_hilbert_layout_beats_morton_on_runs(spark):
     assert rows["hilbert"]["code_runs"] < rows["morton"]["code_runs"]
     # every code in [min, max] span sanity
     assert rows["hilbert"]["code_span"] >= rows["hilbert"]["n_in_bbox"] - 1
+
+
+def test_stream_cusum_equals_batch_detector(spark):
+    """The streaming-maintained state + detector must equal the batch
+    w21 rows exactly (integer counts — task order cannot perturb)."""
+    from burst_db_spark.queries.round14 import stream_cusum, w21_cusum_drift
+
+    got = sorted(map(tuple, stream_cusum(spark, SF).collect()))
+    want = sorted(map(tuple, w21_cusum_drift(spark, SF).collect()))
+    assert got == want
