@@ -730,11 +730,30 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "cell",
+    hier_threshold: int | None = None,
+    nprobe: int = 3,
 ) -> DataFrame:
     """Attach each vector's nearest-centroid cell id — broadcast codebook
     argmin, the 100 TB IVF assignment pattern. The distance array is
-    projected ONCE per row; the argmin reads the materialized column."""
+    projected ONCE per row; the argmin reads the materialized column.
+
+    Past ``hier_threshold`` centroids (default
+    :data:`HIER_ASSIGN_THRESHOLD`) the flat k-wide distance array gives
+    way to the funnel route (:func:`assign_cells_hier`): coarse-quantize
+    the codebook into ~√k groups and probe ``nprobe`` of them — the
+    k ∝ N SemDeDup regime where a flat argmin's per-row cost is the
+    superlinear term (VERDICT r12 #1)."""
     spark = emb.sparkSession
+    if hier_threshold is None:
+        hier_threshold = HIER_ASSIGN_THRESHOLD
+    if len(centroids) >= hier_threshold:
+        from math import isqrt
+
+        g = max(2, isqrt(len(centroids)))
+        groups_one = hier_groups_literal(spark, centroids, g)
+        return assign_cells_hier(
+            emb, groups_one, nprobe, id_col, vec_col, out_col
+        )
     cdf = spark.createDataFrame([(centroids,)], "cents: array<array<double>>")
     dists = F.transform(
         F.col("cents"),
@@ -765,6 +784,8 @@ def kmeans_unrolled_stats(
     vec_col: str = "embedding",
     k: int = 16,
     rounds: int = 2,
+    hier_threshold: int | None = None,
+    nprobe: int = 3,
 ) -> DataFrame:
     """Fixed-round Lloyd k-means with NO driver-side model state — and,
     because every step is deterministic RELATIONAL algebra, the whole
@@ -810,8 +831,25 @@ def kmeans_unrolled_stats(
         "cell", F.transform("cv", lambda x: x.cast("double")).alias("cv")
     )
 
+    hthr = HIER_ASSIGN_THRESHOLD if hier_threshold is None else hier_threshold
+
     def _assign(centroids: DataFrame) -> DataFrame:
         e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        if k >= hthr:
+            # funnel route (k ∝ N regime): group the codebook, probe
+            # nprobe groups per vector — a pure projection after a 1-row
+            # broadcast join, N·(√k + nprobe·√k) work instead of k·N
+            # rows per round (VERDICT r12 #1).
+            from math import isqrt
+
+            groups_one = hier_group_state(centroids, max(2, isqrt(k)))
+            return e.join(F.broadcast(groups_one)).select(
+                "id",
+                hier_assign_cell(F.col("v"), F.col("groups"), nprobe).alias(
+                    "cell"
+                ),
+                "v",
+            )
         dist = F.aggregate(
             F.zip_with(
                 F.col("v"),
@@ -881,6 +919,8 @@ def kmeans_unrolled_state(
     vec_col: str = "embedding",
     k: int = 16,
     rounds: int = 2,
+    hier_threshold: int | None = None,
+    nprobe: int = 3,
 ) -> tuple[DataFrame, DataFrame]:
     """(final assignment (id, cell, v), final centroids (cell, cv)) from
     the fixed-round relational Lloyd of :func:`kmeans_unrolled_stats` —
@@ -888,7 +928,9 @@ def kmeans_unrolled_state(
     ops build on (data-blind hyperplane 'centroids' measured 37x
     occupancy-sum-of-squares growth at 10x data where the trained cells
     stay exactly linear — SCALING.md d4 rung)."""
-    stats = kmeans_unrolled_stats(emb, id_col, vec_col, k, rounds)
+    stats = kmeans_unrolled_stats(
+        emb, id_col, vec_col, k, rounds, hier_threshold, nprobe
+    )
     return stats._kmeans_state
 
 
@@ -1432,4 +1474,232 @@ def mine_triplets(
             F.col("cos").alias("cos_neg"),
             (F.col("cos_pos") - F.col("cos")).alias("margin"),
         )
+    )
+
+
+# -- Hierarchical (funnel) codebook assignment --------------------------------
+#
+# The flat broadcast-argmin assignment materializes k rows per vector
+# (k·N). Fine at fixed k; with SemDeDup-style k ∝ N it is the one
+# superlinear term left in the D4 pipeline (VERDICT r12 "What's wrong"
+# #1, measured 56x wall at 100x data). The funnel fix, same machinery
+# as knn_ivf_int8_funnel's coarse probe: quantize the CODEBOOK into
+# g ≈ √k groups, route each vector to its nprobe nearest group
+# centers, then argmin only over those groups' member centroids —
+# N·(g + nprobe·k/g) work instead of k·N.
+#
+# Everything is deterministic and relational, so the whole route is
+# replayable as DuckDB SQL (the knn_hier_assign oracle hash-checks it):
+#   - group seeds: the g member centroids with the smallest
+#     (md5(cell) 32-bit slice, cell) — the k-means seed rule applied
+#     to the codebook itself;
+#   - membership: each centroid joins its nearest seed
+#     (min struct(dist², gid) — ties break on gid);
+#   - group centers: per-(gid, dim) DECIMAL(38,12) means of the member
+#     centroids (shuffle-order-free, bit-equal across engines);
+#   - probe: successive fold-argmin over the g centers (ties on gid);
+#   - fine: fold-argmin over the probed groups' members (ties on cell)
+#     with the exact same squared-distance fold as the flat path.
+#
+# The group state travels as ONE nested row (model rides a broadcast
+# join, never a closure), so assignment itself is a pure projection —
+# no shuffle, no k·N intermediate.
+
+#: assignment switches from flat broadcast-argmin to the funnel route
+#: at this codebook size (flat is cheaper below it; every registered
+#: k=16 query keeps its exact plan and oracle).
+HIER_ASSIGN_THRESHOLD = 64
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Ascending-dim left-fold Σ(aᵢ-bᵢ)² — the shared distance shape of
+    the flat and hierarchical paths (and of the DuckDB oracles)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_GROUPS_SCHEMA = (
+    "groups: array<struct<gid:int, gc:array<double>, "
+    "members:array<struct<cell:int, cv:array<double>>>>>"
+)
+
+
+def hier_group_state(cents: DataFrame, g: int, dim: int = 64) -> DataFrame:
+    """Collapse a centroid frame (cell int, cv array<double>) into the
+    ONE-row nested group state the funnel assignment broadcasts.
+
+    All steps run on k rows (model-sized): a g-row seed window, one
+    k×g argmin join, one (gid, dim) decimal mean, one nest. Nothing
+    touches the driver."""
+    h = F.conv(
+        F.substring(F.md5(F.col("cell").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    seeds = (
+        cents.select(F.col("cell").alias("scell"), h.alias("h"))
+        .orderBy("h", "scell")
+        .limit(g)
+        .withColumn("gid", F.row_number().over(Window.orderBy("h", "scell")))
+        .select("gid", "scell")
+    )
+    seed_vecs = seeds.join(
+        F.broadcast(
+            cents.select(F.col("cell").alias("scell"), F.col("cv").alias("sv"))
+        ),
+        "scell",
+    ).select("gid", "sv")
+    member = (
+        cents.join(F.broadcast(seed_vecs))
+        .withColumn("__d", _sqdist(F.col("cv"), F.col("sv")))
+        .groupBy("cell")
+        .agg(
+            F.min(F.struct("__d", "gid"))["gid"].alias("gid"),
+            F.any_value("cv").alias("cv"),
+        )
+    )
+    # ONE groupBy computes both the member list and the per-dim
+    # DECIMAL(38,12) group-center sums (order-free, same scale-12
+    # semantics as the DuckDB oracle's sum(DECIMAL(38,12))) — a single
+    # consumer of the k×g cross join, so the model-build subtree plans
+    # once instead of twice.
+    aggs = [
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cell"), F.col("cv")))
+        ).alias("members"),
+        F.count("*").alias("__n"),
+    ]
+    for d in range(dim):
+        aggs.append(
+            F.sum(
+                F.element_at("cv", d + 1).cast("decimal(38,12)")
+            ).alias(f"__s{d}")
+        )
+    nested = member.groupBy("gid").agg(*aggs)
+    gc = F.array(
+        *[
+            F.col(f"__s{d}").cast("double") / F.col("__n").cast("double")
+            for d in range(dim)
+        ]
+    )
+    return nested.withColumn("gc", gc).agg(
+        F.array_sort(
+            F.collect_list(F.struct("gid", "gc", "members"))
+        ).alias("groups")
+    )
+
+
+def hier_groups_literal(
+    spark, centroids: list[list[float]], g: int
+) -> DataFrame:
+    """Driver-side twin of :func:`hier_group_state` for the
+    literal-codebook :func:`assign_cells` form (the codebook is already
+    model state on the driver; k·g python work is negligible). Same
+    seed rule, same decimal-free means are NOT acceptable — means use
+    the identical round-trip through decimal quantization so both
+    construction routes yield bit-equal group centers."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    k = len(centroids)
+    hs = sorted(
+        (int(hashlib.md5(str(c + 1).encode()).hexdigest()[:8], 16), c + 1)
+        for c in range(k)
+    )
+    seeds = [cell for _, cell in hs[:g]]
+    gid_of: dict[int, int] = {}
+    for cell in range(1, k + 1):
+        v = centroids[cell - 1]
+        best = None
+        for gi, scell in enumerate(seeds, start=1):
+            sv = centroids[scell - 1]
+            d = 0.0
+            for x, y in zip(v, sv):
+                d += (float(x) - float(y)) * (float(x) - float(y))
+            if best is None or (d, gi) < best:
+                best = (d, gi)
+        gid_of[cell] = best[1]
+    rows = []
+    for gi in sorted(set(gid_of.values())):
+        cells = sorted(c for c, gg in gid_of.items() if gg == gi)
+        dim = len(centroids[0])
+        gc = []
+        for d in range(dim):
+            s = sum(
+                # Decimal(float) is the EXACT binary expansion and
+                # HALF_UP matches Spark's double->decimal(38,12) cast,
+                # so both construction routes yield bit-equal centers.
+                Decimal(float(centroids[c - 1][d])).quantize(
+                    Decimal("1." + "0" * 12), rounding=ROUND_HALF_UP
+                )
+                for c in cells
+            )
+            gc.append(float(s) / float(len(cells)))
+        members = [(c, [float(x) for x in centroids[c - 1]]) for c in cells]
+        rows.append((gi, gc, members))
+    return spark.createDataFrame([(rows,)], _GROUPS_SCHEMA)
+
+
+def _fold_min_struct(arr: Column, mk_struct) -> Column:
+    """Order-free fold argmin over an array: struct comparison is a
+    total order (distance, then id), so the winner is unique no matter
+    how collect_list ordered the array."""
+    init = F.struct(
+        F.lit(float("inf")).alias("d"), F.lit(2**31 - 1).alias("i")
+    )
+    return F.aggregate(
+        arr,
+        init,
+        lambda acc, x: F.when(mk_struct(x) < acc, mk_struct(x)).otherwise(acc),
+    )
+
+
+def hier_assign_cell(vec: Column, groups: Column, nprobe: int) -> Column:
+    """The funnel assignment as ONE Column expression: probe the
+    ``nprobe`` nearest group centers (array_sort by (distance, gid) +
+    slice — ties on gid, expression size LINEAR in nprobe), then
+    fold-argmin over their members (ties on cell). Pure per-row array
+    math — whole-stage-codegen, no shuffle."""
+    scored = F.transform(
+        groups,
+        lambda g_: F.struct(
+            _sqdist(vec, g_["gc"]).alias("d"), g_["gid"].alias("i")
+        ),
+    )
+    gids = F.transform(
+        F.slice(F.array_sort(scored), 1, nprobe), lambda p: p["i"]
+    )
+    cand = F.flatten(
+        F.transform(
+            F.filter(groups, lambda g_: F.array_contains(gids, g_["gid"])),
+            lambda g_: g_["members"],
+        )
+    )
+    win = _fold_min_struct(
+        cand,
+        lambda m: F.struct(
+            _sqdist(vec, m["cv"]).alias("d"), m["cell"].alias("i")
+        ),
+    )
+    return win["i"]
+
+
+def assign_cells_hier(
+    emb: DataFrame,
+    groups_one: DataFrame,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Hierarchical :func:`assign_cells`: one broadcast 1-row join, then
+    a projection. The plan has no k·N intermediate and no shuffle."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        emb.join(F.broadcast(groups_one))
+        .withColumn(out_col, hier_assign_cell(v, F.col("groups"), nprobe))
+        .drop("groups")
     )

@@ -38,6 +38,7 @@ _MODULES = (
     "round12",
     "round13",
     "round14",
+    "round15",
     "scalars",
     "similarity",
     "skewq",

@@ -765,3 +765,36 @@ def test_weighted_median_single_group_sort(spark):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert _count_nodes(plan, node) == 0, node
     assert _count_nodes(plan, "Window") >= 1
+
+
+def test_substring_dedup_shorts_no_bnlj(spark):
+    """The sub-gram-width fallback is a chunked Aho-Corasick mapInPandas
+    pass, not a broadcast nested-loop theta join (VERDICT r12 #2): even
+    with short docs present, no BNLJ anywhere in the physical plan."""
+    plan = _plan("t_substring_dedup_shorts", spark)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the AC pass is there (one mapInPandas scan over the corpus)
+    assert "MapInPandas" in plan
+
+
+def test_substring_dedup_plain_no_bnlj_no_python(spark):
+    """With no short docs in the corpus the plan is byte-identical to
+    the anchored-only path: no BNLJ, and no Python at all."""
+    plan = _plan("t_substring_dedup", spark)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "MapInPandas" not in plan  # zero shorts -> no AC branch
+
+
+def test_hier_assign_is_projection_after_broadcast(spark):
+    """The funnel assignment (knn_hier_assign) never materializes a
+    k-per-vector intermediate. Exactly two nested-loop joins are
+    allowed, both MODEL-sized by construction (the 1-row group-state
+    broadcast onto the vectors, and the k×g centroid→seed cross during
+    group building); everything else is hash/broadcast, no
+    SortMergeJoin, no Python."""
+    plan = _plan("knn_hier_assign", spark)
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert _count_nodes(plan, "BroadcastNestedLoopJoin") <= 2, plan
