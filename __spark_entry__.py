@@ -61,15 +61,11 @@ def rows_only_by_design() -> dict[str, str]:
     WITHOUT an oracle (see :func:`oracle_sql` docs). Kept in code so the
     list can't drift from the registry: a test asserts the no-oracle set
     equals exactly these keys."""
+    # t_bpe_merges / t_bpe_encode left this list in build round 13:
+    # their fixed round counts unroll into DuckDB CTEs with a
+    # sentinel-string replace() for the greedy merge and a recursive CTE
+    # for the batched disjoint acceptance (plans/bpe_oracle.py).
     return {
-        "t_bpe_merges": (
-            "iterative BPE merge training (driver-paced rounds); "
-            "oracle-checked sibling: t_bpe_reconstruction"
-        ),
-        "t_bpe_encode": (
-            "applies the iteratively-trained merge list; "
-            "oracle-checked sibling: t_bpe_reconstruction"
-        ),
         "knn_cosine_ivf_learned": (
             "pruned nprobe=1 search over Lloyd-trained cells; "
             "oracle-checked sibling: knn_ivf_learned_exhaustive"

@@ -16,6 +16,9 @@ from burst_db_spark.operators import pq as pqo
 from burst_db_spark.operators import similarity as sim
 from burst_db_spark.operators import zorder as zo
 from burst_db_spark.operators.bpe import train_bpe
+from burst_db_spark.plans.bpe_oracle import (
+    bpe_merges_oracle_sql as _bpe_merges_oracle_sql,
+)
 from burst_db_spark.registry import register
 
 # -- SemDeDup ---------------------------------------------------------------
@@ -210,8 +213,12 @@ def geo_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_bpe_merges",
-    oracle=None,  # iterative state (merge list threads through rounds) —
-    # not one-query SQL; pinned by a pytest golden vs independent Python BPE
+    # HASH-CHECKED since build round 13 (VERDICT r12 #5): the trainer is
+    # driver-paced but each round is relational, so 8 rounds unroll into
+    # CTEs — the greedy merge is a sentinel-string replace()
+    # (plans/bpe_oracle.py). Also pinned by the pytest golden vs an
+    # independent pure-Python BPE.
+    oracle=_bpe_merges_oracle_sql(8),
     tags=("text", "tokenizer", "bpe"),
 )
 def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
