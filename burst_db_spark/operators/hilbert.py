@@ -123,6 +123,7 @@ def hilbert_write(
     y: Column,
     bits: int = 8,
     n_files: int = 8,
+    writer_options: dict | None = None,
 ) -> None:
     """Persist Hilbert-clustered parquet: one range exchange on the code
     + in-partition sort, same cost as any global sort, paid once at
@@ -132,6 +133,7 @@ def hilbert_write(
         coded.repartitionByRange(n_files, "__h")
         .sortWithinPartitions("__h")
         .drop("__h")
-        .write.mode("overwrite")
+        .write.options(**(writer_options or {}))
+        .mode("overwrite")
         .parquet(path)
     )

@@ -72,6 +72,7 @@ def zorder_write(
     hi: float,
     bits: int = 16,
     n_files: int = 8,
+    writer_options: dict | None = None,
 ) -> None:
     """Write ``df`` parquet clustered by Morton code: one range exchange
     (repartitionByRange on the code → equal-depth files) + an in-partition
@@ -87,6 +88,7 @@ def zorder_write(
         .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
-        .write.mode("overwrite")
+        .write.options(**(writer_options or {}))
+        .mode("overwrite")
         .parquet(path)
     )

@@ -311,3 +311,52 @@ def write_jdbc(df: DataFrame, url: str, table: str, **options) -> None:
             "JDBC sink needs a driver jar on the Spark classpath "
             f"(url={url!r}); parquet is the native sink here"
         ) from e
+
+
+def write_curve_sorted(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    lo: float,
+    hi: float,
+    curve: str = "hilbert",
+    bits: int = 8,
+    n_files: int = 8,
+    writer_options: dict | None = None,
+) -> None:
+    """Persist parquet clustered along a space-filling curve — the
+    OPTIMIZE ZORDER BY analog, with the curve as a knob.
+
+    ``curve="hilbert"`` (default): no Morton "seams" — adjacent cells
+    are always adjacent on the curve, so a bbox predicate touches fewer
+    row-group-sized code blocks (o7_hilbert_layout measured 47 vs 109
+    contiguous code runs for the same probe;
+    tests/test_layout_skipping.py pins the row-group pruning win for
+    BOTH curves). ``curve="morton"`` stays available because its code
+    is a pure bit-interleave — cheaper to compute and stable under
+    per-dimension bit-width changes.
+
+    Cost shape is identical either way: ONE range exchange on the code
+    (equal-depth files) + an in-partition sort, paid once at write
+    time; every file then owns a compact curve interval so its x/y
+    min/max statistics are tight."""
+    from burst_db_spark.operators import hilbert as hb
+    from burst_db_spark.operators import zorder as zo
+
+    if curve == "morton":
+        zo.zorder_write(
+            df, path, x_col, y_col, lo, hi, bits, n_files, writer_options
+        )
+    elif curve == "hilbert":
+        hb.hilbert_write(
+            df,
+            path,
+            zo.quantize(F.col(x_col), lo, hi, bits),
+            zo.quantize(F.col(y_col), lo, hi, bits),
+            bits,
+            n_files,
+            writer_options,
+        )
+    else:
+        raise ValueError(f"unknown curve {curve!r}: hilbert | morton")
