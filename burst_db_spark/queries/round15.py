@@ -242,3 +242,385 @@ def t_substring_dedup_shorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = docs.unionByName(snippets)
     hits = contained_doc_ids(aug)
     return hits.where(F.col("doc_id") > _SS_OFF)
+
+
+# -- Robust aggregations: winsorized mean, MAD outliers ------------------------
+
+
+@register(
+    "a47_winsorized_mean",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, value, event_id,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) AS BIGINT)
+                   AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM events
+    ),
+    b AS (
+        SELECT event_type, any_value(n) AS n,
+               max(CASE WHEN rn <= n // 10 + 1 THEN value END) AS lo,
+               min(CASE WHEN rn >= n - n // 10 THEN value END) AS hi
+        FROM r GROUP BY event_type
+    )
+    SELECT r.event_type, b.n,
+           round(b.lo, 6) AS lo6, round(b.hi, 6) AS hi6,
+           CAST(sum(CAST(round(least(greatest(r.value, b.lo), b.hi), 6)
+                         AS DECIMAL(18, 6))) AS DECIMAL(28, 6)) AS wsum6
+    FROM r JOIN b USING (event_type)
+    GROUP BY r.event_type, b.n, b.lo, b.hi
+    """,
+    tags=("aggregate", "robust", "winsorize", "order-statistics"),
+)
+def a47_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (10%-clamped) value mass per event type — the robust
+    mean that survives heavy-tailed junk. Clamp bounds are ORDER
+    STATISTICS (values at ranks floor(n/10)+1 and n-floor(n/10), ties
+    broken by event_id), not interpolated quantiles: picked doubles are
+    actual data values, so both engines clamp identically; the clamped
+    mass is 6dp-rounded per row and DECIMAL-summed (order-free).
+
+    Scale shape: one rank window per event_type (the same shuffle an
+    exact quantile needs) + one rollup; no second scan of the data."""
+    ev = load(spark, sf_dir, "events")
+    wt = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wp = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(wt).cast("bigint").alias("rn"),
+        F.count("*").over(wp).cast("bigint").alias("n"),
+    )
+    b = r.groupBy("event_type").agg(
+        F.any_value("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") <= F.floor(F.col("n") / 10) + 1, F.col("value"))
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("rn") >= F.col("n") - F.floor(F.col("n") / 10),
+                F.col("value"),
+            )
+        ).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        r.drop("n")
+        .join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "n", "lo", "hi")
+        .agg(
+            F.sum(F.round(clamped, 6).cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .alias("wsum6")
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("lo", 6).alias("lo6"),
+            F.round("hi", 6).alias("hi6"),
+            "wsum6",
+        )
+    )
+
+
+@register(
+    "a48_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT source, median(n_chars) AS med
+        FROM documents GROUP BY source
+    ),
+    dev AS (
+        SELECT d.source, d.n_chars, m.med,
+               abs(d.n_chars - m.med) AS ad
+        FROM documents d JOIN med m USING (source)
+    ),
+    mad AS (
+        SELECT source, any_value(med) AS med, median(ad) AS mad
+        FROM dev GROUP BY source
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(2 * m.med) AS BIGINT) AS med2,
+           CAST(round(4 * m.mad) AS BIGINT) AS mad4,
+           CAST(sum(CASE WHEN 6745 * CAST(round(4 * abs(d.n_chars - m.med))
+                                          AS BIGINT)
+                              > 35000 * CAST(round(4 * m.mad) AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM documents d JOIN mad m USING (source)
+    GROUP BY d.source, m.med, m.mad
+    """,
+    tags=("aggregate", "robust", "mad", "outliers"),
+)
+def a48_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust document-length outliers per source via the MAD modified
+    z-score (Iglewicz & Hoaglin): |0.6745·(x−med)| > 3.5·MAD. Lengths
+    are ints, so the exact interpolated median is a multiple of 0.5 and
+    the MAD a multiple of 0.25 — 2·med and 4·MAD are EXACT integers,
+    and the outlier test cross-multiplies to the all-integer
+    6745·(4|x−med|) > 35000·(4·MAD): no float comparison anywhere near
+    the decision boundary, both engines count identically.
+
+    Scale shape: two grouped exact medians (two rank-free sort-agg
+    passes over the same source partitioning) + one rollup."""
+    docs = load(spark, sf_dir, "documents")
+    med = docs.groupBy("source").agg(F.median("n_chars").alias("med"))
+    dev = docs.join(F.broadcast(med), "source").withColumn(
+        "ad", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad = dev.groupBy("source").agg(
+        F.any_value("med").alias("med"), F.median("ad").alias("mad")
+    )
+    j = docs.join(F.broadcast(mad), "source")
+    is_out = (
+        6745 * F.round(4 * F.abs(F.col("n_chars") - F.col("med"))).cast("bigint")
+        > 35000 * F.round(4 * F.col("mad")).cast("bigint")
+    )
+    return j.groupBy("source", "med", "mad").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias(
+            "n_outliers"
+        ),
+    ).select(
+        "source",
+        "n",
+        F.round(2 * F.col("med")).cast("bigint").alias("med2"),
+        F.round(4 * F.col("mad")).cast("bigint").alias("mad4"),
+        "n_outliers",
+    )
+
+
+# -- Duplicated n-gram span fraction (Lee et al. 2022 ExactSubstr signal) ------
+
+_NG_K = 8  # token n-gram width
+
+_NG_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+@register(
+    "t_dup_ngram_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter({_NG_TOKS}, w -> len(w) > 0) AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - {_NG_K} + 2),
+                      i -> md5(array_to_string(t[i:i + {_NG_K} - 1], ' '))))
+                   AS g
+        FROM toks WHERE len(t) >= {_NG_K}
+    ),
+    freq AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY g
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN f.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup
+        FROM grams JOIN freq f USING (g)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_dup,
+           round(CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+               AS dup_frac6
+    FROM per_doc WHERE n_dup > 0
+    """,
+    tags=("T", "dedup", "ngram-spans", "exact-substr", "llm-pipeline"),
+)
+def t_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated n-gram mass — the ExactSubstr signal of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") at token-8-gram granularity: the fraction of a document's
+    gram positions whose gram occurs >= 2 times in the whole corpus.
+    Those positions are exactly the spans ExactSubstr would cut; the
+    per-doc fraction is the dedup-pressure score curators threshold on.
+
+    Scale shape: grams explode linearly (one md5 per position — the
+    gram string never leaves the projection), ONE groupBy on the gram
+    key (the same shuffle a suffix-array shard build pays), one join
+    back and a per-doc rollup. No pair join anywhere."""
+    from burst_db_spark.operators import text as tx
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(tx.tokens(F.col("text")), lambda w: F.length(w) > 0).alias(
+            "t"
+        ),
+    ).where(F.size("t") >= _NG_K)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - _NG_K + 1),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("t"), i, _NG_K))
+                ),
+            )
+        ).alias("g"),
+    )
+    freq = grams.groupBy("g").agg(F.count("*").cast("bigint").alias("c"))
+    per_doc = (
+        grams.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+    )
+    return per_doc.where(F.col("n_dup") > 0).select(
+        "doc_id",
+        "n_grams",
+        "n_dup",
+        F.round(
+            F.col("n_dup").cast("double") / F.col("n_grams").cast("double"), 6
+        ).alias("dup_frac6"),
+    )
+
+
+# -- DoReMi-lite: unrolled exponentiated-gradient domain reweighting -----------
+
+_DM_ROUNDS = 5
+_DM_ETA = "1.0"     # EG step size (literal on both engines)
+_DM_SMOOTH = "0.01"  # uniform smoothing mass
+
+
+def _doremi_round_cte(r: int) -> str:
+    """One EG round as a single CTE referencing the previous round
+    EXACTLY ONCE — the reductions (⟨w,ℓ⟩ and the normalizer) are
+    frame-wide WINDOW sums, not separate aggregating CTEs, because a
+    round that references its predecessor twice re-expands the whole
+    chain 2^rounds times under CTE inlining (both engines)."""
+    return f"""
+    w{r} AS (
+        SELECT source, loss6, k,
+               round((1.0 - {_DM_SMOOTH}) * (u / z) + {_DM_SMOOTH} / k, 6)
+                   AS w
+        FROM (
+            SELECT source, loss6, k, u,
+                   CAST(sum(CAST(u AS DECIMAL(18, 6))) OVER ()
+                        AS DOUBLE) AS z
+            FROM (
+                SELECT source, loss6, k,
+                       round(w * exp({_DM_ETA} * (loss6 - dot)), 6) AS u
+                FROM (
+                    SELECT source, loss6, k, w,
+                           CAST(sum(CAST(w AS DECIMAL(18, 6))
+                                    * CAST(loss6 AS DECIMAL(18, 6)))
+                                OVER () AS DOUBLE) AS dot
+                    FROM w{r - 1}
+                )
+            )
+        )
+    )"""
+
+
+@register(
+    "t_doremi_weights",
+    oracle=f"""
+    WITH stats AS (
+        SELECT source,
+               CAST(sum(len({_NG_TOKS})) AS BIGINT) AS toks,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY source
+    ),
+    losses AS (
+        SELECT source,
+               round((CAST(toks AS DOUBLE) / CAST(n AS DOUBLE))
+                     / max(CAST(toks AS DOUBLE) / CAST(n AS DOUBLE))
+                           OVER (), 6) AS loss6,
+               CAST(count(*) OVER () AS DOUBLE) AS k
+        FROM stats
+    ),
+    w0 AS (
+        SELECT source, loss6, k, round(1.0 / k, 6) AS w FROM losses
+    ),
+    {",".join(_doremi_round_cte(r) for r in range(1, _DM_ROUNDS + 1))}
+    {" UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS round, source, w AS weight6 "
+        f"FROM w{r}" for r in range(1, _DM_ROUNDS + 1)
+    )}
+    """,
+    tags=("T", "doremi", "domain-mixture", "exponentiated-gradient",
+          "unrolled", "llm-pipeline"),
+)
+def t_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain mixture weights (Xie et al. 2023), the EG
+    dynamics unrolled into fixed relational rounds and hash-checked
+    (the ep1/kmeans-unrolled playbook applied to mixture training): per
+    round w ∝ w·exp(η·(ℓ − ⟨w,ℓ⟩)), renormalized and mixed with uniform
+    smoothing. The per-domain "excess loss" proxy is a fixed data
+    statistic (max-normalized mean tokens/doc — no neural proxy model
+    in a SQL engine, documented honestly); the EG update,
+    normalization, and smoothing are the paper's.
+
+    Determinism AND plan shape: weights live on a 6dp grid (rounded
+    after every transcendental); the two per-round reductions are
+    order-free DECIMAL sums computed as frame-wide WINDOW aggregates so
+    each round references its predecessor exactly once — a round that
+    reads the previous frame twice re-expands the lineage 2^rounds
+    times (measured: the two-reference form never finished at sf0.01;
+    this one runs in seconds). The whole training loop costs one corpus
+    scan + k-row (k = #domains) algebra."""
+    docs = load(spark, sf_dir, "documents")
+    from burst_db_spark.operators import text as tx
+
+    stats = docs.groupBy("source").agg(
+        F.sum(F.size(tx.tokens(F.col("text")))).cast("bigint").alias("toks"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    wall = Window.partitionBy()
+    avg = F.col("toks").cast("double") / F.col("n").cast("double")
+    losses = stats.select(
+        "source",
+        F.round(avg / F.max(avg).over(wall), 6).alias("loss6"),
+        F.count("*").over(wall).cast("double").alias("k"),
+    )
+    eta, sm = float(_DM_ETA), float(_DM_SMOOTH)
+    w = losses.withColumn("w", F.round(1.0 / F.col("k"), 6))
+    outs = []
+    for r in range(1, _DM_ROUNDS + 1):
+        dot = (
+            F.sum(
+                F.col("w").cast("decimal(18,6)")
+                * F.col("loss6").cast("decimal(18,6)")
+            )
+            .over(wall)
+            .cast("double")
+        )
+        w = w.withColumn("dot", dot).withColumn(
+            "u",
+            F.round(
+                F.col("w") * F.exp(eta * (F.col("loss6") - F.col("dot"))), 6
+            ),
+        )
+        z = F.sum(F.col("u").cast("decimal(18,6)")).over(wall).cast("double")
+        w = (
+            w.withColumn("z", z)
+            .select(
+                "source",
+                "loss6",
+                "k",
+                F.round(
+                    (1.0 - sm) * (F.col("u") / F.col("z")) + sm / F.col("k"),
+                    6,
+                ).alias("w"),
+            )
+        )
+        outs.append(
+            w.select(
+                F.lit(r).cast("int").alias("round"),
+                "source",
+                F.col("w").alias("weight6"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -788,13 +788,16 @@ def test_substring_dedup_plain_no_bnlj_no_python(spark):
 
 def test_hier_assign_is_projection_after_broadcast(spark):
     """The funnel assignment (knn_hier_assign) never materializes a
-    k-per-vector intermediate. Exactly two nested-loop joins are
-    allowed, both MODEL-sized by construction (the 1-row group-state
-    broadcast onto the vectors, and the k×g centroid→seed cross during
-    group building); everything else is hash/broadcast, no
-    SortMergeJoin, no Python."""
+    k-per-vector intermediate. Every nested-loop join in the plan is
+    MODEL-sized by construction: the 1-row centers broadcast onto the
+    vectors, and the k×g centroid→seed cross during group building
+    (planned twice — the member frame feeds both the group-center means
+    and the fine join). The data-sized joins are all broadcast-HASH
+    (probe gids → members, result → codebook); no SortMergeJoin, no
+    Python."""
     plan = _plan("knn_hier_assign", spark)
     assert "SortMergeJoin" not in plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
-    assert _count_nodes(plan, "BroadcastNestedLoopJoin") <= 2, plan
+    assert _count_nodes(plan, "BroadcastNestedLoopJoin") <= 3, plan
+    assert _count_nodes(plan, "BroadcastHashJoin") >= 2, plan
