@@ -249,6 +249,14 @@ HEADLINE = [
     "t_token_gini",
     "o7_hilbert_layout",
     "stream_cusum",
+    # round-13 additions (build round 13)
+    "knn_hier_assign",
+    "t_substring_dedup_shorts",
+    "a47_winsorized_mean",
+    "a48_mad_outliers",
+    "t_dup_ngram_spans",
+    "t_doremi_weights",
+    "o8_curve_sorted_roundtrip",
 ]
 
 # Regression-signal curation (VERDICT r11 item #6): the headline suite
@@ -433,11 +441,19 @@ def main() -> None:
     # 6.0s vs 1.1s uncontended) that burned judge time to disprove; the
     # spread makes environment noise self-identifying in the record.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # SPARK_GRAFT_BENCH_SCOPE=registry sweeps EVERY registered query
+    # (VERDICT r12 item #4 — no row may have zero timing evidence; a
+    # silent 10x regression in an unbenched row is invisible). The sweep
+    # writes BENCH_REGISTRY.json and skips the delta machinery; the
+    # curated HEADLINE stays the per-round comparable record.
+    scope = os.environ.get("SPARK_GRAFT_BENCH_SCOPE", "headline")
     # pinned cross-round queries first (comparable session position),
     # everything else after in registration order
     ordered = [n for n in PINNED_HISTORY if n in HEADLINE] + [
         n for n in HEADLINE if n not in PINNED_HISTORY
     ]
+    if scope == "registry":
+        ordered = ordered + [n for n in specs if n not in HEADLINE]
     for name in ordered:
         # failure isolation: one broken query must cost ONE entry, not the
         # whole round's perf record (round 3 lost all numbers to a single
@@ -464,7 +480,8 @@ def main() -> None:
             print(f"bench: {name} failed: {msg[:300]}", file=sys.stderr)
 
     out = {
-        "metric": "headline_total",
+        "metric": "headline_total" if scope == "headline" else
+        "registry_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
@@ -473,6 +490,17 @@ def main() -> None:
     }
     if errors:
         out["errors"] = len(errors)
+
+    if scope == "registry":
+        reg_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_REGISTRY.json"
+        )
+        with open(reg_path, "w") as fh:
+            json.dump({**out, "run_spread": spreads}, fh)
+            fh.write("\n")
+        print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
+        spark.stop()
+        return
 
     write_delta(timings, spreads, sf_val)
 

@@ -60,81 +60,29 @@ for _m in _MODULES:
         )
 
 # The driver's correctness gate samples a PREFIX of the registration order
-# (exactly 50 rows/round, measured r1-r11). Round-12 rotation policy
-# (executes VERDICT r11 "Next round" items #1 and #2):
-#   1. the 25 round-11 additions — the only rows with NO driver evidence
-#      in any CORRECTNESS_r*.json — lead, exactly as staged last round;
-#   2. ep1_frame_partition / ep1_minimal_db follow: their brand-new
-#      recursive-CTE oracles (plans/ep1_oracle.py, VERDICT #1) must get
-#      driver HASH evidence this round — these were the only rows the
-#      record could ever render as `err`, now fully checkable;
-#   3. w5b_reference_dates_events: its cogroup path gained a broadcast
-#      fast path this round (VERDICT #3) — resample under the new plan;
-#   4. fill to exactly 50 with the oldest-evidence (r6) block,
-#      alphabetical; the 3 that don't fit (w4_run_length, w6_water_year,
-#      w7_first_significant_block) are staged directly behind the cut to
-#      lead r13 → after CORRECTNESS_r12 min evidence age is r6 for only
-#      those 3 rows, r7+ for everything else.
+# (exactly 50 rows/round, measured r1-r12). Round-13 rotation policy
+# (executes VERDICT r12 "Next round" item #1, extended for this round's
+# promotions and additions):
+#   1. the 13 round-12 additions — the only green-oracle rows with NO
+#      driver evidence in any CORRECTNESS_r*.json — lead, exactly as
+#      staged last round;
+#   2. t_bpe_merges / t_bpe_encode: promoted THIS round from rows-only
+#      to full unrolled-CTE oracles (plans/bpe_oracle.py, VERDICT #5) —
+#      first-ever hash-checked driver sample; knn_cosine_ivf_learned
+#      (the one remaining rows-only row) rides along for its first
+#      driver rows-evidence;
+#   3. w4/w6/w7: the r6-evidence block staged behind last round's cut;
+#   4. the 6 round-13 additions (funnel assignment, AC shorts path,
+#      robust aggs, dup-ngram spans, DoReMi) — strict-verified at
+#      sf0.01 this round, driver evidence lands now;
+#   5. t_substring_dedup: its plan changed this round (the BNLJ shorts
+#      branch became the data-dependent AC path) — resample;
+#   6. fill to exactly 50 with the oldest-evidence (r7) block,
+#      alphabetical.
 # Names not listed keep their module registration order after the
 # prefix; unknown names are ignored (lets planned queries pre-register).
 _SAMPLING_PRIORITY = (
-    # -- the 25 round-11 additions (no driver evidence yet) --
-    "t_dsir_importance",
-    "t_cluster_safe_splits",
-    "t_rrf_hybrid_search",
-    "dd_hard_negatives",
-    "w20_mean_shift_changepoint",
-    "dd_ppjoin_positional",
-    "t_dsir_bucket_audit",
-    "t_select_curate_pipeline",
-    "t_dsir_gumbel_sample",
-    "mm_scene_cuts",
-    "stream_mean_shift",
-    "t_unimax_allocation",
-    "a42_psi_drift",
-    "dd_cluster_best_survivor",
-    "t_pipeline_provenance",
-    "knn_matryoshka_funnel",
-    "a43_bootstrap_ci",
-    "t_zipf_slope",
-    "t_heaps_law",
-    "t_pmi_collocations",
-    "a44_ks_drift",
-    "t_renyi_diversity",
-    "t_mmr_rerank",
-    "a45_mann_whitney",
-    "t_good_turing",
-    # -- oracle-promoted THIS round (plans/ep1_oracle.py): first-ever
-    # hash-checked driver sample --
-    "ep1_frame_partition",
-    "ep1_minimal_db",
-    # -- plan changed THIS round (broadcast fast path, VERDICT #3) --
-    "w5b_reference_dates_events",
-    # -- fill to 50 with the OLDEST driver evidence (r6 block) --
-    "g3_bfs_hops",
-    "knn_cosine_brute",
-    "knn_cosine_ivf",
-    "o1_topk_orders",
-    "s2_csv_infer_roundtrip",
-    "s3_csv_schema_semicolon",
-    "s6_geojson_roundtrip",
-    "s7_envelope_roundtrip",
-    "skew_salted_count",
-    "stream_daily_counts",
-    "t_decontaminate",
-    "t_fingerprint",
-    "t_lang_guess",
-    "t_quality_filter",
-    "t_quality_score",
-    "t_redact_pii",
-    "t_split_assign",
-    "t_token_stats",
-    "t_top_tfidf",
-    "u2_reconcile_snapshots",
-    "u3_union_all",
-    "w1_first_value",
-    # ---- 50-slot prefix cut line ----
-    # -- round-12 additions + r6-evidence remainder: staged to LEAD r13 --
+    # -- the 13 round-12 additions (no driver evidence yet) --
     "dd_d4_diversify",
     "knn_kmeans_unrolled",
     "t_soft_dedup_weights",
@@ -148,9 +96,75 @@ _SAMPLING_PRIORITY = (
     "t_token_gini",
     "o7_hilbert_layout",
     "stream_cusum",
+    # -- oracle-promoted THIS round (plans/bpe_oracle.py, VERDICT #5) --
+    "t_bpe_merges",
+    "t_bpe_encode",
+    # -- the one remaining rows-only row: first driver rows-evidence --
+    "knn_cosine_ivf_learned",
+    # -- r6-evidence block staged behind last round's cut --
     "w4_run_length",
     "w6_water_year",
     "w7_first_significant_block",
+    # -- round-13 additions (strict-verified sf0.01 this round) --
+    "knn_hier_assign",
+    "t_substring_dedup_shorts",
+    "a47_winsorized_mean",
+    "a48_mad_outliers",
+    "t_dup_ngram_spans",
+    "t_doremi_weights",
+    "o8_curve_sorted_roundtrip",
+    # -- plan changed THIS round (AC shorts path, VERDICT #2) --
+    "t_substring_dedup",
+    # -- fill to 50 with the OLDEST driver evidence (r7 block) --
+    "a14_spatial_mean",
+    "a2_dissolve_multiagg",
+    "a31_countmin_merge",
+    "a32_kmv_distinct",
+    "a33_exact_median_2pass",
+    "a34_grouped_ols",
+    "a3_union_envelope",
+    "dd_embedding_nn",
+    "ep2_burst_catalog",
+    "f4_missing_dates",
+    "f_arrow_udf_normalize",
+    "f_json_props",
+    "f_map_gauntlet",
+    "f_recursive_cte_gapfill",
+    "frame_lookup",
+    "g4_cc_iterative",
+    "j16_asof_tolerance",
+    "j2_fact_dim_broadcast",
+    "j7_spatial_join",
+    "j_spatial_knn",
+    "knn_int8_quantized",
+    "knn_ivf_int8_funnel",
+    "knn_ivf_learned_exhaustive",
+    # ---- 50-slot prefix cut line ----
+    # -- r7-evidence remainder: staged to LEAD r14 --
+    "mm_audio_windows",
+    "mm_video_framesample",
+    "o5_topk_per_group",
+    "o6_range_partitioned_sort",
+    "p2_filter_isin",
+    "p9_spatial_intersect",
+    "q1_pricing_summary",
+    "s14_zarr_py_writer",
+    "s15_schema_evolution",
+    "s1_sqlite_roundtrip",
+    "stream_kmv_sketch",
+    "stream_ohlc_complete",
+    "stream_session_counts",
+    "stream_zarr_append_sink",
+    "t_containment_join",
+    "t_containment_survivors",
+    "t_paragraph_dedup",
+    "t_weighted_sample",
+    "u1_unpivot_union",
+    "u6_dq_checks",
+    "utm_epsg_classify",
+    "w15_interval_coalesce",
+    "w16_resample_ohlc",
+    "w_running_sum",
 )
 
 from burst_db_spark.registry import set_order_prefix as _set_order_prefix  # noqa: E402

@@ -624,3 +624,62 @@ def t_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# -- Curve-sorted sink roundtrip -----------------------------------------------
+
+
+@register(
+    "o8_curve_sorted_roundtrip",
+    oracle="""
+    SELECT tx, ty,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(p_partkey) AS BIGINT) AS key_sum
+    FROM (
+        SELECT p_partkey,
+               CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 4 AS tx,
+               CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 9, 8))
+                    AS BIGINT) % 4 AS ty
+        FROM part
+    ) GROUP BY tx, ty
+    """,
+    tags=("layout", "hilbert", "sink", "roundtrip"),
+)
+def o8_curve_sorted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sinks.write_curve_sorted end-to-end: derive deterministic (x, y)
+    points from part keys, persist HILBERT-clustered parquet (range
+    exchange on the curve code + in-partition sort), read the layout
+    back and rollup per coarse tile. The oracle computes the same
+    rollup from the source table directly — a curve sort must reorder,
+    never alter, so the tile fingerprints (count + key sum) hash-match
+    iff the sink is content-preserving. Row-group pruning quality for
+    this layout is pinned separately in tests/test_layout_skipping.py
+    (hilbert 4/16 candidate row groups vs morton 8/16, shuffled
+    16/16)."""
+    from burst_db_spark.queries.slayer import _tmpdir
+    from burst_db_spark.sinks import write_curve_sorted
+
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    hx = F.conv(
+        F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    hy = F.conv(
+        F.substring(F.md5(F.col("p_partkey").cast("string")), 9, 8), 16, 10
+    ).cast("bigint")
+    pts = part.select(
+        "p_partkey",
+        (hx % (1 << 20)).cast("double").alias("x"),
+        (hy % (1 << 20)).cast("double").alias("y"),
+        (hx % 4).alias("tx"),
+        (hy % 4).alias("ty"),
+    )
+    out = _tmpdir("o8_hilbert")
+    write_curve_sorted(
+        pts, out, "x", "y", 0.0, float(1 << 20), curve="hilbert", n_files=4
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("tx", "ty").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("p_partkey").cast("bigint").alias("key_sum"),
+    )
