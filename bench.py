@@ -257,6 +257,7 @@ HEADLINE = [
     "t_dup_ngram_spans",
     "t_doremi_weights",
     "o8_curve_sorted_roundtrip",
+    "t_nb_domain_confusion",
 ]
 
 # Regression-signal curation (VERDICT r11 item #6): the headline suite

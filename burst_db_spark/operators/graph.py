@@ -86,8 +86,16 @@ def pagerank(
 ) -> DataFrame:
     """(id, rank) after ``iterations`` power steps from the uniform
     start. ``edges`` rows must be distinct (dedup upstream)."""
+    # Persist the edge frame FIRST: it is scanned once per iteration plus
+    # once each for degrees and (via cache-plan substitution) the node
+    # derivation — without this an expensive edge derivation (e.g. the
+    # g1 lineitem⋈orders + distinct) re-executes iterations+2 times.
+    # Registered before nodes.count() so the node derivation (built from
+    # the same edges plan) already hits the cache.
+    edges = edges.persist()
     n_nodes = nodes.count()  # driver scalar: one number, sizes the teleport
     if n_nodes == 0:
+        edges.unpersist()
         return nodes.select(
             F.col(id_col), F.lit(0.0).alias("rank")
         )  # empty graph: empty (id, rank) frame, same schema
@@ -165,6 +173,7 @@ def pagerank(
         raise
     finally:
         deg.unpersist()
+        edges.unpersist()
     return ranks.select(F.col("__v").alias(id_col), F.col("__p").alias("rank"))
 
 

@@ -113,6 +113,7 @@ _SAMPLING_PRIORITY = (
     "t_dup_ngram_spans",
     "t_doremi_weights",
     "o8_curve_sorted_roundtrip",
+    "t_nb_domain_confusion",
     # -- plan changed THIS round (AC shorts path, VERDICT #2) --
     "t_substring_dedup",
     # -- fill to 50 with the OLDEST driver evidence (r7 block) --
@@ -138,9 +139,9 @@ _SAMPLING_PRIORITY = (
     "j_spatial_knn",
     "knn_int8_quantized",
     "knn_ivf_int8_funnel",
-    "knn_ivf_learned_exhaustive",
     # ---- 50-slot prefix cut line ----
     # -- r7-evidence remainder: staged to LEAD r14 --
+    "knn_ivf_learned_exhaustive",
     "mm_audio_windows",
     "mm_video_framesample",
     "o5_topk_per_group",

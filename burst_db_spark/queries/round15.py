@@ -683,3 +683,160 @@ def o8_curve_sorted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("p_partkey").cast("bigint").alias("key_sum"),
     )
+
+
+# -- Relational Naive Bayes: domain-separability confusion audit ---------------
+
+_NB_B = 256  # hashed token buckets (vocabulary size of the model)
+
+_NB_BUCKET = (
+    "CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % " + str(_NB_B)
+)
+
+
+@register(
+    "t_nb_domain_confusion",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(list_filter({_NG_TOKS},
+               w -> len(w) > 0)) AS term
+        FROM documents
+    ),
+    tb AS (SELECT doc_id, source, {_NB_BUCKET} AS b FROM toks),
+    model AS (
+        SELECT source, b, CAST(count(*) AS BIGINT) AS c_sb
+        FROM tb GROUP BY source, b
+    ),
+    totals AS (
+        SELECT source, CAST(sum(c_sb) AS BIGINT) AS c_s
+        FROM model GROUP BY source
+    ),
+    ll AS (
+        SELECT m.source, m.b,
+               round(ln((CAST(m.c_sb AS DOUBLE) + 1.0)
+                        / (CAST(t.c_s AS DOUBLE) + {_NB_B}.0)), 6) AS ll
+        FROM model m JOIN totals t USING (source)
+    ),
+    priors AS (
+        SELECT source,
+               round(ln(CAST(count(*) AS DOUBLE)
+                        / (SELECT CAST(count(*) AS DOUBLE)
+                           FROM documents)), 6) AS lp
+        FROM documents GROUP BY source
+    ),
+    db AS (
+        SELECT doc_id, any_value(source) AS true_source, b,
+               CAST(count(*) AS BIGINT) AS n_db
+        FROM tb GROUP BY doc_id, b
+    ),
+    scores AS (
+        SELECT d.doc_id, any_value(d.true_source) AS true_source,
+               l.source AS cand,
+               CAST(sum(CAST(round(CAST(d.n_db AS DOUBLE) * l.ll, 6)
+                             AS DECIMAL(18, 6))) AS DECIMAL(28, 6))
+                   + CAST(any_value(p.lp) AS DECIMAL(18, 6)) AS score
+        FROM db d
+        JOIN ll l USING (b)
+        JOIN priors p ON p.source = l.source
+        GROUP BY d.doc_id, l.source
+    ),
+    pred AS (
+        SELECT doc_id, true_source, cand AS pred_source
+        FROM scores
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, cand) = 1
+    )
+    SELECT true_source, pred_source, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY true_source, pred_source
+    """,
+    tags=("T", "naive-bayes", "domain", "classifier", "confusion",
+          "llm-pipeline"),
+)
+def t_nb_domain_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-separability audit via a multinomial Naive Bayes
+    classifier trained RELATIONALLY: hashed-token-bucket counts per
+    source (add-1 smoothing over a {_NB_B}-bucket vocabulary), log
+    priors from source sizes, every document scored against all
+    sources, argmax prediction, and the (true, predicted) confusion
+    rollup. The whole "train a model" step is two groupBys — the same
+    pattern a 100 TB domain tagger uses (model = broadcast k×B counts,
+    scoring = one join on the bucket key).
+
+    Determinism: per-bucket log-likelihoods and priors round to 6dp
+    (collapsing ln ulps), per-(doc, source) evidence DECIMAL-sums
+    (order-free), argmax ties break on source name — exact decimal
+    comparison, so predictions are engine-identical."""
+    from burst_db_spark.operators import text as tx
+
+    docs = load(spark, sf_dir, "documents")
+    tb = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(tx.tokens(F.col("text")), lambda w: F.length(w) > 0)
+        ).alias("term"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint")
+            % _NB_B
+        ).alias("b"),
+    )
+    model = tb.groupBy("source", "b").agg(
+        F.count("*").cast("bigint").alias("c_sb")
+    )
+    totals = model.groupBy("source").agg(
+        F.sum("c_sb").cast("bigint").alias("c_s")
+    )
+    ll = model.join(F.broadcast(totals), "source").select(
+        "source",
+        "b",
+        F.round(
+            F.log(
+                (F.col("c_sb").cast("double") + 1.0)
+                / (F.col("c_s").cast("double") + float(_NB_B))
+            ),
+            6,
+        ).alias("ll"),
+    )
+    n_total = docs.agg(F.count("*").cast("double").alias("nt"))
+    priors = (
+        docs.groupBy("source")
+        .agg(F.count("*").cast("double").alias("nd"))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col("source").alias("psource"),
+            F.round(F.log(F.col("nd") / F.col("nt")), 6).alias("lp"),
+        )
+    )
+    db = tb.groupBy("doc_id", "b").agg(
+        F.any_value("source").alias("true_source"),
+        F.count("*").cast("bigint").alias("n_db"),
+    )
+    contrib = F.round(F.col("n_db").cast("double") * F.col("ll"), 6).cast(
+        "decimal(18,6)"
+    )
+    scores = (
+        db.join(F.broadcast(ll), "b")
+        .join(F.broadcast(priors), F.col("source") == F.col("psource"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.any_value("true_source").alias("true_source"),
+            (
+                F.sum(contrib).cast("decimal(28,6)")
+                + F.any_value("lp").cast("decimal(18,6)")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("source")
+    )
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("true_source", F.col("source").alias("pred_source"))
+    )
+    return pred.groupBy("true_source", "pred_source").agg(
+        F.count("*").cast("bigint").alias("n")
+    )

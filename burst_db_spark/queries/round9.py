@@ -160,16 +160,23 @@ def dd_docs_cascade_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(~F.col("source").isin(*_CASCADE_BENCH))
     corpus_ids = corpus.select("doc_id")
 
+    # Each kept{i} id-frame feeds BOTH the next stage and its funnel
+    # manifest row — persisted (doc_id lists, node-sized) so the heavy
+    # stage above it (quality featurization, LSH+CC) computes once per
+    # job instead of once per consumer. Session clearCache releases
+    # them (bench and driver both do).
     q = tx.quality_features(corpus.select("doc_id", "text"))
-    kept0 = q.where(F.col("quality_score") >= 0.5).select("doc_id")
+    kept0 = q.where(F.col("quality_score") >= 0.5).select("doc_id").persist()
     d0 = corpus.join(kept0, "doc_id", "left_semi")
     kept1 = dd.exact_duplicates(d0, "doc_id").select(
         F.col("keep_id").alias("doc_id")
-    )
+    ).persist()
     d1 = corpus.join(kept1, "doc_id", "left_semi")
     pairs = dd.minhash_lsh_dedup(d1, "doc_id", threshold=0.5)
     cc = dd.connected_components(pairs, d1, "doc_id")
-    kept2 = cc.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    kept2 = cc.where(
+        F.col("doc_id") == F.col("cluster_id")
+    ).select("doc_id").persist()
 
     from burst_db_spark.operators.bloom import bloom_contains, build_bloom
 

@@ -161,6 +161,10 @@ ARITH_EXPLAINED = {
     "dd_cluster_bcubed_audit": "cnt^2/size 9dp-rounded on identical "
                                "integer-derived doubles before the "
                                "lossless decimal cast; order-free sum",
+    "t_nb_domain_confusion": "n_db*ll 6dp-rounded on identical doubles "
+                             "(ll itself 6dp-rounded after ln) before "
+                             "the lossless decimal cast; order-free "
+                             "evidence sum, argmax on exact decimals",
 }
 
 
