@@ -258,6 +258,7 @@ HEADLINE = [
     "t_doremi_weights",
     "o8_curve_sorted_roundtrip",
     "t_nb_domain_confusion",
+    "t_moore_lewis_select",
 ]
 
 # Regression-signal curation (VERDICT r11 item #6): the headline suite

@@ -114,6 +114,7 @@ _SAMPLING_PRIORITY = (
     "t_doremi_weights",
     "o8_curve_sorted_roundtrip",
     "t_nb_domain_confusion",
+    "t_moore_lewis_select",
     # -- plan changed THIS round (AC shorts path, VERDICT #2) --
     "t_substring_dedup",
     # -- fill to 50 with the OLDEST driver evidence (r7 block) --
@@ -138,8 +139,8 @@ _SAMPLING_PRIORITY = (
     "j7_spatial_join",
     "j_spatial_knn",
     "knn_int8_quantized",
-    "knn_ivf_int8_funnel",
     # ---- 50-slot prefix cut line ----
+    "knn_ivf_int8_funnel",
     # -- r7-evidence remainder: staged to LEAD r14 --
     "knn_ivf_learned_exhaustive",
     "mm_audio_windows",

@@ -840,3 +840,186 @@ def t_nb_domain_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_source", "pred_source").agg(
         F.count("*").cast("bigint").alias("n")
     )
+
+
+# -- Moore-Lewis cross-entropy-difference data selection ------------------------
+
+_ML_LANG = "de"   # the in-domain slice
+_ML_TOPK = 50
+
+
+@register(
+    "t_moore_lewis_select",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, list_filter({_NG_TOKS}, w -> len(w) > 0) AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2
+        FROM t, unnest(range(1, len(t))) AS r(i)
+        WHERE len(t) >= 2
+    ),
+    uni_g AS (
+        SELECT w1 AS w, CAST(count(*) AS BIGINT) AS c1
+        FROM bg GROUP BY w1
+    ),
+    v_g AS (SELECT CAST(count(*) AS BIGINT) AS v
+            FROM (SELECT DISTINCT unnest(t) FROM t)),
+    bi_g AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+             FROM bg GROUP BY w1, w2),
+    bg_in AS (SELECT * FROM bg WHERE lang = '{_ML_LANG}'),
+    uni_i AS (
+        SELECT w1 AS w, CAST(count(*) AS BIGINT) AS c1
+        FROM bg_in GROUP BY w1
+    ),
+    v_i AS (SELECT CAST(count(*) AS BIGINT) AS v
+            FROM (SELECT DISTINCT unnest(t) FROM t WHERE lang = '{_ML_LANG}')),
+    bi_i AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+             FROM bg_in GROUP BY w1, w2),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(round(ln(CAST(COALESCE(bi.c12, 0) + 1 AS DOUBLE)
+                             / CAST(COALESCE(ui.c1, 0)
+                                    + (SELECT v FROM v_i) AS DOUBLE)), 6)
+                    AS DECIMAL(18, 6)) AS lp_in,
+               CAST(round(ln(CAST(bg2.c12 + 1 AS DOUBLE)
+                             / CAST(ug.c1 + (SELECT v FROM v_g) AS DOUBLE)),
+                          6) AS DECIMAL(18, 6)) AS lp_gen
+        FROM bg b
+        LEFT JOIN bi_i bi ON b.w1 = bi.w1 AND b.w2 = bi.w2
+        LEFT JOIN uni_i ui ON b.w1 = ui.w
+        JOIN bi_g bg2 ON b.w1 = bg2.w1 AND b.w2 = bg2.w2
+        JOIN uni_g ug ON b.w1 = ug.w
+        WHERE b.lang <> '{_ML_LANG}'
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(lp_in) AS DECIMAL(28, 6)) AS s_in,
+               CAST(sum(lp_gen) AS DECIMAL(28, 6)) AS s_gen
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           round((CAST(s_gen AS DOUBLE) - CAST(s_in AS DOUBLE))
+                 / CAST(n_bigrams AS DOUBLE), 6) AS ce_diff6
+    FROM per_doc
+    ORDER BY ce_diff6, doc_id LIMIT {_ML_TOPK}
+    """,
+    tags=("T", "moore-lewis", "selection", "cross-entropy",
+          "llm-pipeline"),
+)
+def t_moore_lewis_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis (2010) intelligent data selection: score every
+    OUT-of-domain document by cross-entropy difference
+    H_in(doc) − H_gen(doc) under two add-1-smoothed bigram LMs — one
+    trained on the in-domain slice (lang='{_ML_LANG}'), one on the whole
+    corpus — and keep the top-{_ML_TOPK} most in-domain-like docs. The
+    classic cheap alternative to DSIR's hashed importance ratios
+    (t_dsir_importance), using real conditional bigram models instead
+    of unigram bucket frequencies.
+
+    Determinism: per-bigram log-probs round to 6dp then DECIMAL-sum per
+    doc (order-free); the final per-token difference is one double
+    division rounded to 6dp; rank ties on doc_id.
+
+    Scale shape: both "models" are the same two groupBys any bigram LM
+    costs; scoring is two hash joins on the bigram key. The in-domain
+    model rides broadcast (in-domain corpora are small by definition —
+    that is the Moore-Lewis setting)."""
+    from burst_db_spark.operators import text as tx
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.filter(tx.tokens(F.col("text")), lambda w: F.length(w) > 0).alias(
+            "t"
+        ),
+    )
+    tc = F.col("t")
+    pairs = F.when(
+        F.size(tc) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tc) - 2),
+            lambda i: F.struct(
+                F.get(tc, i).alias("w1"), F.get(tc, i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = t.select("doc_id", "lang", F.explode(pairs).alias("p")).select(
+        "doc_id", "lang", "p.w1", "p.w2"
+    )
+    uni_g = bg.groupBy("w1").agg(F.count("*").cast("bigint").alias("c1_g"))
+    v_g = (
+        t.select(F.explode("t").alias("w"))
+        .agg(F.countDistinct("w").cast("bigint").alias("v_g"))
+    )
+    bi_g = bg.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c12_g")
+    )
+    bg_in = bg.where(F.col("lang") == _ML_LANG)
+    uni_i = bg_in.groupBy("w1").agg(
+        F.count("*").cast("bigint").alias("c1_i")
+    )
+    v_i = (
+        t.where(F.col("lang") == _ML_LANG)
+        .select(F.explode("t").alias("w"))
+        .agg(F.countDistinct("w").cast("bigint").alias("v_i"))
+    )
+    bi_i = bg_in.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c12_i")
+    )
+    pool = bg.where(F.col("lang") != _ML_LANG)
+    scored = (
+        pool.join(F.broadcast(bi_i), ["w1", "w2"], "left")
+        .join(F.broadcast(uni_i), "w1", "left")
+        .join(bi_g, ["w1", "w2"])
+        .join(uni_g, "w1")
+        .crossJoin(F.broadcast(v_i))
+        .crossJoin(F.broadcast(v_g))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c12_i"), F.lit(0)) + 1).cast("double")
+                    / (
+                        F.coalesce(F.col("c1_i"), F.lit(0)) + F.col("v_i")
+                    ).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp_in"),
+            F.round(
+                F.log(
+                    (F.col("c12_g") + 1).cast("double")
+                    / (F.col("c1_g") + F.col("v_g")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp_gen"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("lp_in").cast("decimal(28,6)").alias("s_in"),
+        F.sum("lp_gen").cast("decimal(28,6)").alias("s_gen"),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                (
+                    F.col("s_gen").cast("double")
+                    - F.col("s_in").cast("double")
+                )
+                / F.col("n_bigrams").cast("double"),
+                6,
+            ).alias("ce_diff6"),
+        )
+        .orderBy("ce_diff6", "doc_id")
+        .limit(_ML_TOPK)
+    )

@@ -165,6 +165,11 @@ ARITH_EXPLAINED = {
                              "(ll itself 6dp-rounded after ln) before "
                              "the lossless decimal cast; order-free "
                              "evidence sum, argmax on exact decimals",
+    "t_moore_lewis_select": "per-bigram ln 6dp-rounded on identical "
+                            "doubles before the lossless decimal cast; "
+                            "order-free per-doc sums; final rank on a "
+                            "6dp-rounded single division, ties on "
+                            "doc_id",
 }
 
 
