@@ -1188,6 +1188,56 @@ def ntile_cd_probe(spark, factor: int) -> dict[str, float]:
     return out
 
 
+def shorts_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Scaling for the Aho-Corasick multi-pattern shorts path of the
+    substring-containment dedup (operators/multipattern.py — the
+    de-BNLJ'd fallback, VERDICT r12 #2). Corpus replicated ``factor``x
+    with disjoint token spaces; TWO rungs per scale:
+
+    - fixed patterns (one base-corpus set of 8-char snippets): the scan
+      must be LINEAR in corpus size — one automaton, one mapInPandas
+      pass, O(len(text)) per doc independent of pattern count;
+    - patterns ∝ N (snippets from every replica): cost is
+      ceil(S/chunk)·N passes — still one pass here (S << 64k), so the
+      measured growth isolates automaton size effects (AC lookup is
+      O(1) per char regardless of S; only emit volume grows).
+
+    The replaced broadcast nested-loop join was |shorts|·N instr probes
+    — super-linear on BOTH axes by construction.
+    """
+    from burst_db_spark.operators.multipattern import contained_short_pairs
+
+    out: dict[str, float] = {}
+
+    def snippets(corpus, every: int, keep_first: bool):
+        base = corpus.where(F.col("doc_id") % every == 0)
+        if keep_first:
+            base = base.where(F.col("doc_id") < SHIFT)
+        return base.select(
+            (F.col("doc_id") + F.lit(7 * SHIFT * 1000)).alias("a_id"),
+            F.substring("text", 5, 8).alias("a_text"),
+        )
+
+    for label, f in (("", 1), ("_big", factor)):
+        corpus = _cd_corpus(spark, f)
+        pats_fixed = snippets(corpus, 7, keep_first=True)
+        t0 = time.perf_counter()
+        contained_short_pairs(
+            corpus, pats_fixed, id_col="doc_id", text_col="text"
+        ).write.format("noop").mode("overwrite").save()
+        out[f"t_shorts_fixed_cd{label}"] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+
+        pats_grow = snippets(corpus, 7, keep_first=False)
+        t0 = time.perf_counter()
+        contained_short_pairs(
+            corpus, pats_grow, id_col="doc_id", text_col="text"
+        ).write.format("noop").mode("overwrite").save()
+        out[f"t_shorts_grow_cd{label}"] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+    return out
+
+
 _CD_PROBES = {
     "spatial": lambda spark, f: spatial_cd_probe(spark, n_small=100_000, factor=f),
     "jaccard": jaccard_cd_probe,
@@ -1210,6 +1260,7 @@ _CD_PROBES = {
     "d4": d4_cd_probe,
     "kmeans": kmeans_cd_probe,
     "ntile": ntile_cd_probe,
+    "shorts": shorts_cd_probe,
 }
 
 
