@@ -259,6 +259,8 @@ HEADLINE = [
     "o8_curve_sorted_roundtrip",
     "t_nb_domain_confusion",
     "t_moore_lewis_select",
+    "g5_hits_unrolled",
+    "w22_page_hinkley",
 ]
 
 # Regression-signal curation (VERDICT r11 item #6): the headline suite

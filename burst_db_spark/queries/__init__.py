@@ -115,6 +115,8 @@ _SAMPLING_PRIORITY = (
     "o8_curve_sorted_roundtrip",
     "t_nb_domain_confusion",
     "t_moore_lewis_select",
+    "g5_hits_unrolled",
+    "w22_page_hinkley",
     # -- plan changed THIS round (AC shorts path, VERDICT #2) --
     "t_substring_dedup",
     # -- fill to 50 with the OLDEST driver evidence (r7 block) --
@@ -137,9 +139,9 @@ _SAMPLING_PRIORITY = (
     "j16_asof_tolerance",
     "j2_fact_dim_broadcast",
     "j7_spatial_join",
+    # ---- 50-slot prefix cut line ----
     "j_spatial_knn",
     "knn_int8_quantized",
-    # ---- 50-slot prefix cut line ----
     "knn_ivf_int8_funnel",
     # -- r7-evidence remainder: staged to LEAD r14 --
     "knn_ivf_learned_exhaustive",

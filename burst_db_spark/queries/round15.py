@@ -1023,3 +1023,236 @@ def t_moore_lewis_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ce_diff6", "doc_id")
         .limit(_ML_TOPK)
     )
+
+
+# -- HITS hubs/authorities, all-integer unrolled --------------------------------
+
+_HITS_TOPK = 25
+
+
+@register(
+    "g5_hits_unrolled",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    h1 AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS h FROM edges GROUP BY src
+    ),
+    a1 AS (
+        SELECT dst, CAST(sum(h) AS BIGINT) AS a
+        FROM edges JOIN h1 USING (src) GROUP BY dst
+    ),
+    h2 AS (
+        SELECT src, CAST(sum(a) AS BIGINT) AS h
+        FROM edges JOIN a1 USING (dst) GROUP BY src
+    ),
+    a2 AS (
+        SELECT dst, CAST(sum(h) AS BIGINT) AS a
+        FROM edges JOIN h2 USING (src) GROUP BY dst
+    ),
+    hubs AS (
+        SELECT 'hub' AS role, src AS id,
+               round(CAST(h AS DOUBLE)
+                     / (SELECT CAST(max(h) AS DOUBLE) FROM h2), 6)
+                   AS score6,
+               CAST(h AS BIGINT) AS mass
+        FROM h2 ORDER BY h DESC, src LIMIT {_HITS_TOPK}
+    ),
+    auths AS (
+        SELECT 'authority' AS role, dst AS id,
+               round(CAST(a AS DOUBLE)
+                     / (SELECT CAST(max(a) AS DOUBLE) FROM a2), 6)
+                   AS score6,
+               CAST(a AS BIGINT) AS mass
+        FROM a2 ORDER BY a DESC, dst LIMIT {_HITS_TOPK}
+    )
+    SELECT * FROM hubs UNION ALL SELECT * FROM auths
+    """,
+    tags=("graph", "hits", "hubs-authorities", "iterative", "unrolled"),
+)
+def g5_hits_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) hubs/authorities over the
+    customer→supplier purchase graph, TWO unrolled mutual-reinforcement
+    rounds. The trick that makes the iteration hash-exact with no
+    ordered folds: starting from a≡1, every update is an INTEGER sum
+    (h₁ = outdeg, a₁ = Σh₁, h₂ = Σa₁, a₂ = Σh₂ — bigint throughout,
+    shuffle-order-free), and normalization happens ONCE at the end
+    (score = mass / max mass, a single rounded division). Contrast
+    pagerank's double-valued rounds, which need the two-level
+    source-ordered fold for bit parity.
+
+    Scale shape: each half-round is one edges⋈scores hash join + one
+    groupBy — the same bounded shuffle pair as a PageRank step; scores
+    are node-sized, top-k is TakeOrdered."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+        .persist()
+    )
+    h1 = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("h"))
+    a1 = (
+        edges.join(h1, "src")
+        .groupBy("dst")
+        .agg(F.sum("h").cast("bigint").alias("a"))
+    )
+    h2 = (
+        edges.join(a1, "dst")
+        .groupBy("src")
+        .agg(F.sum("a").cast("bigint").alias("h"))
+    )
+    a2 = (
+        edges.join(h2, "src")
+        .groupBy("dst")
+        .agg(F.sum("h").cast("bigint").alias("a"))
+    )
+    hmax = h2.agg(F.max("h").cast("double").alias("mx"))
+    amax = a2.agg(F.max("a").cast("double").alias("mx"))
+    hubs = (
+        h2.crossJoin(F.broadcast(hmax))
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("src").alias("id"),
+            F.round(F.col("h").cast("double") / F.col("mx"), 6).alias(
+                "score6"
+            ),
+            F.col("h").cast("bigint").alias("mass"),
+        )
+        .orderBy(F.col("mass").desc(), "id")
+        .limit(_HITS_TOPK)
+    )
+    auths = (
+        a2.crossJoin(F.broadcast(amax))
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("dst").alias("id"),
+            F.round(F.col("a").cast("double") / F.col("mx"), 6).alias(
+                "score6"
+            ),
+            F.col("a").cast("bigint").alias("mass"),
+        )
+        .orderBy(F.col("mass").desc(), "id")
+        .limit(_HITS_TOPK)
+    )
+    return hubs.unionByName(auths)
+
+
+# -- Page-Hinkley drift monitor --------------------------------------------------
+
+
+@register(
+    "w22_page_hinkley",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+        SELECT event_type, day, n,
+               CAST(sum(n) OVER w AS BIGINT) AS s,
+               CAST(row_number() OVER w AS BIGINT) AS t
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    term AS (
+        SELECT event_type, day,
+               CAST(round(CAST(n AS DOUBLE)
+                          - CAST(s AS DOUBLE) / CAST(t AS DOUBLE)
+                          - 0.5, 6) AS DECIMAL(18, 6)) AS d6,
+               CAST(max(t) OVER (PARTITION BY event_type) AS BIGINT) AS tt,
+               CAST(max(s) OVER (PARTITION BY event_type) AS BIGINT) AS st
+        FROM pre
+    ),
+    msum AS (
+        SELECT event_type, day, tt, st,
+               CAST(sum(d6) OVER w AS DECIMAL(28, 6)) AS m
+        FROM term
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    m AS (
+        SELECT event_type, day, tt, st, m,
+               CAST(min(m) OVER w AS DECIMAL(28, 6)) AS runmin
+        FROM msum
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type, day,
+           CAST(m - runmin AS DECIMAL(28, 6)) AS ph6,
+           (CAST(m - runmin AS DOUBLE)
+            > 3.0 * round(CAST(st AS DOUBLE) / CAST(tt AS DOUBLE), 6))
+               AS drift_flag
+    FROM m
+    """,
+    tags=("window", "drift", "page-hinkley", "monitoring"),
+)
+def w22_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley test (Page 1954's second device) over per-type
+    daily counts — completes the drift battery (PSI/KS/Mann-Whitney
+    distributional, mean-shift flank, CUSUM fixed-baseline): PH tracks
+    deviation from the RUNNING mean, so it adapts to slow level changes
+    and fires only on abrupt ones. Same prefix identity as CUSUM:
+    PH_t = m_t − min_{i≤t} m_i with m_t = Σ(x_i − x̄_i − δ), δ=0.5,
+    λ = 3·(final mean).
+
+    Determinism: each term x_i − S_i/i − δ is ONE double division
+    rounded to 6dp; the cumulative m and its running min are DECIMAL
+    prefix sums over the day-ordered window (order pinned); the flag
+    compares against a single rounded division."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    wd = Window.partitionBy("event_type").orderBy("day")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(wcum).cast("bigint").alias("s"),
+        F.row_number().over(wd).cast("bigint").alias("t"),
+    )
+    term = pre.select(
+        "event_type",
+        "day",
+        F.round(
+            F.col("n").cast("double")
+            - F.col("s").cast("double") / F.col("t").cast("double")
+            - 0.5,
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("d6"),
+        F.max("t").over(wall).cast("bigint").alias("tt"),
+        F.max("s").over(wall).cast("bigint").alias("st"),
+    )
+    m = F.sum("d6").over(wcum).cast("decimal(28,6)")
+    md = term.withColumn("m", m).withColumn(
+        "runmin", F.min("m").over(wcum).cast("decimal(28,6)")
+    )
+    lam = 3.0 * F.round(
+        F.col("st").cast("double") / F.col("tt").cast("double"), 6
+    )
+    return md.select(
+        "event_type",
+        "day",
+        (F.col("m") - F.col("runmin")).cast("decimal(28,6)").alias("ph6"),
+        ((F.col("m") - F.col("runmin")).cast("double") > lam).alias(
+            "drift_flag"
+        ),
+    )

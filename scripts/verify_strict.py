@@ -170,6 +170,10 @@ ARITH_EXPLAINED = {
                             "order-free per-doc sums; final rank on a "
                             "6dp-rounded single division, ties on "
                             "doc_id",
+    "w22_page_hinkley": "x - S/t - delta is ONE double division of "
+                        "exact ints, 6dp-rounded before the lossless "
+                        "decimal cast; cumulative sums/min are decimal "
+                        "over the day-pinned window",
 }
 
 
