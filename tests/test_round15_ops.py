@@ -163,3 +163,10 @@ def test_kmeans_unrolled_hier_path_deterministic(spark):
     r2 = sorted(map(tuple, s2.collect()))
     assert r1 == r2
     assert sum(r[1] for r in r1) == emb.count()
+
+
+def test_ac_unicode_patterns():
+    ac = AhoCorasick(["héllo", "wörld", "日本"])
+    assert ac.contained("say héllo to the wörld") == {0, 1}
+    assert ac.contained("日本語のテキスト") == {2}
+    assert ac.contained("plain ascii") == set()
