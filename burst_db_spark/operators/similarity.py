@@ -53,13 +53,26 @@ def cosine_topk(
     the only shuffle is the final per-query top-k (row_number window over
     |queries|·k-bounded groups).
     """
+    # norms hoisted to per-vector columns: cosine() inline recomputes
+    # both norms per (query, candidate) pair — |Q|× per candidate on the
+    # brute path. dot/(nq*nc) is the identical expression tree, so
+    # scores stay bit-equal vs the oracle.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("nq"),
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("nc"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos",
+            _dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")),
+        )
         .select("query_id", "neighbor_id", "cos")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1050,11 +1063,13 @@ def cosine_topk_partitioned(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("nq"),
         F.col(cell_col).alias("qcell"),
     )
     c = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("nc"),
         F.col(cell_col).alias("ccell"),
     )
     scored = (
@@ -1063,7 +1078,10 @@ def cosine_topk_partitioned(
             (F.col("qcell") == F.col("ccell"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos",
+            _dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")),
+        )
         .select("query_id", "neighbor_id", "cos")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1105,16 +1123,32 @@ def semdedup_flags(
     cells = assign_cells(emb, centroids, id_col, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cell"
     )
+    # Hoist per-vector norms OUT of the pair predicate: cosine(va, vb)
+    # inline recomputes both norms per PAIR, i.e. |cell|² times per
+    # vector under skewed occupancy — the exact regime this
+    # given-codebook row exists to pin. Materialized per side they cost
+    # once per vector; dot/(na*nb) is the identical expression tree
+    # (same left-fold, same multiply order), so results stay bit-equal
+    # and the oracle is untouched.
     a = cells.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "cell"
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        _norm(F.col("v")).alias("na"),
+        "cell",
     )
     b = cells.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "cell"
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        _norm(F.col("v")).alias("nb"),
+        "cell",
     )
     sim_pairs = (
         a.join(b, "cell")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(cosine(F.col("va"), F.col("vb")) >= F.lit(tau))
+        .where(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= F.lit(tau)
+        )
         .select("id_b")
         .distinct()
     )

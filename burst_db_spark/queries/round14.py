@@ -201,12 +201,28 @@ def dd_d4_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the given-codebook form for externally-trained centroids."""
     emb = load(spark, sf_dir, "embeddings")
     asg, cents = sim.kmeans_unrolled_state(emb, k=_KM_K, rounds=_KM_ROUNDS)
-    a = asg.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "cell")
-    b = asg.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "cell")
+    # norms hoisted out of the pair predicate (once per vector, not per
+    # pair — bit-equal arithmetic, see similarity.semdedup_flags)
+    a = asg.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        sim._norm(F.col("v")).alias("na"),
+        "cell",
+    )
+    b = asg.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        sim._norm(F.col("v")).alias("nb"),
+        "cell",
+    )
     sim_pairs = (
         a.join(b, "cell")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(sim.cosine(F.col("va"), F.col("vb")) >= F.lit(_D4_TAU))
+        .where(
+            sim._dot(F.col("va"), F.col("vb"))
+            / (F.col("na") * F.col("nb"))
+            >= F.lit(_D4_TAU)
+        )
         .select("id_b")
         .distinct()
     )

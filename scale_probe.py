@@ -1093,12 +1093,28 @@ def d4_cd_probe(spark, factor: int) -> dict[str, float]:
         emb = _emb_replicated(spark, f)
         t0 = time.perf_counter()
         asg, cents = sim.kmeans_unrolled_state(emb, k=16 * f, rounds=2)
-        a = asg.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "cell")
-        b = asg.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "cell")
+        # norms hoisted out of the pair predicate (once per vector, not
+        # per pair) — mirrors the registered query's shape
+        a = asg.select(
+            F.col("id").alias("id_a"),
+            F.col("v").alias("va"),
+            sim._norm(F.col("v")).alias("na"),
+            "cell",
+        )
+        b = asg.select(
+            F.col("id").alias("id_b"),
+            F.col("v").alias("vb"),
+            sim._norm(F.col("v")).alias("nb"),
+            "cell",
+        )
         sim_pairs = (
             a.join(b, "cell")
             .where(F.col("id_a") < F.col("id_b"))
-            .where(sim.cosine(F.col("va"), F.col("vb")) >= F.lit(_D4_TAU))
+            .where(
+                sim._dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+                >= F.lit(_D4_TAU)
+            )
             .select("id_b")
             .distinct()
         )
