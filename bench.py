@@ -261,6 +261,7 @@ HEADLINE = [
     "t_moore_lewis_select",
     "g5_hits_unrolled",
     "w22_page_hinkley",
+    "stream_page_hinkley",
 ]
 
 # Regression-signal curation (VERDICT r11 item #6): the headline suite

@@ -1256,3 +1256,138 @@ def w22_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drift_flag"
         ),
     )
+
+
+# -- Streaming Page-Hinkley: maintained state + the w22 detector ---------------
+
+
+@register(
+    "stream_page_hinkley",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+        SELECT event_type, day, n,
+               CAST(sum(n) OVER w AS BIGINT) AS s,
+               CAST(row_number() OVER w AS BIGINT) AS t
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    term AS (
+        SELECT event_type, day,
+               CAST(round(CAST(n AS DOUBLE)
+                          - CAST(s AS DOUBLE) / CAST(t AS DOUBLE)
+                          - 0.5, 6) AS DECIMAL(18, 6)) AS d6,
+               CAST(max(t) OVER (PARTITION BY event_type) AS BIGINT) AS tt,
+               CAST(max(s) OVER (PARTITION BY event_type) AS BIGINT) AS st
+        FROM pre
+    ),
+    msum AS (
+        SELECT event_type, day, tt, st,
+               CAST(sum(d6) OVER w AS DECIMAL(28, 6)) AS m
+        FROM term
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    m AS (
+        SELECT event_type, day, tt, st, m,
+               CAST(min(m) OVER w AS DECIMAL(28, 6)) AS runmin
+        FROM msum
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type, day,
+           CAST(m - runmin AS DECIMAL(28, 6)) AS ph6,
+           (CAST(m - runmin AS DOUBLE)
+            > 3.0 * round(CAST(st AS DOUBLE) / CAST(tt AS DOUBLE), 6))
+               AS drift_flag
+    FROM m
+    """,
+    tags=("streaming", "drift", "page-hinkley", "oracle-checked"),
+)
+def stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-on Page-Hinkley monitoring: Structured Streaming maintains
+    the per-type DAILY COUNT state (tumbling windows, complete mode,
+    availableNow drain — the SAME maintained state stream_cusum and
+    stream_mean_shift read) and the w22 detector runs over the
+    snapshot. Third monitor on one state store: flank test for abrupt
+    shifts, CUSUM for small persistent drifts vs a FIXED baseline,
+    Page-Hinkley for departures from the RUNNING mean (adapts to slow
+    level changes). Must equal w22_page_hinkley's oracle exactly —
+    streamed counts are integers, task order cannot perturb anything.
+    State survives restarts without re-reading drained input
+    (tests/test_streaming.py pins that for this exact maintenance
+    shape)."""
+    import tempfile
+    import uuid
+
+    from burst_db_spark.streaming import incremental as st
+
+    src = load(spark, sf_dir, "events").select("event_type", "ts")
+    tmp = tempfile.mkdtemp(prefix="bds_stream_ph_")
+    data_dir = f"{tmp}/in"
+    src.write.parquet(data_dir)
+    stream = st.file_stream(spark, data_dir, src.schema)
+    agg = (
+        stream.groupBy(F.window(F.col("ts"), "1 day"), F.col("event_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "event_type",
+            F.to_date(F.col("window.start")).alias("day"),
+            "n",
+        )
+    )
+    name = f"ph_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    daily = spark.table(name)
+
+    wd = Window.partitionBy("event_type").orderBy("day")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(wcum).cast("bigint").alias("s"),
+        F.row_number().over(wd).cast("bigint").alias("t"),
+    )
+    term = pre.select(
+        "event_type",
+        "day",
+        F.round(
+            F.col("n").cast("double")
+            - F.col("s").cast("double") / F.col("t").cast("double")
+            - 0.5,
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("d6"),
+        F.max("t").over(wall).cast("bigint").alias("tt"),
+        F.max("s").over(wall).cast("bigint").alias("st"),
+    )
+    md = term.withColumn(
+        "m", F.sum("d6").over(wcum).cast("decimal(28,6)")
+    ).withColumn("runmin", F.min("m").over(wcum).cast("decimal(28,6)"))
+    lam = 3.0 * F.round(
+        F.col("st").cast("double") / F.col("tt").cast("double"), 6
+    )
+    return md.select(
+        "event_type",
+        "day",
+        (F.col("m") - F.col("runmin")).cast("decimal(28,6)").alias("ph6"),
+        ((F.col("m") - F.col("runmin")).cast("double") > lam).alias(
+            "drift_flag"
+        ),
+    )

@@ -174,6 +174,9 @@ ARITH_EXPLAINED = {
                         "exact ints, 6dp-rounded before the lossless "
                         "decimal cast; cumulative sums/min are decimal "
                         "over the day-pinned window",
+    "stream_page_hinkley": "same detector arithmetic as "
+                           "w22_page_hinkley over the maintained "
+                           "streaming snapshot (integer counts)",
 }
 
 
