@@ -262,6 +262,8 @@ HEADLINE = [
     "g5_hits_unrolled",
     "w22_page_hinkley",
     "stream_page_hinkley",
+    "t_gopher_ablation",
+    "dd_dup_cluster_size_dist",
 ]
 
 # Regression-signal curation (VERDICT r11 item #6): the headline suite

@@ -72,10 +72,11 @@ for _m in _MODULES:
 #      (the one remaining rows-only row) rides along for its first
 #      driver rows-evidence;
 #   3. w4/w6/w7: the r6-evidence block staged behind last round's cut;
-#   4. the 11 round-13 additions (funnel assignment, AC shorts path,
+#   4. the 13 round-13 additions (funnel assignment, AC shorts path,
 #      robust aggs, dup-ngram spans, DoReMi, curve-sink roundtrip,
-#      NB confusion, Moore-Lewis, HITS, Page-Hinkley batch+stream) —
-#      strict-verified at sf0.01 this round, driver evidence lands now;
+#      NB confusion, Moore-Lewis, HITS, Page-Hinkley batch+stream,
+#      Gopher ablation, dup-cluster distribution) — strict-verified at
+#      sf0.01 this round, driver evidence lands now;
 #   5. t_substring_dedup: its plan changed this round (the BNLJ shorts
 #      branch became the data-dependent AC path) — resample;
 #   6. fill to exactly 50 with the oldest-evidence (r7) block,
@@ -119,6 +120,8 @@ _SAMPLING_PRIORITY = (
     "g5_hits_unrolled",
     "w22_page_hinkley",
     "stream_page_hinkley",
+    "t_gopher_ablation",
+    "dd_dup_cluster_size_dist",
     # -- plan changed THIS round (AC shorts path, VERDICT #2) --
     "t_substring_dedup",
     # -- fill to 50 with the OLDEST driver evidence (r7 block) --
@@ -138,9 +141,9 @@ _SAMPLING_PRIORITY = (
     "f_recursive_cte_gapfill",
     "frame_lookup",
     "g4_cc_iterative",
+    # ---- 50-slot prefix cut line ----
     "j16_asof_tolerance",
     "j2_fact_dim_broadcast",
-    # ---- 50-slot prefix cut line ----
     "j7_spatial_join",
     "j_spatial_knn",
     "knn_int8_quantized",

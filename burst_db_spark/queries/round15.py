@@ -1391,3 +1391,228 @@ def stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drift_flag"
         ),
     )
+
+
+# -- Gopher rule ablation funnel -----------------------------------------------
+
+_GA_RULES = (
+    "word_count", "mean_word_len", "symbol_ratio", "alpha_words",
+    "stopwords",
+)
+
+
+@register(
+    "t_gopher_ablation",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(list_reduce(list_prepend(0, list_transform(
+                   toks, t -> len(t))), (x, y) -> x + y) AS BIGINT)
+                   AS sum_word_len,
+               CAST(len(list_filter(toks,
+                   t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT)
+                   AS n_alpha_words,
+               CAST(len(list_filter(toks,
+                   t -> t LIKE '%#%' OR t LIKE '%...%')) AS BIGINT)
+                   AS n_symbol_words,
+               CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                   t -> t IN ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) AS BIGINT) AS n_stop_hits
+        FROM w
+    ),
+    flags AS (
+        SELECT doc_id,
+               (n_words BETWEEN 50 AND 100000) AS ok1,
+               (sum_word_len >= 3 * n_words
+                AND sum_word_len <= 10 * n_words) AS ok2,
+               (n_symbol_words * 10 <= n_words) AS ok3,
+               (n_alpha_words * 10 >= n_words * 8) AS ok4,
+               (n_stop_hits >= 2) AS ok5
+        FROM feats
+    ),
+    scored AS (
+        SELECT *,
+               (CASE WHEN NOT ok1 THEN 1 ELSE 0 END
+                + CASE WHEN NOT ok2 THEN 1 ELSE 0 END
+                + CASE WHEN NOT ok3 THEN 1 ELSE 0 END
+                + CASE WHEN NOT ok4 THEN 1 ELSE 0 END
+                + CASE WHEN NOT ok5 THEN 1 ELSE 0 END) AS n_fail
+        FROM flags
+    )
+    SELECT * FROM (
+        SELECT CAST(1 AS INTEGER) AS rule_order,
+               'word_count' AS rule,
+               CAST(sum(CASE WHEN ok1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cum_pass,
+               CAST(sum(CASE WHEN NOT ok1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS any_fail,
+               CAST(sum(CASE WHEN NOT ok1 AND n_fail = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS sole_fail
+        FROM scored
+        UNION ALL
+        SELECT 2, 'mean_word_len',
+               CAST(sum(CASE WHEN ok1 AND ok2 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN NOT ok2 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN NOT ok2 AND n_fail = 1
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM scored
+        UNION ALL
+        SELECT 3, 'symbol_ratio',
+               CAST(sum(CASE WHEN ok1 AND ok2 AND ok3 THEN 1 ELSE 0 END)
+                   AS BIGINT),
+               CAST(sum(CASE WHEN NOT ok3 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN NOT ok3 AND n_fail = 1
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM scored
+        UNION ALL
+        SELECT 4, 'alpha_words',
+               CAST(sum(CASE WHEN ok1 AND ok2 AND ok3 AND ok4
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN NOT ok4 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN NOT ok4 AND n_fail = 1
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM scored
+        UNION ALL
+        SELECT 5, 'stopwords',
+               CAST(sum(CASE WHEN ok1 AND ok2 AND ok3 AND ok4 AND ok5
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN NOT ok5 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN NOT ok5 AND n_fail = 1
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM scored
+    ) ORDER BY rule_order
+    """,
+    tags=("text", "quality", "gopher", "ablation", "llm-pipeline"),
+)
+def t_gopher_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule ABLATION for the Gopher battery (which rule bites): per rule
+    in canonical order, the cumulative funnel survivor count (docs
+    passing rules 1..k), the marginal fail count, and the SOLE-CAUSE
+    count (docs failing exactly this rule — the docs this rule alone
+    removes). The ledger curators read before reordering or dropping a
+    rule; t_gopher_rules reports the per-source totals, this reports
+    the rule interaction structure. All-integer end to end.
+
+    Scale shape: the same single map + one corpus-level rollup (the 5
+    UNION branches aggregate the SAME cached flags projection — Spark
+    computes one scan; each branch is a 1-row aggregate)."""
+    from burst_db_spark.operators import text as tx
+    from burst_db_spark.queries.round14 import (
+        _GOPHER_MAX_WORDS,
+        _GOPHER_MIN_WORDS,
+        _GOPHER_STOPS,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+    n_words = F.size("toks").cast("bigint")
+    sum_word_len = F.aggregate(
+        F.transform("toks", F.length), F.lit(0), lambda a, x: a + x
+    ).cast("bigint")
+    n_alpha = F.size(
+        F.filter("toks", lambda t: t.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    n_symbol = F.size(
+        F.filter("toks", lambda t: t.contains("#") | t.contains("..."))
+    ).cast("bigint")
+    n_stop = F.size(
+        F.filter(
+            F.transform("toks", F.lower), lambda t: t.isin(*_GOPHER_STOPS)
+        )
+    ).cast("bigint")
+    feats = toks.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_word_len.alias("swl"),
+        n_alpha.alias("na"),
+        n_symbol.alias("ns"),
+        n_stop.alias("nst"),
+    )
+    flags = feats.select(
+        "doc_id",
+        F.col("n_words").between(
+            _GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS
+        ).alias("ok1"),
+        (
+            (F.col("swl") >= 3 * F.col("n_words"))
+            & (F.col("swl") <= 10 * F.col("n_words"))
+        ).alias("ok2"),
+        (F.col("ns") * 10 <= F.col("n_words")).alias("ok3"),
+        (F.col("na") * 10 >= F.col("n_words") * 8).alias("ok4"),
+        (F.col("nst") >= 2).alias("ok5"),
+    )
+    nf = sum(
+        F.when(~F.col(f"ok{i}"), 1).otherwise(0) for i in range(1, 6)
+    )
+    scored = flags.withColumn("n_fail", nf).persist()
+
+    def row(order: int, rule: str, cum_cols: list[str], ok: str):
+        cum = F.lit(True)
+        for c in cum_cols:
+            cum = cum & F.col(c)
+        return scored.agg(
+            F.sum(F.when(cum, 1).otherwise(0)).cast("bigint").alias(
+                "cum_pass"
+            ),
+            F.sum(F.when(~F.col(ok), 1).otherwise(0)).cast("bigint").alias(
+                "any_fail"
+            ),
+            F.sum(
+                F.when((~F.col(ok)) & (F.col("n_fail") == 1), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("sole_fail"),
+        ).select(
+            F.lit(order).cast("int").alias("rule_order"),
+            F.lit(rule).alias("rule"),
+            "cum_pass",
+            "any_fail",
+            "sole_fail",
+        )
+
+    out = row(1, "word_count", ["ok1"], "ok1")
+    cums = ["ok1"]
+    for i, rule in enumerate(_GA_RULES[1:], start=2):
+        cums = cums + [f"ok{i}"]
+        out = out.unionByName(row(i, rule, cums, f"ok{i}"))
+    return out.orderBy("rule_order")
+
+
+# -- Duplicate-cluster size distribution ----------------------------------------
+
+
+@register(
+    "dd_dup_cluster_size_dist",
+    oracle="""
+    WITH g AS (
+        SELECT md5(lower(trim(text))) AS digest,
+               CAST(count(*) AS BIGINT) AS sz
+        FROM documents GROUP BY 1
+    )
+    SELECT sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(sz - 1) AS BIGINT) AS n_removable
+    FROM g GROUP BY sz
+    """,
+    tags=("dedup", "diagnostics", "cluster-size", "llm-pipeline"),
+)
+def dd_dup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate CLUSTER SIZE distribution — the diagnostic
+    curators read before choosing a dedup policy (drop vs SoftDeDup
+    reweighting): per cluster size, how many content-digest groups,
+    how many documents they hold, and how many dedup would remove
+    (size−1 each). All-integer; one digest groupBy (the shuffle any
+    exact dedup pays) + one histogram rollup on the group-sized frame."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("digest")
+    ).agg(F.count("*").cast("bigint").alias("sz"))
+    return g.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        F.sum(F.col("sz") - 1).cast("bigint").alias("n_removable"),
+    )
