@@ -22,6 +22,28 @@ if _REPO_DIR not in sys.path:
 from burst_db_spark.registry import all_queries  # noqa: E402
 
 
+def engine_versions(spark: SparkSession | None = None) -> dict[str, str]:
+    """Engine/build identity for correctness artifacts (VERDICT r13 #6:
+    the r13 hash-reds could not be root-caused because neither side
+    recorded what evaluated them). Keys are stable; include this dict in
+    any CORRECTNESS/verify record."""
+    import duckdb
+    import pyspark
+
+    out = {
+        "pyspark": pyspark.__version__,
+        "duckdb": duckdb.__version__,
+        "python": sys.version.split()[0],
+    }
+    if spark is not None:
+        for k in ("spark.sql.ansi.enabled", "spark.sql.session.timeZone"):
+            try:
+                out[k] = str(spark.conf.get(k))
+            except Exception:
+                out[k] = "unset"
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     specs = all_queries()

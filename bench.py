@@ -486,6 +486,8 @@ def main() -> None:
             errors[name] = msg[:300]
             print(f"bench: {name} failed: {msg[:300]}", file=sys.stderr)
 
+    from __spark_entry__ import engine_versions
+
     out = {
         "metric": "headline_total" if scope == "headline" else
         "registry_total",
@@ -494,6 +496,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "pinned_sf": {k: v for k, v in PINNED_SF.items() if k in timings},
+        "engines": engine_versions(spark),
     }
     if errors:
         out["errors"] = len(errors)

@@ -38,10 +38,21 @@ from burst_db_spark.operators.text import tokens
 
 
 def word_types(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, n) corpus word-type table — the BPE training input."""
+    """(word, n) corpus word-type table — the BPE training input.
+
+    Words containing chr(30)/chr(31) are EXCLUDED (enforced, not
+    assumed — r13 ADVICE): the DuckDB oracle's sentinel encoding wraps
+    symbols in chr(31) and uses chr(30) as its no-op pattern, and
+    neither control char is regex ``\\s``, so a document containing one
+    inside a token would otherwise corrupt the oracle's state string.
+    The same WHERE is mirrored in plans/bpe_oracle._WT."""
     return (
         df.select(F.explode(tokens(F.col(text_col))).alias("word"))
-        .where(F.length("word") > 0)
+        .where(
+            (F.length("word") > 0)
+            & ~F.col("word").contains(F.lit("\x1f"))
+            & ~F.col("word").contains(F.lit("\x1e"))
+        )
         .groupBy("word")
         .agg(F.count("*").cast("bigint").alias("n"))
     )

@@ -115,8 +115,16 @@ def contained_short_pairs(
     shorts, so the caller's plan stays byte-identical to the
     anchored-only path (the common corpus case pays nothing).
 
-    Eager on the SHORTS side only (chunked drain — driver holds one
-    chunk); the corpus side stays a lazy linear scan per chunk."""
+    EAGER on the SHORTS side (r13 ADVICE, documented contract): the
+    chunked ``toLocalIterator`` drain executes the shorts plan — and
+    therefore any scan it reads — at DataFrame-CONSTRUCTION time, so
+    even EXPLAIN-only callers pay that job. Driver memory stays bounded
+    by one chunk; the corpus side is a lazy linear scan per chunk.
+
+    Zero-length patterns are EXCLUDED by definition (an empty string is
+    trivially contained in every text — the old instr path's
+    instr(x, '') = 1 counted it; callers mirror this with a len > 0
+    filter and the oracles pin length(a.text) > 0)."""
     spark = base.sparkSession
     pattern_chunks = list(
         _chunks(
@@ -133,7 +141,15 @@ def contained_short_pairs(
     )
     parts = []
     for chunk in pattern_chunks:
-        pats = [(int(r[0]), str(r[1])) for r in chunk]
+        # defensive mirror of the contract: empty/null patterns never
+        # enter an automaton regardless of the caller's filter
+        pats = [
+            (int(r[0]), str(r[1]))
+            for r in chunk
+            if r[1] is not None and len(str(r[1])) > 0
+        ]
+        if not pats:
+            continue
 
         def _scan(
             batches: Iterator[pd.DataFrame], _pats=pats
@@ -163,6 +179,8 @@ def contained_short_pairs(
                 )
 
         parts.append(scan_src.mapInPandas(_scan, out_schema))
+    if not parts:
+        return None
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -8,8 +8,18 @@ algebra, so a fixed round count unrolls into CTEs.
 The greedy left-to-right non-overlapping merge — the one step with no
 obvious SQL form — becomes a plain string ``replace`` via a SENTINEL
 encoding: a word's symbol state is stored as ``\\x1f s1 \\x1f\\x1f s2
-\\x1f ...`` (every symbol wrapped in chr(31), which never occurs in
-whitespace-split tokens). Merging pair (l, r) is then
+\\x1f ...`` (every symbol wrapped in chr(31)). chr(31)/chr(30) are not
+regex ``\\s``, so the invariant "no sentinel inside a token" is
+ENFORCED, not assumed: the ``wt`` CTE filters words containing either
+control char, mirrored by the identical filter in
+``operators.bpe.word_types`` (r13 ADVICE).
+
+The batched acceptance's ``fin{r}`` slot assignment orders by
+``(c DESC, l, r)`` — the acceptance-walk visit order — rather than
+relying on ``unnest`` preserving list order under an ORDER-BY-less
+``row_number()`` (r13 ADVICE; accepted merges are symbol-disjoint so
+slot order does not change the final state, but the slot ids in any
+debugging output are now deterministic). Merging pair (l, r) is then
 ``replace(state, chr(31)||l||chr(31)||chr(31)||r||chr(31),
 chr(31)||l||r||chr(31))``: the sentinels force symbol-boundary
 alignment (no cross-symbol false matches), and SQL replace's greedy
@@ -41,7 +51,10 @@ _WT = f"""
     wt AS MATERIALIZED (
         SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
             SELECT unnest({_TOKS}) AS word FROM documents
-        ) WHERE len(word) > 0 GROUP BY word
+        ) WHERE len(word) > 0
+          AND NOT contains(word, {_SEP})
+          AND NOT contains(word, {_NOPAT})
+        GROUP BY word
     ),
     st0 AS (
         SELECT word, n,
@@ -134,7 +147,8 @@ def _batched_round(r: int, k: int, lim: int) -> str:
         FROM walk{r} w JOIN cand{r} t ON t.rn = w.i + 1),
     fin{r} AS MATERIALIZED (
         SELECT u['l'] AS l, u['r'] AS r, u['c'] AS c,
-               CAST(row_number() OVER () - 1 AS INTEGER) AS slot
+               CAST(row_number() OVER (ORDER BY u['c'] DESC, u['l'], u['r'])
+                    - 1 AS INTEGER) AS slot
         FROM (SELECT unnest(acc) AS u
               FROM walk{r} WHERE i = (SELECT count(*) FROM cand{r}))),
     st{r} AS MATERIALIZED (

@@ -60,95 +60,51 @@ for _m in _MODULES:
         )
 
 # The driver's correctness gate samples a PREFIX of the registration order
-# (exactly 50 rows/round, measured r1-r12). Round-13 rotation policy
-# (executes VERDICT r12 "Next round" item #1, extended for this round's
-# promotions and additions):
-#   1. the 13 round-12 additions — the only green-oracle rows with NO
-#      driver evidence in any CORRECTNESS_r*.json — lead, exactly as
-#      staged last round;
-#   2. t_bpe_merges / t_bpe_encode: promoted THIS round from rows-only
-#      to full unrolled-CTE oracles (plans/bpe_oracle.py, VERDICT #5) —
-#      first-ever hash-checked driver sample; knn_cosine_ivf_learned
-#      (the one remaining rows-only row) rides along for its first
-#      driver rows-evidence;
-#   3. w4/w6/w7: the r6-evidence block staged behind last round's cut;
-#   4. the 13 round-13 additions (funnel assignment, AC shorts path,
-#      robust aggs, dup-ngram spans, DoReMi, curve-sink roundtrip,
-#      NB confusion, Moore-Lewis, HITS, Page-Hinkley batch+stream,
-#      Gopher ablation, dup-cluster distribution) — strict-verified at
-#      sf0.01 this round, driver evidence lands now;
-#   5. t_substring_dedup: its plan changed this round (the BNLJ shorts
-#      branch became the data-dependent AC path) — resample;
-#   6. fill to exactly 50 with the oldest-evidence (r7) block,
-#      alphabetical.
+# (exactly 50 rows/round, measured r1-r13). Round-14 rotation policy
+# (executes VERDICT r13 "Next round" item #3):
+#   1. the FIVE r13 driver hash-reds, every one reworked this round onto
+#      an engine-invariant integer/fixed-point hash surface (exact
+#      cross-multiplication `div` or floor(x*2^k) bigints — the
+#      a48_mad_outliers device; VERDICT r13 #1) — re-certify first;
+#   2. the six other rows migrated off the retired ARITH_EXPLAINED
+#      waiver class (VERDICT r13 #2): the five still-green whitelisted
+#      rows plus w14_ewma_halflife (power() -> integer bit-shift);
+#   3. the remaining round-13 additions (r13 driver evidence exists and
+#      is green, but they are the newest rows — keep them sampled);
+#   4. fill to exactly 50 with the r7-evidence remainder staged below
+#      last round's cut line — the oldest-evidence rows in the registry.
 # Names not listed keep their module registration order after the
 # prefix; unknown names are ignored (lets planned queries pre-register).
 _SAMPLING_PRIORITY = (
-    # -- the 13 round-12 additions (no driver evidence yet) --
-    "dd_d4_diversify",
-    "knn_kmeans_unrolled",
+    # -- the 5 r13 hash-reds, reworked (VERDICT r13 #1) --
     "t_soft_dedup_weights",
+    "knn_hier_assign",
+    "a47_winsorized_mean",
+    "w22_page_hinkley",
+    "stream_page_hinkley",
+    # -- migrated off the retired waiver class (VERDICT r13 #2) --
     "t_hill_tail_index",
-    "t_ccnet_buckets",
-    "t_gopher_rules",
     "t_char_entropy",
     "dd_cluster_bcubed_audit",
-    "a46_weighted_median",
-    "w21_cusum_drift",
-    "t_token_gini",
-    "o7_hilbert_layout",
-    "stream_cusum",
-    # -- oracle-promoted THIS round (plans/bpe_oracle.py, VERDICT #5) --
-    "t_bpe_merges",
-    "t_bpe_encode",
-    # -- the one remaining rows-only row: first driver rows-evidence --
-    "knn_cosine_ivf_learned",
-    # -- r6-evidence block staged behind last round's cut --
-    "w4_run_length",
-    "w6_water_year",
-    "w7_first_significant_block",
-    # -- round-13 additions (strict-verified sf0.01 this round) --
-    "knn_hier_assign",
+    "t_nb_domain_confusion",
+    "t_moore_lewis_select",
+    "w14_ewma_halflife",
+    # -- remaining round-13 additions (newest rows, r13-green) --
     "t_substring_dedup_shorts",
-    "a47_winsorized_mean",
     "a48_mad_outliers",
     "t_dup_ngram_spans",
     "t_doremi_weights",
     "o8_curve_sorted_roundtrip",
-    "t_nb_domain_confusion",
-    "t_moore_lewis_select",
     "g5_hits_unrolled",
-    "w22_page_hinkley",
-    "stream_page_hinkley",
     "t_gopher_ablation",
     "dd_dup_cluster_size_dist",
-    # -- plan changed THIS round (AC shorts path, VERDICT #2) --
-    "t_substring_dedup",
-    # -- fill to 50 with the OLDEST driver evidence (r7 block) --
-    "a14_spatial_mean",
-    "a2_dissolve_multiagg",
-    "a31_countmin_merge",
-    "a32_kmv_distinct",
-    "a33_exact_median_2pass",
-    "a34_grouped_ols",
-    "a3_union_envelope",
-    "dd_embedding_nn",
-    "ep2_burst_catalog",
-    "f4_missing_dates",
-    "f_arrow_udf_normalize",
-    "f_json_props",
-    "f_map_gauntlet",
-    "f_recursive_cte_gapfill",
-    "frame_lookup",
-    "g4_cc_iterative",
-    # ---- 50-slot prefix cut line ----
+    # -- fill to 50 with the OLDEST driver evidence (r7 remainder) --
     "j16_asof_tolerance",
     "j2_fact_dim_broadcast",
     "j7_spatial_join",
     "j_spatial_knn",
     "knn_int8_quantized",
     "knn_ivf_int8_funnel",
-    # -- r7-evidence remainder: staged to LEAD r14 --
     "knn_ivf_learned_exhaustive",
     "mm_audio_windows",
     "mm_video_framesample",
@@ -174,6 +130,7 @@ _SAMPLING_PRIORITY = (
     "w15_interval_coalesce",
     "w16_resample_ohlc",
     "w_running_sum",
+    # ---- 50-slot prefix cut line (19 staged + 31 oldest = exactly 50) ----
 )
 
 from burst_db_spark.registry import set_order_prefix as _set_order_prefix  # noqa: E402

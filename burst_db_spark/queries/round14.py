@@ -283,9 +283,8 @@ def dd_d4_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(DISTINCT digest) AS BIGINT) AS n_unique_texts,
            CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
-           CAST(sum(CAST(round(CAST(n_tokens AS DOUBLE) / CAST(dup AS DOUBLE),
-                               6) AS DECIMAL(18, 6)))
-                AS DECIMAL(28, 6)) AS effective_tokens
+           CAST(sum((n_tokens * 1048576) // dup) AS BIGINT)
+               AS effective_tokens_fx
     FROM g GROUP BY source
     """,
     tags=("dedup", "soft-dedup", "reweighting", "tokens"),
@@ -295,7 +294,14 @@ def t_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     down-weight every copy by 1/|dup group| so the group contributes one
     document's worth of gradient. Per-source ledger: raw vs effective
     token mass (the gap IS the duplication tax). Per-doc weighted tokens
-    are rounded to 6dp then DECIMAL-summed — order-free, hash-exact.
+    are fixed-point-quantized IN EXACT INTEGER ARITHMETIC —
+    (n_tokens·2^20) div dup, both operands bigint — then bigint-summed:
+    no float or decimal rounding exists anywhere on the hash surface
+    (r13 post-mortem: round(double,6)→DECIMAL hits an exact 6dp
+    midpoint whenever dup is a power of two, where Spark HALF_UP and
+    DuckDB half-even legally diverge). effective_tokens_fx is in 2^-20
+    token units; Spark `div` and DuckDB `//` both truncate toward zero
+    and all values here are non-negative.
 
     Scale shape: one digest count (window over the dup key — the same
     shuffle the dedup would need anyway) + one per-source rollup; no
@@ -310,14 +316,12 @@ def t_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = d.withColumn(
         "dup", F.count("*").over(Window.partitionBy("digest")).cast("bigint")
     )
-    eff = F.round(
-        F.col("n_tokens").cast("double") / F.col("dup").cast("double"), 6
-    ).cast("decimal(18,6)")
+    eff = F.expr("(n_tokens * CAST(1048576 AS BIGINT)) div dup")
     return g.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.countDistinct("digest").cast("bigint").alias("n_unique_texts"),
         F.sum("n_tokens").cast("bigint").alias("raw_tokens"),
-        F.sum(eff).cast("decimal(28,6)").alias("effective_tokens"),
+        F.sum(eff).cast("bigint").alias("effective_tokens_fx"),
     )
 
 
@@ -352,17 +356,15 @@ _HILL_K = 50
     ),
     terms AS (
         SELECT r.lang, k.k_used,
-               CAST(round(ln(CAST(r.c AS DOUBLE) / CAST(k.ck1 AS DOUBLE)), 6)
-                    AS DECIMAL(18, 6)) AS ln6
+               CAST(floor(ln(CAST(r.c AS DOUBLE) / CAST(k.ck1 AS DOUBLE))
+                          * 1048576.0) AS BIGINT) AS ln_fx
         FROM ranked r JOIN kth k USING (lang)
         WHERE r.r <= k.k_used
     )
     SELECT lang, CAST(min(k_used) AS BIGINT) AS k_used,
-           round(CAST(CAST(sum(ln6) AS DECIMAL(28, 6)) AS DOUBLE)
-                 / CAST(min(k_used) AS DOUBLE), 6) AS hill_h,
-           round(CAST(min(k_used) AS DOUBLE)
-                 / CAST(CAST(sum(ln6) AS DECIMAL(28, 6)) AS DOUBLE), 6)
-               AS alpha
+           CAST(sum(ln_fx) // min(k_used) AS BIGINT) AS hill_h_fx,
+           CAST((min(k_used) * 1099511627776) // nullif(sum(ln_fx), 0)
+                AS BIGINT) AS alpha_fx
     FROM terms
     WHERE k_used >= 1
     GROUP BY lang
@@ -377,11 +379,15 @@ def t_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap between α and the Zipf slope flags a distorted head (template
     spam inflates a few ranks without bending the tail).
 
-    Determinism: ln terms rounded 6dp then DECIMAL-summed (order-free);
-    H and α are single fixed-form divisions of that exact sum. The
-    per-language rank window partitions by lang over the vocab-sized
-    frequency frame — per-group TakeOrdered at scale; k+1 rows per
-    language survive."""
+    Determinism: ln terms quantize as floor(ln·2^20) bigints then
+    bigint-sum (order-free); H and α are single integer divisions of
+    that exact sum (values in 2^-20 units; α scales by 2^40 before the
+    div so the quotient stays in 2^-20 units). floor on the
+    identically-computed IEEE double has no tie-breaking rule — no
+    decimal-midpoint exposure (the r13 failure class). The per-language
+    rank window partitions by lang over the vocab-sized frequency
+    frame — per-group TakeOrdered at scale; k+1 rows per language
+    survive."""
     docs = load(spark, sf_dir, "documents")
     freq = (
         docs.select("lang", F.explode(tx.tokens(F.col("text"))).alias("term"))
@@ -404,23 +410,29 @@ def t_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r") - 1).cast("bigint").alias("k_used"),
         )
     )
-    ln6 = F.round(
-        F.log(F.col("c").cast("double") / F.col("ck1").cast("double")), 6
-    ).cast("decimal(18,6)")
+    ln_fx = F.floor(
+        F.log(F.col("c").cast("double") / F.col("ck1").cast("double"))
+        * F.lit(1048576.0)
+    ).cast("bigint")
     terms = (
         ranked.join(kth, "lang")
         .where(F.col("r") <= F.col("k_used"))
-        .select("lang", "k_used", ln6.alias("ln6"))
+        .select("lang", "k_used", ln_fx.alias("ln_fx"))
     )
-    s = F.sum("ln6").cast("decimal(28,6)").cast("double")
-    kd = F.min("k_used").cast("double")
     return (
         terms.where(F.col("k_used") >= 1)
         .groupBy("lang")
         .agg(
             F.min("k_used").cast("bigint").alias("k_used"),
-            F.round(s / kd, 6).alias("hill_h"),
-            F.round(kd / s, 6).alias("alpha"),
+            F.expr("sum(ln_fx) div min(k_used)")
+            .cast("bigint")
+            .alias("hill_h_fx"),
+            F.expr(
+                "(min(k_used) * CAST(1099511627776 AS BIGINT))"
+                " div nullif(sum(ln_fx), 0)"
+            )
+            .cast("bigint")
+            .alias("alpha_fx"),
         )
     )
 
@@ -649,14 +661,13 @@ def t_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     terms AS (
         SELECT c.doc_id,
-               CAST(round(-(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
-                          * ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)),
-                          9) AS DECIMAL(18, 9)) AS term9
+               CAST(floor(-(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                          * ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                          * 1073741824.0) AS BIGINT) AS term_fx
         FROM counts c JOIN tot t USING (doc_id)
     )
     SELECT t.doc_id, t.n AS n_chars, t.distinct_chars,
-           round(CAST(CAST(sum(s.term9) AS DECIMAL(28, 9)) AS DOUBLE), 6)
-               AS entropy6
+           CAST(sum(s.term_fx) AS BIGINT) AS entropy_fx
     FROM tot t JOIN terms s ON t.doc_id = s.doc_id
     GROUP BY t.doc_id, t.n, t.distinct_chars
     """,
@@ -666,8 +677,9 @@ def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level Shannon entropy per document — the cheap spam /
     binary-junk / keyboard-mash detector (low entropy = repeated
     characters, high entropy near log(alphabet) = random bytes). Terms
-    -p·ln(p) are 9dp-rounded then DECIMAL-summed (order-free), final
-    entropy reported at 6dp.
+    -p·ln(p) quantize as floor(x·2^30) bigints then bigint-sum
+    (order-free; floor has no tie-breaking — no decimal-midpoint
+    exposure, the r13 failure class); entropy_fx is in 2^-30 nats.
 
     Scale shape: one char explode (output size = corpus chars — the
     same cost as any tokenize), one (doc, char) count with map-side
@@ -690,12 +702,14 @@ def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("distinct_chars"),
     )
     p = F.col("c").cast("double") / F.col("n").cast("double")
-    term9 = F.round(-p * F.log(p), 9).cast("decimal(18,9)")
-    terms = counts.join(tot, "doc_id").select("doc_id", term9.alias("term9"))
+    term_fx = F.floor(-p * F.log(p) * F.lit(1073741824.0)).cast("bigint")
+    terms = counts.join(tot, "doc_id").select(
+        "doc_id", term_fx.alias("term_fx")
+    )
     return (
         tot.join(
             terms.groupBy("doc_id").agg(
-                F.sum("term9").cast("decimal(28,9)").alias("s")
+                F.sum("term_fx").cast("bigint").alias("s")
             ),
             "doc_id",
         )
@@ -703,7 +717,7 @@ def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("n").alias("n_chars"),
             "distinct_chars",
-            F.round(F.col("s").cast("double"), 6).alias("entropy6"),
+            F.col("s").alias("entropy_fx"),
         )
     )
 
@@ -772,10 +786,8 @@ def _bcubed_oracle_sql() -> str:
     sg AS (SELECT gold_id, sum(cnt) AS size_g FROM cells GROUP BY gold_id),
     terms AS (
         SELECT
-            CAST(round(CAST(cnt * cnt AS DOUBLE) / CAST(size_p AS DOUBLE), 9)
-                 AS DECIMAL(18, 9)) AS p9,
-            CAST(round(CAST(cnt * cnt AS DOUBLE) / CAST(size_g AS DOUBLE), 9)
-                 AS DECIMAL(18, 9)) AS r9
+            CAST((cnt * cnt * 1073741824) // size_p AS BIGINT) AS p_fx,
+            CAST((cnt * cnt * 1073741824) // size_g AS BIGINT) AS r_fx
         FROM cells JOIN sp USING (pred_id) JOIN sg USING (gold_id)
     ),
     tot AS (
@@ -785,19 +797,21 @@ def _bcubed_oracle_sql() -> str:
         FROM jj
     ),
     sums AS (
-        SELECT CAST(CAST(sum(p9) AS DECIMAL(28, 9)) AS DOUBLE) AS ps,
-               CAST(CAST(sum(r9) AS DECIMAL(28, 9)) AS DOUBLE) AS rs
+        SELECT CAST(sum(p_fx) AS BIGINT) AS ps,
+               CAST(sum(r_fx) AS BIGINT) AS rs
         FROM terms
+    ),
+    means AS (
+        SELECT n_docs, n_pred_clusters, n_gold_clusters,
+               CAST(ps // n_docs AS BIGINT) AS precision_fx,
+               CAST(rs // n_docs AS BIGINT) AS recall_fx
+        FROM tot CROSS JOIN sums
     )
     SELECT n_docs, n_pred_clusters, n_gold_clusters,
-           round(ps / CAST(n_docs AS DOUBLE), 6) AS bcubed_precision,
-           round(rs / CAST(n_docs AS DOUBLE), 6) AS bcubed_recall,
-           round(2.0 * round(ps / CAST(n_docs AS DOUBLE), 6)
-                     * round(rs / CAST(n_docs AS DOUBLE), 6)
-                 / (round(ps / CAST(n_docs AS DOUBLE), 6)
-                    + round(rs / CAST(n_docs AS DOUBLE), 6)), 6)
-               AS bcubed_f1
-    FROM tot CROSS JOIN sums
+           precision_fx, recall_fx,
+           CAST((2 * precision_fx * recall_fx)
+                // nullif(precision_fx + recall_fx, 0) AS BIGINT) AS f1_fx
+    FROM means
     """
 
 
@@ -817,8 +831,13 @@ def dd_cluster_bcubed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per doc d: P(d) = |C(d) ∩ L(d)| / |C(d)|, R(d) = same / |L(d)|;
     reported as corpus means. Computed cell-wise: Σ cnt²/|C| over the
-    (pred, gold) contingency cells — each term 9dp-rounded then
-    DECIMAL-summed (order-free), means rounded 6dp.
+    (pred, gold) contingency cells — each term the EXACT integer
+    (cnt²·2^30) div size, bigint-summed (order-free), means and F1 by
+    integer cross-multiplication: no float or decimal rounding on the
+    hash surface at all (r13 failure class). *_fx values are in 2^-30
+    units; exactness bound: cnt ≤ ~2.9e6 keeps cnt²·2^30 inside
+    int64 — far above any verification SF (audits at 100 TB run on
+    cluster samples).
 
     Scale shape: two pair joins (banded LSH + df-guarded exact), two
     min-label CCs, one contingency groupBy — every stage is the
@@ -847,20 +866,12 @@ def dd_cluster_bcubed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.join(sp, "pred_id")
         .join(sg, "gold_id")
         .select(
-            F.round(
-                (F.col("cnt") * F.col("cnt")).cast("double")
-                / F.col("size_p").cast("double"),
-                9,
-            )
-            .cast("decimal(18,9)")
-            .alias("p9"),
-            F.round(
-                (F.col("cnt") * F.col("cnt")).cast("double")
-                / F.col("size_g").cast("double"),
-                9,
-            )
-            .cast("decimal(18,9)")
-            .alias("r9"),
+            F.expr(
+                "(cnt * cnt * CAST(1073741824 AS BIGINT)) div size_p"
+            ).alias("p_fx"),
+            F.expr(
+                "(cnt * cnt * CAST(1073741824 AS BIGINT)) div size_g"
+            ).alias("r_fx"),
         )
     )
     tot = j.agg(
@@ -869,27 +880,22 @@ def dd_cluster_bcubed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("gold_id").cast("bigint").alias("n_gold_clusters"),
     )
     sums = terms.agg(
-        F.sum("p9").cast("decimal(28,9)").cast("double").alias("ps"),
-        F.sum("r9").cast("decimal(28,9)").cast("double").alias("rs"),
+        F.sum("p_fx").cast("bigint").alias("ps"),
+        F.sum("r_fx").cast("bigint").alias("rs"),
     )
     out = tot.join(sums)
-    prec = F.round(F.col("ps") / F.col("n_docs").cast("double"), 6)
-    rec = F.round(F.col("rs") / F.col("n_docs").cast("double"), 6)
     return out.select(
         "n_docs",
         "n_pred_clusters",
         "n_gold_clusters",
-        prec.alias("bcubed_precision"),
-        rec.alias("bcubed_recall"),
+        F.expr("ps div n_docs").cast("bigint").alias("precision_fx"),
+        F.expr("rs div n_docs").cast("bigint").alias("recall_fx"),
     ).withColumn(
-        "bcubed_f1",
-        F.round(
-            2.0
-            * F.col("bcubed_precision")
-            * F.col("bcubed_recall")
-            / (F.col("bcubed_precision") + F.col("bcubed_recall")),
-            6,
-        ),
+        "f1_fx",
+        F.expr(
+            "(2 * precision_fx * recall_fx)"
+            " div nullif(precision_fx + recall_fx, 0)"
+        ).cast("bigint"),
     )
 
 

@@ -134,8 +134,8 @@ def _l2sq(a: str, b: str, dim: int = 64) -> str:
            CAST(min(id) AS BIGINT) AS min_id,
            CAST(max(id) AS BIGINT) AS max_id,
            CAST(sum(id) AS BIGINT) AS sum_id,
-           CAST(sum(CAST(round(dist, 6) AS DECIMAL(18, 6)))
-                AS DECIMAL(28, 6)) AS sum_dist6
+           CAST(sum(CAST(floor(dist * 1048576.0) AS BIGINT)) AS BIGINT)
+               AS sum_dist_fx
     FROM fine GROUP BY cell
     """,
     tags=("knn", "ivf", "hierarchical", "funnel", "assignment",
@@ -147,12 +147,15 @@ def knn_hier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse-quantized into 9 groups (seed rule on cell ids, membership
     by argmin, DECIMAL group-center means), each vector probing its 3
     nearest group centers and taking the fold-argmin over their member
-    centroids. Per-cell fingerprint (count, id min/max/sum, rounded
-    distance mass) pins the full assignment, not a sample.
+    centroids. Per-cell fingerprint (count, id min/max/sum, fixed-point
+    distance mass floor(dist·2^20) — floor on the identically-computed
+    IEEE double has no tie-breaking rule, so no decimal-midpoint
+    exposure exists) pins the full assignment, not a sample.
 
-    This is the k ∝ N SemDeDup fix (VERDICT r12 #1): past
-    ``sim.HIER_ASSIGN_THRESHOLD`` both ``assign_cells`` and the
-    unrolled Lloyd trainer route through this machinery, cutting the
+    This is the k ∝ N SemDeDup fix (VERDICT r12 #1): callers opting in
+    via ``hier_threshold`` (the funnel is approximate and never engages
+    implicitly — r13 ADVICE) route both ``assign_cells`` and the
+    unrolled Lloyd trainer through this machinery, cutting the
     per-round assignment from k·N rows to a shuffle-free projection of
     N·(g + nprobe·k/g) distance folds."""
     emb = load(spark, sf_dir, "embeddings")
@@ -186,9 +189,9 @@ def knn_hier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").cast("bigint").alias("min_id"),
         F.max("id").cast("bigint").alias("max_id"),
         F.sum("id").cast("bigint").alias("sum_id"),
-        F.sum(F.round("dist", 6).cast("decimal(18,6)"))
-        .cast("decimal(28,6)")
-        .alias("sum_dist6"),
+        F.sum(F.floor(F.col("dist") * F.lit(1048576.0)).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_dist_fx"),
     )
 
 
@@ -211,6 +214,7 @@ _SS_OFF = 1_000_000
            CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_containers
     FROM aug a JOIN aug b
       ON a.doc_id <> b.doc_id
+     AND length(a.text) > 0
      AND length(a.text) < length(b.text)
      AND position(a.text IN b.text) > 0
     WHERE a.doc_id > {_SS_OFF}
@@ -229,7 +233,13 @@ def t_substring_dedup_shorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     patterns instead of the |shorts|·N broadcast nested-loop join this
     replaced (VERDICT r12 #2; plan pinned BNLJ-free in
     tests/test_plan_shapes.py). The oracle runs the quadratic
-    theta-join this plan avoids."""
+    theta-join this plan avoids.
+
+    Contract notes (r13 ADVICE): empty patterns are excluded by
+    definition on both paths (length(a.text) > 0 in the oracle,
+    len > 0 in the shorts filter), and building this DataFrame is
+    EAGER on the shorts side — the chunk drain scans documents at
+    plan-construction time, so EXPLAIN-only callers pay one scan."""
     from burst_db_spark.queries.round8 import contained_doc_ids
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -265,9 +275,10 @@ def t_substring_dedup_shorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM r GROUP BY event_type
     )
     SELECT r.event_type, b.n,
-           round(b.lo, 6) AS lo6, round(b.hi, 6) AS hi6,
-           CAST(sum(CAST(round(least(greatest(r.value, b.lo), b.hi), 6)
-                         AS DECIMAL(18, 6))) AS DECIMAL(28, 6)) AS wsum6
+           b.lo AS lo, b.hi AS hi,
+           CAST(sum(CAST(floor(least(greatest(r.value, b.lo), b.hi)
+                               * 1048576.0) AS BIGINT)) AS BIGINT)
+               AS wsum_fx
     FROM r JOIN b USING (event_type)
     GROUP BY r.event_type, b.n, b.lo, b.hi
     """,
@@ -278,8 +289,13 @@ def a47_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean that survives heavy-tailed junk. Clamp bounds are ORDER
     STATISTICS (values at ranks floor(n/10)+1 and n-floor(n/10), ties
     broken by event_id), not interpolated quantiles: picked doubles are
-    actual data values, so both engines clamp identically; the clamped
-    mass is 6dp-rounded per row and DECIMAL-summed (order-free).
+    actual data values, so both engines clamp identically and lo/hi are
+    emitted RAW (bit-identical, no rounding). The clamped mass hashes
+    as floor(x·2^20) bigints summed: the ·2^20 multiply is an exact
+    power-of-two scale and floor has NO tie-breaking rule, so the
+    surface is engine-invariant by construction (r13 post-mortem:
+    round(double,6)→DECIMAL diverges at exact 6dp midpoints — HALF_UP
+    vs half-even). wsum_fx is in 2^-20 value units.
 
     Scale shape: one rank window per event_type (the same shuffle an
     exact quantile needs) + one rollup; no second scan of the data."""
@@ -311,17 +327,11 @@ def a47_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(b), "event_type")
         .groupBy("event_type", "n", "lo", "hi")
         .agg(
-            F.sum(F.round(clamped, 6).cast("decimal(18,6)"))
-            .cast("decimal(28,6)")
-            .alias("wsum6")
+            F.sum(F.floor(clamped * F.lit(1048576.0)).cast("bigint"))
+            .cast("bigint")
+            .alias("wsum_fx")
         )
-        .select(
-            "event_type",
-            "n",
-            F.round("lo", 6).alias("lo6"),
-            F.round("hi", 6).alias("hi6"),
-            "wsum6",
-        )
+        .select("event_type", "n", "lo", "hi", "wsum_fx")
     )
 
 
@@ -713,15 +723,17 @@ _NB_BUCKET = (
     ),
     ll AS (
         SELECT m.source, m.b,
-               round(ln((CAST(m.c_sb AS DOUBLE) + 1.0)
-                        / (CAST(t.c_s AS DOUBLE) + {_NB_B}.0)), 6) AS ll
+               CAST(floor(ln((CAST(m.c_sb AS DOUBLE) + 1.0)
+                             / (CAST(t.c_s AS DOUBLE) + {_NB_B}.0))
+                          * 1048576.0) AS BIGINT) AS ll_fx
         FROM model m JOIN totals t USING (source)
     ),
     priors AS (
         SELECT source,
-               round(ln(CAST(count(*) AS DOUBLE)
-                        / (SELECT CAST(count(*) AS DOUBLE)
-                           FROM documents)), 6) AS lp
+               CAST(floor(ln(CAST(count(*) AS DOUBLE)
+                             / (SELECT CAST(count(*) AS DOUBLE)
+                                FROM documents)) * 1048576.0) AS BIGINT)
+                   AS lp_fx
         FROM documents GROUP BY source
     ),
     db AS (
@@ -732,9 +744,8 @@ _NB_BUCKET = (
     scores AS (
         SELECT d.doc_id, any_value(d.true_source) AS true_source,
                l.source AS cand,
-               CAST(sum(CAST(round(CAST(d.n_db AS DOUBLE) * l.ll, 6)
-                             AS DECIMAL(18, 6))) AS DECIMAL(28, 6))
-                   + CAST(any_value(p.lp) AS DECIMAL(18, 6)) AS score
+               CAST(sum(d.n_db * l.ll_fx) AS BIGINT)
+                   + CAST(any_value(p.lp_fx) AS BIGINT) AS score
         FROM db d
         JOIN ll l USING (b)
         JOIN priors p ON p.source = l.source
@@ -762,9 +773,11 @@ def t_nb_domain_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern a 100 TB domain tagger uses (model = broadcast k×B counts,
     scoring = one join on the bucket key).
 
-    Determinism: per-bucket log-likelihoods and priors round to 6dp
-    (collapsing ln ulps), per-(doc, source) evidence DECIMAL-sums
-    (order-free), argmax ties break on source name — exact decimal
+    Determinism: per-bucket log-likelihoods and priors quantize as
+    floor(ln·2^20) bigints (floor has no tie-breaking rule — no
+    decimal-midpoint exposure, the r13 failure class); per-(doc,
+    source) evidence is an exact integer sum of n_db·ll_fx
+    (order-free), argmax ties break on source name — exact bigint
     comparison, so predictions are engine-identical."""
     from burst_db_spark.operators import text as tx
 
@@ -792,13 +805,15 @@ def t_nb_domain_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ll = model.join(F.broadcast(totals), "source").select(
         "source",
         "b",
-        F.round(
+        F.floor(
             F.log(
                 (F.col("c_sb").cast("double") + 1.0)
                 / (F.col("c_s").cast("double") + float(_NB_B))
-            ),
-            6,
-        ).alias("ll"),
+            )
+            * F.lit(1048576.0)
+        )
+        .cast("bigint")
+        .alias("ll_fx"),
     )
     n_total = docs.agg(F.count("*").cast("double").alias("nt"))
     priors = (
@@ -807,16 +822,18 @@ def t_nb_domain_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_total))
         .select(
             F.col("source").alias("psource"),
-            F.round(F.log(F.col("nd") / F.col("nt")), 6).alias("lp"),
+            F.floor(
+                F.log(F.col("nd") / F.col("nt")) * F.lit(1048576.0)
+            )
+            .cast("bigint")
+            .alias("lp_fx"),
         )
     )
     db = tb.groupBy("doc_id", "b").agg(
         F.any_value("source").alias("true_source"),
         F.count("*").cast("bigint").alias("n_db"),
     )
-    contrib = F.round(F.col("n_db").cast("double") * F.col("ll"), 6).cast(
-        "decimal(18,6)"
-    )
+    contrib = F.col("n_db") * F.col("ll_fx")
     scores = (
         db.join(F.broadcast(ll), "b")
         .join(F.broadcast(priors), F.col("source") == F.col("psource"))
@@ -824,8 +841,8 @@ def t_nb_domain_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.any_value("true_source").alias("true_source"),
             (
-                F.sum(contrib).cast("decimal(28,6)")
-                + F.any_value("lp").cast("decimal(18,6)")
+                F.sum(contrib).cast("bigint")
+                + F.any_value("lp_fx").cast("bigint")
             ).alias("score"),
         )
     )
@@ -879,13 +896,13 @@ _ML_TOPK = 50
              FROM bg_in GROUP BY w1, w2),
     scored AS (
         SELECT b.doc_id,
-               CAST(round(ln(CAST(COALESCE(bi.c12, 0) + 1 AS DOUBLE)
+               CAST(floor(ln(CAST(COALESCE(bi.c12, 0) + 1 AS DOUBLE)
                              / CAST(COALESCE(ui.c1, 0)
-                                    + (SELECT v FROM v_i) AS DOUBLE)), 6)
-                    AS DECIMAL(18, 6)) AS lp_in,
-               CAST(round(ln(CAST(bg2.c12 + 1 AS DOUBLE)
-                             / CAST(ug.c1 + (SELECT v FROM v_g) AS DOUBLE)),
-                          6) AS DECIMAL(18, 6)) AS lp_gen
+                                    + (SELECT v FROM v_i) AS DOUBLE))
+                          * 1048576.0) AS BIGINT) AS lp_in_fx,
+               CAST(floor(ln(CAST(bg2.c12 + 1 AS DOUBLE)
+                             / CAST(ug.c1 + (SELECT v FROM v_g) AS DOUBLE))
+                          * 1048576.0) AS BIGINT) AS lp_gen_fx
         FROM bg b
         LEFT JOIN bi_i bi ON b.w1 = bi.w1 AND b.w2 = bi.w2
         LEFT JOIN uni_i ui ON b.w1 = ui.w
@@ -896,15 +913,14 @@ _ML_TOPK = 50
     per_doc AS (
         SELECT doc_id,
                CAST(count(*) AS BIGINT) AS n_bigrams,
-               CAST(sum(lp_in) AS DECIMAL(28, 6)) AS s_in,
-               CAST(sum(lp_gen) AS DECIMAL(28, 6)) AS s_gen
+               CAST(sum(lp_in_fx) AS BIGINT) AS s_in,
+               CAST(sum(lp_gen_fx) AS BIGINT) AS s_gen
         FROM scored GROUP BY doc_id
     )
     SELECT doc_id, n_bigrams,
-           round((CAST(s_gen AS DOUBLE) - CAST(s_in AS DOUBLE))
-                 / CAST(n_bigrams AS DOUBLE), 6) AS ce_diff6
+           CAST((s_gen - s_in) // n_bigrams AS BIGINT) AS ce_diff_fx
     FROM per_doc
-    ORDER BY ce_diff6, doc_id LIMIT {_ML_TOPK}
+    ORDER BY ce_diff_fx, doc_id LIMIT {_ML_TOPK}
     """,
     tags=("T", "moore-lewis", "selection", "cross-entropy",
           "llm-pipeline"),
@@ -919,9 +935,11 @@ def t_moore_lewis_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     (t_dsir_importance), using real conditional bigram models instead
     of unigram bucket frequencies.
 
-    Determinism: per-bigram log-probs round to 6dp then DECIMAL-sum per
-    doc (order-free); the final per-token difference is one double
-    division rounded to 6dp; rank ties on doc_id.
+    Determinism: per-bigram log-probs quantize as floor(ln·2^20)
+    bigints then bigint-sum per doc (order-free; floor has no
+    tie-breaking — no decimal-midpoint exposure, the r13 failure
+    class); the final per-token difference is one integer division
+    (`div`/`//` both truncate toward zero); rank ties on doc_id.
 
     Scale shape: both "models" are the same two groupBys any bigram LM
     costs; scoring is two hash joins on the bigram key. The in-domain
@@ -980,47 +998,42 @@ def t_moore_lewis_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(v_g))
         .select(
             "doc_id",
-            F.round(
+            F.floor(
                 F.log(
                     (F.coalesce(F.col("c12_i"), F.lit(0)) + 1).cast("double")
                     / (
                         F.coalesce(F.col("c1_i"), F.lit(0)) + F.col("v_i")
                     ).cast("double")
-                ),
-                6,
+                )
+                * F.lit(1048576.0)
             )
-            .cast("decimal(18,6)")
-            .alias("lp_in"),
-            F.round(
+            .cast("bigint")
+            .alias("lp_in_fx"),
+            F.floor(
                 F.log(
                     (F.col("c12_g") + 1).cast("double")
                     / (F.col("c1_g") + F.col("v_g")).cast("double")
-                ),
-                6,
+                )
+                * F.lit(1048576.0)
             )
-            .cast("decimal(18,6)")
-            .alias("lp_gen"),
+            .cast("bigint")
+            .alias("lp_gen_fx"),
         )
     )
     per_doc = scored.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_bigrams"),
-        F.sum("lp_in").cast("decimal(28,6)").alias("s_in"),
-        F.sum("lp_gen").cast("decimal(28,6)").alias("s_gen"),
+        F.sum("lp_in_fx").cast("bigint").alias("s_in"),
+        F.sum("lp_gen_fx").cast("bigint").alias("s_gen"),
     )
     return (
         per_doc.select(
             "doc_id",
             "n_bigrams",
-            F.round(
-                (
-                    F.col("s_gen").cast("double")
-                    - F.col("s_in").cast("double")
-                )
-                / F.col("n_bigrams").cast("double"),
-                6,
-            ).alias("ce_diff6"),
+            F.expr("(s_gen - s_in) div n_bigrams")
+            .cast("bigint")
+            .alias("ce_diff_fx"),
         )
-        .orderBy("ce_diff6", "doc_id")
+        .orderBy("ce_diff_fx", "doc_id")
         .limit(_ML_TOPK)
     )
 
@@ -1055,17 +1068,15 @@ _HITS_TOPK = 25
     ),
     hubs AS (
         SELECT 'hub' AS role, src AS id,
-               round(CAST(h AS DOUBLE)
-                     / (SELECT CAST(max(h) AS DOUBLE) FROM h2), 6)
-                   AS score6,
+               CAST((h * 1048576) // (SELECT max(h) FROM h2) AS BIGINT)
+                   AS score_fx,
                CAST(h AS BIGINT) AS mass
         FROM h2 ORDER BY h DESC, src LIMIT {_HITS_TOPK}
     ),
     auths AS (
         SELECT 'authority' AS role, dst AS id,
-               round(CAST(a AS DOUBLE)
-                     / (SELECT CAST(max(a) AS DOUBLE) FROM a2), 6)
-                   AS score6,
+               CAST((a * 1048576) // (SELECT max(a) FROM a2) AS BIGINT)
+                   AS score_fx,
                CAST(a AS BIGINT) AS mass
         FROM a2 ORDER BY a DESC, dst LIMIT {_HITS_TOPK}
     )
@@ -1079,8 +1090,11 @@ def g5_hits_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds. The trick that makes the iteration hash-exact with no
     ordered folds: starting from a≡1, every update is an INTEGER sum
     (h₁ = outdeg, a₁ = Σh₁, h₂ = Σa₁, a₂ = Σh₂ — bigint throughout,
-    shuffle-order-free), and normalization happens ONCE at the end
-    (score = mass / max mass, a single rounded division). Contrast
+    shuffle-order-free), and normalization happens ONCE at the end —
+    as the EXACT integer (mass·2^20) div max_mass (round-14 midpoint
+    audit: the old round(h/mx, 6) had a pre-image within 1e-9 of a 6dp
+    midpoint at sf0.01 — tests/test_midpoint_property.py now forbids
+    that class). Contrast
     pagerank's double-valued rounds, which need the two-level
     source-ordered fold for bit parity.
 
@@ -1118,16 +1132,16 @@ def g5_hits_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dst")
         .agg(F.sum("h").cast("bigint").alias("a"))
     )
-    hmax = h2.agg(F.max("h").cast("double").alias("mx"))
-    amax = a2.agg(F.max("a").cast("double").alias("mx"))
+    hmax = h2.agg(F.max("h").cast("bigint").alias("mx"))
+    amax = a2.agg(F.max("a").cast("bigint").alias("mx"))
     hubs = (
         h2.crossJoin(F.broadcast(hmax))
         .select(
             F.lit("hub").alias("role"),
             F.col("src").alias("id"),
-            F.round(F.col("h").cast("double") / F.col("mx"), 6).alias(
-                "score6"
-            ),
+            F.expr("(h * CAST(1048576 AS BIGINT)) div mx")
+            .cast("bigint")
+            .alias("score_fx"),
             F.col("h").cast("bigint").alias("mass"),
         )
         .orderBy(F.col("mass").desc(), "id")
@@ -1138,9 +1152,9 @@ def g5_hits_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.lit("authority").alias("role"),
             F.col("dst").alias("id"),
-            F.round(F.col("a").cast("double") / F.col("mx"), 6).alias(
-                "score6"
-            ),
+            F.expr("(a * CAST(1048576 AS BIGINT)) div mx")
+            .cast("bigint")
+            .alias("score_fx"),
             F.col("a").cast("bigint").alias("mass"),
         )
         .orderBy(F.col("mass").desc(), "id")
@@ -1170,32 +1184,29 @@ def g5_hits_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     term AS (
         SELECT event_type, day,
-               CAST(round(CAST(n AS DOUBLE)
-                          - CAST(s AS DOUBLE) / CAST(t AS DOUBLE)
-                          - 0.5, 6) AS DECIMAL(18, 6)) AS d6,
+               CAST(((2 * n * t - 2 * s - t) * 524288) // t AS BIGINT)
+                   AS d_fx,
                CAST(max(t) OVER (PARTITION BY event_type) AS BIGINT) AS tt,
                CAST(max(s) OVER (PARTITION BY event_type) AS BIGINT) AS st
         FROM pre
     ),
     msum AS (
         SELECT event_type, day, tt, st,
-               CAST(sum(d6) OVER w AS DECIMAL(28, 6)) AS m
+               CAST(sum(d_fx) OVER w AS BIGINT) AS m
         FROM term
         WINDOW w AS (PARTITION BY event_type ORDER BY day
                      ROWS UNBOUNDED PRECEDING)
     ),
     m AS (
         SELECT event_type, day, tt, st, m,
-               CAST(min(m) OVER w AS DECIMAL(28, 6)) AS runmin
+               CAST(min(m) OVER w AS BIGINT) AS runmin
         FROM msum
         WINDOW w AS (PARTITION BY event_type ORDER BY day
                      ROWS UNBOUNDED PRECEDING)
     )
     SELECT event_type, day,
-           CAST(m - runmin AS DECIMAL(28, 6)) AS ph6,
-           (CAST(m - runmin AS DOUBLE)
-            > 3.0 * round(CAST(st AS DOUBLE) / CAST(tt AS DOUBLE), 6))
-               AS drift_flag
+           CAST(m - runmin AS BIGINT) AS ph_fx,
+           (m - runmin > (3 * st * 1048576) // tt) AS drift_flag
     FROM m
     """,
     tags=("window", "drift", "page-hinkley", "monitoring"),
@@ -1209,10 +1220,16 @@ def w22_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     PH_t = m_t − min_{i≤t} m_i with m_t = Σ(x_i − x̄_i − δ), δ=0.5,
     λ = 3·(final mean).
 
-    Determinism: each term x_i − S_i/i − δ is ONE double division
-    rounded to 6dp; the cumulative m and its running min are DECIMAL
-    prefix sums over the day-ordered window (order pinned); the flag
-    compares against a single rounded division."""
+    Determinism: each term x_i − S_i/i − δ = (2nt−2s−t)/(2t) is a
+    RATIONAL of exact integers, so the hash surface is all-integer
+    fixed-point: d_fx = ((2nt−2s−t)·2^19) div t — Spark `div` and
+    DuckDB `//` both truncate toward zero — then bigint prefix sums /
+    running min over the day-pinned window, and the flag compares
+    bigints against λ_fx = (3·st·2^20) div tt. No float or decimal
+    rounding exists anywhere (r13 post-mortem: round(double,6)→DECIMAL
+    hits an EXACT 6dp midpoint whenever t is divisible by 128, where
+    HALF_UP and half-even engines legally diverge). ph_fx is the PH
+    statistic in 2^-20 count units."""
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
@@ -1230,31 +1247,21 @@ def w22_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = pre.select(
         "event_type",
         "day",
-        F.round(
-            F.col("n").cast("double")
-            - F.col("s").cast("double") / F.col("t").cast("double")
-            - 0.5,
-            6,
-        )
-        .cast("decimal(18,6)")
-        .alias("d6"),
+        F.expr(
+            "((2 * n * t - 2 * s - t) * CAST(524288 AS BIGINT)) div t"
+        ).alias("d_fx"),
         F.max("t").over(wall).cast("bigint").alias("tt"),
         F.max("s").over(wall).cast("bigint").alias("st"),
     )
-    m = F.sum("d6").over(wcum).cast("decimal(28,6)")
-    md = term.withColumn("m", m).withColumn(
-        "runmin", F.min("m").over(wcum).cast("decimal(28,6)")
-    )
-    lam = 3.0 * F.round(
-        F.col("st").cast("double") / F.col("tt").cast("double"), 6
-    )
+    md = term.withColumn(
+        "m", F.sum("d_fx").over(wcum).cast("bigint")
+    ).withColumn("runmin", F.min("m").over(wcum).cast("bigint"))
+    lam = F.expr("(3 * st * CAST(1048576 AS BIGINT)) div tt")
     return md.select(
         "event_type",
         "day",
-        (F.col("m") - F.col("runmin")).cast("decimal(28,6)").alias("ph6"),
-        ((F.col("m") - F.col("runmin")).cast("double") > lam).alias(
-            "drift_flag"
-        ),
+        (F.col("m") - F.col("runmin")).cast("bigint").alias("ph_fx"),
+        ((F.col("m") - F.col("runmin")) > lam).alias("drift_flag"),
     )
 
 
@@ -1279,32 +1286,29 @@ def w22_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     term AS (
         SELECT event_type, day,
-               CAST(round(CAST(n AS DOUBLE)
-                          - CAST(s AS DOUBLE) / CAST(t AS DOUBLE)
-                          - 0.5, 6) AS DECIMAL(18, 6)) AS d6,
+               CAST(((2 * n * t - 2 * s - t) * 524288) // t AS BIGINT)
+                   AS d_fx,
                CAST(max(t) OVER (PARTITION BY event_type) AS BIGINT) AS tt,
                CAST(max(s) OVER (PARTITION BY event_type) AS BIGINT) AS st
         FROM pre
     ),
     msum AS (
         SELECT event_type, day, tt, st,
-               CAST(sum(d6) OVER w AS DECIMAL(28, 6)) AS m
+               CAST(sum(d_fx) OVER w AS BIGINT) AS m
         FROM term
         WINDOW w AS (PARTITION BY event_type ORDER BY day
                      ROWS UNBOUNDED PRECEDING)
     ),
     m AS (
         SELECT event_type, day, tt, st, m,
-               CAST(min(m) OVER w AS DECIMAL(28, 6)) AS runmin
+               CAST(min(m) OVER w AS BIGINT) AS runmin
         FROM msum
         WINDOW w AS (PARTITION BY event_type ORDER BY day
                      ROWS UNBOUNDED PRECEDING)
     )
     SELECT event_type, day,
-           CAST(m - runmin AS DECIMAL(28, 6)) AS ph6,
-           (CAST(m - runmin AS DOUBLE)
-            > 3.0 * round(CAST(st AS DOUBLE) / CAST(tt AS DOUBLE), 6))
-               AS drift_flag
+           CAST(m - runmin AS BIGINT) AS ph_fx,
+           (m - runmin > (3 * st * 1048576) // tt) AS drift_flag
     FROM m
     """,
     tags=("streaming", "drift", "page-hinkley", "oracle-checked"),
@@ -1366,30 +1370,21 @@ def stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = pre.select(
         "event_type",
         "day",
-        F.round(
-            F.col("n").cast("double")
-            - F.col("s").cast("double") / F.col("t").cast("double")
-            - 0.5,
-            6,
-        )
-        .cast("decimal(18,6)")
-        .alias("d6"),
+        F.expr(
+            "((2 * n * t - 2 * s - t) * CAST(524288 AS BIGINT)) div t"
+        ).alias("d_fx"),
         F.max("t").over(wall).cast("bigint").alias("tt"),
         F.max("s").over(wall).cast("bigint").alias("st"),
     )
     md = term.withColumn(
-        "m", F.sum("d6").over(wcum).cast("decimal(28,6)")
-    ).withColumn("runmin", F.min("m").over(wcum).cast("decimal(28,6)"))
-    lam = 3.0 * F.round(
-        F.col("st").cast("double") / F.col("tt").cast("double"), 6
-    )
+        "m", F.sum("d_fx").over(wcum).cast("bigint")
+    ).withColumn("runmin", F.min("m").over(wcum).cast("bigint"))
+    lam = F.expr("(3 * st * CAST(1048576 AS BIGINT)) div tt")
     return md.select(
         "event_type",
         "day",
-        (F.col("m") - F.col("runmin")).cast("decimal(28,6)").alias("ph6"),
-        ((F.col("m") - F.col("runmin")).cast("double") > lam).alias(
-            "drift_flag"
-        ),
+        (F.col("m") - F.col("runmin")).cast("bigint").alias("ph_fx"),
+        ((F.col("m") - F.col("runmin")) > lam).alias("drift_flag"),
     )
 
 

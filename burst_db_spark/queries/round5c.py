@@ -206,7 +206,8 @@ def a28_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_used,
            CAST(sum(CAST(value AS DECIMAL(18, 6))
-                    * CAST(power(2.0, 16 - rn) AS DECIMAL(18, 0)))
+                    * CAST((CAST(1 AS BIGINT) << (16 - rn))
+                           AS DECIMAL(18, 0)))
                 AS DOUBLE) / 65536.0 AS ewma_16
     FROM ordered
     WHERE rn <= 16
@@ -217,8 +218,9 @@ def a28_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w14_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA with alpha = 1/2 over the trailing 16 events:
-    ewma = Σ value_i · 2^(-i) (i = 1 newest). Powers of two are exact in
-    binary, so scaling by 2^16 turns every term into an exact decimal —
+    ewma = Σ value_i · 2^(-i) (i = 1 newest). The 2^(16-i) weight is an
+    INTEGER BIT-SHIFT (no power()/double anywhere on the route), so
+    scaling by 2^16 turns every term into an exact decimal —
     the sum is order-independent across shuffles — and the unscaled sum
     stays under 2^53, so the final decimal→double cast plus the one
     division by 65536.0 are each correctly rounded IDENTICALLY on both
@@ -232,7 +234,7 @@ def w14_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").desc(), F.col("event_id").desc()
     )
     contrib = F.col("value").cast("decimal(18,6)") * F.expr(
-        "CAST(power(2.0, 16 - __rn) AS DECIMAL(18,0))"
+        "CAST(shiftleft(CAST(1 AS BIGINT), 16 - __rn) AS DECIMAL(18,0))"
     )
     return (
         ev.withColumn("__rn", F.row_number().over(w))

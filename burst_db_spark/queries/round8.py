@@ -1063,7 +1063,12 @@ def contained_doc_ids(docs: DataFrame) -> DataFrame:
     # physical plan BNLJ-free. Lossless union with the anchored path,
     # which covers every doc long enough to gram; when the corpus has no
     # short docs the plan is byte-identical to the anchored-only path.
-    shorts = base.where(F.col("len") < _SSD_K).select(
+    # len > 0: empty-text docs are NOT containment candidates (defined
+    # semantics, mirrored by length(a.text) > 0 in the oracles — the
+    # old instr path would have counted instr(x, '') = 1; r13 ADVICE)
+    shorts = base.where(
+        (F.col("len") < _SSD_K) & (F.col("len") > 0)
+    ).select(
         F.col("doc_id").alias("a_id"),
         F.col("text").alias("a_text"),
     )
@@ -1097,6 +1102,7 @@ def contained_doc_ids(docs: DataFrame) -> DataFrame:
     FROM documents a
     JOIN documents b
       ON a.doc_id <> b.doc_id
+     AND length(a.text) > 0
      AND length(a.text) < length(b.text)
      AND position(a.text IN b.text) > 0
     GROUP BY a.doc_id
@@ -1107,7 +1113,15 @@ def contained_doc_ids(docs: DataFrame) -> DataFrame:
 def t_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs fully contained (char-level) in a longer doc, found via the
     rarest-gram anchored index probe + exact instr verify; the oracle
-    runs the quadratic LIKE-join this plan avoids."""
+    runs the quadratic LIKE-join this plan avoids.
+
+    Contract notes (r13 ADVICE): empty-text docs are NOT containment
+    candidates on either path (length(a.text) > 0 pinned in the oracle
+    and in contained_doc_ids' shorts filter — instr(x, '') = 1 would
+    otherwise count them against every doc); and BUILDING this query's
+    DataFrame is eager on the shorts side (the Aho-Corasick chunk drain
+    in operators/multipattern.py runs a documents scan at plan-
+    construction time — EXPLAIN-only callers pay it too)."""
     docs = load(spark, sf_dir, "documents")
     hits = contained_doc_ids(docs)
     return (

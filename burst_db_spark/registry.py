@@ -8,6 +8,18 @@ Contract notes (from the driver):
 - the compare is order-insensitive (values are hashed after sorting), but
   the row *set* must be deterministic — no LIMIT without a total order, no
   arbitrary-row dedup, no nondeterministic first()/collect order.
+
+Caching contract (r13 ADVICE): query builders MAY ``persist()``
+intermediates that the returned plan references more than once
+(iterative fixpoints, reused edge/score frames — e.g. round9's kept*
+chain, g5_hits_unrolled's edges, t_gopher_ablation's scored). Those
+frames CANNOT be unpersisted inside the builder — the caller's action
+has not run yet — so the contract is: run queries through bench.py /
+the driver / tests, which call ``spark.catalog.clearCache()`` between
+queries. A direct library caller that builds many queries on one
+session without clearing the cache will accumulate cached frames and
+should call ``clearCache()`` (or ``unpersist()`` the returned plan's
+sources) itself after each action.
 """
 
 from __future__ import annotations

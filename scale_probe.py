@@ -1092,7 +1092,14 @@ def d4_cd_probe(spark, factor: int) -> dict[str, float]:
     for label, f in (("", 1), ("_big", factor)):
         emb = _emb_replicated(spark, f)
         t0 = time.perf_counter()
-        asg, cents = sim.kmeans_unrolled_state(emb, k=16 * f, rounds=2)
+        # opt in to the funnel assignment past the threshold — the
+        # k ∝ N rung prices exactly that route (the exact flat argmin
+        # is the superlinear term this rung exists to avoid); library
+        # default is now exact-always (r13 ADVICE)
+        asg, cents = sim.kmeans_unrolled_state(
+            emb, k=16 * f, rounds=2,
+            hier_threshold=sim.HIER_ASSIGN_THRESHOLD,
+        )
         # norms hoisted out of the pair predicate (once per vector, not
         # per pair) — mirrors the registered query's shape
         a = asg.select(

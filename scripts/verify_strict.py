@@ -138,46 +138,21 @@ def rows_close(a, b) -> bool:
 _EXPOSED_MARK = re.compile(
     r"(?<!/)/(?!/)"
     r"|\b(avg|exp|ln|sqrt|power|pow|stddev|var_samp|var_pop|log|corr"
-    r"|covar_samp|covar_pop|regr_\w+)\s*\("
+    r"|covar_samp|covar_pop|regr_\w+|round)\s*\("
     r"| as double"
 )
 
-ARITH_EXPLAINED = {
-    # power(2.0, k) for integer k in [0,15] is an exact power of two —
-    # exactly representable in double AND in DECIMAL(18,6); the cast
-    # has zero error, so no midpoint is ever in play.
-    "w14_ewma_halflife": "power(2.0,k) exact dyadic values; casts lossless",
-    # round(x, 6) runs on the SAME double in both engines (single
-    # fixed-form division), yielding the double nearest a 6dp decimal;
-    # the DECIMAL(18,6) cast of that value is lossless (6dp grid step
-    # 1e-6 >> double eps at these magnitudes), and the decimal SUM is
-    # then order-free — the same device as a43's Poisson weights.
-    "t_soft_dedup_weights": "6dp-round on identical doubles, then "
-                            "lossless decimal cast; order-free sum",
-    "t_hill_tail_index": "ln 6dp-rounded on identical doubles before "
-                         "the lossless decimal cast; order-free sum",
-    "t_char_entropy": "-p*ln(p) 9dp-rounded on identical doubles before "
-                      "the lossless decimal cast; order-free sum",
-    "dd_cluster_bcubed_audit": "cnt^2/size 9dp-rounded on identical "
-                               "integer-derived doubles before the "
-                               "lossless decimal cast; order-free sum",
-    "t_nb_domain_confusion": "n_db*ll 6dp-rounded on identical doubles "
-                             "(ll itself 6dp-rounded after ln) before "
-                             "the lossless decimal cast; order-free "
-                             "evidence sum, argmax on exact decimals",
-    "t_moore_lewis_select": "per-bigram ln 6dp-rounded on identical "
-                            "doubles before the lossless decimal cast; "
-                            "order-free per-doc sums; final rank on a "
-                            "6dp-rounded single division, ties on "
-                            "doc_id",
-    "w22_page_hinkley": "x - S/t - delta is ONE double division of "
-                        "exact ints, 6dp-rounded before the lossless "
-                        "decimal cast; cumulative sums/min are decimal "
-                        "over the day-pinned window",
-    "stream_page_hinkley": "same detector arithmetic as "
-                           "w22_page_hinkley over the maintained "
-                           "streaming snapshot (integer counts)",
-}
+# Round-14: the waiver class is RETIRED. Every entry that used to live
+# here argued "no midpoint is ever in play" for a round(double, n) ->
+# DECIMAL hash route; CORRECTNESS_r13 empirically falsified the class
+# (five rows red: s/t with t divisible by a power of two lands on an
+# EXACT 6dp midpoint, where Spark's HALF_UP and a half-even engine
+# legally diverge). All former entries were reworked onto
+# engine-invariant surfaces — exact integer cross-multiplication
+# (`div`/`//`, both truncate toward zero) or floor(x*2^k) fixed-point
+# bigints (floor has no tie-breaking rule) — so the lint now HARD-FAILS
+# any exposed double->decimal route with no waiver mechanism at all.
+ARITH_EXPLAINED: dict[str, str] = {}
 
 
 def _decimal_cast_exprs(low: str):
@@ -270,6 +245,13 @@ def main() -> int:
         n for n in specs if not pats or any(p in n for p in pats)
     ]
     spark = get_spark("verify-strict")
+    # VERDICT r13 #6: record what evaluated this run — the r13 reds
+    # could not be root-caused because neither side logged its engine.
+    from __spark_entry__ import engine_versions
+
+    print("ENGINES " + " ".join(
+        f"{k}={v}" for k, v in engine_versions(spark).items()
+    ))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -148,7 +148,7 @@ def test_soft_dedup_weights_match_python(spark):
     from collections import Counter, defaultdict
 
     dup = Counter(hashlib.md5(r["text"].encode()).hexdigest() for r in docs)
-    agg = defaultdict(lambda: [0, set(), 0, 0.0])
+    agg = defaultdict(lambda: [0, set(), 0, 0])
     for r in docs:
         d = hashlib.md5(r["text"].encode()).hexdigest()
         ntok = len(r["text"].strip().split())
@@ -156,16 +156,18 @@ def test_soft_dedup_weights_match_python(spark):
         a[0] += 1
         a[1].add(d)
         a[2] += ntok
-        a[3] += round(ntok / dup[d], 6)
+        # exact integer fixed-point: (n_tokens * 2^20) div dup — all
+        # values nonneg, so python // == trunc-toward-zero `div`
+        a[3] += (ntok * 1048576) // dup[d]
     got = {r["source"]: r for r in t_soft_dedup_weights(spark, SF).collect()}
     assert set(got) == set(agg)
-    for src, (n, uniq, raw, eff) in agg.items():
+    for src, (n, uniq, raw, eff_fx) in agg.items():
         g = got[src]
         assert g["n_docs"] == n
         assert g["n_unique_texts"] == len(uniq)
         assert g["raw_tokens"] == raw
-        assert abs(float(g["effective_tokens"]) - eff) < 1e-4
-        assert float(g["effective_tokens"]) <= raw + 1e-9
+        assert g["effective_tokens_fx"] == eff_fx
+        assert g["effective_tokens_fx"] <= raw * 1048576
 
 
 # ----------------------------------------------------------------- Hill
@@ -189,13 +191,18 @@ def test_hill_matches_python(spark):
             assert lang not in got
             continue
         ck1 = top[-1][1]
-        s = sum(round(math.log(f / ck1), 6) for _, f in top[:k_used])
-        h = round(s / k_used, 6)
+        # fixed-point mirror: floor(ln * 2^20) bigints, integer divs
+        s_fx = sum(
+            math.floor(math.log(f / ck1) * 1048576.0) for _, f in top[:k_used]
+        )
         g = got[lang]
         assert g["k_used"] == k_used
-        assert abs(g["hill_h"] - h) < 1e-6, lang
-        if s != 0:
-            assert abs(g["alpha"] - round(k_used / s, 6)) < 1e-6
+        # ln terms are nonneg, so python // == trunc `div`
+        assert g["hill_h_fx"] == s_fx // k_used, lang
+        if s_fx != 0:
+            assert g["alpha_fx"] == (k_used * 1099511627776) // s_fx
+        else:
+            assert g["alpha_fx"] is None
 
 
 # ------------------------------------------------- grouped ntile + CCNet
@@ -293,16 +300,18 @@ def test_char_entropy_matches_python(spark):
     got = {r["doc_id"]: r for r in t_char_entropy(spark, SF).collect()}
     from collections import Counter
 
+    fx30 = 1073741824.0
     for r in docs[:100]:
         c = Counter(r["text"])
         n = sum(c.values())
-        h = sum(round(-(v / n) * math.log(v / n), 9) for v in c.values())
+        h = sum(-(v / n) * math.log(v / n) for v in c.values())
         g = got[r["doc_id"]]
         assert g["n_chars"] == n
         assert g["distinct_chars"] == len(c)
-        assert abs(g["entropy6"] - round(h, 6)) < 2e-6
+        # floor-per-term quantization: each term loses < 2^-30
+        assert abs(g["entropy_fx"] / fx30 - h) < len(c) / fx30 + 1e-9
         # bounds: 0 <= H <= ln(distinct)
-        assert -1e-9 <= g["entropy6"] <= math.log(max(len(c), 2)) + 1e-6
+        assert -1e-9 <= g["entropy_fx"] / fx30 <= math.log(max(len(c), 2)) + 1e-6
 
 
 def test_bcubed_bounds_and_perfect_self(spark):
@@ -311,10 +320,11 @@ def test_bcubed_bounds_and_perfect_self(spark):
     contingency construction)."""
     from burst_db_spark.queries.round14 import dd_cluster_bcubed_audit
 
+    fx30 = 1073741824
     row = dd_cluster_bcubed_audit(spark, SF).collect()[0]
-    assert 0 < row["bcubed_precision"] <= 1.0
-    assert 0 < row["bcubed_recall"] <= 1.0
-    assert 0 < row["bcubed_f1"] <= 1.0
+    assert 0 < row["precision_fx"] <= fx30
+    assert 0 < row["recall_fx"] <= fx30
+    assert 0 < row["f1_fx"] <= fx30
     assert row["n_pred_clusters"] <= row["n_docs"]
     assert row["n_gold_clusters"] <= row["n_docs"]
     # python self-comparison sanity: identical labelings -> P = R = 1

@@ -153,16 +153,74 @@ def test_hier_close_to_flat_argmin(spark):
 
 
 def test_kmeans_unrolled_hier_path_deterministic(spark):
-    """Unrolled Lloyd above the funnel threshold: two builds return
-    identical stats (the hierarchical rounds are deterministic even
-    though collect_list order is not)."""
+    """Unrolled Lloyd with the funnel OPTED IN (r13 ADVICE: the
+    approximate route never engages implicitly — hier_threshold must
+    be passed): two builds return identical stats (the hierarchical
+    rounds are deterministic even though collect_list order is not)."""
     emb = load(spark, SF_DIR, "embeddings")
-    s1 = sim.kmeans_unrolled_stats(emb, k=64, rounds=2)
-    s2 = sim.kmeans_unrolled_stats(emb, k=64, rounds=2)
+    s1 = sim.kmeans_unrolled_stats(emb, k=64, rounds=2, hier_threshold=64)
+    s2 = sim.kmeans_unrolled_stats(emb, k=64, rounds=2, hier_threshold=64)
     r1 = sorted(map(tuple, s1.collect()))
     r2 = sorted(map(tuple, s2.collect()))
     assert r1 == r2
     assert sum(r[1] for r in r1) == emb.count()
+
+
+def test_kmeans_unrolled_default_is_exact(spark):
+    """Default hier_threshold=None takes the EXACT flat path even past
+    the old implicit switch point: stats equal the funnel-disabled
+    build (r13 ADVICE — no hidden size switch)."""
+    emb = load(spark, SF_DIR, "embeddings")
+    dflt = sorted(
+        map(tuple, sim.kmeans_unrolled_stats(emb, k=64, rounds=1).collect())
+    )
+    exact = sorted(
+        map(
+            tuple,
+            sim.kmeans_unrolled_stats(
+                emb, k=64, rounds=1, hier_threshold=10**9
+            ).collect(),
+        )
+    )
+    assert dflt == exact
+
+
+def test_hier2_deterministic_and_close_to_flat(spark):
+    """Two-level funnel (VERDICT r13 #4): deterministic across builds,
+    covers every vector exactly once, and stays within a measured
+    agreement floor of the exact flat argmin on the adversarial
+    near-random synthetic embeddings (measured 0.95 at k=512,
+    g=64, g2=8, nprobe2=nprobe=3 on sf0.01; looser floor here for the
+    sf0.001 slice)."""
+    emb, cents = _codebook(spark, 64)
+    st2 = sim.hier_group_state2(cents, g=16, g2=4)
+    a = sim.assign_cells_hier2(emb, st2, 3, 3).select("vec_id", "cell")
+    r1 = {r.vec_id: r.cell for r in a.collect()}
+    r2 = {
+        r.vec_id: r.cell
+        for r in sim.assign_cells_hier2(emb, st2, 3, 3)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert r1 == r2 and len(r1) == emb.count()
+    cl = [[float(x) for x in r.cv] for r in cents.orderBy("cell").collect()]
+    flat = {
+        r.vec_id: r.cell
+        for r in sim.assign_cells(emb, cl).select("vec_id", "cell").collect()
+    }
+    agree = sum(1 for k in flat if r1[k] == flat[k]) / len(flat)
+    assert agree >= 0.6, agree
+
+
+def test_hier2_members_match_hier1_members(spark):
+    """The fine tier of the 2-level state is the SAME k-row member
+    frame the 1-level route builds — only the coarse probe recursed."""
+    _, cents = _codebook(spark, 64)
+    m1, _ = sim.hier_group_state(cents, 16)
+    m2, _ = sim.hier_group_state2(cents, g=16, g2=4)
+    a = sorted((r.cell, r.gid) for r in m1.select("cell", "gid").collect())
+    b = sorted((r.cell, r.gid) for r in m2.select("cell", "gid").collect())
+    assert a == b
 
 
 def test_ac_unicode_patterns():
