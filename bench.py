@@ -264,6 +264,8 @@ HEADLINE = [
     "stream_page_hinkley",
     "t_gopher_ablation",
     "dd_dup_cluster_size_dist",
+    # round-14 additions (build round 14)
+    "knn_hier2_assign",
 ]
 
 # Regression-signal curation (VERDICT r11 item #6): the headline suite
@@ -505,10 +507,39 @@ def main() -> None:
         reg_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_REGISTRY.json"
         )
+        # non-headline movers vs the PREVIOUS registry sweep (VERDICT
+        # r13 #8): the full sweep closed the "bench-blind rows" gap in
+        # r13; this keeps the ~100 non-headline rows in the per-round
+        # DELTA record too, so a regression there can't hide behind
+        # the curated headline comparison.
+        movers: dict[str, dict[str, float]] = {}
+        try:
+            with open(reg_path) as fh:
+                prev_q = json.load(fh).get("queries", {})
+            for name, cur in timings.items():
+                if name in HEADLINE or not isinstance(cur, (int, float)):
+                    continue
+                prv = prev_q.get(name)
+                if isinstance(prv, (int, float)) and prv > 0.3:
+                    ratio = cur / prv
+                    if ratio > 1.3 or ratio < 0.7:
+                        movers[name] = {
+                            "prev": prv, "cur": cur,
+                            "ratio": round(ratio, 2),
+                        }
+        except (OSError, ValueError):
+            pass
         with open(reg_path, "w") as fh:
-            json.dump({**out, "run_spread": spreads}, fh)
+            json.dump(
+                {**out, "run_spread": spreads,
+                 "nonheadline_movers_vs_prev": movers},
+                fh,
+            )
             fh.write("\n")
-        print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
+        print(json.dumps(
+            {k: v for k, v in out.items() if k != "queries"}
+            | {"nonheadline_movers_vs_prev": movers}
+        ))
         spark.stop()
         return
 

@@ -89,6 +89,8 @@ _SAMPLING_PRIORITY = (
     "t_nb_domain_confusion",
     "t_moore_lewis_select",
     "w14_ewma_halflife",
+    # -- round-14 addition: 2-level funnel, strict-verified sf0.01 --
+    "knn_hier2_assign",
     # -- remaining round-13 additions (newest rows, r13-green) --
     "t_substring_dedup_shorts",
     "a48_mad_outliers",
@@ -129,8 +131,8 @@ _SAMPLING_PRIORITY = (
     "utm_epsg_classify",
     "w15_interval_coalesce",
     "w16_resample_ohlc",
+    # ---- 50-slot prefix cut line (20 staged + 30 oldest = exactly 50) ----
     "w_running_sum",
-    # ---- 50-slot prefix cut line (19 staged + 31 oldest = exactly 50) ----
 )
 
 from burst_db_spark.registry import set_order_prefix as _set_order_prefix  # noqa: E402

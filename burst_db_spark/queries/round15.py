@@ -195,6 +195,192 @@ def knn_hier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Two-level funnel assignment, oracle-checked (VERDICT r13 #4) ---------------
+
+_H2_G = 16       # level-1 groups (k^(2/3) sizing at k=96 rounds to 16-21)
+_H2_G2 = 4       # level-2 super-groups
+_H2_NPROBE2 = 2  # super-groups probed per vector
+_H2_SH = "CAST(('0x' || substr(md5(CAST(gid AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+
+@register(
+    "knn_hier2_assign",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id AS id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT v AS cv, id AS sid, {_HA_H} AS h
+        FROM e ORDER BY h, sid LIMIT {_HA_K}
+    ),
+    c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY h, sid) AS INTEGER) AS cell,
+               cv
+        FROM seeds
+    ),
+    gseeds AS (
+        SELECT cell AS scell, {_HA_GH} AS gh
+        FROM c0 ORDER BY gh, scell LIMIT {_H2_G}
+    ),
+    g0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY gh, scell) AS INTEGER)
+                   AS gid,
+               scell
+        FROM gseeds
+    ),
+    gvec AS (
+        SELECT g0.gid, sc.cv AS sv
+        FROM g0 JOIN c0 sc ON g0.scell = sc.cell
+    ),
+    gmem AS (
+        SELECT cell, gid, cv FROM (
+            SELECT c.cell, g.gid, c.cv,
+                   {_l2sq("c.cv", "g.sv")} AS dist
+            FROM c0 c CROSS JOIN gvec g
+        ) QUALIFY row_number() OVER (
+            PARTITION BY cell ORDER BY dist, gid) = 1
+    ),
+    gcent AS (
+        SELECT gid, list(m ORDER BY dim) AS gc
+        FROM (
+            SELECT gid, dim,
+                   CAST(sum(CAST(x AS DECIMAL(38, 12))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS m
+            FROM (SELECT gid, unnest(cv) AS x,
+                         unnest(range(1, 65)) AS dim
+                  FROM gmem)
+            GROUP BY gid, dim
+        ) GROUP BY gid
+    ),
+    sgseeds AS (
+        SELECT gid AS sgid0, {_H2_SH} AS sh
+        FROM gcent ORDER BY sh, sgid0 LIMIT {_H2_G2}
+    ),
+    sg0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY sh, sgid0) AS INTEGER)
+                   AS sgid,
+               sgid0
+        FROM sgseeds
+    ),
+    sgvec AS (
+        SELECT sg0.sgid, g.gc AS ssv
+        FROM sg0 JOIN gcent g ON sg0.sgid0 = g.gid
+    ),
+    sgmem AS (
+        SELECT gid, sgid FROM (
+            SELECT g.gid, s.sgid,
+                   {_l2sq("g.gc", "s.ssv")} AS dist
+            FROM gcent g CROSS JOIN sgvec s
+        ) QUALIFY row_number() OVER (
+            PARTITION BY gid ORDER BY dist, sgid) = 1
+    ),
+    sgcent AS (
+        SELECT sgid, list(m ORDER BY dim) AS sgc
+        FROM (
+            SELECT sgid, dim,
+                   CAST(sum(CAST(x AS DECIMAL(38, 12))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS m
+            FROM (SELECT m2.sgid, unnest(g.gc) AS x,
+                         unnest(range(1, 65)) AS dim
+                  FROM gcent g JOIN sgmem m2 USING (gid))
+            GROUP BY sgid, dim
+        ) GROUP BY sgid
+    ),
+    probe2 AS (
+        SELECT id, sgid FROM (
+            SELECT e.id, s.sgid, {_l2sq("e.v", "s.sgc")} AS dist
+            FROM e CROSS JOIN sgcent s
+        ) QUALIFY row_number() OVER (
+            PARTITION BY id ORDER BY dist, sgid) <= {_H2_NPROBE2}
+    ),
+    gprobe AS (
+        SELECT id, gid FROM (
+            SELECT e.id, m.gid, {_l2sq("e.v", "g.gc")} AS dist
+            FROM probe2 p
+            JOIN sgmem m USING (sgid)
+            JOIN gcent g ON g.gid = m.gid
+            JOIN e ON e.id = p.id
+        ) QUALIFY row_number() OVER (
+            PARTITION BY id ORDER BY dist, gid) <= {_HA_NPROBE}
+    ),
+    fine AS (
+        SELECT id, cell, dist FROM (
+            SELECT e.id, mm.cell, {_l2sq("e.v", "mm.cv")} AS dist
+            FROM gprobe p
+            JOIN gmem mm USING (gid)
+            JOIN e ON e.id = p.id
+        ) QUALIFY row_number() OVER (
+            PARTITION BY id ORDER BY dist, cell) = 1
+    )
+    SELECT cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(id) AS BIGINT) AS min_id,
+           CAST(max(id) AS BIGINT) AS max_id,
+           CAST(sum(id) AS BIGINT) AS sum_id,
+           CAST(sum(CAST(floor(dist * 1048576.0) AS BIGINT)) AS BIGINT)
+               AS sum_dist_fx
+    FROM fine GROUP BY cell
+    """,
+    tags=("knn", "ivf", "hierarchical", "two-level", "funnel",
+          "assignment", "embedding"),
+)
+def knn_hier2_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TWO-level funnel route hash-checked END-TO-END (VERDICT r13
+    #4): the same 96-cell given codebook as knn_hier_assign, level-1
+    grouped into {_H2_G} groups, the group centers level-2 grouped into
+    {_H2_G2} super-groups (same seed rule on gid, same argmin
+    membership, same DECIMAL(38,12) means — the construction recurses
+    verbatim); each vector probes its {_H2_NPROBE2} nearest
+    super-centers, folds distances over only those super-groups' member
+    group centers to pick {_HA_NPROBE} gids, then fine-argmins their
+    member cells. Per-cell fingerprint identical to knn_hier_assign's
+    (fixed-point floor(dist·2^20) distance mass — no rounding route).
+
+    This pins the N·k^(1/3) assignment
+    (operators/similarity.hier_group_state2 / assign_cells_hier2) that
+    kmeans_unrolled_stats routes through past HIER2_ASSIGN_THRESHOLD
+    when the funnel is opted in — the r13 residual-superlinearity fix."""
+    emb = load(spark, sf_dir, "embeddings")
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    seeds = (
+        emb.select(
+            F.col("embedding").alias("cv"),
+            F.col("vec_id").alias("sid"),
+            h.alias("h"),
+        )
+        .orderBy("h", "sid")
+        .limit(_HA_K)
+    )
+    cents = seeds.withColumn(
+        "cell", F.row_number().over(Window.orderBy("h", "sid"))
+    ).select(
+        "cell", F.transform("cv", lambda x: x.cast("double")).alias("cv")
+    )
+    state2 = sim.hier_group_state2(cents, _H2_G, _H2_G2)
+    asg = sim.assign_cells_hier2(
+        emb, state2, nprobe2=_H2_NPROBE2, nprobe=_HA_NPROBE
+    )
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scored = asg.join(F.broadcast(cents), "cell").select(
+        "cell",
+        F.col("vec_id").alias("id"),
+        sim._sqdist(v, F.col("cv")).alias("dist"),
+    )
+    return scored.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.min("id").cast("bigint").alias("min_id"),
+        F.max("id").cast("bigint").alias("max_id"),
+        F.sum("id").cast("bigint").alias("sum_id"),
+        F.sum(F.floor(F.col("dist") * F.lit(1048576.0)).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_dist_fx"),
+    )
+
+
 # -- Short-doc substring dedup via the Aho-Corasick pass -----------------------
 
 _SS_OFF = 1_000_000
