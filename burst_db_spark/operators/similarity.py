@@ -919,9 +919,34 @@ def kmeans_unrolled_stats(
 
     cur = cents
     assigned = None
+    funnel = hier_threshold is not None and k >= hier_threshold
+    if funnel:
+        # Lloyd re-scans the SAME input every round (2 assigns + the
+        # final stats) — cache it, the standard iterative-training move.
+        # Scoped to the opt-in funnel path so every oracle-checked k=16
+        # row keeps its pure uncached plan; released by the
+        # session-level clearCache the registry contract documents.
+        emb = emb.persist()
     for _ in range(rounds):
         assigned = _assign(cur)
         cur = _update(assigned)
+        if funnel:
+            # Truncate the LOGICAL plan at each round boundary: the
+            # funnel construction references the round's centroid frame
+            # many times through two grouping tiers, and the nested
+            # round-over-round plan sends Catalyst analysis time
+            # superlinear (measured: the d4 100x probe stalled >10 min
+            # of pure driver CPU before any stage launched). The
+            # centroid frame is k rows — an eager localCheckpoint
+            # materializes the model, not data, and the exact flat path
+            # (every oracle-checked k=16 row) keeps its pure plan.
+            cur = cur.localCheckpoint(eager=True)
+    if funnel:
+        # downstream consumers (stats here; pair join / flags / prune in
+        # the SemDeDup pipeline) reference the final assignment several
+        # times — un-cached, each reference re-runs the whole funnel
+        # assignment pass (measured ~9 s/reference at the 100x rung)
+        assigned = assigned.persist()
     counts = assigned.groupBy("cell").agg(
         F.count("*").cast("bigint").alias("n_members")
     )
@@ -1597,7 +1622,16 @@ def hier_group_state(
 
     All steps run on k rows (model-sized): a g-row seed window, one
     k×g argmin join, one decimal group-center mean. Nothing touches
-    the driver."""
+    the driver.
+
+    The input frame is PERSISTED here (k rows — model-sized): this
+    construction reads it three times (seed scan, seed-vector join,
+    member argmin), and when ``cents`` is an ITERATIVE round's output
+    (the unrolled Lloyd trainer) each un-cached re-read would re-execute
+    the previous round's full N-row assignment — the classic
+    multi-reference lineage blowup. Cache released by the session-level
+    clearCache the registry contract documents."""
+    cents = cents.persist()
     h = F.conv(
         F.substring(F.md5(F.col("cell").cast("string")), 1, 8), 16, 10
     ).cast("bigint")
@@ -1647,15 +1681,16 @@ def hier_group_state(
     return member.select("cell", "cv", "gid"), centers_one
 
 
-def hier_groups_literal(
-    spark, centroids: list[list[float]], g: int
-) -> tuple[DataFrame, DataFrame]:
-    """Driver-side twin of :func:`hier_group_state` for the
-    literal-codebook :func:`assign_cells` form (the codebook is already
-    model state on the driver; k·g python work is negligible). Same
-    seed rule, same decimal-free means are NOT acceptable — means use
-    the identical round-trip through decimal quantization so both
-    construction routes yield bit-equal group centers."""
+def _hier_groups_py(
+    centroids: list[list[float]], g: int
+) -> tuple[dict[int, int], list[tuple[int, list[float]]]]:
+    """Pure-python core of the driver-side grouping twin: (cell -> gid
+    map, sorted [(gid, group center)]) for a literal codebook with
+    implicit cell ids 1..k. Same seed rule as :func:`hier_group_state`;
+    means round-trip through decimal quantization (Decimal(float) is
+    the EXACT binary expansion and HALF_UP matches Spark's
+    double->decimal(38,12) cast) so both construction routes yield
+    bit-equal group centers."""
     import hashlib
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -1684,9 +1719,6 @@ def hier_groups_literal(
         gc = []
         for d in range(dim):
             s = sum(
-                # Decimal(float) is the EXACT binary expansion and
-                # HALF_UP matches Spark's double->decimal(38,12) cast,
-                # so both construction routes yield bit-equal centers.
                 Decimal(float(centroids[c - 1][d])).quantize(
                     Decimal("1." + "0" * 12), rounding=ROUND_HALF_UP
                 )
@@ -1694,9 +1726,22 @@ def hier_groups_literal(
             )
             gc.append(float(s) / float(len(cells)))
         rows.append((gi, gc))
+    return gid_of, rows
+
+
+def hier_groups_literal(
+    spark, centroids: list[list[float]], g: int
+) -> tuple[DataFrame, DataFrame]:
+    """Driver-side twin of :func:`hier_group_state` for the
+    literal-codebook :func:`assign_cells` form (the codebook is already
+    model state on the driver; k·g python work is negligible). Same
+    seed rule; means use the identical round-trip through decimal
+    quantization (:func:`_hier_groups_py`) so both construction routes
+    yield bit-equal group centers."""
+    gid_of, rows = _hier_groups_py(centroids, g)
     member_rows = [
         (c, [float(x) for x in centroids[c - 1]], gid_of[c])
-        for c in range(1, k + 1)
+        for c in range(1, len(centroids) + 1)
     ]
     members = spark.createDataFrame(
         member_rows, "cell int, cv array<double>, gid int"
@@ -1796,37 +1841,32 @@ def hier_group_state2(
       array<struct<gid, gc>>> (each super-group's member group
       centers, looked up per probed sgid — never joined).
 
-    Built entirely on model-sized frames: the level-1 grouping runs on
-    k rows, the level-2 grouping on g rows (the group centers re-enter
-    :func:`hier_group_state` as a (cell=gid, cv=gc) frame — same seed
-    rule, same DECIMAL(38,12) means, so both tiers are deterministic
-    and engine-replayable)."""
+    The level-1 grouping runs on the k-row frame; the level-2 grouping
+    runs DRIVER-side on the g group centers — one bounded model-state
+    collect (g·dim doubles), the repo's allowed collect class — via the
+    same :func:`_hier_groups_py` core the literal route uses (identical
+    seed rule, argmin, decimal-quantized means, so frame and literal
+    constructions remain bit-equal; pinned for level 1 by
+    tests/test_round15_ops.py). Doing level 2 on the driver removes
+    ~8 model-sized Spark stages per call — measured as the dominant
+    fixed cost of the 100x d4 rung's per-round state rebuild."""
     members, centers_one = hier_group_state(cents, g, dim)
-    # recover the g-row (gid, gc) frame from the 1-row aggregate: g
-    # rows of model state, an explode not a recompute
-    gframe = centers_one.select(
-        F.explode("gcs").alias("s")
-    ).select(F.col("s.gid").alias("cell"), F.col("s.gc").alias("cv"))
-    members2, centers2_one = hier_group_state(gframe, g2, dim)
-    # one nested row: super-centers + sgid -> member group-centers map
-    gmap = (
-        members2.select(
-            F.col("gid").alias("sgid"),
-            F.struct(
-                F.col("cell").alias("gid"), F.col("cv").alias("gc")
-            ).alias("gs"),
-        )
-        .groupBy("sgid")
-        .agg(F.array_sort(F.collect_list("gs")).alias("gl"))
-        .agg(
-            F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("sgid", "gl")))
-            ).alias("gmap")
-        )
+    spark = cents.sparkSession
+    # one bounded collect: the SORTED (gid, gc) array — gids are
+    # contiguous 1..g by construction, so index i holds gid i+1
+    gcs = centers_one.collect()[0][0]
+    glist = [[float(x) for x in s.gc] for s in gcs]
+    sgid_of, srows = _hier_groups_py(glist, g2)
+    gmap: dict[int, list[tuple[int, list[float]]]] = {}
+    for gid in range(1, len(glist) + 1):
+        gmap.setdefault(sgid_of[gid], []).append((gid, glist[gid - 1]))
+    for v in gmap.values():
+        v.sort()
+    state_one = spark.createDataFrame(
+        [(srows, gmap)],
+        "sgs: array<struct<gid:int,gc:array<double>>>, "
+        "gmap: map<int,array<struct<gid:int,gc:array<double>>>>",
     )
-    state_one = centers2_one.select(
-        F.col("gcs").alias("sgs")
-    ).crossJoin(gmap)
     return members, state_one
 
 
