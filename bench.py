@@ -266,6 +266,8 @@ HEADLINE = [
     "dd_dup_cluster_size_dist",
     # round-14 additions (build round 14)
     "knn_hier2_assign",
+    "t_gopher_repetition",
+    "t_tokenizer_fertility",
 ]
 
 # Regression-signal curation (VERDICT r11 item #6): the headline suite

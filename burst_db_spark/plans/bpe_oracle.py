@@ -179,3 +179,43 @@ def bpe_encode_oracle_sql(n_merges: int = 12, batch_size: int = 4) -> str:
     FROM (SELECT word, n,
                  string_split(trim(state, {_SEP}), {_SEP}||{_SEP}) AS pieces
           FROM st{rounds})"""
+
+
+def bpe_fertility_oracle_sql(n_merges: int = 12, batch_size: int = 4) -> str:
+    """Trainer + encode + per-LANGUAGE fertility rollup: instance-
+    weighted pieces-per-word under the corpus-trained merges — the
+    cross-lingual tokenizer-equity audit (a tokenizer with high
+    fertility on a language inflates its training cost and truncates
+    its effective context). All-integer hash surface: word/piece counts
+    are bigints and the fertility ratio is the exact integer
+    (pieces·2^20) div words — no rounding route (r13 post-mortem)."""
+    assert n_merges % batch_size == 0
+    rounds = n_merges // batch_size
+    lim = max(4 * batch_size, 8)
+    ctes = [_WT]
+    for r in range(1, rounds + 1):
+        ctes.append(_pairs_cte(r, f"st{r - 1}"))
+        ctes.append(_batched_round(r, batch_size, lim))
+    return f"""WITH RECURSIVE{','.join(ctes)},
+    pieces AS (
+        SELECT word,
+               CAST(len(string_split(trim(state, {_SEP}),
+                                     {_SEP}||{_SEP})) AS BIGINT) AS np
+        FROM st{rounds}
+    ),
+    lw AS (
+        SELECT lang, word, CAST(count(*) AS BIGINT) AS nw FROM (
+            SELECT lang, unnest({_TOKS}) AS word FROM documents
+        ) WHERE len(word) > 0
+          AND NOT contains(word, {_SEP})
+          AND NOT contains(word, {_NOPAT})
+        GROUP BY lang, word
+    )
+    SELECT lang,
+           CAST(sum(nw) AS BIGINT) AS n_words,
+           CAST(sum(nw * np) AS BIGINT) AS n_pieces,
+           CAST((sum(nw * np) * 1048576) // sum(nw) AS BIGINT)
+               AS fertility_fx
+    FROM lw JOIN pieces USING (word)
+    GROUP BY lang
+    """

@@ -39,6 +39,7 @@ _MODULES = (
     "round13",
     "round14",
     "round15",
+    "round16",
     "scalars",
     "similarity",
     "skewq",
@@ -89,8 +90,10 @@ _SAMPLING_PRIORITY = (
     "t_nb_domain_confusion",
     "t_moore_lewis_select",
     "w14_ewma_halflife",
-    # -- round-14 addition: 2-level funnel, strict-verified sf0.01 --
+    # -- round-14 additions, strict-verified sf0.01 --
     "knn_hier2_assign",
+    "t_gopher_repetition",
+    "t_tokenizer_fertility",
     # -- remaining round-13 additions (newest rows, r13-green) --
     "t_substring_dedup_shorts",
     "a48_mad_outliers",
@@ -130,8 +133,8 @@ _SAMPLING_PRIORITY = (
     "u6_dq_checks",
     "utm_epsg_classify",
     "w15_interval_coalesce",
+    # ---- 50-slot prefix cut line (22 staged + 28 oldest = exactly 50) ----
     "w16_resample_ohlc",
-    # ---- 50-slot prefix cut line (20 staged + 30 oldest = exactly 50) ----
     "w_running_sum",
 )
 

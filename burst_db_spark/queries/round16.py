@@ -1,0 +1,263 @@
+"""Build-round-14 additions: within-document Gopher repetition rules
+(top-n-gram / duplicate-n-gram token-coverage with exact interval
+union) and the per-language tokenizer-fertility audit over the trained
+BPE.
+
+Both rows follow the round-14 hash-surface doctrine end-to-end: every
+hash column is an exact integer or boolean (cross-multiplied threshold
+compares, integer `div`/`//` fixed-point ratios) — no float or decimal
+rounding exists anywhere on either surface.
+
+Reference parity: opera-adt/burst_db has no corpus tooling; these serve
+SURVEY.md's "beyond the reference" LLM-pipeline mandate (Gopher: Rae et
+al. 2021 §A1.1 repetition filters; fertility: the standard tokenizer
+cross-lingual equity metric).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from burst_db_spark.catalog import load
+from burst_db_spark.operators import text as tx
+from burst_db_spark.plans.bpe_oracle import bpe_fertility_oracle_sql
+from burst_db_spark.registry import register
+
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+@register(
+    "t_gopher_repetition",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter({_TOKS}, w -> len(w) > 0) AS t
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n
+        FROM toks WHERE len(t) >= 5
+    ),
+    g2 AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+        FROM base, unnest(range(1, len(t))) AS r(i)
+    ),
+    top2 AS (
+        SELECT doc_id, c AS top2_cnt FROM (
+            SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+            FROM g2 GROUP BY doc_id, g
+        ) QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY c DESC, g) = 1
+    ),
+    g5 AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS s, CAST(i + 5 AS BIGINT) AS e,
+               array_to_string(t[i:i + 4], ' ') AS g
+        FROM base, unnest(range(1, len(t) - 3)) AS r(i)
+    ),
+    dupocc AS (
+        SELECT doc_id, s, e FROM (
+            SELECT doc_id, s, e,
+                   count(*) OVER (PARTITION BY doc_id, g) AS c
+            FROM g5
+        ) WHERE c >= 2
+    ),
+    cov AS (
+        SELECT doc_id,
+               CAST(sum(greatest(0, e - greatest(s, coalesce(pmax, s))))
+                    AS BIGINT) AS dup5_cov
+        FROM (
+            SELECT doc_id, s, e,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pmax
+            FROM dupocc
+        ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n AS n_tokens,
+           CAST(coalesce(t2.top2_cnt, 0) AS BIGINT) AS top2_cnt,
+           CAST(coalesce(c.dup5_cov, 0) AS BIGINT) AS dup5_cov,
+           (10 * coalesce(t2.top2_cnt, 0) <= b.n) AS top2_ok,
+           (20 * coalesce(c.dup5_cov, 0) <= 3 * b.n) AS dup5_ok
+    FROM base b
+    LEFT JOIN top2 t2 USING (doc_id)
+    LEFT JOIN cov c USING (doc_id)
+    """,
+    tags=("T", "quality", "gopher", "repetition", "interval-union",
+          "llm-pipeline"),
+)
+def t_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's WITHIN-document repetition filters (Rae et al. 2021
+    §A1.1), token-coverage form: the fraction of tokens inside the most
+    frequent 2-gram (keep if ≤ 0.20) and the fraction of tokens covered
+    by duplicated 5-grams (keep if ≤ 0.15). Complements t_gopher_rules
+    (length/symbol/stopword rules) and t_dup_ngram_spans (CROSS-corpus
+    duplicate grams): template spam repeats within one document.
+
+    Coverage is an EXACT interval union — duplicated-5-gram occurrences
+    become token spans [i, i+5) and overlapping spans count each token
+    once, via the same cumulative-max window device as
+    w15_interval_coalesce. Hash surface: bigint counts and
+    cross-multiplied boolean thresholds (10·top2 ≤ n, 20·cov ≤ 3n) —
+    no division, no rounding, engine-invariant by construction.
+
+    Scale shape: two gram explodes (corpus-token-sized), one grouped
+    count each, one per-doc ordered window over duplicate occurrences
+    only — the same shuffle discipline as any tokenize + count."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.filter(tx.tokens(F.col("text")), lambda w: F.length(w) > 0)
+    base = (
+        docs.select("doc_id", t.alias("t"))
+        .withColumn("n", F.size("t").cast("bigint"))
+        .where(F.col("n") >= 5)
+    )
+    tc = F.col("t")
+    g2 = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.get(tc, i), F.get(tc, i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "g")
+    top2 = (
+        g2.groupBy("doc_id", "g")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("c").alias("top2_cnt"))
+    )
+    g5 = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - 5),
+                lambda i: F.struct(
+                    (i + 1).cast("bigint").alias("s"),
+                    (i + 6).cast("bigint").alias("e"),
+                    F.concat_ws(
+                        " ",
+                        F.slice(tc, i + 1, F.lit(5)),
+                    ).alias("g"),
+                ),
+            )
+        ).alias("o"),
+    ).select("doc_id", "o.s", "o.e", "o.g")
+    wg = Window.partitionBy("doc_id", "g")
+    dupocc = g5.withColumn("c", F.count("*").over(wg)).where(
+        F.col("c") >= 2
+    )
+    wcov = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = (
+        dupocc.withColumn("pmax", F.max("e").over(wcov))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.greatest(
+                    F.lit(0),
+                    F.col("e")
+                    - F.greatest(
+                        F.col("s"), F.coalesce(F.col("pmax"), F.col("s"))
+                    ),
+                )
+            )
+            .cast("bigint")
+            .alias("dup5_cov")
+        )
+    )
+    return (
+        base.select("doc_id", F.col("n").alias("n_tokens"))
+        .join(top2, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("top2_cnt", F.lit(0)).cast("bigint").alias(
+                "top2_cnt"
+            ),
+            F.coalesce("dup5_cov", F.lit(0)).cast("bigint").alias(
+                "dup5_cov"
+            ),
+            (
+                10 * F.coalesce("top2_cnt", F.lit(0))
+                <= F.col("n_tokens")
+            ).alias("top2_ok"),
+            (
+                20 * F.coalesce("dup5_cov", F.lit(0))
+                <= 3 * F.col("n_tokens")
+            ).alias("dup5_ok"),
+        )
+    )
+
+
+@register(
+    "t_tokenizer_fertility",
+    oracle=bpe_fertility_oracle_sql(n_merges=12, batch_size=4),
+    tags=("T", "tokenizer", "bpe", "fertility", "cross-lingual",
+          "llm-pipeline"),
+)
+def t_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer FERTILITY (instance-weighted pieces per
+    word) under the corpus-trained 12-merge BPE — the standard
+    cross-lingual equity audit: a tokenizer with high fertility on a
+    language inflates its training cost per unit text and shrinks its
+    effective context window. Composes the hash-checked trainer
+    (t_bpe_merges/t_bpe_encode machinery) with a per-(lang, word)
+    instance count; the model is word-TYPE-sized so the encode rides a
+    broadcast-scale join.
+
+    Hash surface: bigint word/piece masses and the exact integer
+    fertility_fx = (pieces·2^20) div words — in 2^-20 pieces-per-word
+    units, no rounding route anywhere (r13 post-mortem). Words carrying
+    the oracle's sentinel control chars are excluded by the SAME filter
+    on both sides (operators.bpe.word_types / the wt CTE)."""
+    from burst_db_spark.operators.bpe import (
+        encode_words,
+        train_bpe,
+        word_types,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=12, batch_size=4)
+    wt = word_types(docs)
+    enc = encode_words(wt, merges).select(
+        "word", F.size("pieces").cast("bigint").alias("np")
+    )
+    lw = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.filter(
+                    tx.tokens(F.col("text")),
+                    lambda w: (F.length(w) > 0)
+                    & ~w.contains(F.lit("\x1f"))
+                    & ~w.contains(F.lit("\x1e")),
+                )
+            ).alias("word"),
+        )
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("bigint").alias("nw"))
+    )
+    return (
+        lw.join(F.broadcast(enc), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("nw").cast("bigint").alias("n_words"),
+            F.sum(F.col("nw") * F.col("np")).cast("bigint").alias(
+                "n_pieces"
+            ),
+            F.expr(
+                "(sum(nw * np) * CAST(1048576 AS BIGINT)) div sum(nw)"
+            )
+            .cast("bigint")
+            .alias("fertility_fx"),
+        )
+    )
