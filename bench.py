@@ -190,7 +190,7 @@ HEADLINE = [
     "w5b_reference_dates_events",
     "dd_snapshot_novelty",
     "t_padding_waste",
-    "t_tokenizer_fertility",
+    "t_bpe_fertility_by_lang",
     "dd_cluster_incremental",
     # round-11 operators
     "t_winnow_fingerprints",
@@ -267,7 +267,7 @@ HEADLINE = [
     # round-14 additions (build round 14)
     "knn_hier2_assign",
     "t_gopher_repetition",
-    "t_tokenizer_fertility",
+    "t_bpe_fertility_by_lang",
 ]
 
 # Regression-signal curation (VERDICT r11 item #6): the headline suite

@@ -93,7 +93,7 @@ _SAMPLING_PRIORITY = (
     # -- round-14 additions, strict-verified sf0.01 --
     "knn_hier2_assign",
     "t_gopher_repetition",
-    "t_tokenizer_fertility",
+    "t_bpe_fertility_by_lang",
     # -- remaining round-13 additions (newest rows, r13-green) --
     "t_substring_dedup_shorts",
     "a48_mad_outliers",

@@ -199,12 +199,12 @@ def t_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "t_tokenizer_fertility",
+    "t_bpe_fertility_by_lang",
     oracle=bpe_fertility_oracle_sql(n_merges=12, batch_size=4),
     tags=("T", "tokenizer", "bpe", "fertility", "cross-lingual",
           "llm-pipeline"),
 )
-def t_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer FERTILITY (instance-weighted pieces per
     word) under the corpus-trained 12-merge BPE — the standard
     cross-lingual equity audit: a tokenizer with high fertility on a

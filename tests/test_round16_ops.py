@@ -1,0 +1,88 @@
+"""Build-round-14 additions: Gopher within-doc repetition and
+per-language BPE fertility — python brute-force mirrors + plan pins."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyspark.sql.functions as F
+
+from burst_db_spark.catalog import load
+from burst_db_spark.queries.round16 import (
+    t_gopher_repetition,
+    t_bpe_fertility_by_lang,
+)
+from tests.conftest import SF_DIR
+
+
+def _toks(text: str) -> list[str]:
+    return [w for w in text.strip().lower().split() if w]
+
+
+def test_gopher_repetition_matches_python(spark):
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    got = {r["doc_id"]: r for r in t_gopher_repetition(spark, SF_DIR).collect()}
+    checked = 0
+    for d in docs:
+        t = _toks(d["text"])
+        n = len(t)
+        if n < 5:
+            assert d["doc_id"] not in got
+            continue
+        checked += 1
+        g2 = Counter(
+            " ".join(t[i : i + 2]) for i in range(n - 1)
+        )
+        # ties: max count, then lexicographically smallest gram
+        top2 = max(g2.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
+        top2_cnt = max(g2.values())
+        g5pos: dict[str, list[int]] = {}
+        for i in range(n - 4):
+            g5pos.setdefault(" ".join(t[i : i + 5]), []).append(i)
+        covered: set[int] = set()
+        for g, ps in g5pos.items():
+            if len(ps) >= 2:
+                for p in ps:
+                    covered.update(range(p, p + 5))
+        r = got[d["doc_id"]]
+        assert r["n_tokens"] == n
+        assert r["top2_cnt"] == top2_cnt
+        assert r["dup5_cov"] == len(covered), d["doc_id"]
+        assert r["top2_ok"] == (10 * top2_cnt <= n)
+        assert r["dup5_ok"] == (20 * len(covered) <= 3 * n)
+    assert checked > 0
+
+
+def test_gopher_repetition_interval_union_no_double_count(spark):
+    """Overlapping duplicated 5-grams must count each token ONCE:
+    dup5_cov can never exceed n_tokens."""
+    rows = t_gopher_repetition(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["dup5_cov"] <= r["n_tokens"]
+        assert 0 <= r["top2_cnt"] * 2 <= r["n_tokens"] + 1
+
+
+def test_bpe_fertility_by_lang_decodes_and_masses(spark):
+    rows = t_bpe_fertility_by_lang(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # pieces >= words (a piece never spans words), fertility >= 1
+        assert r["n_pieces"] >= r["n_words"] > 0
+        assert r["fertility_fx"] >= 1048576  # >= 1.0 in 2^-20 units
+        assert (
+            r["fertility_fx"]
+            == (r["n_pieces"] * 1048576) // r["n_words"]
+        )
+
+
+def test_fertility_uses_broadcast_encode(spark):
+    """The word-type encode table rides a broadcast join (model-sized),
+    never a shuffle join."""
+    plan = (
+        t_bpe_fertility_by_lang(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
