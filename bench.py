@@ -268,6 +268,7 @@ HEADLINE = [
     "knn_hier2_assign",
     "t_gopher_repetition",
     "t_bpe_fertility_by_lang",
+    "g6_kcore_peel",
 ]
 
 # Regression-signal curation (VERDICT r11 item #6): the headline suite
@@ -339,6 +340,9 @@ PINNED_SF = {
     # overlap sketches exist to avoid (r10 split of the audit column out
     # of the production dd_source_overlap_matrix row)
     "dd_source_overlap_exact_audit": "/root/testdata/sf0.01",
+    # exact O(N^2) integer-cosine edge build feeding the k-core peel;
+    # the peel profile is also deepest (7 rounds) at this sf
+    "g6_kcore_peel": "/root/testdata/sf0.01",
 }
 
 

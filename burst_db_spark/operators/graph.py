@@ -292,3 +292,71 @@ def triangle_stats(
         [(int(n_verts), int(n_edges), int(n_wedges), int(n_tri))],
         "n_vertices bigint, n_edges bigint, n_wedges bigint, n_triangles bigint",
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """k-core decomposition by synchronized peeling: repeatedly delete
+    every vertex whose degree is < k (and its edges) until no deletion
+    happens. ``edges`` must be SYMMETRIC (both directions present), so
+    degree = count per ``src`` — one groupBy, no union.
+
+    Returns the PEEL PROFILE, one row per round r = 0..T:
+    ``(round, n_nodes, n_edges, n_removed)`` where round 0 is the input
+    graph and T is the first round whose graph equals the previous
+    round's (the fixpoint marker row is included). The profile pins the
+    whole trajectory, not just the terminal core — a wrong intermediate
+    round cannot hash-collide its way to a green check.
+
+    Scale shape: each round is one degree groupBy plus two hash joins
+    on a strictly shrinking edge set — the textbook distributed k-core
+    (ENABLE-style synchronized peeling). Rounds are worst-case O(V)
+    (a path peels from the ends inward), so callers cap ``max_rounds``
+    and the unrolled DuckDB oracle must unroll at least as deep as the
+    data's true fixpoint; rounds past the fixpoint are no-ops
+    (idempotent), so overshooting is safe, undershooting raises here.
+    Each round's frame is eagerly localCheckpointed: the loop otherwise
+    compounds a 3-reference plan per round (Catalyst analysis goes
+    superlinear — see kmeans_unrolled_stats).
+    """
+    spark = edges.sparkSession
+    cur = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    stats = cur.agg(
+        F.countDistinct("src").alias("n"), F.count("*").alias("e")
+    ).first()
+    profile = [(0, int(stats["n"] or 0), int(stats["e"] or 0), 0)]
+    for _ in range(max_rounds):
+        deg = cur.groupBy("src").agg(F.count("*").alias("__deg"))
+        keep = deg.where(F.col("__deg") >= k).select("src")
+        nxt = (
+            cur.join(keep, "src", "left_semi")
+            .join(
+                keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+            )
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        stats = nxt.agg(
+            F.countDistinct("src").alias("n"), F.count("*").alias("e")
+        ).first()
+        n, e = int(stats["n"] or 0), int(stats["e"] or 0)
+        prev_n, prev_e = profile[-1][1], profile[-1][2]
+        profile.append((len(profile), n, e, prev_n - n))
+        if (n, e) == (prev_n, prev_e):
+            break
+        cur = nxt
+    else:
+        raise ValueError(
+            f"k-core did not converge within max_rounds={max_rounds}; "
+            "raise max_rounds AND the oracle's unroll depth together"
+        )
+    return spark.createDataFrame(
+        profile, "round bigint, n_nodes bigint, n_edges bigint, n_removed bigint"
+    )

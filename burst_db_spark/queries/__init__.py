@@ -94,6 +94,7 @@ _SAMPLING_PRIORITY = (
     "knn_hier2_assign",
     "t_gopher_repetition",
     "t_bpe_fertility_by_lang",
+    "g6_kcore_peel",
     # -- remaining round-13 additions (newest rows, r13-green) --
     "t_substring_dedup_shorts",
     "a48_mad_outliers",
@@ -132,8 +133,8 @@ _SAMPLING_PRIORITY = (
     "u1_unpivot_union",
     "u6_dq_checks",
     "utm_epsg_classify",
+    # ---- 50-slot prefix cut line (23 staged + 27 oldest = exactly 50) ----
     "w15_interval_coalesce",
-    # ---- 50-slot prefix cut line (22 staged + 28 oldest = exactly 50) ----
     "w16_resample_ohlc",
     "w_running_sum",
 )

@@ -261,3 +261,158 @@ def t_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fertility_fx"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# G6: k-core decomposition of the embedding similarity graph
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 12  # unroll depth; fixpoint is round <=7 at every test sf
+
+
+def _kcore_oracle_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    """Unrolled synchronized-peeling oracle. Every round's edge set is
+    MATERIALIZED (each is referenced by the next round's degree count,
+    its filter, and the stats rollup — un-materialized, DuckDB re-expands
+    the 3-reference plan 3^rounds times). Rounds past the fixpoint are
+    idempotent no-ops; the lag-window fixpoint filter trims the profile
+    to rounds 0..T with T = first no-change round."""
+    parts = [f"""
+    q AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * 127) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    qn AS MATERIALIZED (
+        SELECT vec_id, qv,
+               CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
+                   AS nrm2
+        FROM q
+    ),
+    pr AS MATERIALIZED (
+        SELECT ia, ib FROM (
+            SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   CAST(list_sum(list_transform(range(1, 65),
+                        i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dp,
+                   a.nrm2 AS na, b.nrm2 AS nb
+            FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+        ) WHERE dp > 0 AND 100 * dp * dp >= 9 * na * nb
+    ),
+    e0 AS MATERIALIZED (
+        SELECT ia AS src, ib AS dst FROM pr
+        UNION ALL SELECT ib, ia FROM pr
+    )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    d{r} AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS c
+             FROM e{r - 1} GROUP BY src),
+    e{r} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e{r - 1} e
+        JOIN d{r} ds ON ds.node = e.src AND ds.c >= {k}
+        JOIN d{r} dd ON dd.node = e.dst AND dd.c >= {k}
+    )""")
+    stats = "\n        UNION ALL ".join(
+        f"SELECT {r} AS round,"
+        f" (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM e{r}) AS n_nodes,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS n_edges"
+        for r in range(rounds + 1)
+    )
+    parts.append(f"""
+    stats AS ({stats}),
+    prof AS (
+        SELECT round, n_nodes, n_edges,
+               lag(n_nodes) OVER (ORDER BY round) AS pn,
+               lag(n_edges) OVER (ORDER BY round) AS pe
+        FROM stats
+    ),
+    tfix AS (SELECT min(round) AS t FROM prof
+             WHERE round > 0 AND n_nodes = pn AND n_edges = pe)""")
+    return (
+        "WITH " + ",".join(parts) + """
+    SELECT round, n_nodes, n_edges,
+           CAST(coalesce(pn - n_nodes, 0) AS BIGINT) AS n_removed
+    FROM prof WHERE round <= (SELECT t FROM tfix)
+    """
+    )
+
+
+@register(
+    "g6_kcore_peel",
+    oracle=_kcore_oracle_sql(),
+    tags=("graph", "k-core", "iterative", "peeling", "embedding-graph",
+          "llm-pipeline"),
+)
+def g6_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the embedding similarity graph —
+    the dense-community detector over a near-dup/similarity graph: a
+    vertex is in the k-core iff it keeps >= k neighbors after everyone
+    of degree < k is (transitively) deleted. Curation use: duplicate
+    *clusters* form high cores while chains and stars peel away, so the
+    core/periphery split separates template farms from incidental
+    near-dups. Result = the full PEEL PROFILE (round, n_nodes, n_edges,
+    n_removed) through the fixpoint — pinning every intermediate round,
+    not just the terminal core.
+
+    Edge set: int-quantized cosine >= 0.3 via the exact cross-multiplied
+    integer predicate (dp > 0 AND 100*dp^2 >= 9*|a|^2*|b|^2 over
+    floor(x*127) bigint codes) — engine-invariant by construction, no
+    double division or sqrt anywhere (r13 post-mortem doctrine).
+
+    Scale shape: the audit-scale edge build here is the exact O(N^2)
+    pair sweep (2k vectors); at corpus scale the SAME peel composes with
+    the LSH-banded candidate generator (lsh_near_dup_pairs) — the peel
+    itself is one degree groupBy + two semi-joins per round on a
+    strictly shrinking edge set, synchronized-peeling k-core. Rounds
+    are data-bounded (fixpoint <= 7 on every test sf; pytest asserts
+    margin vs the oracle's unroll depth of 12)."""
+    from burst_db_spark.operators.graph import kcore_peel
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(cast(embedding as array<double>),"
+            " x -> cast(floor(x * 127) as bigint))"
+        ).alias("qv"),
+    )
+    qn = q.select(
+        "vec_id",
+        "qv",
+        F.expr(
+            "aggregate(transform(qv, x -> x * x), 0L, (acc, x) -> acc + x)"
+        ).alias("nrm2"),
+    )
+    a = qn.select(
+        F.col("vec_id").alias("ia"),
+        F.col("qv").alias("qa"),
+        F.col("nrm2").alias("na"),
+    )
+    b = qn.select(
+        F.col("vec_id").alias("ib"),
+        F.col("qv").alias("qb"),
+        F.col("nrm2").alias("nb"),
+    )
+    pairs = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L,"
+                " (acc, x) -> acc + x)"
+            ).alias("dp"),
+            "na",
+            "nb",
+        )
+        .where(
+            (F.col("dp") > 0)
+            & (100 * F.col("dp") * F.col("dp") >= 9 * F.col("na") * F.col("nb"))
+        )
+        .select("ia", "ib")
+    )
+    edges = pairs.select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst")
+    ).unionAll(pairs.select(F.col("ib").alias("src"), F.col("ia").alias("dst")))
+    return kcore_peel(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)

@@ -86,3 +86,49 @@ def test_fertility_uses_broadcast_encode(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_kcore_peel_profile_properties(spark):
+    """Peel profile invariants + the unroll-depth safety margin: the
+    fixpoint must land >= 3 rounds inside the oracle's unroll (12), so
+    small data drift can't silently outrun the unrolled CTE chain."""
+    from burst_db_spark.queries.round16 import (
+        _KCORE_ROUNDS,
+        g6_kcore_peel,
+    )
+
+    rows = sorted(
+        g6_kcore_peel(spark, SF_DIR).collect(), key=lambda r: r["round"]
+    )
+    assert rows[0]["round"] == 0 and rows[0]["n_removed"] == 0
+    t_fix = rows[-1]["round"]
+    assert t_fix <= _KCORE_ROUNDS - 3, (
+        f"fixpoint at round {t_fix} is within 3 of the unroll depth "
+        f"{_KCORE_ROUNDS}; deepen the oracle unroll"
+    )
+    # monotone shrink, removed = node delta, terminal row is a no-op
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_nodes"] <= prev["n_nodes"]
+        assert cur["n_edges"] <= prev["n_edges"]
+        assert cur["n_removed"] == prev["n_nodes"] - cur["n_nodes"]
+    assert rows[-1]["n_nodes"] == rows[-2]["n_nodes"]
+    assert rows[-1]["n_edges"] == rows[-2]["n_edges"]
+
+
+def test_kcore_terminal_graph_has_min_degree_k(spark):
+    """Every node surviving the peel keeps >= k neighbors — the k-core
+    defining property, checked directly on the terminal edge set."""
+    from burst_db_spark.operators.graph import kcore_peel
+    from burst_db_spark.queries.round16 import _KCORE_K
+
+    # tiny handcrafted graph: a 4-clique with a pendant chain
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, "src bigint, dst bigint")
+    prof = sorted(
+        kcore_peel(df, k=_KCORE_K, max_rounds=8).collect(),
+        key=lambda r: r["round"],
+    )
+    # chain peels (5 then dangling 4->5 edge goes with it); 4-clique stays
+    assert prof[-1]["n_nodes"] == 4
+    assert prof[-1]["n_edges"] == 12  # 4-clique, both directions
