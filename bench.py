@@ -269,6 +269,8 @@ HEADLINE = [
     "t_gopher_repetition",
     "t_bpe_fertility_by_lang",
     "g6_kcore_peel",
+    "t_domain_jsd",
+    "t_rake_keywords",
 ]
 
 # Regression-signal curation (VERDICT r11 item #6): the headline suite

@@ -95,6 +95,8 @@ _SAMPLING_PRIORITY = (
     "t_gopher_repetition",
     "t_bpe_fertility_by_lang",
     "g6_kcore_peel",
+    "t_domain_jsd",
+    "t_rake_keywords",
     # -- remaining round-13 additions (newest rows, r13-green) --
     "t_substring_dedup_shorts",
     "a48_mad_outliers",
@@ -131,9 +133,9 @@ _SAMPLING_PRIORITY = (
     "t_paragraph_dedup",
     "t_weighted_sample",
     "u1_unpivot_union",
+    # ---- 50-slot prefix cut line (25 staged + 25 oldest = exactly 50) ----
     "u6_dq_checks",
     "utm_epsg_classify",
-    # ---- 50-slot prefix cut line (23 staged + 27 oldest = exactly 50) ----
     "w15_interval_coalesce",
     "w16_resample_ohlc",
     "w_running_sum",

@@ -416,3 +416,347 @@ def g6_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ia").alias("src"), F.col("ib").alias("dst")
     ).unionAll(pairs.select(F.col("ib").alias("src"), F.col("ia").alias("dst")))
     return kcore_peel(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# T: pairwise Jensen-Shannon divergence between source token distributions
+
+
+@register(
+    "t_domain_jsd",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT source,
+               list_filter({_TOKS}, w -> len(w) > 0) AS t
+        FROM documents
+    ),
+    w AS (SELECT source, unnest(t) AS word FROM toks),
+    counts AS (
+        SELECT source, word, CAST(count(*) AS BIGINT) AS c
+        FROM w GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+            FROM counts GROUP BY 1),
+    terms AS (
+        SELECT c.source, c.word,
+               CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE) AS p
+        FROM counts c JOIN tot t USING (source)
+    ),
+    persrc AS (
+        SELECT source,
+               CAST(sum(CAST(floor(-p * ln(p) * 1073741824.0)
+                             AS BIGINT)) AS BIGINT) AS h_fx,
+               CAST(sum(CAST(floor((p / 2) * ln(p / 2) * 1073741824.0)
+                             AS BIGINT)) AS BIGINT) AS a_fx,
+               CAST(count(*) AS BIGINT) AS n_words
+        FROM terms GROUP BY source
+    ),
+    shared AS (
+        SELECT a.source AS sa, b.source AS sb,
+               CAST(count(*) AS BIGINT) AS n_shared,
+               CAST(sum(
+                   CAST(floor(((a.p + b.p) / 2) * ln((a.p + b.p) / 2)
+                              * 1073741824.0) AS BIGINT)
+                   - CAST(floor((a.p / 2) * ln(a.p / 2)
+                                * 1073741824.0) AS BIGINT)
+                   - CAST(floor((b.p / 2) * ln(b.p / 2)
+                                * 1073741824.0) AS BIGINT)
+               ) AS BIGINT) AS corr_fx
+        FROM terms a JOIN terms b
+          ON a.word = b.word AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT pa.source AS src_a, pb.source AS src_b,
+           CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+           pa.n_words AS n_words_a, pb.n_words AS n_words_b,
+           CAST(-2 * (pa.a_fx + pb.a_fx + coalesce(s.corr_fx, 0))
+                - pa.h_fx - pb.h_fx AS BIGINT) AS jsd2_fx
+    FROM persrc pa JOIN persrc pb ON pa.source < pb.source
+    LEFT JOIN shared s ON s.sa = pa.source AND s.sb = pb.source
+    """,
+    tags=("T", "corpus-diagnostics", "jsd", "divergence", "llm-pipeline"),
+)
+def t_domain_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram token
+    distributions of every source pair — the standard domain-similarity
+    audit for mixture design (which sources are near-duplicates of each
+    other's distribution, which are outliers; DoReMi/UniMax-style weight
+    tuning reads exactly this matrix). jsd2_fx is 2·JSD in 2^-30 nats
+    (doubling keeps the surface integral — no /2 division).
+
+    SPARSE decomposition, the part that matters at corpus scale: JSD =
+    H((P+Q)/2) − (H(P)+H(Q))/2 would need a dense pair×vocab join, but
+    for words private to one side the mixture term collapses to the
+    closed-form half-term (p/2)·ln(p/2). So each source carries two
+    marginal sums (h_fx, a_fx — one pass over (source, word) counts) and
+    only SHARED words enter the pairwise correction join: cost
+    Σ_w df(w)·(df(w)−1)/2 on the pre-aggregated (source,word) table —
+    quadratic in #sources, never in vocab or corpus size.
+
+    Hash surface: every transcendental term quantizes floor(x·2^30) to
+    bigint before any sum (order-free; floor has no tie-break — the r13
+    doctrine); the assembly is pure bigint arithmetic."""
+    from burst_db_spark.operators import text as tx
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(
+            F.filter(tx.tokens(F.col("text")), lambda w: F.length(w) > 0)
+        ).alias("word"),
+    )
+    counts = words.groupBy("source", "word").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = counts.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    terms = counts.join(tot, "source").select("source", "word", p.alias("p"))
+
+    def _fx(x) -> F.Column:
+        return F.floor(x * F.lit(1073741824.0)).cast("bigint")
+
+    half = F.col("p") / 2
+    persrc = terms.groupBy("source").agg(
+        F.sum(_fx(-F.col("p") * F.log("p"))).cast("bigint").alias("h_fx"),
+        F.sum(_fx(half * F.log(half))).cast("bigint").alias("a_fx"),
+        F.count("*").cast("bigint").alias("n_words"),
+    )
+    a = terms.select(
+        F.col("source").alias("sa"), "word", F.col("p").alias("pa")
+    )
+    b = terms.select(
+        F.col("source").alias("sb"), "word", F.col("p").alias("pb")
+    )
+    mid = (F.col("pa") + F.col("pb")) / 2
+    ha, hb = F.col("pa") / 2, F.col("pb") / 2
+    shared = (
+        a.join(b, "word")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shared"),
+            F.sum(
+                _fx(mid * F.log(mid))
+                - _fx(ha * F.log(ha))
+                - _fx(hb * F.log(hb))
+            )
+            .cast("bigint")
+            .alias("corr_fx"),
+        )
+    )
+    pa = persrc.select(
+        F.col("source").alias("src_a"),
+        F.col("h_fx").alias("h_a"),
+        F.col("a_fx").alias("a_a"),
+        F.col("n_words").alias("n_words_a"),
+    )
+    pb = persrc.select(
+        F.col("source").alias("src_b"),
+        F.col("h_fx").alias("h_b"),
+        F.col("a_fx").alias("a_b"),
+        F.col("n_words").alias("n_words_b"),
+    )
+    return (
+        pa.join(pb, F.col("src_a") < F.col("src_b"))
+        .join(
+            shared.withColumnRenamed("sa", "src_a").withColumnRenamed(
+                "sb", "src_b"
+            ),
+            ["src_a", "src_b"],
+            "left",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias(
+                "n_shared"
+            ),
+            "n_words_a",
+            "n_words_b",
+            (
+                -2
+                * (
+                    F.col("a_a")
+                    + F.col("a_b")
+                    + F.coalesce("corr_fx", F.lit(0))
+                )
+                - F.col("h_a")
+                - F.col("h_b")
+            )
+            .cast("bigint")
+            .alias("jsd2_fx"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T: RAKE keyword extraction
+
+
+_RAKE_STOP = (
+    "the", "a", "an", "of", "and", "to", "in", "is", "are", "was", "were",
+    "for", "on", "with", "as", "by", "at", "that", "this", "it", "from",
+    "or", "be", "not", "but", "they", "their", "has", "have", "had",
+)
+_RAKE_TOPK = 5
+
+
+@register(
+    "t_rake_keywords",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter({_TOKS}, w -> len(w) > 0) AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, source, CAST(i AS BIGINT) AS i, t[i] AS w,
+               (t[i] IN {str(_RAKE_STOP)}
+                OR len(t[i]) < 2
+                OR NOT regexp_matches(t[i], '^[a-z0-9]+$')) AS is_delim
+        FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+    ),
+    marked AS (
+        SELECT doc_id, source, i, w, is_delim,
+               count(*) FILTER (WHERE is_delim) OVER (
+                   PARTITION BY doc_id ORDER BY i) AS pid
+        FROM pos
+    ),
+    members AS (SELECT * FROM marked WHERE NOT is_delim),
+    phrases AS (
+        SELECT doc_id, source, pid,
+               string_agg(w, ' ' ORDER BY i) AS phrase,
+               CAST(count(*) AS BIGINT) AS plen
+        FROM members GROUP BY doc_id, source, pid
+    ),
+    wstats AS (
+        SELECT m.w,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(p.plen) AS BIGINT) AS deg
+        FROM members m
+        JOIN phrases p ON p.doc_id = m.doc_id AND p.pid = m.pid
+        GROUP BY m.w
+    ),
+    pscore AS (
+        SELECT p.doc_id, p.pid, p.source, p.phrase, p.plen,
+               CAST(sum((ws.deg * 1048576) // ws.freq) AS BIGINT)
+                   AS score_fx
+        FROM members m
+        JOIN phrases p ON p.doc_id = m.doc_id AND p.pid = m.pid
+        JOIN wstats ws ON ws.w = m.w
+        GROUP BY p.doc_id, p.pid, p.source, p.phrase, p.plen
+    ),
+    agg AS (
+        SELECT source, phrase,
+               CAST(min(plen) AS BIGINT) AS n_words,
+               CAST(count(*) AS BIGINT) AS n_occ,
+               CAST(min(score_fx) AS BIGINT) AS score_fx
+        FROM pscore GROUP BY source, phrase
+    )
+    SELECT source, phrase, n_words, n_occ, score_fx,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY score_fx DESC, phrase) AS rnk
+        FROM agg
+    ) WHERE rnk <= {_RAKE_TOPK}
+    """,
+    tags=("T", "keywords", "rake", "text-analysis", "llm-pipeline"),
+)
+def t_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal runs of content tokens between delimiters (stopwords, short
+    or non-alphanumeric tokens); every word scores deg/freq over the
+    candidate-phrase co-occurrence graph (deg = Σ lengths of phrases
+    containing the word, freq = occurrence count); a phrase scores the
+    sum of its words' scores; top-{_RAKE_TOPK} phrases per source.
+
+    Hash surface: word scores are exact integer fixed-point
+    (deg·2^20) div freq — integer division truncates identically on
+    both engines; phrase scores are bigint sums of those; ranking ties
+    break on phrase text.
+
+    Scale shape: token-linear throughout — a position window per doc
+    (the same per-doc ordered window any sessionizer costs), one
+    groupBy per phrase, one per-word groupBy (vocabulary-sized model,
+    joined back by word). No pair joins, no UDF."""
+    from burst_db_spark.operators import text as tx
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.filter(tx.tokens(F.col("text")), lambda w: F.length(w) > 0).alias(
+            "t"
+        ),
+    )
+    pos = toks.select(
+        "doc_id",
+        "source",
+        F.posexplode("t").alias("i0", "w"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("i0") + 1).cast("bigint").alias("i"),
+        "w",
+        (
+            F.col("w").isin(*_RAKE_STOP)
+            | (F.length("w") < 2)
+            | ~F.col("w").rlike("^[a-z0-9]+$")
+        ).alias("is_delim"),
+    )
+    wseq = Window.partitionBy("doc_id").orderBy("i")
+    marked = pos.withColumn(
+        "pid", F.count(F.when(F.col("is_delim"), 1)).over(wseq)
+    )
+    members = marked.where(~F.col("is_delim")).select(
+        "doc_id", "source", "i", "w", "pid"
+    )
+    phrases = members.groupBy("doc_id", "source", "pid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").cast("bigint").alias("plen"),
+    )
+    wstats = (
+        members.join(
+            phrases.select("doc_id", "pid", "plen"), ["doc_id", "pid"]
+        )
+        .groupBy("w")
+        .agg(
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+    )
+    pscore = (
+        members.join(
+            phrases.select("doc_id", "pid", "source", "phrase", "plen"),
+            ["doc_id", "pid", "source"],
+        )
+        .join(F.broadcast(wstats), "w")
+        .groupBy("doc_id", "pid", "source", "phrase", "plen")
+        .agg(
+            F.sum(
+                F.expr("(deg * CAST(1048576 AS BIGINT)) div freq")
+            )
+            .cast("bigint")
+            .alias("score_fx")
+        )
+    )
+    agg = pscore.groupBy("source", "phrase").agg(
+        F.min("plen").cast("bigint").alias("n_words"),
+        F.count("*").cast("bigint").alias("n_occ"),
+        F.min("score_fx").cast("bigint").alias("score_fx"),
+    )
+    wrank = Window.partitionBy("source").orderBy(
+        F.col("score_fx").desc(), "phrase"
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(wrank).cast("bigint"))
+        .where(F.col("rank") <= _RAKE_TOPK)
+        .select("source", "phrase", "n_words", "n_occ", "score_fx", "rank")
+    )

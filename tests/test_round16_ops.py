@@ -132,3 +132,113 @@ def test_kcore_terminal_graph_has_min_degree_k(spark):
     # chain peels (5 then dangling 4->5 edge goes with it); 4-clique stays
     assert prof[-1]["n_nodes"] == 4
     assert prof[-1]["n_edges"] == 12  # 4-clique, both directions
+
+
+def test_domain_jsd_matches_python(spark):
+    """Full python mirror: exact fixed-point JSD assembly per pair."""
+    import math
+
+    from burst_db_spark.queries.round16 import t_domain_jsd
+
+    docs = load(spark, SF_DIR, "documents").select("source", "text").collect()
+    dist: dict[str, Counter] = {}
+    for d in docs:
+        dist.setdefault(d["source"], Counter()).update(_toks(d["text"]))
+    S = 1073741824.0
+
+    def fx(x: float) -> int:
+        return math.floor(x * S)
+
+    stats = {}
+    for s, cnt in dist.items():
+        n = sum(cnt.values())
+        ps = {w: c / n for w, c in cnt.items()}
+        stats[s] = (
+            ps,
+            sum(fx(-p * math.log(p)) for p in ps.values()),
+            sum(fx((p / 2) * math.log(p / 2)) for p in ps.values()),
+        )
+    got = {
+        (r["src_a"], r["src_b"]): r
+        for r in t_domain_jsd(spark, SF_DIR).collect()
+    }
+    srcs = sorted(dist)
+    assert len(got) == len(srcs) * (len(srcs) - 1) // 2
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            pa, ha, aa = stats[sa]
+            pb, hb, ab = stats[sb]
+            shared = set(pa) & set(pb)
+            corr = sum(
+                fx(((pa[w] + pb[w]) / 2) * math.log((pa[w] + pb[w]) / 2))
+                - fx((pa[w] / 2) * math.log(pa[w] / 2))
+                - fx((pb[w] / 2) * math.log(pb[w] / 2))
+                for w in shared
+            )
+            want = -2 * (aa + ab + corr) - ha - hb
+            r = got[(sa, sb)]
+            assert r["n_shared"] == len(shared)
+            assert r["jsd2_fx"] == want, (sa, sb)
+            # 0 <= JSD <= ln 2 (up to quantization slack of a few ulps)
+            assert -16 <= r["jsd2_fx"] <= 2 * math.log(2) * S + 16
+
+
+def test_rake_keywords_matches_python(spark):
+    """Brute python RAKE mirror: same delimiters, deg/freq fixed-point
+    word scores, phrase-sum scoring, per-source top-5 ties on phrase."""
+    import re
+
+    from burst_db_spark.queries.round16 import (
+        _RAKE_STOP,
+        _RAKE_TOPK,
+        t_rake_keywords,
+    )
+
+    docs = (
+        load(spark, SF_DIR, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    alnum = re.compile(r"^[a-z0-9]+$")
+    phrases = []  # (source, tuple(words))
+    for d in docs:
+        run: list[str] = []
+        for w in _toks(d["text"]):
+            if w in _RAKE_STOP or len(w) < 2 or not alnum.match(w):
+                if run:
+                    phrases.append((d["source"], tuple(run)))
+                run = []
+            else:
+                run.append(w)
+        if run:
+            phrases.append((d["source"], tuple(run)))
+    freq: Counter = Counter()
+    deg: Counter = Counter()
+    for _, ph in phrases:
+        for w in ph:
+            freq[w] += 1
+            deg[w] += len(ph)
+    wscore = {w: (deg[w] * 1048576) // freq[w] for w in freq}
+    agg: dict = {}
+    for srcph in phrases:
+        src, ph = srcph
+        e = agg.setdefault(
+            (src, " ".join(ph)),
+            [len(ph), 0, sum(wscore[w] for w in ph)],
+        )
+        e[1] += 1
+    want: dict = {}
+    by_src: dict = {}
+    for (src, phrase), (n_words, n_occ, score) in agg.items():
+        by_src.setdefault(src, []).append((phrase, n_words, n_occ, score))
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        for rank, (phrase, n_words, n_occ, score) in enumerate(
+            rows[:_RAKE_TOPK], 1
+        ):
+            want[(src, rank)] = (phrase, n_words, n_occ, score)
+    got = t_rake_keywords(spark, SF_DIR).collect()
+    assert len(got) == len(want)
+    for r in got:
+        w = want[(r["source"], r["rank"])]
+        assert (r["phrase"], r["n_words"], r["n_occ"], r["score_fx"]) == w
