@@ -271,6 +271,7 @@ HEADLINE = [
     "g6_kcore_peel",
     "t_domain_jsd",
     "t_rake_keywords",
+    "knn_pca_power",
 ]
 
 # Regression-signal curation (VERDICT r11 item #6): the headline suite

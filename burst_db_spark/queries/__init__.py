@@ -97,6 +97,7 @@ _SAMPLING_PRIORITY = (
     "g6_kcore_peel",
     "t_domain_jsd",
     "t_rake_keywords",
+    "knn_pca_power",
     # -- remaining round-13 additions (newest rows, r13-green) --
     "t_substring_dedup_shorts",
     "a48_mad_outliers",
@@ -132,8 +133,8 @@ _SAMPLING_PRIORITY = (
     "t_containment_survivors",
     "t_paragraph_dedup",
     "t_weighted_sample",
+    # ---- 50-slot prefix cut line (26 staged + 24 oldest = exactly 50) ----
     "u1_unpivot_union",
-    # ---- 50-slot prefix cut line (25 staged + 25 oldest = exactly 50) ----
     "u6_dq_checks",
     "utm_epsg_classify",
     "w15_interval_coalesce",

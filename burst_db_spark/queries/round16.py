@@ -760,3 +760,133 @@ def t_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _RAKE_TOPK)
         .select("source", "phrase", "n_words", "n_occ", "score_fx", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# KNN/EMB: principal component by integer power iteration
+
+
+_PCA_Q = 256.0       # embedding quantization scale (floor(x*256))
+_PCA_VNORM = 4096.0  # per-round vector renormalization target (2^12)
+_PCA_ROUNDS = 60
+_PCA_DIM = 64
+
+
+def _pca_oracle_sql(rounds: int = _PCA_ROUNDS) -> str:
+    parts = [f"""
+    q AS MATERIALIZED (
+        SELECT list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * {_PCA_Q}) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    g AS MATERIALIZED (
+        SELECT i, j, CAST(sum(qv[i] * qv[j]) AS BIGINT) AS s
+        FROM q, unnest(range(1, {_PCA_DIM + 1})) AS r1(i),
+             unnest(range(1, {_PCA_DIM + 1})) AS r2(j)
+        GROUP BY i, j
+    ),
+    v0 AS (SELECT CAST(i AS BIGINT) AS i, CAST({int(_PCA_VNORM)} AS BIGINT) AS v
+           FROM unnest(range(1, {_PCA_DIM + 1})) AS r(i))"""]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+    r{t} AS MATERIALIZED (
+        SELECT g.i AS i, CAST(sum(g.s * v{t - 1}.v) AS BIGINT) AS r
+        FROM g JOIN v{t - 1} ON g.j = v{t - 1}.i GROUP BY g.i),
+    v{t} AS MATERIALIZED (
+        SELECT i, CAST(floor(CAST(r AS DOUBLE) * {_PCA_VNORM}
+                             / CAST(max(abs(r)) OVER () AS DOUBLE))
+                       AS BIGINT) AS v
+        FROM r{t})""")
+    parts.append(f"""
+    lam AS (SELECT CAST(max(abs(r)) AS BIGINT) // {int(_PCA_VNORM)} AS lam_fx
+            FROM r{rounds})""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+    SELECT v.i AS dim, v.v AS v_fx, lam.lam_fx FROM v{rounds} v, lam
+    """
+    )
+
+
+@register(
+    "knn_pca_power",
+    oracle=_pca_oracle_sql(),
+    tags=("knn", "embedding", "pca", "power-iteration", "iterative",
+          "llm-pipeline"),
+)
+def knn_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal component of the embedding gram matrix by {R}-round
+    power iteration (rounds sized for the near-degenerate synthetic
+    spectrum) — the building block for embedding whitening,
+    Matryoshka-style dimension ranking, and spectral diagnostics of an
+    embedding table. The SCAN-heavy part (the d×d gram) is fully
+    distributed: per-partition numpy int64 partials via mapInPandas
+    (Q_pᵀQ_p — one pass, no shuffle until the 4096-row partial-sum
+    groupBy); the eigensolve itself is model-state (64×64 collected to
+    the driver — same bounded-collect class as the k-means centroid
+    loop), where Spark has nothing to parallelize.
+
+    Determinism end-to-end: embeddings quantize floor(x·256) to bigint;
+    gram sums, matrix-vector products are exact integer; per-round
+    renormalization floors r·4096/max|r| with r exact in double
+    (|r| ≤ N·2^34 < 2^53 for N < 512k — the stated audit bound; at
+    corpus scale the gram partials stay exact and the normalization
+    constant would move to a power-of-two shift). floor has no
+    tie-breaking; no decimal rounding anywhere (r13 doctrine). The
+    DuckDB oracle replays the identical iteration as unrolled
+    MATERIALIZED CTEs.
+
+    Returns (dim, v_fx, lam_fx): the component in 2^-12 units and the
+    eigenvalue estimate max|G·v|/4096 in quantized-embedding units."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings").select("embedding")
+
+    def _partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Q = np.floor(X * _PCA_Q).astype(np.int64)
+            G = Q.T @ Q
+            ii, jj = np.indices(G.shape)
+            yield pd.DataFrame(
+                {
+                    "i": (ii + 1).ravel(),
+                    "j": (jj + 1).ravel(),
+                    "s": G.ravel(),
+                }
+            )
+
+    gram_rows = (
+        emb.mapInPandas(_partials, "i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").cast("bigint").alias("s"))
+        .collect()
+    )
+    G: dict[tuple[int, int], int] = {
+        (r["i"], r["j"]): int(r["s"]) for r in gram_rows
+    }
+    dim = _PCA_DIM
+    v = [int(_PCA_VNORM)] * dim
+    m = 0
+    for _ in range(_PCA_ROUNDS):
+        r = [
+            sum(G.get((i + 1, j + 1), 0) * v[j] for j in range(dim))
+            for i in range(dim)
+        ]
+        m = max(abs(x) for x in r)
+        v = [
+            int(math.floor(float(x) * _PCA_VNORM / float(m))) for x in r
+        ]
+    lam = m // int(_PCA_VNORM)
+    return spark.createDataFrame(
+        [(i + 1, v[i], lam) for i in range(dim)],
+        "dim bigint, v_fx bigint, lam_fx bigint",
+    )
+
+
+knn_pca_power.__doc__ = knn_pca_power.__doc__.format(R=_PCA_ROUNDS)

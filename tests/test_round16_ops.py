@@ -242,3 +242,44 @@ def test_rake_keywords_matches_python(spark):
     for r in got:
         w = want[(r["source"], r["rank"])]
         assert (r["phrase"], r["n_words"], r["n_occ"], r["score_fx"]) == w
+
+
+def test_pca_power_aligns_with_numpy_eigensolver(spark):
+    """The fixed-point iterate must align with numpy's top eigenvector
+    of the SAME quantized gram (|cos| > 0.995 after the unrolled rounds
+    — the synthetic embeddings are near-isotropic, eigengap
+    lam2/lam1 ~ 0.93, so convergence needs ~60 rounds) and the
+    eigenvalue estimate must be within quantization slack."""
+    import numpy as np
+
+    from burst_db_spark.queries.round16 import (
+        _PCA_Q,
+        _PCA_VNORM,
+        knn_pca_power,
+    )
+
+    rows = sorted(
+        knn_pca_power(spark, SF_DIR).collect(), key=lambda r: r["dim"]
+    )
+    assert len(rows) == 64
+    v = np.array([r["v_fx"] for r in rows], dtype=np.float64)
+    assert np.max(np.abs(v)) == _PCA_VNORM  # normalized to the target
+    X = np.vstack(
+        [
+            r["embedding"]
+            for r in load(spark, SF_DIR, "embeddings")
+            .select("embedding")
+            .collect()
+        ]
+    ).astype(np.float64)
+    Q = np.floor(X * _PCA_Q)
+    G = Q.T @ Q
+    w, U = np.linalg.eigh(G)
+    top = U[:, np.argmax(w)]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.995, cos
+    lam = rows[0]["lam_fx"]
+    assert all(r["lam_fx"] == lam for r in rows)
+    # m = max|G v|, v normalized to VNORM in inf-norm: lam approximates
+    # the dominant eigenvalue within the inf/2-norm gap — sanity band
+    assert 0.5 * max(w) / _PCA_VNORM <= lam * 1.0 <= 1.5 * max(w)
