@@ -272,6 +272,7 @@ HEADLINE = [
     "t_domain_jsd",
     "t_rake_keywords",
     "knn_pca_power",
+    "dd_nn_descent",
 ]
 
 # Regression-signal curation (VERDICT r11 item #6): the headline suite

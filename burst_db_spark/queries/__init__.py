@@ -98,6 +98,7 @@ _SAMPLING_PRIORITY = (
     "t_domain_jsd",
     "t_rake_keywords",
     "knn_pca_power",
+    "dd_nn_descent",
     # -- remaining round-13 additions (newest rows, r13-green) --
     "t_substring_dedup_shorts",
     "a48_mad_outliers",
@@ -132,8 +133,8 @@ _SAMPLING_PRIORITY = (
     "t_containment_join",
     "t_containment_survivors",
     "t_paragraph_dedup",
+    # ---- 50-slot prefix cut line (27 staged + 23 oldest = exactly 50) ----
     "t_weighted_sample",
-    # ---- 50-slot prefix cut line (26 staged + 24 oldest = exactly 50) ----
     "u1_unpivot_union",
     "u6_dq_checks",
     "utm_epsg_classify",

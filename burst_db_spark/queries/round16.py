@@ -890,3 +890,184 @@ def knn_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 knn_pca_power.__doc__ = knn_pca_power.__doc__.format(R=_PCA_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# DD: NN-descent k-NN-graph construction
+
+
+_NND_K = 5
+_NND_BLOCKS = 16
+_NND_HASH = 2654435761  # Knuth multiplicative hash, portable bigint arith
+_NND_ROUNDS = 3
+
+
+def _nnd_topk_sql(src: str, tag: str) -> str:
+    return f"""
+    k{tag} AS MATERIALIZED (
+        SELECT v, n, dp FROM (
+            SELECT v, n, dp, row_number() OVER (
+                PARTITION BY v ORDER BY dp DESC, n) AS rn
+            FROM {src}
+        ) WHERE rn <= {_NND_K}
+    )"""
+
+
+def _nnd_oracle_sql(rounds: int = _NND_ROUNDS) -> str:
+    parts = [f"""
+    q AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * 127) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    blks AS MATERIALIZED (
+        SELECT vec_id, qv,
+               vec_id % {_NND_BLOCKS} AS b1,
+               ((vec_id * {_NND_HASH}) % 4294967296) // 268435456 AS b2
+        FROM q
+    ),
+    cpairs AS (
+        SELECT a.vec_id AS v, b.vec_id AS n
+        FROM blks a JOIN blks b ON a.b1 = b.b1 AND a.vec_id <> b.vec_id
+        UNION
+        SELECT a.vec_id, b.vec_id
+        FROM blks a JOIN blks b ON a.b2 = b.b2 AND a.vec_id <> b.vec_id
+    ),
+    cand0 AS (
+        SELECT c.v, c.n,
+               CAST(list_sum(list_transform(range(1, 65),
+                    i -> qa.qv[i] * qb.qv[i])) AS BIGINT) AS dp
+        FROM cpairs c
+        JOIN q qa ON qa.vec_id = c.v
+        JOIN q qb ON qb.vec_id = c.n
+    ),{_nnd_topk_sql('cand0', '0')}"""]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+    c{t} AS (
+        SELECT v, n FROM k{t - 1}
+        UNION
+        SELECT a.v, b.n FROM k{t - 1} a
+        JOIN k{t - 1} b ON a.n = b.v AND b.n <> a.v
+        UNION
+        SELECT n AS v, v AS n FROM k{t - 1}
+    ),
+    s{t} AS (
+        SELECT c.v, c.n,
+               CAST(list_sum(list_transform(range(1, 65),
+                    i -> qa.qv[i] * qb.qv[i])) AS BIGINT) AS dp
+        FROM c{t} c
+        JOIN q qa ON qa.vec_id = c.v
+        JOIN q qb ON qb.vec_id = c.n
+    ),{_nnd_topk_sql(f's{t}', str(t))}""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+    SELECT v AS vec_id,
+           CAST(row_number() OVER (PARTITION BY v ORDER BY dp DESC, n)
+                AS BIGINT) AS rank,
+           n AS neighbor_id, dp
+    FROM k{rounds}
+    """
+    )
+
+
+@register(
+    "dd_nn_descent",
+    oracle=_nnd_oracle_sql(),
+    tags=("dedup", "knn", "ann", "nn-descent", "graph-construction",
+          "iterative", "llm-pipeline"),
+)
+def dd_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NN-descent k-NN-graph construction (Dong et al. 2011) — the
+    standard way to build the neighbor graph behind graph-based ANN
+    (HNSW/NSG) and SemDeDup-style cluster refinement WITHOUT an all-pairs
+    sweep: start from a cheap partitioned guess (exact top-k WITHIN
+    vec_id%{_NND_BLOCKS} blocks — the 'random init' of the paper, made
+    deterministic), then each round reranks only {{out-neighbors}} ∪
+    {{out-neighbors of out-neighbors}} ∪ {{in-neighbors}} by exact
+    integer dot product and keeps the new top-k. Per-round candidate
+    cost is O(N·k²), never O(N²); the pytest audits recall climbing
+    vs the exact graph (≈2× the init after 3 rounds here — isotropic
+    synthetic embeddings are NND's worst case; on clustered manifolds
+    the same machinery converges to ~full recall).
+
+    Determinism: floor(x·127) bigint codes, exact bigint dots, ranking
+    ties on neighbor_id — no float surface at all. Each round's graph is
+    localCheckpointed (3 self-references/round would otherwise compound
+    the plan) and the oracle MATERIALIZEs the same per-round frames."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(cast(embedding as array<double>),"
+            " x -> cast(floor(x * 127) as bigint))"
+        ).alias("qv"),
+    ).localCheckpoint(eager=True)
+
+    def _dp() -> F.Column:
+        return F.expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L,"
+            " (acc, x) -> acc + x)"
+        )
+
+    def _topk(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("v").orderBy(F.col("dp").desc(), "n")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _NND_K)
+            .select("v", "n", "dp")
+        )
+
+    def _score(cands: DataFrame) -> DataFrame:
+        return (
+            cands.join(
+                q.select(F.col("vec_id").alias("v"), F.col("qv").alias("qa")),
+                "v",
+            )
+            .join(
+                q.select(F.col("vec_id").alias("n"), F.col("qv").alias("qb")),
+                "n",
+            )
+            .select("v", "n", _dp().alias("dp"))
+        )
+
+    blks = q.select(
+        "vec_id",
+        (F.col("vec_id") % _NND_BLOCKS).alias("b1"),
+        (
+            (F.col("vec_id") * F.lit(_NND_HASH)) % F.lit(4294967296)
+        ).cast("bigint").alias("h"),
+    ).withColumn("b2", F.expr("h div 268435456")).drop("h")
+
+    def _blk_pairs(key: str) -> DataFrame:
+        a = blks.select(F.col("vec_id").alias("v"), F.col(key).alias("k"))
+        b = blks.select(F.col("vec_id").alias("n"), F.col(key).alias("k"))
+        return (
+            a.join(b, "k").where(F.col("v") != F.col("n")).select("v", "n")
+        )
+
+    cpairs = _blk_pairs("b1").union(_blk_pairs("b2")).distinct()
+    knn = _topk(_score(cpairs)).localCheckpoint(eager=True)
+    for _ in range(_NND_ROUNDS):
+        nbr2 = (
+            knn.alias("x")
+            .join(
+                knn.alias("y"),
+                (F.col("x.n") == F.col("y.v"))
+                & (F.col("y.n") != F.col("x.v")),
+            )
+            .select(F.col("x.v").alias("v"), F.col("y.n").alias("n"))
+        )
+        rev = knn.select(F.col("n").alias("v"), F.col("v").alias("n"))
+        cands = (
+            knn.select("v", "n").union(nbr2).union(rev).distinct()
+        )
+        knn = _topk(_score(cands)).localCheckpoint(eager=True)
+    w = Window.partitionBy("v").orderBy(F.col("dp").desc(), "n")
+    return knn.select(
+        F.col("v").alias("vec_id"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.col("n").alias("neighbor_id"),
+        "dp",
+    )

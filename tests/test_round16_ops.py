@@ -283,3 +283,70 @@ def test_pca_power_aligns_with_numpy_eigensolver(spark):
     # m = max|G v|, v normalized to VNORM in inf-norm: lam approximates
     # the dominant eigenvalue within the inf/2-norm gap — sanity band
     assert 0.5 * max(w) / _PCA_VNORM <= lam * 1.0 <= 1.5 * max(w)
+
+
+def test_nn_descent_recall_climbs_and_lists_are_valid(spark):
+    """Recall vs the exact top-k graph must improve from the block init
+    through the NND rounds, and the final lists must be valid top-k
+    (exact dps, rank-ordered, no self-edges)."""
+    import numpy as np
+
+    from burst_db_spark.queries.round16 import (
+        _NND_BLOCKS,
+        _NND_K,
+        dd_nn_descent,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.vstack([r["embedding"] for r in rows]).astype(np.float64)
+    Q = np.floor(X * 127).astype(np.int64)
+    D = Q @ Q.T
+    order = np.argsort(ids)
+    ids, Q, D = ids[order], Q[order], D[order][:, order]
+    n = len(ids)
+
+    def topk(cand_mask: np.ndarray) -> dict:
+        out = {}
+        for i in range(n):
+            cs = [
+                (int(-D[i, j]), int(ids[j]))
+                for j in range(n)
+                if j != i and cand_mask[i, j]
+            ]
+            cs.sort()
+            out[int(ids[i])] = [c[1] for c in cs[:_NND_K]]
+        return out
+
+    from burst_db_spark.queries.round16 import _NND_HASH
+
+    exact = topk(np.ones((n, n), dtype=bool))
+    b1 = ids % _NND_BLOCKS
+    b2 = ((ids.astype(object) * _NND_HASH) % 4294967296) // 268435456
+    init = topk(
+        np.equal.outer(b1, b1) | np.equal.outer(b2, b2)
+    )
+
+    got: dict = {}
+    for r in dd_nn_descent(spark, SF_DIR).collect():
+        got.setdefault(r["vec_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["dp"])
+        )
+    hits_final = hits_init = total = 0
+    for v, lst in got.items():
+        lst.sort()
+        assert [r for r, _, _ in lst] == list(range(1, len(lst) + 1))
+        for _, nb, dp in lst:
+            assert nb != v
+            i = int(np.searchsorted(ids, v))
+            j = int(np.searchsorted(ids, nb))
+            assert dp == D[i, j]  # exact integer dot
+        ex = set(exact[v][: len(lst)])
+        hits_final += len(ex & {nb for _, nb, _ in lst})
+        hits_init += len(ex & set(init[v][: len(lst)]))
+        total += len(ex)
+    assert total > 0
+    # NND must improve markedly on the crossed-block init (isotropic
+    # embeddings cap absolute recall — see the operator docstring)
+    assert hits_final >= 1.5 * hits_init, (hits_final, hits_init)
