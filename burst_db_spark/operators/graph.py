@@ -360,3 +360,123 @@ def kcore_peel(
     return spark.createDataFrame(
         profile, "round bigint, n_nodes bigint, n_edges bigint, n_removed bigint"
     )
+
+
+# Total integer mass for pagerank_int: 2^40 mass units. Large enough
+# that 3 rounds of per-edge trunc-division keep ~28 significant bits on
+# a 10^6-node graph; small enough that 85*inflow stays far from int64.
+PR_INT_MASS = 1099511627776
+
+
+def pagerank_int(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """All-INTEGER-mass PageRank (d = 0.85), the 100 TB formulation:
+    every round is edges ⋈ ranks ⋈ deg → plain groupBy SUM of bigint
+    contributions. Because integer addition is order-free, the sum
+    needs no ordered fold — partial aggregation (map-side combine)
+    works, unlike :func:`pagerank`'s double-valued rounds whose
+    two-level src-ordered fold must disable it to stay bit-exact.
+    Same device as the HITS row (queries/round15.py g5_hits_unrolled).
+
+    Semantics: p0 = M div n; contribution of u to each out-neighbor is
+    p(u) div deg(u) (truncating — the leaked remainder is the same
+    deterministic value on every engine); p'(v) = (15·M) div (100·n) +
+    (85·inflow) div 100 with M = 2^40 total mass units. Dangling mass
+    leaks (bounded-iteration oracle-parity semantics, as in
+    :func:`pagerank`). Returns (id, rank_fx) bigints in 2^-40 units of
+    total mass."""
+    edges = edges.persist()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        edges.unpersist()
+        return nodes.select(F.col(id_col), F.lit(0).cast("bigint").alias("rank_fx"))
+    p0 = PR_INT_MASS // n_nodes
+    tp = (15 * PR_INT_MASS) // (100 * n_nodes)
+    deg = edges.groupBy(src).agg(F.count("*").cast("long").alias("__deg")).persist()
+    ranks = nodes.select(
+        F.col(id_col).alias("__v"), F.lit(p0).cast("bigint").alias("__p")
+    )
+    prev: DataFrame | None = None
+    try:
+        for _ in range(iterations):
+            inflow = (
+                edges.join(ranks.withColumnRenamed("__v", src), src)
+                .join(deg, src)
+                .select(
+                    F.col(dst).alias("__v"),
+                    F.expr("__p div __deg").alias("__c"),
+                )
+                .groupBy("__v")
+                .agg(F.sum("__c").cast("bigint").alias("__in"))
+            )
+            new_ranks = ranks.join(inflow, "__v", "left").select(
+                "__v",
+                (
+                    F.lit(tp).cast("bigint")
+                    + F.expr(
+                        "(85 * coalesce(__in, CAST(0 AS BIGINT))) div 100"
+                    )
+                ).cast("bigint").alias("__p"),
+            ).persist()
+            new_ranks.count()
+            if prev is not None:
+                prev.unpersist()
+            prev = new_ranks
+            ranks = new_ranks
+    except Exception:
+        if prev is not None:
+            prev.unpersist()
+        raise
+    finally:
+        deg.unpersist()
+        edges.unpersist()
+    return ranks.select(F.col("__v").alias(id_col), F.col("__p").alias("rank_fx"))
+
+
+def pagerank_int_oracle_sql(
+    edges_sql: str,
+    nodes_sql: str,
+    iterations: int = 3,
+) -> str:
+    """DuckDB twin of :func:`pagerank_int`: the identical integer
+    recurrence unrolled — `//` and Spark's `div` both truncate toward
+    zero, and bigint sums need no ordering."""
+    it_ctes = []
+    prev = "p0"
+    for k in range(1, iterations + 1):
+        it_ctes.append(f"""
+    s{k} AS (
+        SELECT e.dst AS v, CAST(sum(p.p // d.deg) AS BIGINT) AS inflow
+        FROM edges e
+        JOIN {prev} p ON p.v = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ),
+    p{k} AS (
+        SELECT n.v,
+               CAST((SELECT tp FROM const)
+                    + (85 * coalesce(s{k}.inflow, 0)) // 100
+                    AS BIGINT) AS p
+        FROM nodes_v n LEFT JOIN s{k} ON s{k}.v = n.v
+    )""")
+        prev = f"p{k}"
+    return f"""
+    WITH edges AS MATERIALIZED ({edges_sql}),
+    nodes_v AS MATERIALIZED (SELECT v FROM ({nodes_sql})),
+    const AS (
+        SELECT {PR_INT_MASS} // count(*) AS p0,
+               (15 * {PR_INT_MASS}) // (100 * count(*)) AS tp
+        FROM nodes_v
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src),
+    p0 AS (SELECT v, (SELECT p0 FROM const) AS p FROM nodes_v),
+    {",".join(it_ctes)}
+    SELECT v AS id, CAST(p AS BIGINT) AS rank_fx FROM {prev}
+    """

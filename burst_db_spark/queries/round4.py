@@ -418,23 +418,29 @@ _PR_EDGES_SQL = (
 )
 _PR_NODES_SQL = "SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges"
 
-from burst_db_spark.operators.graph import pagerank_oracle_sql  # noqa: E402
+from burst_db_spark.operators.graph import pagerank_int_oracle_sql  # noqa: E402
 
 
 @register(
     "g1_pagerank3",
-    oracle=pagerank_oracle_sql(
-        _PR_EDGES_SQL, _PR_NODES_SQL, iterations=3, damping=0.85
+    oracle=pagerank_int_oracle_sql(
+        _PR_EDGES_SQL, _PR_NODES_SQL, iterations=3
     ),
-    tags=("graph", "pagerank", "iterative"),
+    tags=("graph", "pagerank", "iterative", "integer-mass"),
 )
 def g1_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-iteration PageRank over the customer→supplier purchase
-    graph (distinct bipartite edges via orders⋈lineitem): 3 power steps,
-    d=0.85, source-ordered contribution folds → bit-identical ranks vs
-    the oracle's unrolled-CTE twin. The graph-analytics family next to
-    connected components; each step is one join+groupBy shuffle."""
-    from burst_db_spark.operators.graph import pagerank
+    graph (distinct bipartite edges via orders⋈lineitem): 3 power
+    steps, d=0.85, ALL-INTEGER mass (2^40 units, trunc-div damping —
+    operators/graph.pagerank_int). Integer sums are order-free, so each
+    step is ONE plain join+groupBy-SUM shuffle with map-side combine —
+    the 100 TB formulation; the double-valued variant
+    (operators/graph.pagerank), whose bit-exactness needs the two-level
+    src-ordered fold that disables partial aggregation, stays as the
+    pytest-covered library path. Reworked build-round 14 (8.4 s → the
+    plain-sum plan; values changed from doubles to rank_fx bigints in
+    lockstep with the oracle)."""
+    from burst_db_spark.operators.graph import pagerank_int
 
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
@@ -451,7 +457,7 @@ def g1_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    return pagerank(edges, nodes, iterations=3, damping=0.85)
+    return pagerank_int(edges, nodes, iterations=3)
 
 
 _PHRASE = ("table", "hash")

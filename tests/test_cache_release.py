@@ -25,10 +25,14 @@ def _n_cached(spark) -> int:
 
 def test_release_dedup_frees_all_cached_blocks(spark):
     """A long-lived session running all three dedup paths back-to-back
-    must end with ZERO cached RDD blocks after release_dedup — no
-    reliance on session-wide clearCache."""
+    must end with NO NET cached RDD blocks after release_dedup — no
+    reliance on session-wide clearCache. Delta-based (not absolute
+    zero): earlier tests in the same session can leave localCheckpoint
+    RDDs that clearCache legitimately cannot free, and those are not
+    this contract's to clean (they release via the ContextCleaner when
+    their DataFrames are collected)."""
     spark.catalog.clearCache()
-    assert _n_cached(spark) == 0
+    base = _n_cached(spark)
     docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
 
     for build in (
@@ -39,9 +43,9 @@ def test_release_dedup_frees_all_cached_blocks(spark):
     ):
         res = build()
         res.count()  # materialize (populates the persisted frames)
-        assert _n_cached(spark) > 0  # the persist actually happened
+        assert _n_cached(spark) > base  # the persist actually happened
         release_dedup(res)
-        assert _n_cached(spark) == 0  # and the release actually freed it
+        assert _n_cached(spark) == base  # and the release freed it all
 
 
 def test_release_dedup_is_safe_on_foreign_frames(spark):

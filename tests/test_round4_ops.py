@@ -469,3 +469,32 @@ def test_triangle_stats_known_graphs(spark):
     rs = triangle_stats(star).first()
     assert rs.n_triangles == 0
     assert rs.n_wedges == (n - 1) * (n - 2) // 2  # unoriented count
+
+
+def test_pagerank_int_matches_python_mirror(spark):
+    """Integer-mass pagerank on a small digraph vs an exact python
+    replay of the same trunc-div recurrence."""
+    from burst_db_spark.operators.graph import PR_INT_MASS, pagerank_int
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]
+    nodes = [1, 2, 3, 4, 5]  # 5 is dangling+sourceless
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id bigint")
+    got = {
+        r["id"]: r["rank_fx"]
+        for r in pagerank_int(edf, ndf, iterations=3).collect()
+    }
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(nodes)
+    p = {v: PR_INT_MASS // n for v in nodes}
+    tp = (15 * PR_INT_MASS) // (100 * n)
+    for _ in range(3):
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += p[s] // deg[s]
+        p = {v: tp + (85 * inflow[v]) // 100 for v in nodes}
+    assert got == p
+    # dangling node 5 holds exactly the teleport mass
+    assert got[5] == tp
