@@ -1944,3 +1944,137 @@ def assign_cells_hier2(
         )
     )
     return fine.select(*cols, out_col)
+
+
+def nn_descent(
+    emb: DataFrame,
+    k: int = 5,
+    n_blocks: int = 16,
+    rounds: int = 3,
+    hash_mult: int = 2654435761,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """NN-descent k-NN-graph construction core (Dong et al. 2011); see
+    queries/round16.dd_nn_descent for the registered row + oracle.
+    Deterministic throughout: floor(x*127) bigint codes, exact bigint
+    dots, (dp DESC, id) tie-breaks.
+
+    Init = exact top-k within the union of TWO crossed blockings
+    (id % n_blocks and a Knuth-hash nibble) — keep n_blocks ∝ N so the
+    per-block quadratic init stays O(N·block) = linear; a fixed block
+    count turns the init into the N² term (the scale_probe nnd rung
+    prices exactly that choice). Each descent round reranks
+    out-neighbors ∪ their out-neighbors ∪ in-neighbors: O(N·k²)
+    candidates, shuffle-joined back to the code table — never an
+    all-pairs sweep. Returns (v, n, dp) — the directed k-NN graph."""
+    q = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"transform(cast({vec_col} as array<double>),"
+            " x -> cast(floor(x * 127) as bigint))"
+        ).alias("qv"),
+    ).localCheckpoint(eager=True)
+
+    # Arrow int64 dot kernel: bigint sums are order-free, so the numpy
+    # accumulation is the SAME exact integer as the SQL fold — hash-safe
+    # and ~an order of magnitude cheaper per pair than the per-element
+    # HOF loop (the nnd scale probe's constant).
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def _dp_kernel(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = np.vstack(va.to_numpy()).astype(np.int64)
+        B = np.vstack(vb.to_numpy()).astype(np.int64)
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    def _topk(scored: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("v").orderBy(F.col("dp").desc(), "n")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("v", "n", "dp")
+        )
+
+    def _score(cands: DataFrame) -> DataFrame:
+        # descent rounds: candidate volume is O(N·k²) — small enough
+        # that the JVM HOF fold beats an extra pandas stage spin-up
+        return (
+            cands.join(
+                q.select(F.col("vec_id").alias("v"), F.col("qv").alias("qa")),
+                "v",
+            )
+            .join(
+                q.select(F.col("vec_id").alias("n"), F.col("qv").alias("qb")),
+                "n",
+            )
+            .select(
+                "v",
+                "n",
+                F.expr(
+                    "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L,"
+                    " (acc, x) -> acc + x)"
+                ).alias("dp"),
+            )
+        )
+
+    blk_span = 4294967296 // n_blocks
+    blks = q.select(
+        "vec_id",
+        (F.col("vec_id") % n_blocks).alias("b1"),
+        F.expr(
+            f"((vec_id * {hash_mult}) % 4294967296) div {blk_span}"
+        ).alias("b2"),
+    )
+
+    qb = q.join(blks.select("vec_id", "b1", "b2"), "vec_id")
+
+    def _blk_scored(key: str) -> DataFrame:
+        # score INSIDE the block equi-join: the 64-wide code arrays
+        # shuffle once per side (N rows, hash-partitioned on the block
+        # key); only narrow (v, n, dp) rows exist after — the
+        # alternative (generate pairs, then join codes back) ships the
+        # arrays through an N·block_size-row join and was the probe's
+        # entire big-side wall.
+        a = qb.select(
+            F.col("vec_id").alias("v"),
+            F.col("qv").alias("qa"),
+            F.col(key).alias("kk"),
+        )
+        b = qb.select(
+            F.col("vec_id").alias("n"),
+            F.col("qv").alias("qb"),
+            F.col(key).alias("kk"),
+        )
+        return (
+            a.join(b, "kk")
+            .where(F.col("v") != F.col("n"))
+            .select("v", "n", _dp_kernel(F.col("qa"), F.col("qb")).alias("dp"))
+        )
+
+    # a pair found under BOTH blockings scores identically — max-dedup
+    # on the narrow scored rows
+    scored0 = (
+        _blk_scored("b1")
+        .union(_blk_scored("b2"))
+        .groupBy("v", "n")
+        .agg(F.max("dp").alias("dp"))
+    )
+    knn = _topk(scored0).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        nbr2 = (
+            knn.alias("x")
+            .join(
+                knn.alias("y"),
+                (F.col("x.n") == F.col("y.v"))
+                & (F.col("y.n") != F.col("x.v")),
+            )
+            .select(F.col("x.v").alias("v"), F.col("y.n").alias("n"))
+        )
+        rev = knn.select(F.col("n").alias("v"), F.col("v").alias("n"))
+        cands = knn.select("v", "n").union(nbr2).union(rev).distinct()
+        knn = _topk(_score(cands)).localCheckpoint(eager=True)
+    return knn

@@ -982,9 +982,10 @@ def dd_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NN-descent k-NN-graph construction (Dong et al. 2011) — the
     standard way to build the neighbor graph behind graph-based ANN
     (HNSW/NSG) and SemDeDup-style cluster refinement WITHOUT an all-pairs
-    sweep: start from a cheap partitioned guess (exact top-k WITHIN
-    vec_id%{_NND_BLOCKS} blocks — the 'random init' of the paper, made
-    deterministic), then each round reranks only {{out-neighbors}} ∪
+    sweep: start from a cheap partitioned guess (exact top-k within the
+    union of TWO crossed blockings — vec_id%{_NND_BLOCKS} and a
+    Knuth-hash nibble; a single blocking is CLOSED under the descent
+    and freezes), then each round reranks only {{out-neighbors}} ∪
     {{out-neighbors of out-neighbors}} ∪ {{in-neighbors}} by exact
     integer dot product and keeps the new top-k. Per-round candidate
     cost is O(N·k²), never O(N²); the pytest audits recall climbing
@@ -996,74 +997,16 @@ def dd_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties on neighbor_id — no float surface at all. Each round's graph is
     localCheckpointed (3 self-references/round would otherwise compound
     the plan) and the oracle MATERIALIZEs the same per-round frames."""
+    from burst_db_spark.operators.similarity import nn_descent
+
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(cast(embedding as array<double>),"
-            " x -> cast(floor(x * 127) as bigint))"
-        ).alias("qv"),
-    ).localCheckpoint(eager=True)
-
-    def _dp() -> F.Column:
-        return F.expr(
-            "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L,"
-            " (acc, x) -> acc + x)"
-        )
-
-    def _topk(scored: DataFrame) -> DataFrame:
-        w = Window.partitionBy("v").orderBy(F.col("dp").desc(), "n")
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= _NND_K)
-            .select("v", "n", "dp")
-        )
-
-    def _score(cands: DataFrame) -> DataFrame:
-        return (
-            cands.join(
-                q.select(F.col("vec_id").alias("v"), F.col("qv").alias("qa")),
-                "v",
-            )
-            .join(
-                q.select(F.col("vec_id").alias("n"), F.col("qv").alias("qb")),
-                "n",
-            )
-            .select("v", "n", _dp().alias("dp"))
-        )
-
-    blks = q.select(
-        "vec_id",
-        (F.col("vec_id") % _NND_BLOCKS).alias("b1"),
-        (
-            (F.col("vec_id") * F.lit(_NND_HASH)) % F.lit(4294967296)
-        ).cast("bigint").alias("h"),
-    ).withColumn("b2", F.expr("h div 268435456")).drop("h")
-
-    def _blk_pairs(key: str) -> DataFrame:
-        a = blks.select(F.col("vec_id").alias("v"), F.col(key).alias("k"))
-        b = blks.select(F.col("vec_id").alias("n"), F.col(key).alias("k"))
-        return (
-            a.join(b, "k").where(F.col("v") != F.col("n")).select("v", "n")
-        )
-
-    cpairs = _blk_pairs("b1").union(_blk_pairs("b2")).distinct()
-    knn = _topk(_score(cpairs)).localCheckpoint(eager=True)
-    for _ in range(_NND_ROUNDS):
-        nbr2 = (
-            knn.alias("x")
-            .join(
-                knn.alias("y"),
-                (F.col("x.n") == F.col("y.v"))
-                & (F.col("y.n") != F.col("x.v")),
-            )
-            .select(F.col("x.v").alias("v"), F.col("y.n").alias("n"))
-        )
-        rev = knn.select(F.col("n").alias("v"), F.col("v").alias("n"))
-        cands = (
-            knn.select("v", "n").union(nbr2).union(rev).distinct()
-        )
-        knn = _topk(_score(cands)).localCheckpoint(eager=True)
+    knn = nn_descent(
+        emb,
+        k=_NND_K,
+        n_blocks=_NND_BLOCKS,
+        rounds=_NND_ROUNDS,
+        hash_mult=_NND_HASH,
+    )
     w = Window.partitionBy("v").orderBy(F.col("dp").desc(), "n")
     return knn.select(
         F.col("v").alias("vec_id"),

@@ -1261,6 +1261,95 @@ def shorts_cd_probe(spark, factor: int) -> dict[str, float]:
     return out
 
 
+
+def kcore_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Constant-structure scaling for the k-core peel: a deterministic
+    hash graph (out-degree 2..4 per node, 3 multiplier/offset families)
+    whose degree DISTRIBUTION is scale-invariant, so the peel runs the
+    same number of rounds at every N and each round is one degree
+    groupBy + two semi-joins on a strictly shrinking edge set — wall
+    should scale with edge volume, not rounds. Prices the registered
+    g6_kcore_peel machinery minus its audit-scale quadratic edge build
+    (which is sf-pinned for exactly this reason)."""
+    import time as _t
+
+    from burst_db_spark.operators.graph import kcore_peel
+
+    out: dict[str, float] = {}
+    n_small = 20_000
+    for label, n in (("kcore", n_small), ("kcore_big", n_small * factor)):
+        ids = spark.range(n).select(F.col("id").alias("v"))
+        outd = ids.select(
+            "v",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("v") % 3) + 1)
+            ).alias("i"),
+        )
+        nbr = (
+            (F.col("v") * (F.col("i") * 2 + 3) + F.col("i") * 17 + 1)
+            % F.lit(n)
+        ).alias("n")
+        e = (
+            outd.select("v", nbr)
+            .where(F.col("v") != F.col("n"))
+            .select(F.col("v").alias("src"), F.col("n").alias("dst"))
+        )
+        edges = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        t0 = _t.perf_counter()
+        prof = kcore_peel(edges, k=5, max_rounds=24).collect()
+        out[label] = round(_t.perf_counter() - t0, 2)
+        rounds = max(r["round"] for r in prof)
+        final = min(r["n_edges"] for r in prof)
+        print(
+            f"  {label}: n={n} rounds={rounds} final_edges={final}",
+            file=sys.stderr,
+        )
+    return out
+
+
+def nnd_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Constant near-dup-density scaling for NN-descent. The RIGHT
+    configuration keeps n_blocks ∝ N (block size constant → the
+    within-block init is O(N·block) = linear; descent rounds are
+    O(N·k²) always). The WRONG configuration (fixed block count) makes
+    the init the N² term — priced at small factors only (it is the
+    mistake the operator docstring warns against; at 100x it would be
+    the whole wall)."""
+    import time as _t
+
+    from burst_db_spark.operators.similarity import nn_descent
+
+    out: dict[str, float] = {}
+    base_blocks = 16
+    for label, f in (("nnd", 1), ("nnd_big", factor)):
+        emb = _emb_replicated(spark, f)
+        t0 = _t.perf_counter()
+        nn_descent(
+            emb, k=5, n_blocks=base_blocks * f, rounds=2
+        ).count()
+        out[label] = round(_t.perf_counter() - t0, 2)
+    if factor <= 10:
+        for label, f in (
+            ("nnd_fixed_blocks", 1),
+            ("nnd_fixed_blocks_big", factor),
+        ):
+            emb = _emb_replicated(spark, f)
+            t0 = _t.perf_counter()
+            nn_descent(
+                emb, k=5, n_blocks=base_blocks, rounds=2
+            ).count()
+            out[label] = round(_t.perf_counter() - t0, 2)
+    else:
+        print(
+            "  nnd_fixed_blocks skipped at factor > 10 (the quadratic "
+            "init this probe exists to warn about)",
+            file=sys.stderr,
+        )
+    return out
+
+
 _CD_PROBES = {
     "spatial": lambda spark, f: spatial_cd_probe(spark, n_small=100_000, factor=f),
     "jaccard": jaccard_cd_probe,
@@ -1284,6 +1373,8 @@ _CD_PROBES = {
     "kmeans": kmeans_cd_probe,
     "ntile": ntile_cd_probe,
     "shorts": shorts_cd_probe,
+    "kcore": kcore_cd_probe,
+    "nnd": nnd_cd_probe,
 }
 
 
