@@ -273,6 +273,7 @@ HEADLINE = [
     "t_rake_keywords",
     "knn_pca_power",
     "dd_nn_descent",
+    "g7_ktruss_peel",
 ]
 
 # Regression-signal curation (VERDICT r11 item #6): the headline suite
@@ -344,9 +345,6 @@ PINNED_SF = {
     # overlap sketches exist to avoid (r10 split of the audit column out
     # of the production dd_source_overlap_matrix row)
     "dd_source_overlap_exact_audit": "/root/testdata/sf0.01",
-    # exact O(N^2) integer-cosine edge build feeding the k-core peel;
-    # the peel profile is also deepest (7 rounds) at this sf
-    "g6_kcore_peel": "/root/testdata/sf0.01",
 }
 
 

@@ -480,3 +480,57 @@ def pagerank_int_oracle_sql(
     {",".join(it_ctes)}
     SELECT v AS id, CAST(p AS BIGINT) AS rank_fx FROM {prev}
     """
+
+
+def ktruss_peel(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 10,
+) -> DataFrame:
+    """k-truss decomposition by synchronized SUPPORT peeling — the edge
+    analog of :func:`kcore_peel`: repeatedly delete every edge lying in
+    fewer than k-2 triangles until stable. ``edges`` must be SYMMETRIC;
+    support(u,v) = |common neighbors| via the 3-way self-join
+    (u,w),(v,w) — edges with zero triangles drop immediately (their
+    support row never materializes, which IS support 0 < k-2).
+
+    Returns the peel profile (round, n_edges, n_removed) through the
+    fixpoint, terminal no-op row included — same contract and the same
+    unroll-depth discipline as kcore_peel. Each round is one triangle
+    join (cost Σ_v deg(v)² on the current graph) + a HAVING filter on a
+    strictly shrinking edge set; frames are localCheckpointed per round."""
+    spark = edges.sparkSession
+    cur = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    e0 = cur.count()
+    profile = [(0, int(e0), 0)]
+    for _ in range(max_rounds):
+        a = cur.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        b = cur.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        c = cur.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        nxt = (
+            a.join(b, "v")
+            .join(c, ["u", "w"], "left_semi")
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("__sup"))
+            .where(F.col("__sup") >= k - 2)
+            .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+            .localCheckpoint(eager=True)
+        )
+        e = int(nxt.count())
+        prev_e = profile[-1][1]
+        profile.append((len(profile), e, prev_e - e))
+        if e == prev_e:
+            break
+        cur = nxt
+    else:
+        raise ValueError(
+            f"k-truss did not converge within max_rounds={max_rounds}; "
+            "raise max_rounds AND the oracle's unroll depth together"
+        )
+    return spark.createDataFrame(
+        profile, "round bigint, n_edges bigint, n_removed bigint"
+    )

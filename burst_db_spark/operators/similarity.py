@@ -2078,3 +2078,62 @@ def nn_descent(
         cands = knn.select("v", "n").union(nbr2).union(rev).distinct()
         knn = _topk(_score(cands)).localCheckpoint(eager=True)
     return knn
+
+
+def int_cos_edges(
+    emb: DataFrame,
+    num: int = 3,
+    den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """AUDIT-SCALE exact similarity-graph edges: all (ia < ib) pairs
+    with int-quantized cosine >= num/den, via the exact cross-multiplied
+    integer predicate dp > 0 AND den²·dp² >= num²·|a|²·|b|² over
+    floor(x·127) bigint codes — engine-invariant, no double
+    division/sqrt (the same predicate the g6/g7 oracles state in SQL).
+
+    Execution: the full code matrix is a bounded model-state collect
+    (N×64 bigints) broadcast to every partition; each partition's chunk
+    computes its dp block against the whole matrix as ONE numpy int64
+    matmul — exact integers, identical to the SQL fold, ~100× cheaper
+    than a per-pair HOF loop. O(N²) by construction: the measuring
+    stick / audit path (same class as dd_embedding_nn_exact_audit);
+    corpus-scale edge generation is the LSH-banded candidate machinery."""
+    import numpy as np
+
+    q = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"transform(cast({vec_col} as array<double>),"
+            " x -> cast(floor(x * 127) as bigint))"
+        ).alias("qv"),
+    )
+    rows = q.collect()
+    ids_all = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    Q_all = np.array([r["qv"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids_all)
+    ids_all, Q_all = ids_all[order], Q_all[order]
+    n2_all = np.einsum("ij,ij->i", Q_all, Q_all)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((ids_all, Q_all, n2_all))
+    nsq, dsq = num * num, den * den
+
+    def _edges(batches):
+        ids_b, Q_b, n2_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            my_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            Qc = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+            n2c = np.einsum("ij,ij->i", Qc, Qc)
+            D = Qc @ Q_b.T
+            mask = (D > 0) & (
+                dsq * D * D >= nsq * np.outer(n2c, n2_b)
+            ) & (my_ids[:, None] < ids_b[None, :])
+            ii, jj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"ia": my_ids[ii], "ib": ids_b[jj]}
+            )
+
+    return q.mapInPandas(_edges, "ia long, ib long")

@@ -99,6 +99,7 @@ _SAMPLING_PRIORITY = (
     "t_rake_keywords",
     "knn_pca_power",
     "dd_nn_descent",
+    "g7_ktruss_peel",
     # -- remaining round-13 additions (newest rows, r13-green) --
     "t_substring_dedup_shorts",
     "a48_mad_outliers",
@@ -132,8 +133,8 @@ _SAMPLING_PRIORITY = (
     "stream_zarr_append_sink",
     "t_containment_join",
     "t_containment_survivors",
+    # ---- 50-slot prefix cut line (28 staged + 22 oldest = exactly 50) ----
     "t_paragraph_dedup",
-    # ---- 50-slot prefix cut line (27 staged + 23 oldest = exactly 50) ----
     "t_weighted_sample",
     "u1_unpivot_union",
     "u6_dq_checks",

@@ -368,50 +368,10 @@ def g6_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     are data-bounded (fixpoint <= 7 on every test sf; pytest asserts
     margin vs the oracle's unroll depth of 12)."""
     from burst_db_spark.operators.graph import kcore_peel
+    from burst_db_spark.operators.similarity import int_cos_edges
 
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(cast(embedding as array<double>),"
-            " x -> cast(floor(x * 127) as bigint))"
-        ).alias("qv"),
-    )
-    qn = q.select(
-        "vec_id",
-        "qv",
-        F.expr(
-            "aggregate(transform(qv, x -> x * x), 0L, (acc, x) -> acc + x)"
-        ).alias("nrm2"),
-    )
-    a = qn.select(
-        F.col("vec_id").alias("ia"),
-        F.col("qv").alias("qa"),
-        F.col("nrm2").alias("na"),
-    )
-    b = qn.select(
-        F.col("vec_id").alias("ib"),
-        F.col("qv").alias("qb"),
-        F.col("nrm2").alias("nb"),
-    )
-    pairs = (
-        a.join(b, F.col("ia") < F.col("ib"))
-        .select(
-            "ia",
-            "ib",
-            F.expr(
-                "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L,"
-                " (acc, x) -> acc + x)"
-            ).alias("dp"),
-            "na",
-            "nb",
-        )
-        .where(
-            (F.col("dp") > 0)
-            & (100 * F.col("dp") * F.col("dp") >= 9 * F.col("na") * F.col("nb"))
-        )
-        .select("ia", "ib")
-    )
+    pairs = int_cos_edges(emb, num=3, den=10)
     edges = pairs.select(
         F.col("ia").alias("src"), F.col("ib").alias("dst")
     ).unionAll(pairs.select(F.col("ib").alias("src"), F.col("ia").alias("dst")))
@@ -1014,3 +974,110 @@ def dd_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("neighbor_id"),
         "dp",
     )
+
+
+# ---------------------------------------------------------------------------
+# G7: k-truss decomposition of the embedding similarity graph
+
+
+_KTRUSS_K = 4
+_KTRUSS_ROUNDS = 10  # unroll depth; fixpoint <= 5 at every test sf
+
+
+def _ktruss_oracle_sql(k: int = _KTRUSS_K, rounds: int = _KTRUSS_ROUNDS) -> str:
+    parts = [f"""
+    q AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * 127) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    qn AS MATERIALIZED (
+        SELECT vec_id, qv,
+               CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
+                   AS nrm2
+        FROM q
+    ),
+    pr AS MATERIALIZED (
+        SELECT ia, ib FROM (
+            SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   CAST(list_sum(list_transform(range(1, 65),
+                        i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dp,
+                   a.nrm2 AS na, b.nrm2 AS nb
+            FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+        ) WHERE dp > 0 AND 100 * dp * dp >= 9 * na * nb
+    ),
+    e0 AS MATERIALIZED (
+        SELECT ia AS src, ib AS dst FROM pr
+        UNION ALL SELECT ib, ia FROM pr
+    )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    e{r} AS MATERIALIZED (
+        SELECT a.src, a.dst FROM e{r - 1} a
+        JOIN e{r - 1} b ON b.src = a.dst
+        JOIN e{r - 1} c ON c.src = a.src AND c.dst = b.dst
+        GROUP BY a.src, a.dst HAVING count(*) >= {k - 2}
+    )""")
+    stats = "\n        UNION ALL ".join(
+        f"SELECT {r} AS round,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS n_edges"
+        for r in range(rounds + 1)
+    )
+    parts.append(f"""
+    stats AS ({stats}),
+    prof AS (
+        SELECT round, n_edges,
+               lag(n_edges) OVER (ORDER BY round) AS pe
+        FROM stats
+    ),
+    tfix AS (SELECT min(round) AS t FROM prof
+             WHERE round > 0 AND n_edges = pe)""")
+    return (
+        "WITH " + ",".join(parts) + """
+    SELECT round, n_edges,
+           CAST(coalesce(pe - n_edges, 0) AS BIGINT) AS n_removed
+    FROM prof WHERE round <= (SELECT t FROM tfix)
+    """
+    )
+
+
+@register(
+    "g7_ktruss_peel",
+    oracle=_ktruss_oracle_sql(),
+    tags=("graph", "k-truss", "iterative", "peeling", "triangles",
+          "embedding-graph", "llm-pipeline"),
+)
+def g7_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss decomposition (k={K}) of the same int-cosine similarity
+    graph as g6_kcore_peel — the EDGE-level cohesion peel: an edge
+    survives iff it closes >= k-2 triangles among survivors, a strictly
+    stronger community signal than vertex degree (k-core). Curation
+    reading: truss edges connect documents that agree with each other's
+    neighbors — template clusters; bridge edges between coincidentally
+    similar docs peel away even when both endpoints are high-degree.
+    Result = peel profile (round, n_edges, n_removed) through the
+    fixpoint (<= 5 rounds at every test sf; oracle unrolls {R} with a
+    lag-window fixpoint filter; pytest asserts the margin).
+
+    Edge build shared with g6: exact cross-multiplied integer cosine
+    via the broadcast-matmul audit path (operators/similarity.
+    int_cos_edges); each peel round is one triangle 3-way self-join
+    (Σ deg² on the shrinking graph) + a HAVING filter — the
+    synchronized-peeling truss, every frame localCheckpointed."""
+    from burst_db_spark.operators.graph import ktruss_peel
+    from burst_db_spark.operators.similarity import int_cos_edges
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = int_cos_edges(emb, num=3, den=10)
+    edges = pairs.select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
+    )
+    return ktruss_peel(edges, k=_KTRUSS_K, max_rounds=_KTRUSS_ROUNDS)
+
+
+g7_ktruss_peel.__doc__ = g7_ktruss_peel.__doc__.format(
+    K=_KTRUSS_K, R=_KTRUSS_ROUNDS
+)

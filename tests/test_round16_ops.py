@@ -350,3 +350,36 @@ def test_nn_descent_recall_climbs_and_lists_are_valid(spark):
     # NND must improve markedly on the crossed-block init (isotropic
     # embeddings cap absolute recall — see the operator docstring)
     assert hits_final >= 1.5 * hits_init, (hits_final, hits_init)
+
+
+def test_ktruss_peel_profile_and_margin(spark):
+    """Truss profile invariants + unroll margin, plus the defining
+    property on a handcrafted graph: a 4-clique (every edge in 2
+    triangles) survives k=4; a triangle hanging off it (edges in 1
+    triangle) peels."""
+    from burst_db_spark.operators.graph import ktruss_peel
+    from burst_db_spark.queries.round16 import (
+        _KTRUSS_ROUNDS,
+        g7_ktruss_peel,
+    )
+
+    rows = sorted(
+        g7_ktruss_peel(spark, SF_DIR).collect(), key=lambda r: r["round"]
+    )
+    t_fix = rows[-1]["round"]
+    assert t_fix <= _KTRUSS_ROUNDS - 3, t_fix
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_edges"] <= prev["n_edges"]
+        assert cur["n_removed"] == prev["n_edges"] - cur["n_edges"]
+    assert rows[-1]["n_edges"] == rows[-2]["n_edges"]
+
+    # 4-clique {1,2,3,4} + pendant triangle {4,5,6}
+    und = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+           (4, 5), (4, 6), (5, 6)]
+    sym = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(sym, "src bigint, dst bigint")
+    prof = sorted(
+        ktruss_peel(df, k=4, max_rounds=6).collect(),
+        key=lambda r: r["round"],
+    )
+    assert prof[-1]["n_edges"] == 12  # the 4-clique, both directions
