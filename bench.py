@@ -274,6 +274,7 @@ HEADLINE = [
     "knn_pca_power",
     "dd_nn_descent",
     "g7_ktruss_peel",
+    "dd_cluster_modularity",
 ]
 
 # Regression-signal curation (VERDICT r11 item #6): the headline suite
@@ -345,6 +346,9 @@ PINNED_SF = {
     # overlap sketches exist to avoid (r10 split of the audit column out
     # of the production dd_source_overlap_matrix row)
     "dd_source_overlap_exact_audit": "/root/testdata/sf0.01",
+    # reuses the exact quadratic jaccard pair join (same reason as
+    # dd_ngram_jaccard above)
+    "dd_cluster_modularity": "/root/testdata/sf0.01",
 }
 
 

@@ -100,6 +100,7 @@ _SAMPLING_PRIORITY = (
     "knn_pca_power",
     "dd_nn_descent",
     "g7_ktruss_peel",
+    "dd_cluster_modularity",
     # -- remaining round-13 additions (newest rows, r13-green) --
     "t_substring_dedup_shorts",
     "a48_mad_outliers",
@@ -132,8 +133,8 @@ _SAMPLING_PRIORITY = (
     "stream_session_counts",
     "stream_zarr_append_sink",
     "t_containment_join",
+    # ---- 50-slot prefix cut line (29 staged + 21 oldest = exactly 50) ----
     "t_containment_survivors",
-    # ---- 50-slot prefix cut line (28 staged + 22 oldest = exactly 50) ----
     "t_paragraph_dedup",
     "t_weighted_sample",
     "u1_unpivot_union",

@@ -1081,3 +1081,135 @@ def g7_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 g7_ktruss_peel.__doc__ = g7_ktruss_peel.__doc__.format(
     K=_KTRUSS_K, R=_KTRUSS_ROUNDS
 )
+
+
+# ---------------------------------------------------------------------------
+# DD: modularity audit of the near-dup clustering
+
+from burst_db_spark.queries.textops import _SHINGLES_CTE  # noqa: E402
+
+
+@register(
+    "dd_cluster_modularity",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.2
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (SELECT src AS doc_id, min(dst) AS cluster_id
+               FROM reach GROUP BY src),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT id_a AS v FROM pairs
+                UNION ALL SELECT id_b FROM pairs
+            ) GROUP BY v),
+    dc AS (SELECT l.cluster_id,
+                  CAST(sum(coalesce(d.deg, 0)) AS BIGINT) AS d_c,
+                  CAST(count(*) AS BIGINT) AS n_docs
+           FROM labels l LEFT JOIN deg d ON d.v = l.doc_id
+           GROUP BY 1),
+    ec AS (SELECT la.cluster_id, CAST(count(*) AS BIGINT) AS e_c
+           FROM pairs p
+           JOIN labels la ON la.doc_id = p.id_a
+           GROUP BY 1)
+    SELECT (SELECT m FROM mm) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(CAST(d.n_docs > 1 AS BIGINT)) AS BIGINT)
+               AS n_multi_clusters,
+           CAST(max(d.n_docs) AS BIGINT) AS largest_cluster,
+           CAST(sum(4 * (SELECT m FROM mm) * coalesce(e.e_c, 0)
+                    - d.d_c * d.d_c) AS BIGINT) AS q4m2
+    FROM dc d LEFT JOIN ec e USING (cluster_id)
+    """,
+    tags=("dedup", "clustering", "modularity", "graph", "llm-pipeline"),
+)
+def dd_cluster_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity audit of the near-dup CLUSTERING (the CC
+    labels over the 3-gram-Jaccard >= 0.2 graph): Q measures how much
+    of the edge mass lives inside clusters beyond chance — for a CC
+    labeling every edge is intra by construction, so Q = 1 − Σ_c
+    (d_c/2m)² and the score is a pure GIANT-COMPONENT penalty: Q near 1
+    = many small tight clusters (healthy dedup); Q collapsing toward 0
+    = one hub component absorbing the corpus (the stop-shingle chaining
+    failure mode max_df exists to prevent). Complements
+    dd_cluster_bcubed_audit (label agreement) with a structural score.
+
+    Hash surface: EXACT integer cross-multiplication — q4m2 =
+    Σ_c (4m·e_c − d_c²) = Q·4m², so no division ever happens; plus
+    bigint edge/cluster/size counts.
+
+    Scale shape: degrees and cluster masses are two groupBys on the
+    pair list; e_c is one labels join (labels are node-sized, the join
+    is the same shuffle CC itself already paid). Nothing quadratic
+    beyond the pair generation the dedup family already prices."""
+    from burst_db_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", threshold=0.2).select(
+        "id_a", "id_b"
+    ).persist()
+    labels = dd.connected_components(pairs, docs, "doc_id")
+    m = pairs.groupBy().agg(F.count("*").cast("bigint").alias("m"))
+    deg = (
+        pairs.select(F.col("id_a").alias("v"))
+        .unionAll(pairs.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    dc = (
+        labels.join(deg, labels.doc_id == deg.v, "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.sum(F.coalesce("deg", F.lit(0))).cast("bigint").alias("d_c"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+    )
+    ec = (
+        pairs.join(
+            labels.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("cluster_id"),
+            ),
+            "id_a",
+        )
+        .groupBy("cluster_id")
+        .agg(F.count("*").cast("bigint").alias("e_c"))
+    )
+    return (
+        dc.join(ec, "cluster_id", "left")
+        .crossJoin(F.broadcast(m))
+        .groupBy()
+        .agg(
+            F.first("m").alias("n_edges"),
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum((F.col("n_docs") > 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_multi_clusters"),
+            F.max("n_docs").cast("bigint").alias("largest_cluster"),
+            F.sum(
+                4 * F.col("m") * F.coalesce("e_c", F.lit(0))
+                - F.col("d_c") * F.col("d_c")
+            )
+            .cast("bigint")
+            .alias("q4m2"),
+        )
+    )

@@ -383,3 +383,52 @@ def test_ktruss_peel_profile_and_margin(spark):
         key=lambda r: r["round"],
     )
     assert prof[-1]["n_edges"] == 12  # the 4-clique, both directions
+
+
+def test_cluster_modularity_matches_python(spark):
+    """Exact python mirror of Q·4m² over the CC labeling, plus the
+    CC-specific identity Σe_c = m (every edge is intra-cluster)."""
+    from burst_db_spark.operators import dedup as dd
+    from burst_db_spark.queries.round16 import dd_cluster_modularity
+
+    docs = load(spark, SF_DIR, "documents")
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in dd.ngram_jaccard_pairs(docs, "doc_id", threshold=0.2)
+        .select("id_a", "id_b")
+        .collect()
+    ]
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    label = {i: find(i) for i in ids}
+    m = len(pairs)
+    deg: Counter = Counter()
+    ec: Counter = Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+        ec[label[a]] += 1
+    dc: Counter = Counter()
+    nd: Counter = Counter()
+    for i in ids:
+        dc[label[i]] += deg[i]
+        nd[label[i]] += 1
+    q4m2 = sum(4 * m * ec[c] - dc[c] * dc[c] for c in nd)
+    r = dd_cluster_modularity(spark, SF_DIR).collect()[0]
+    assert r["n_edges"] == m
+    assert r["n_clusters"] == len(nd)
+    assert r["n_multi_clusters"] == sum(1 for c in nd.values() if c > 1)
+    assert r["largest_cluster"] == max(nd.values())
+    assert r["q4m2"] == q4m2
+    assert sum(ec.values()) == m  # CC labeling: every edge intra
