@@ -275,6 +275,7 @@ HEADLINE = [
     "dd_nn_descent",
     "g7_ktruss_peel",
     "dd_cluster_modularity",
+    "t_nb_margin_calibration",
 ]
 
 # Regression-signal curation (VERDICT r11 item #6): the headline suite

@@ -101,6 +101,7 @@ _SAMPLING_PRIORITY = (
     "dd_nn_descent",
     "g7_ktruss_peel",
     "dd_cluster_modularity",
+    "t_nb_margin_calibration",
     # -- remaining round-13 additions (newest rows, r13-green) --
     "t_substring_dedup_shorts",
     "a48_mad_outliers",
@@ -132,8 +133,8 @@ _SAMPLING_PRIORITY = (
     "stream_ohlc_complete",
     "stream_session_counts",
     "stream_zarr_append_sink",
+    # ---- 50-slot prefix cut line (30 staged + 20 oldest = exactly 50) ----
     "t_containment_join",
-    # ---- 50-slot prefix cut line (29 staged + 21 oldest = exactly 50) ----
     "t_containment_survivors",
     "t_paragraph_dedup",
     "t_weighted_sample",

@@ -1213,3 +1213,214 @@ def dd_cluster_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q4m2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T: margin-calibration audit of the NB domain tagger
+
+from burst_db_spark.queries.round15 import (  # noqa: E402
+    _NB_B,
+    _NB_BUCKET,
+    _NG_TOKS,
+)
+
+
+@register(
+    "t_nb_margin_calibration",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(list_filter({_NG_TOKS},
+               w -> len(w) > 0)) AS term
+        FROM documents
+    ),
+    tb AS (SELECT doc_id, source, {_NB_BUCKET} AS b FROM toks),
+    model AS (
+        SELECT source, b, CAST(count(*) AS BIGINT) AS c_sb
+        FROM tb GROUP BY source, b
+    ),
+    totals AS (
+        SELECT source, CAST(sum(c_sb) AS BIGINT) AS c_s
+        FROM model GROUP BY source
+    ),
+    ll AS (
+        SELECT m.source, m.b,
+               CAST(floor(ln((CAST(m.c_sb AS DOUBLE) + 1.0)
+                             / (CAST(t.c_s AS DOUBLE) + {_NB_B}.0))
+                          * 1048576.0) AS BIGINT) AS ll_fx
+        FROM model m JOIN totals t USING (source)
+    ),
+    priors AS (
+        SELECT source,
+               CAST(floor(ln(CAST(count(*) AS DOUBLE)
+                             / (SELECT CAST(count(*) AS DOUBLE)
+                                FROM documents)) * 1048576.0) AS BIGINT)
+                   AS lp_fx
+        FROM documents GROUP BY source
+    ),
+    db AS (
+        SELECT doc_id, any_value(source) AS true_source, b,
+               CAST(count(*) AS BIGINT) AS n_db
+        FROM tb GROUP BY doc_id, b
+    ),
+    scores AS (
+        SELECT d.doc_id, any_value(d.true_source) AS true_source,
+               l.source AS cand,
+               CAST(sum(d.n_db * l.ll_fx) AS BIGINT)
+                   + CAST(any_value(p.lp_fx) AS BIGINT) AS score
+        FROM db d
+        JOIN ll l USING (b)
+        JOIN priors p ON p.source = l.source
+        GROUP BY d.doc_id, l.source
+    ),
+    top2 AS (
+        SELECT doc_id, true_source, cand, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand) AS rn
+        FROM scores QUALIFY rn <= 2
+    ),
+    perdoc AS (
+        SELECT doc_id,
+               CAST(max(CASE WHEN rn = 1 THEN score END)
+                    - max(CASE WHEN rn = 2 THEN score END) AS BIGINT)
+                   AS margin_fx,
+               CAST(max(CASE WHEN rn = 1
+                             THEN CAST(cand = true_source AS INTEGER)
+                        END) AS BIGINT) AS correct
+        FROM top2 GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY margin_fx, doc_id) AS r,
+               count(*) OVER () AS n
+        FROM perdoc
+    )
+    SELECT CAST(((r - 1) * 10) // n AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(correct) AS BIGINT) AS n_correct,
+           CAST(min(margin_fx) AS BIGINT) AS min_margin_fx,
+           CAST(max(margin_fx) AS BIGINT) AS max_margin_fx
+    FROM ranked GROUP BY 1
+    """,
+    tags=("T", "naive-bayes", "calibration", "classifier", "audit",
+          "llm-pipeline"),
+)
+def t_nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-calibration curve of the NB domain tagger
+    (t_nb_domain_confusion's model): documents ranked by decision
+    margin (top-1 minus top-2 evidence, an exact bigint) and cut into
+    10 exact-rank deciles — per decile, accuracy of the argmax
+    prediction. The quality-classifier audit every tagger-driven
+    curation pipeline needs: if accuracy does not rise with margin, the
+    margin is not a confidence and thresholding on it is noise.
+
+    Deciles are ((rank−1)·10) div n on an exact integer sort key
+    (margin, doc_id) — NOT ntile(), whose remainder-distribution rule
+    is an engine implementation detail; every surface column is a
+    bigint count or margin. Scale shape: the model rides the same two
+    groupBys + broadcast joins as the confusion row; the decile cut is
+    one global sort of doc-count rows (at 100 TB: range-partitioned
+    sort, same as o6)."""
+    from burst_db_spark.operators import text as tx
+
+    docs = load(spark, sf_dir, "documents")
+    tb = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(tx.tokens(F.col("text")), lambda w: F.length(w) > 0)
+        ).alias("term"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint")
+            % _NB_B
+        ).alias("b"),
+    )
+    model = tb.groupBy("source", "b").agg(
+        F.count("*").cast("bigint").alias("c_sb")
+    )
+    totals = model.groupBy("source").agg(
+        F.sum("c_sb").cast("bigint").alias("c_s")
+    )
+    ll = model.join(F.broadcast(totals), "source").select(
+        "source",
+        "b",
+        F.floor(
+            F.log(
+                (F.col("c_sb").cast("double") + 1.0)
+                / (F.col("c_s").cast("double") + float(_NB_B))
+            )
+            * F.lit(1048576.0)
+        )
+        .cast("bigint")
+        .alias("ll_fx"),
+    )
+    n_total = docs.agg(F.count("*").cast("double").alias("nt"))
+    priors = (
+        docs.groupBy("source")
+        .agg(F.count("*").cast("double").alias("nd"))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col("source").alias("psource"),
+            F.floor(F.log(F.col("nd") / F.col("nt")) * F.lit(1048576.0))
+            .cast("bigint")
+            .alias("lp_fx"),
+        )
+    )
+    db = tb.groupBy("doc_id", "b").agg(
+        F.any_value("source").alias("true_source"),
+        F.count("*").cast("bigint").alias("n_db"),
+    )
+    scores = (
+        db.join(F.broadcast(ll), "b")
+        .join(F.broadcast(priors), F.col("source") == F.col("psource"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.any_value("true_source").alias("true_source"),
+            (
+                F.sum(F.col("n_db") * F.col("ll_fx")).cast("bigint")
+                + F.any_value("lp_fx").cast("bigint")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("source")
+    )
+    top2 = scores.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 2
+    )
+    perdoc = top2.groupBy("doc_id").agg(
+        (
+            F.max(F.when(F.col("rn") == 1, F.col("score")))
+            - F.max(F.when(F.col("rn") == 2, F.col("score")))
+        )
+        .cast("bigint")
+        .alias("margin_fx"),
+        F.max(
+            F.when(
+                F.col("rn") == 1,
+                (F.col("source") == F.col("true_source")).cast("int"),
+            )
+        )
+        .cast("bigint")
+        .alias("correct"),
+    )
+    wr = Window.orderBy("margin_fx", "doc_id")
+    ranked = perdoc.withColumn("r", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(Window.partitionBy())
+    )
+    return (
+        ranked.select(
+            F.expr("((r - 1) * 10) div n").cast("bigint").alias("decile"),
+            "correct",
+            "margin_fx",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("correct").cast("bigint").alias("n_correct"),
+            F.min("margin_fx").cast("bigint").alias("min_margin_fx"),
+            F.max("margin_fx").cast("bigint").alias("max_margin_fx"),
+        )
+    )

@@ -432,3 +432,28 @@ def test_cluster_modularity_matches_python(spark):
     assert r["largest_cluster"] == max(nd.values())
     assert r["q4m2"] == q4m2
     assert sum(ec.values()) == m  # CC labeling: every edge intra
+
+
+def test_nb_margin_calibration_partitions_and_totals(spark):
+    """Decile partition invariants + total accuracy must equal the
+    diagonal mass of the confusion row (same model, same argmax)."""
+    from burst_db_spark.queries.round15 import t_nb_domain_confusion
+    from burst_db_spark.queries.round16 import t_nb_margin_calibration
+
+    rows = sorted(
+        t_nb_margin_calibration(spark, SF_DIR).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(10))
+    n = sum(r["n_docs"] for r in rows)
+    # exact-rank decile split: sizes differ by at most 1
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # margins are non-decreasing across deciles
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_margin_fx"] <= b["min_margin_fx"]
+        assert a["min_margin_fx"] >= 0
+    conf = t_nb_domain_confusion(spark, SF_DIR).collect()
+    diag = sum(r["n"] for r in conf if r["true_source"] == r["pred_source"])
+    assert sum(r["n_correct"] for r in rows) == diag
+    assert sum(r["n"] for r in conf) == n
