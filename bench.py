@@ -276,6 +276,7 @@ HEADLINE = [
     "g7_ktruss_peel",
     "dd_cluster_modularity",
     "t_nb_margin_calibration",
+    "g8_label_propagation",
 ]
 
 # Regression-signal curation (VERDICT r11 item #6): the headline suite

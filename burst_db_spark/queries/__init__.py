@@ -102,6 +102,7 @@ _SAMPLING_PRIORITY = (
     "g7_ktruss_peel",
     "dd_cluster_modularity",
     "t_nb_margin_calibration",
+    "g8_label_propagation",
     # -- remaining round-13 additions (newest rows, r13-green) --
     "t_substring_dedup_shorts",
     "a48_mad_outliers",
@@ -132,8 +133,8 @@ _SAMPLING_PRIORITY = (
     "stream_kmv_sketch",
     "stream_ohlc_complete",
     "stream_session_counts",
+    # ---- 50-slot prefix cut line (31 staged + 19 oldest = exactly 50) ----
     "stream_zarr_append_sink",
-    # ---- 50-slot prefix cut line (30 staged + 20 oldest = exactly 50) ----
     "t_containment_join",
     "t_containment_survivors",
     "t_paragraph_dedup",

@@ -1424,3 +1424,150 @@ def t_nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("margin_fx").cast("bigint").alias("max_margin_fx"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# G8: semi-supervised label propagation over the similarity graph
+
+
+_LP_SEED_MOD = 5   # vec_id % 5 == 0 keeps its true label as a seed
+_LP_ROUNDS = 8     # unroll depth; frontier exhausts in <= 6 at test sfs
+
+
+def _lp_oracle_sql(rounds: int = _LP_ROUNDS) -> str:
+    parts = [f"""
+    q AS MATERIALIZED (
+        SELECT vec_id, label,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * 127) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    qn AS MATERIALIZED (
+        SELECT vec_id, label, qv,
+               CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
+                   AS nrm2
+        FROM q
+    ),
+    pr AS MATERIALIZED (
+        SELECT ia, ib FROM (
+            SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   CAST(list_sum(list_transform(range(1, 65),
+                        i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dp,
+                   a.nrm2 AS na, b.nrm2 AS nb
+            FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+        ) WHERE dp > 0 AND 100 * dp * dp >= 9 * na * nb
+    ),
+    e AS MATERIALIZED (
+        SELECT ia AS src, ib AS dst FROM pr
+        UNION ALL SELECT ib, ia FROM pr
+    ),
+    l0 AS MATERIALIZED (
+        SELECT vec_id AS v, CAST(label AS BIGINT) AS lab,
+               CAST(0 AS BIGINT) AS assigned_round
+        FROM q WHERE vec_id % {_LP_SEED_MOD} = 0
+    )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    l{r} AS MATERIALIZED (
+        SELECT v, lab, assigned_round FROM l{r - 1}
+        UNION ALL
+        SELECT v, lab, CAST({r} AS BIGINT) FROM (
+            SELECT e.src AS v, l.lab,
+                   row_number() OVER (PARTITION BY e.src
+                                      ORDER BY count(*) DESC, l.lab) AS rk
+            FROM e
+            JOIN l{r - 1} l ON l.v = e.dst
+            WHERE e.src NOT IN (SELECT v FROM l{r - 1})
+            GROUP BY e.src, l.lab
+        ) WHERE rk = 1
+    )""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+    SELECT l.v AS vec_id, l.lab AS pred_label,
+           CAST(q.label AS BIGINT) AS true_label, l.assigned_round
+    FROM l{rounds} l JOIN q ON q.vec_id = l.v
+    WHERE l.assigned_round > 0
+    """
+    )
+
+
+@register(
+    "g8_label_propagation",
+    oracle=_lp_oracle_sql(),
+    tags=("graph", "label-propagation", "semi-supervised", "iterative",
+          "embedding-graph", "llm-pipeline"),
+)
+def g8_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the int-cosine similarity
+    graph (the g6/g7 edge set): every {M}th vector keeps its true label
+    as a SEED; each synchronized round, every still-unlabeled node with
+    >= 1 labeled neighbor takes the majority label of its labeled
+    neighbors (ties -> smallest label) and is then FROZEN — the
+    weak-supervision expansion move (label a sliver, spread over the
+    similarity graph) with monotone BFS-layer semantics, so rounds past
+    frontier exhaustion are no-ops and the unrolled oracle can
+    overshoot safely. Returns (vec_id, pred_label, true_label,
+    assigned_round) for every non-seed node reached — prediction
+    agreement vs the held-out true labels is the audit (pytest).
+
+    All-integer surface: bigint labels, vote counts, round indices;
+    ties break (count DESC, label ASC). Each round: one join of the
+    edge list against the labeled set + a vote groupBy + an anti-join —
+    frontier-proportional work, localCheckpointed per round."""
+    from burst_db_spark.operators.similarity import int_cos_edges
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = int_cos_edges(emb, num=3, den=10)
+    edges = pairs.select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
+    ).localCheckpoint(eager=True)
+    truth = emb.select(
+        "vec_id", F.col("label").cast("bigint").alias("true_label")
+    )
+    labeled = (
+        emb.where(F.col("vec_id") % _LP_SEED_MOD == 0)
+        .select(
+            F.col("vec_id").alias("v"),
+            F.col("label").cast("bigint").alias("lab"),
+            F.lit(0).cast("bigint").alias("assigned_round"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for r in range(1, _LP_ROUNDS + 1):
+        votes = (
+            edges.join(
+                labeled.select(F.col("v").alias("dst"), "lab"), "dst"
+            )
+            .join(
+                labeled.select(F.col("v").alias("src")), "src", "left_anti"
+            )
+            .groupBy(F.col("src").alias("v"), "lab")
+            .agg(F.count("*").alias("cnt"))
+        )
+        wv = Window.partitionBy("v").orderBy(F.col("cnt").desc(), "lab")
+        new = (
+            votes.withColumn("rk", F.row_number().over(wv))
+            .where(F.col("rk") == 1)
+            .select(
+                "v", "lab", F.lit(r).cast("bigint").alias("assigned_round")
+            )
+        )
+        labeled = labeled.unionByName(new).localCheckpoint(eager=True)
+    return (
+        labeled.where(F.col("assigned_round") > 0)
+        .join(truth, labeled.v == truth.vec_id)
+        .select(
+            "vec_id",
+            F.col("lab").alias("pred_label"),
+            "true_label",
+            "assigned_round",
+        )
+    )
+
+
+g8_label_propagation.__doc__ = g8_label_propagation.__doc__.format(
+    M=_LP_SEED_MOD
+)

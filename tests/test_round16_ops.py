@@ -457,3 +457,52 @@ def test_nb_margin_calibration_partitions_and_totals(spark):
     diag = sum(r["n"] for r in conf if r["true_source"] == r["pred_source"])
     assert sum(r["n_correct"] for r in rows) == diag
     assert sum(r["n"] for r in conf) == n
+
+
+def test_label_propagation_matches_python(spark):
+    """Exact python replay of the frozen-frontier majority propagation
+    over the same integer edge set, plus the unroll margin."""
+    from burst_db_spark.operators.similarity import int_cos_edges
+    from burst_db_spark.queries.round16 import (
+        _LP_ROUNDS,
+        _LP_SEED_MOD,
+        g8_label_propagation,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "label")
+    truth = {r["vec_id"]: int(r["label"]) for r in emb.collect()}
+    pairs = [
+        (r["ia"], r["ib"])
+        for r in int_cos_edges(
+            load(spark, SF_DIR, "embeddings"), num=3, den=10
+        ).collect()
+    ]
+    nbrs: dict = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    lab = {
+        v: (t, 0) for v, t in truth.items() if v % _LP_SEED_MOD == 0
+    }
+    for r in range(1, _LP_ROUNDS + 1):
+        new = {}
+        for v in truth:
+            if v in lab:
+                continue
+            votes: Counter = Counter(
+                lab[n][0] for n in nbrs.get(v, []) if n in lab
+            )
+            if votes:
+                best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+                new[v] = (best[0], r)
+        lab.update(new)
+    want = {
+        v: (l, rr, truth[v]) for v, (l, rr) in lab.items() if rr > 0
+    }
+    got = {
+        r["vec_id"]: (r["pred_label"], r["assigned_round"], r["true_label"])
+        for r in g8_label_propagation(spark, SF_DIR).collect()
+    }
+    assert got == want
+    max_round = max((rr for _, rr, _ in want.values()), default=0)
+    assert max_round <= _LP_ROUNDS - 2, max_round  # unroll margin
