@@ -277,6 +277,7 @@ HEADLINE = [
     "dd_cluster_modularity",
     "t_nb_margin_calibration",
     "g8_label_propagation",
+    "o9_zorder_range_query",
 ]
 
 # Regression-signal curation (VERDICT r11 item #6): the headline suite

@@ -92,3 +92,68 @@ def zorder_write(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def _morton_py(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def morton_ranges(
+    x0: int,
+    x1: int,
+    y0: int,
+    y1: int,
+    bits: int = 16,
+    budget: int = 64,
+) -> list[tuple[int, int]]:
+    """Decompose the box [x0,x1]×[y0,y1] (inclusive, on the 2^bits grid)
+    into <= ``budget`` disjoint Morton-code ranges COVERING it — the
+    BIGMIN-style query-side half of Z-order clustering: push these as
+    z-range predicates so parquet row-group min/max stats on the sort
+    key skip everything outside, and keep the exact x/y box as the
+    residual predicate (the decomposition may be a superset after
+    budget-merging, never a subset).
+
+    Quadrant recursion: an axis-aligned power-of-two quad whose origin
+    is a multiple of its side occupies the CONTIGUOUS z interval
+    [morton(origin), morton(origin) + side² − 1]; quads fully inside
+    the box emit their interval, disjoint quads prune, straddling quads
+    split in four. Exact before merging; then adjacent ranges coalesce
+    and, while over budget, the pair with the smallest gap merges
+    (deterministic: smallest gap, then leftmost) — each merge only ADDS
+    covered cells. Pure integer driver-side planning, O(budget) output."""
+    out: list[tuple[int, int]] = []
+
+    def rec(qx: int, qy: int, level: int) -> None:
+        side = 1 << level
+        if qx + side - 1 < x0 or qx > x1 or qy + side - 1 < y0 or qy > y1:
+            return
+        if x0 <= qx and qx + side - 1 <= x1 and y0 <= qy and qy + side - 1 <= y1:
+            z = _morton_py(qx, qy, bits)
+            out.append((z, z + side * side - 1))
+            return
+        half = side >> 1
+        for dx, dy in ((0, 0), (half, 0), (0, half), (half, half)):
+            rec(qx + dx, qy + dy, level - 1)
+
+    rec(0, 0, bits)
+    out.sort()
+    merged: list[list[int]] = []
+    for lo, hi in out:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    while len(merged) > budget:
+        gaps = [
+            (merged[i + 1][0] - merged[i][1], i)
+            for i in range(len(merged) - 1)
+        ]
+        _, i = min(gaps)
+        merged[i][1] = merged[i + 1][1]
+        del merged[i + 1]
+    return [(lo, hi) for lo, hi in merged]

@@ -103,6 +103,7 @@ _SAMPLING_PRIORITY = (
     "dd_cluster_modularity",
     "t_nb_margin_calibration",
     "g8_label_propagation",
+    "o9_zorder_range_query",
     # -- remaining round-13 additions (newest rows, r13-green) --
     "t_substring_dedup_shorts",
     "a48_mad_outliers",
@@ -132,8 +133,8 @@ _SAMPLING_PRIORITY = (
     "s1_sqlite_roundtrip",
     "stream_kmv_sketch",
     "stream_ohlc_complete",
+    # ---- 50-slot prefix cut line (32 staged + 18 oldest = exactly 50) ----
     "stream_session_counts",
-    # ---- 50-slot prefix cut line (31 staged + 19 oldest = exactly 50) ----
     "stream_zarr_append_sink",
     "t_containment_join",
     "t_containment_survivors",

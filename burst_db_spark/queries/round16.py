@@ -1571,3 +1571,102 @@ def g8_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 g8_label_propagation.__doc__ = g8_label_propagation.__doc__.format(
     M=_LP_SEED_MOD
 )
+
+
+# ---------------------------------------------------------------------------
+# O9: Z-order range-decomposed box query over a z-clustered sink
+
+
+_O9_BITS = 10        # 1024x1024 grid
+_O9_BOX = (100, 300, 400, 700)   # x0, x1, y0, y1 (inclusive)
+_O9_BUDGET = 32      # max pushed z-ranges
+
+
+@register(
+    "o9_zorder_range_query",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(p_partkey) AS BIGINT) AS key_sum,
+           CAST(min(p_partkey) AS BIGINT) AS key_min,
+           CAST(max(p_partkey) AS BIGINT) AS key_max
+    FROM (
+        SELECT p_partkey,
+               CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {1 << _O9_BITS} AS qx,
+               CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 9, 8))
+                    AS BIGINT) % {1 << _O9_BITS} AS qy
+        FROM part
+    )
+    WHERE qx BETWEEN {_O9_BOX[0]} AND {_O9_BOX[1]}
+      AND qy BETWEEN {_O9_BOX[2]} AND {_O9_BOX[3]}
+    """,
+    tags=("layout", "zorder", "range-decomposition", "bigmin",
+          "scan-pruning"),
+)
+def o9_zorder_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUERY-side half of Z-order clustering (o7/o8 pin the write
+    side): a box predicate over a z-clustered parquet table runs as
+    <= {B} Morton-range predicates on the sort key (quadrant/BIGMIN
+    decomposition, operators/zorder.morton_ranges) plus the exact box
+    as residual. The z-ranges are what parquet row-group min/max stats
+    can actually prune on — a bare (qx, qy) box prunes ~nothing on a
+    z-sorted file because neither column alone is sorted; the range
+    set IS the layout's query contract, and the residual keeps the
+    result exact even after budget-merging makes the cover a superset.
+    tests/test_layout_skipping.py asserts the scan prunes most row
+    groups; the oracle computes the same box directly from the source
+    table (a clustered write + range scan must select exactly the box).
+
+    Building this frame EXECUTES the clustered write (same as o8's
+    roundtrip contract). All-integer surface: hashed grid coordinates,
+    bigint key rollups."""
+    from burst_db_spark.operators.zorder import morton_code, morton_ranges
+    from burst_db_spark.queries.slayer import _tmpdir
+
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    hx = F.conv(
+        F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    hy = F.conv(
+        F.substring(F.md5(F.col("p_partkey").cast("string")), 9, 8), 16, 10
+    ).cast("bigint")
+    grid = 1 << _O9_BITS
+    pts = part.select(
+        "p_partkey",
+        (hx % grid).alias("qx"),
+        (hy % grid).alias("qy"),
+    ).withColumn(
+        "z", morton_code(F.col("qx"), F.col("qy"), _O9_BITS)
+    )
+    out = _tmpdir("o9_zorder")
+    (
+        pts.repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    x0, x1, y0, y1 = _O9_BOX
+    zr = morton_ranges(x0, x1, y0, y1, _O9_BITS, budget=_O9_BUDGET)
+    zcond = None
+    for lo, hi in zr:
+        c = F.col("z").between(F.lit(lo), F.lit(hi))
+        zcond = c if zcond is None else (zcond | c)
+    return (
+        back.where(
+            zcond
+            & F.col("qx").between(x0, x1)
+            & F.col("qy").between(y0, y1)
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("p_partkey").cast("bigint").alias("key_sum"),
+            F.min("p_partkey").cast("bigint").alias("key_min"),
+            F.max("p_partkey").cast("bigint").alias("key_max"),
+        )
+    )
+
+
+o9_zorder_range_query.__doc__ = o9_zorder_range_query.__doc__.format(
+    B=_O9_BUDGET
+)

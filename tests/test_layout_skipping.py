@@ -165,3 +165,83 @@ def test_curve_sorted_write_prunes_row_groups_both_curves(spark, tmp_path):
             res,
         )
     assert res["hilbert"][0] <= max(1, res["morton"][0] // 2 + 1), res
+
+
+def test_zorder_range_decomposition_prunes_and_covers(spark):
+    """o9's query contract end-to-end: (1) morton_ranges is EXACT before
+    budget-merging and a superset after (exhaustively, small grid);
+    (2) on the z-clustered layout the pushed z-ranges intersect
+    strictly fewer row groups than the bare qx box stats do (and at
+    most half of all groups) — the range decomposition, not the box
+    predicate, is what buys the skip."""
+    from burst_db_spark.operators.zorder import (
+        _morton_py,
+        morton_code,
+        morton_ranges,
+    )
+
+    bits = 6
+    for (x0, x1, y0, y1) in ((5, 40, 10, 33), (0, 63, 17, 17), (31, 32, 31, 32)):
+        cells = {
+            _morton_py(x, y, bits)
+            for x in range(x0, x1 + 1)
+            for y in range(y0, y1 + 1)
+        }
+        exact = morton_ranges(x0, x1, y0, y1, bits, budget=10**9)
+        cov = set()
+        for lo, hi in exact:
+            cov.update(range(lo, hi + 1))
+        assert cov == cells
+        merged = morton_ranges(x0, x1, y0, y1, bits, budget=4)
+        assert len(merged) <= 4
+        cov_m = set()
+        for lo, hi in merged:
+            cov_m.update(range(lo, hi + 1))
+        assert cells <= cov_m
+
+    # layout evidence on the o9 write shape (synthetic keys so even the
+    # smallest SF yields several row groups per file)
+    bits = 10
+    grid = 1 << bits
+    part = spark.range(20000).select(F.col("id").alias("p_partkey"))
+    hx = F.conv(
+        F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    hy = F.conv(
+        F.substring(F.md5(F.col("p_partkey").cast("string")), 9, 8), 16, 10
+    ).cast("bigint")
+    pts = part.select(
+        "p_partkey", (hx % grid).alias("qx"), (hy % grid).alias("qy")
+    ).withColumn("z", morton_code(F.col("qx"), F.col("qy"), bits))
+    base = tempfile.mkdtemp(prefix="bds_o9_")
+    (
+        pts.repartitionByRange(4, "z")
+        .sortWithinPartitions("z")
+        .write.options(**{"parquet.block.size": 64 * 1024})
+        .mode("overwrite")
+        .parquet(base)
+    )
+    x0, x1, y0, y1 = 100, 300, 400, 700
+    zr = morton_ranges(x0, x1, y0, y1, bits, budget=32)
+    # z-range candidates: a row group survives if ANY pushed range
+    # intersects its [min,max]
+    total = z_cand = qx_cand = 0
+    for fn in os.listdir(base):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(base, fn)).metadata
+        zi = md.schema.to_arrow_schema().get_field_index("z")
+        xi = md.schema.to_arrow_schema().get_field_index("qx")
+        for rg in range(md.num_row_groups):
+            total += 1
+            st = md.row_group(rg).column(zi).statistics
+            if any(st.min <= hi and st.max >= lo for lo, hi in zr):
+                z_cand += 1
+            sx = md.row_group(rg).column(xi).statistics
+            if sx.min <= x1 and sx.max >= x0:
+                qx_cand += 1
+    assert total >= 8
+    # the z-sort's quadrant structure lets bare qx stats prune a little,
+    # but the pushed z-ranges must prune strictly more, and >= half
+    assert z_cand < qx_cand, (z_cand, qx_cand)
+    assert z_cand * 2 <= total, (z_cand, total)
