@@ -366,7 +366,10 @@ def g6_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is one degree groupBy + two semi-joins per round on a
     strictly shrinking edge set, synchronized-peeling k-core. Rounds
     are data-bounded (fixpoint <= 7 on every test sf; pytest asserts
-    margin vs the oracle's unroll depth of 12)."""
+    margin vs the oracle's unroll depth of 12). Building this frame
+    EXECUTES the peel (eager per-round localCheckpoints + the
+    model-state code collect) — the returned DataFrame is the
+    materialized profile."""
     from burst_db_spark.operators.graph import kcore_peel
     from burst_db_spark.operators.similarity import int_cos_edges
 
@@ -1064,7 +1067,8 @@ def g7_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the broadcast-matmul audit path (operators/similarity.
     int_cos_edges); each peel round is one triangle 3-way self-join
     (Σ deg² on the shrinking graph) + a HAVING filter — the
-    synchronized-peeling truss, every frame localCheckpointed."""
+    synchronized-peeling truss, every frame localCheckpointed.
+    Building this frame EXECUTES the peel, as in g6."""
     from burst_db_spark.operators.graph import ktruss_peel
     from burst_db_spark.operators.similarity import int_cos_edges
 

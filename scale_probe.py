@@ -1350,6 +1350,47 @@ def nnd_cd_probe(spark, factor: int) -> dict[str, float]:
     return out
 
 
+
+def pca_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Scaling for the distributed gram aggregation behind
+    knn_pca_power: per-partition numpy int64 partials (Q_p^T Q_p via
+    mapInPandas) -> 4096 partial rows -> one groupBy sum. The
+    eigensolve itself is 64x64 model state (driver, constant), so the
+    whole operator should scale with the SCAN, not with rounds or k."""
+    import time as _t
+
+    import numpy as np
+    import pandas as pd
+
+    out: dict[str, float] = {}
+    for label, f in (("pca_gram", 1), ("pca_gram_big", factor)):
+        emb = _emb_replicated(spark, f)
+        t0 = _t.perf_counter()
+
+        def _partials(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+                Q = np.floor(X * 256.0).astype(np.int64)
+                G = Q.T @ Q
+                ii, jj = np.indices(G.shape)
+                yield pd.DataFrame(
+                    {"i": (ii + 1).ravel(), "j": (jj + 1).ravel(),
+                     "s": G.ravel()}
+                )
+
+        (
+            emb.select("embedding")
+            .mapInPandas(_partials, "i int, j int, s long")
+            .groupBy("i", "j")
+            .agg(F.sum("s").alias("s"))
+            .count()
+        )
+        out[label] = round(_t.perf_counter() - t0, 2)
+    return out
+
+
 _CD_PROBES = {
     "spatial": lambda spark, f: spatial_cd_probe(spark, n_small=100_000, factor=f),
     "jaccard": jaccard_cd_probe,
@@ -1375,6 +1416,7 @@ _CD_PROBES = {
     "shorts": shorts_cd_probe,
     "kcore": kcore_cd_probe,
     "nnd": nnd_cd_probe,
+    "pca": pca_cd_probe,
 }
 
 
