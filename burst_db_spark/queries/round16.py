@@ -1516,7 +1516,8 @@ def g8_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement vs the held-out true labels is the audit (pytest).
 
     All-integer surface: bigint labels, vote counts, round indices;
-    ties break (count DESC, label ASC). Each round: one join of the
+    ties break (count DESC, label ASC). Building this frame EXECUTES
+    the propagation (eager per-round checkpoints). Each round: one join of the
     edge list against the labeled set + a vote groupBy + an anti-join —
     frontier-proportional work, localCheckpointed per round."""
     from burst_db_spark.operators.similarity import int_cos_edges
