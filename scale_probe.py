@@ -1391,6 +1391,62 @@ def pca_cd_probe(spark, factor: int) -> dict[str, float]:
     return out
 
 
+
+def pagerank_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Prices the g1 rework: integer-mass PageRank (plain groupBy SUM —
+    map-side combine works) vs the bit-exact double formulation (whose
+    two-level src-ordered fold must disable partial aggregation). Same
+    deterministic hash graph as the kcore probe; 3 iterations each. The
+    double-fold variant runs at min(factor, 10) — its constant is the
+    point, not its asymptote."""
+    import time as _t
+
+    from burst_db_spark.operators.graph import pagerank, pagerank_int
+
+    out: dict[str, float] = {}
+    n_small = 20_000
+
+    def graph(n: int):
+        ids = spark.range(n).select(F.col("id").alias("v"))
+        outd = ids.select(
+            "v",
+            F.explode(F.sequence(F.lit(0), (F.col("v") % 3) + 1)).alias("i"),
+        )
+        nbr = (
+            (F.col("v") * (F.col("i") * 2 + 3) + F.col("i") * 17 + 1)
+            % F.lit(n)
+        ).alias("n")
+        e = (
+            outd.select("v", nbr)
+            .where(F.col("v") != F.col("n"))
+            .select(F.col("v").alias("src"), F.col("n").alias("dst"))
+            .distinct()
+        )
+        nodes = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        return e, nodes
+
+    # warm both code paths once (codegen/JIT) so 1x timings compare
+    we, wn = graph(2_000)
+    pagerank_int(we, wn, iterations=1).count()
+    pagerank(we, wn, iterations=1).count()
+    for label, f in (("pagerank_int", 1), ("pagerank_int_big", factor)):
+        e, nodes = graph(n_small * f)
+        t0 = _t.perf_counter()
+        pagerank_int(e, nodes, iterations=3).count()
+        out[label] = round(_t.perf_counter() - t0, 2)
+    f2 = min(factor, 10)
+    for label, f in (("pagerank_fold", 1), ("pagerank_fold_big", f2)):
+        e, nodes = graph(n_small * f)
+        t0 = _t.perf_counter()
+        pagerank(e, nodes, iterations=3).count()
+        out[label] = round(_t.perf_counter() - t0, 2)
+    return out
+
+
 _CD_PROBES = {
     "spatial": lambda spark, f: spatial_cd_probe(spark, n_small=100_000, factor=f),
     "jaccard": jaccard_cd_probe,
@@ -1417,6 +1473,7 @@ _CD_PROBES = {
     "kcore": kcore_cd_probe,
     "nnd": nnd_cd_probe,
     "pca": pca_cd_probe,
+    "pagerank": pagerank_cd_probe,
 }
 
 
