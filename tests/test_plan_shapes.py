@@ -9,6 +9,7 @@ import re
 
 import pytest
 
+from burst_db_spark.catalog import load
 from burst_db_spark.registry import all_queries
 from tests.conftest import SF_DIR
 
@@ -801,3 +802,45 @@ def test_hier_assign_is_projection_after_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert _count_nodes(plan, "BroadcastNestedLoopJoin") <= 3, plan
     assert _count_nodes(plan, "BroadcastHashJoin") >= 2, plan
+
+
+def test_round16_text_rows_no_nested_loops(spark):
+    """The wave-5 text/audit rows must stay on hash/equi paths: RAKE is
+    window+groupBy only; JSD's pair term is an equi-join on word; the
+    NB calibration's model joins ride broadcast — no BNLJ/Cartesian
+    anywhere (the only sanctioned smalls-cross is JSD's 20x20 source
+    pairing, which Spark plans as a broadcast nested loop over two
+    20-row aggregates — node-bounded, so it is asserted bounded rather
+    than absent)."""
+    plan = _plan("t_rake_keywords", spark)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    plan = _plan("t_nb_margin_calibration", spark)
+    assert "CartesianProduct" not in plan
+    # exactly one BNLJ is sanctioned: the 1-row doc-count scalar riding
+    # a broadcast cross join into the priors (the house scalar pattern)
+    assert _count_nodes(plan, "BroadcastNestedLoopJoin") <= 1, plan
+    assert "BroadcastHashJoin" in plan  # model + priors ride broadcast
+    jsd = _plan("t_domain_jsd", spark)
+    assert "CartesianProduct" not in jsd
+    # the shared-word correction join is a real equi-join on word
+    assert "SortMergeJoin" in jsd or "ShuffledHashJoin" in jsd
+
+
+def test_nn_descent_candidate_joins_are_equi(spark):
+    """NND's block init and candidate rerank must be hash equi-joins —
+    an accidental theta-join here is the N^2 regression the operator
+    exists to avoid."""
+    from burst_db_spark.operators.similarity import nn_descent
+
+    emb = load(spark, SF_DIR, "embeddings")
+    df = nn_descent(emb, k=3, n_blocks=16, rounds=1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    # the nbr2 self-join carries an inequality residual on top of its
+    # equi key (x.n = y.v AND y.n <> x.v) — it must still plan as a
+    # hash/sort-merge join, never a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
