@@ -92,6 +92,7 @@ def dsir_scored_frame(
     text_col: str = "text",
     n_buckets: int = DSIR_BUCKETS,
     alpha: float = DSIR_ALPHA,
+    doc_bucket: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(scored, cached) — every raw-pool doc with ``n_feats`` and
     ``dsir_score``, plus the persisted (doc, bucket) frame the caller
@@ -104,25 +105,37 @@ def dsir_scored_frame(
     shuffled exactly once. The per-bucket smoothed log-ratio frame is
     broadcast back; the per-doc score is an ordered fold over its
     bucket contributions.
-    """
-    tokd = docs.select(
-        F.col(id_col), target.alias("__t"), tokens(F.col(text_col)).alias("__toks")
-    )
-    feats = tokd.select(
-        F.col(id_col),
-        F.col("__t"),
-        F.explode(_features(F.col("__toks"))).alias("feat"),
-    ).withColumn("b", hashed_bucket(F.col("feat"), n_buckets))
 
-    # ONE explode + ONE data-sized shuffle: reduce to (doc, bucket)
-    # counts first and persist THAT (docs x n_buckets rows, narrow —
-    # model-state, not corpus-sized). Three consumers (model counts,
-    # totals, per-doc scores) read the cached frame, so the corpus is
-    # tokenized once, not once per consumer. release_dedup(out)
-    # unpersists.
-    doc_bucket = feats.groupBy(id_col, "__t", "b").agg(
-        F.count("*").cast("bigint").alias("cnt")
-    ).persist()
+    ``doc_bucket``: optionally a precomputed
+    ``(id_col, __t, b, cnt bigint)`` frame — the exact aggregate this
+    function would build — so a caller that ALREADY featurized the
+    corpus (e.g. the exact-feature audit, which derives hashed-bucket
+    counts from its per-feature counts) skips the second tokenize
+    (optimization r14, guide §2.3). The caller owns its caching.
+    """
+    if doc_bucket is None:
+        # fan the tokenize+bigram+md5 explode across all cores even when
+        # the scan is one small file (doc_shingles device; r14, guide §2)
+        n_parts = docs.sparkSession.sparkContext.defaultParallelism
+        tokd = docs.repartition(n_parts).select(
+            F.col(id_col), target.alias("__t"),
+            tokens(F.col(text_col)).alias("__toks"),
+        )
+        feats = tokd.select(
+            F.col(id_col),
+            F.col("__t"),
+            F.explode(_features(F.col("__toks"))).alias("feat"),
+        ).withColumn("b", hashed_bucket(F.col("feat"), n_buckets))
+
+        # ONE explode + ONE data-sized shuffle: reduce to (doc, bucket)
+        # counts first and persist THAT (docs x n_buckets rows, narrow —
+        # model-state, not corpus-sized). Three consumers (model counts,
+        # totals, per-doc scores) read the cached frame, so the corpus is
+        # tokenized once, not once per consumer. release_dedup(out)
+        # unpersists.
+        doc_bucket = feats.groupBy(id_col, "__t", "b").agg(
+            F.count("*").cast("bigint").alias("cnt")
+        ).persist()
     counts = doc_bucket.groupBy("b").agg(
         F.sum(F.when(F.col("__t"), F.col("cnt")).otherwise(0))
         .cast("bigint")
@@ -181,6 +194,7 @@ def dsir_scores(
     n_buckets: int = DSIR_BUCKETS,
     alpha: float = DSIR_ALPHA,
     top_n: int = 50,
+    doc_bucket: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic DSIR top-N selection (see :func:`dsir_scored_frame`
     for the model plan). Top-N via orderBy().limit() →
@@ -189,7 +203,7 @@ def dsir_scores(
     partition is exactly the plan that dies at 100 TB. ``sel_rank`` is
     then a window over the N-row survivor frame only."""
     scored, doc_bucket = dsir_scored_frame(
-        docs, target, id_col, text_col, n_buckets, alpha
+        docs, target, id_col, text_col, n_buckets, alpha, doc_bucket
     )
     topn = scored.orderBy(F.col("dsir_score").desc(), F.col(id_col)).limit(
         top_n
@@ -276,7 +290,8 @@ def dsir_scores_exact(
     (vocabulary-sized — fine at audit scale, the hashed variant is the
     100 TB path) with add-alpha smoothing over the OBSERVED vocabulary
     size V; per-doc scores fold in feature-string order."""
-    tokd = docs.select(
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    tokd = docs.repartition(n_parts).select(
         F.col(id_col), target.alias("__t"), tokens(F.col(text_col)).alias("__toks")
     )
     feats = tokd.select(

@@ -596,15 +596,36 @@ def t_dsir_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is a single all-integer row, immune to float drift."""
     docs = load(spark, sf_dir, "documents")
     target = F.col("lang") == "en"
-    h = sel.dsir_scores(docs, target, top_n=_TOP_N).select("doc_id")
-    e = sel.dsir_scores_exact(docs, target, top_n=_TOP_N).select("doc_id")
+    # Optimization r14 (guide §2.3): ONE tokenize+featurize pass. The
+    # exact path's persisted (doc, __t, feat, cnt) frame already holds
+    # every feature occurrence count; the hashed path's (doc, __t, b,
+    # cnt) input is its exact bigint re-aggregation under b =
+    # hashed_bucket(feat), and vocab_size is its distinct-feat count —
+    # so the corpus is featurized once instead of three times. Counts
+    # are identical integers; both oracles untouched.
+    e_out = sel.dsir_scores_exact(docs, target, top_n=_TOP_N)
+    doc_feat = e_out._dedup_cached[0]
+    doc_bucket = (
+        doc_feat.select(
+            "doc_id",
+            "__t",
+            sel.hashed_bucket(F.col("feat"), _B).alias("b"),
+            "cnt",
+        )
+        .groupBy("doc_id", "__t", "b")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .persist()
+    )
+    h = sel.dsir_scores(
+        docs, target, top_n=_TOP_N, doc_bucket=doc_bucket
+    ).select("doc_id")
+    e = e_out.select("doc_id")
     overlap = h.join(e, "doc_id").agg(
         F.count("*").cast("bigint").alias("n_overlap")
     )
-    tokd = docs.select(tx.tokens(F.col("text")).alias("__toks"))
-    vocab = tokd.select(
-        F.explode(sel._features(F.col("__toks"))).alias("feat")
-    ).agg(F.countDistinct("feat").cast("bigint").alias("vocab_size"))
+    vocab = doc_feat.agg(
+        F.countDistinct("feat").cast("bigint").alias("vocab_size")
+    )
     return overlap.crossJoin(F.broadcast(vocab)).select(
         "n_overlap",
         F.lit(_TOP_N).cast("int").alias("top_n"),

@@ -645,9 +645,34 @@ def a43_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bootstrap_ci_frame(events: DataFrame) -> DataFrame:
     """a43 core on an arbitrary (event_type, event_id, value) frame —
-    shared by the registered query and scale_probe's bootstrap rung."""
+    shared by the registered query and scale_probe's bootstrap rung.
+
+    Optimization r14 (guide §2.3/§4 — don't explode what you can
+    aggregate; materialize shared subexpressions as attributes): the
+    original plan exploded every row B=32 ways, each exploded row
+    CARRYING the ~300-byte 8-digest array, and re-derived uniform+weight
+    from the digests per exploded row (the CASE chain references the
+    conv() uniform 5×, and expression trees get no CSE — ~160 conv per
+    input row). Now the per-row pipeline is three non-collapsible
+    projections — 8 md5 digests → a 32-double uniform array (one conv
+    per resample) → ``transform`` to the 32-int weight array (the CDF
+    CASE reads a cheap lambda variable) — and the (Σwt, Σwt·value)
+    pairs for all 32 resamples aggregate as 2·B ``element_at`` columns
+    in ONE partially-aggregated groupBy(event_type): no explode at all
+    (explode variants trip InferFiltersFromGenerate, which re-inlines
+    the whole weight-array expression into a pre-scan Filter — measured
+    2.5× WORSE), and the B means posexplode from a B-length aggregated
+    array (n_types·B rows). Weights, exact int/DECIMAL sums, and the
+    division inputs are bit-identical, so the CI bounds are unchanged;
+    the DuckDB oracle is untouched. Measured sf0.1 best-of-3: 6.8 s →
+    1.5 s (see OPTIMIZATION_r14.md)."""
     n_digs = _BOOT_B // 4
-    digs = events.select(
+    # Fan the compute-dense per-row stage (8 md5 + 32 conv per row)
+    # across all cores even when the scan is a single small file — the
+    # doc_shingles device; the repartition moves 3 narrow columns, far
+    # cheaper than the per-row hashing it parallelizes.
+    n_parts = events.sparkSession.sparkContext.defaultParallelism
+    digs = events.repartition(n_parts).select(
         "event_type",
         "value",
         F.array(
@@ -661,38 +686,63 @@ def bootstrap_ci_frame(events: DataFrame) -> DataFrame:
             ]
         ).alias("__digs"),
     )
-    reps = digs.select(
+
+    def _u(b: int):
+        return (
+            F.conv(
+                F.element_at(F.col("__digs"), b // 4 + 1).substr(
+                    (b % 4) * 8 + 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint").cast("double")
+            + F.lit(0.5)
+        ) / F.lit(4294967296.0)
+
+    def _cdf_case(u):
+        wt = F.lit(5)
+        for k in range(len(_POIS_CDF) - 1, -1, -1):
+            wt = F.when(u <= F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(wt)
+        return wt
+
+    us = digs.select(
         "event_type",
         "value",
-        "__digs",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
-    ).withColumn("b", F.col("b").cast("int"))
-    u = (
-        F.conv(
-            F.element_at(
-                F.col("__digs"), (F.col("b") / 4).cast("int") + 1
-            ).substr((F.col("b") % 4) * 8 + 1, F.lit(8)),
-            16,
-            10,
-        ).cast("bigint").cast("double")
-        + F.lit(0.5)
-    ) / F.lit(4294967296.0)
-    wt = F.lit(5)
-    for k in range(len(_POIS_CDF) - 1, -1, -1):
-        wt = F.when(u <= F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(wt)
-    w = reps.withColumn("wt", wt)
+        F.array(*[_u(b) for b in range(_BOOT_B)]).alias("__us"),
+    )
+    wts = us.select(
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("__v"),
+        F.transform("__us", _cdf_case).alias("__wts"),
+    )
+    aggs = []
+    for b in range(_BOOT_B):
+        wt = F.element_at(F.col("__wts"), b + 1)
+        aggs.append(F.sum(wt).alias(f"__w{b}"))
+        aggs.append(F.sum(wt * F.col("__v")).alias(f"__s{b}"))
+    sums = wts.groupBy("event_type").agg(*aggs)
+    # (b, Σwt, Σwt·value) per type; a resample with Σwt = 0 is dropped
+    # exactly as the old pre-aggregation WHERE wt > 0 did (the group
+    # existed iff ≥1 wt > 0, and wt = 0 rows contribute exact zero to
+    # both sums, so the surviving groups and sums are identical).
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"__w{b}").alias("w"), F.col(f"__s{b}").alias("s")
+            )
+            for b in range(_BOOT_B)
+        ]
+    )
     means = (
-        w.where(F.col("wt") > 0)
-        .groupBy("event_type", "b")
-        .agg(
+        sums.select("event_type", F.posexplode(pairs).alias("b", "p"))
+        .where(F.col("p.w") > 0)
+        .select(
+            "event_type",
+            F.col("b").cast("int").alias("b"),
             (
-                F.sum(
-                    F.col("wt") * F.col("value").cast("decimal(18,6)")
-                )
-                .cast("decimal(28,6)")
-                .cast("double")
-                / F.sum("wt").cast("double")
-            ).alias("m")
+                F.col("p.s").cast("decimal(28,6)").cast("double")
+                / F.col("p.w").cast("double")
+            ).alias("m"),
         )
     )
     wr = Window.partitionBy("event_type").orderBy("m", "b")

@@ -968,7 +968,10 @@ def t_nb_domain_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from burst_db_spark.operators import text as tx
 
     docs = load(spark, sf_dir, "documents")
-    tb = docs.select(
+    # fan the tokenize+md5 explode across all cores (doc_shingles
+    # device; r14, guide §2 — the scan is one small file)
+    n_parts = spark.sparkContext.defaultParallelism
+    tb = docs.repartition(n_parts).select(
         "doc_id",
         "source",
         F.explode(
@@ -982,8 +985,18 @@ def t_nb_domain_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _NB_B
         ).alias("b"),
     )
-    model = tb.groupBy("source", "b").agg(
-        F.count("*").cast("bigint").alias("c_sb")
+    # Optimization r14 (guide §2.3): `db` is the only consumer of the
+    # tokenize+md5 explode; the model's (source, b) counts are the SAME
+    # integers re-aggregated from db's per-doc counts (source is
+    # functionally determined by doc_id), so the corpus is tokenized
+    # ONCE instead of twice. Exact bigint sums — results unchanged; the
+    # oracle still spells both groupBys from the token stream.
+    db = tb.groupBy("doc_id", "b").agg(
+        F.any_value("source").alias("true_source"),
+        F.count("*").cast("bigint").alias("n_db"),
+    ).persist()
+    model = db.groupBy(F.col("true_source").alias("source"), "b").agg(
+        F.sum("n_db").cast("bigint").alias("c_sb")
     )
     totals = model.groupBy("source").agg(
         F.sum("c_sb").cast("bigint").alias("c_s")
@@ -1014,10 +1027,6 @@ def t_nb_domain_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("lp_fx"),
         )
-    )
-    db = tb.groupBy("doc_id", "b").agg(
-        F.any_value("source").alias("true_source"),
-        F.count("*").cast("bigint").alias("n_db"),
     )
     contrib = F.col("n_db") * F.col("ll_fx")
     scores = (

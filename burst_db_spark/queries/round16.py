@@ -1327,7 +1327,9 @@ def t_nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from burst_db_spark.operators import text as tx
 
     docs = load(spark, sf_dir, "documents")
-    tb = docs.select(
+    # fan the tokenize+md5 explode across all cores (doc_shingles
+    # device; r14, guide §2 — the scan is one small file)
+    tb = docs.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id",
         "source",
         F.explode(
@@ -1341,8 +1343,16 @@ def t_nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _NB_B
         ).alias("b"),
     )
-    model = tb.groupBy("source", "b").agg(
-        F.count("*").cast("bigint").alias("c_sb")
+    # Optimization r14 (guide §2.3): one tokenize+md5 pass — the model's
+    # (source, b) counts re-aggregate db's exact per-doc bigint counts
+    # (source is functionally determined by doc_id), mirroring
+    # t_nb_domain_confusion. Results unchanged; oracle untouched.
+    db = tb.groupBy("doc_id", "b").agg(
+        F.any_value("source").alias("true_source"),
+        F.count("*").cast("bigint").alias("n_db"),
+    ).persist()
+    model = db.groupBy(F.col("true_source").alias("source"), "b").agg(
+        F.sum("n_db").cast("bigint").alias("c_sb")
     )
     totals = model.groupBy("source").agg(
         F.sum("c_sb").cast("bigint").alias("c_s")
@@ -1371,10 +1381,6 @@ def t_nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("lp_fx"),
         )
-    )
-    db = tb.groupBy("doc_id", "b").agg(
-        F.any_value("source").alias("true_source"),
-        F.count("*").cast("bigint").alias("n_db"),
     )
     scores = (
         db.join(F.broadcast(ll), "b")

@@ -1013,23 +1013,30 @@ def contained_doc_ids(docs: DataFrame) -> DataFrame:
     # sequence(1, len-11) would DESCEND for len < 12, silently yielding
     # no grams) — they take the direct broadcast probe below instead.
     longs = base.where(F.col("len") >= _SSD_K)
-    # substring(text, i, K) needs expr-level substring with a column start
-    grams = (
-        longs.select(
-            "doc_id",
-            "len",
-            F.explode(
+    # substring(text, i, K) needs expr-level substring with a column start.
+    # Optimization r14 (guide §2.3/§2.4): grams dedup WITHIN the doc via
+    # array_distinct BEFORE the explode (doc_id is in every row, so the
+    # old global .distinct() only ever removed within-doc repeats — same
+    # row set, no gram-stream shuffle); document frequency via a count
+    # window instead of aggregate+join-back (one exchange on g, not two,
+    # and it is the exact hashpartitioning(g) the candidate join below
+    # reuses via ReusedExchange). Candidate set is unchanged.
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    grams = longs.repartition(n_parts).select(
+        "doc_id",
+        "len",
+        F.explode(
+            F.array_distinct(
                 F.expr(
                     f"transform(sequence(1, len - {_SSD_K - 1}),"
                     f" i -> substring(text, i, {_SSD_K}))"
                 )
-            ).alias("g"),
-        )
-        .distinct()
+            )
+        ).alias("g"),
     )
-    dfreq = grams.groupBy("g").agg(F.count("*").alias("df"))
+    wg = Window.partitionBy("g")
     anchors = (
-        grams.join(dfreq, "g")
+        grams.withColumn("df", F.count("*").over(wg))
         .groupBy("doc_id")
         .agg(F.min(F.struct("df", "g")).alias("a"))
         .select(

@@ -202,14 +202,21 @@ def dd_docs_cascade_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept3 = kept2.join(contaminated, "doc_id", "left_anti")
 
+    # Optimization r14 (guide §2.3): the five funnel rows each summed
+    # token_count(text) over a semi-joined scan — five tokenizations of
+    # the corpus. Tokenize ONCE into a persisted (doc_id, __ntok) frame
+    # (doc-count rows, two ints wide); each stage row is then a semi
+    # join + sum over it. Identical integer sums; oracle untouched.
+    ntok = docs.select(
+        "doc_id", tx.token_count(F.col("text")).alias("__ntok")
+    ).persist()
+
     def stage_row(ids: DataFrame, name: str) -> DataFrame:
         return (
-            docs.join(ids, "doc_id", "left_semi")
+            ntok.join(ids, "doc_id", "left_semi")
             .agg(
                 F.count("*").cast("bigint").alias("n_docs"),
-                F.sum(tx.token_count(F.col("text")))
-                .cast("bigint")
-                .alias("n_tokens"),
+                F.sum("__ntok").cast("bigint").alias("n_tokens"),
             )
             .select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
         )
