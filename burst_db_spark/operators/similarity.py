@@ -1172,20 +1172,45 @@ def semdedup_flags(
     # once per vector; dot/(na*nb) is the identical expression tree
     # (same left-fold, same multiply order), so results stay bit-equal
     # and the oracle is untouched.
+    # Optimization r14 (guide §2.5 — salt the hot keys): a plain cell
+    # equi-join has at most n_cells distinct keys; with a small given
+    # codebook (k=16 here) AQE's byte-based coalescing funnels the whole
+    # Σ|cell|² pair predicate through ONE task (the inputs are tiny in
+    # bytes but the join OUTPUT is compute-dense — measured 8.0 s
+    # single-task at sf0.1). Deterministically chunk the probe side
+    # (pmod(xxhash64(id), C)) and replicate the build side C ways, so
+    # the pair work spreads over n_cells·C partitions; C is derived
+    # from defaultParallelism / n_cells and DEGENERATES TO 1 (no
+    # replication, the plain equi-join) once the codebook has at least
+    # 2·cores cells — the trained k ∝ N regime. Every unordered pair is
+    # still generated exactly once (the b-side copy in a's chunk), the
+    # predicate expression is untouched, so the surviving id set is
+    # bit-identical and the oracle is unaffected.
+    n_cells = max(1, len(centroids))
+    n_parts = emb.sparkSession.sparkContext.defaultParallelism
+    chunks = max(1, -(-2 * n_parts // n_cells))
     a = cells.select(
         F.col("id").alias("id_a"),
         F.col("v").alias("va"),
         _norm(F.col("v")).alias("na"),
         "cell",
+        F.pmod(F.xxhash64(F.col("id")), F.lit(chunks)).alias("__chunk"),
     )
     b = cells.select(
         F.col("id").alias("id_b"),
         F.col("v").alias("vb"),
         _norm(F.col("v")).alias("nb"),
         "cell",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(chunks - 1)).cast("array<bigint>")
+        ).alias("__chunk"),
     )
+    join_keys = ["cell", "__chunk"] if chunks > 1 else ["cell"]
+    if chunks > 1:
+        a = a.repartition(n_parts, "cell", "__chunk")
+        b = b.repartition(n_parts, "cell", "__chunk")
     sim_pairs = (
-        a.join(b, "cell")
+        a.join(b, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .where(
             _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))

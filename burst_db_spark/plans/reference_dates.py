@@ -117,6 +117,54 @@ def _ts_ns_sorted(series: pd.Series) -> list[int]:
     return np.sort(vals).tolist()
 
 
+def _grouped_refs_frames(
+    pdf: pd.DataFrame,
+    key: str,
+    ts_col: str,
+    events_for_key,
+    interval_days: int,
+    min_acquisitions: int,
+) -> pd.DataFrame:
+    """Run the per-key kernel over EVERY key in one pandas frame (a whole
+    task partition): one lexsort + numpy boundary split instead of one
+    Arrow round-trip per key. Optimization r14 (guide §4.5 — amortize
+    per-task, not per-group): ``groupBy(key).applyInPandas`` ships each
+    key as its own Arrow batch + Python call, which costs ~2 ms per
+    GROUP regardless of size — measured 3.3 s for a trivial kernel over
+    the 1500-key sf0.1 frame vs 0.2 s for the identical shuffle+agg.
+    ``events_for_key``: key -> set of epoch-day ints (or None)."""
+    import numpy as np
+
+    keys = pdf[key].to_numpy()
+    ts = pdf[ts_col].to_numpy(dtype="datetime64[ns]").astype("int64")
+    order = np.lexsort((ts, keys))
+    keys_s, ts_s = keys[order], ts[order]
+    bounds = np.nonzero(np.diff(keys_s))[0] + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(keys_s)]))
+    out_k: list[int] = []
+    out_i: list[int] = []
+    out_r: list[int] = []
+    for s, e in zip(starts, ends):
+        k = int(keys_s[s])
+        refs = _select_reference_ns(
+            ts_s[s:e].tolist(),
+            events_for_key(k),
+            interval_days,
+            min_acquisitions,
+        )
+        out_k.extend([k] * len(refs))
+        out_i.extend(range(1, len(refs) + 1))
+        out_r.extend(refs)
+    return pd.DataFrame(
+        {
+            key: np.asarray(out_k, dtype="int64"),
+            "ref_idx": np.asarray(out_i, dtype="int64"),
+            "ref_date": np.asarray(out_r, dtype="int64").view("M8[ns]"),
+        }
+    )
+
+
 def reference_dates(
     acq: DataFrame,
     key: str = "frame_fid",
@@ -134,18 +182,26 @@ def reference_dates(
         for k, v in (event_dates_by_key or {}).items()
     }
 
-    def _per_key(pdf: pd.DataFrame) -> pd.DataFrame:
-        k = pdf[key].iloc[0]
-        refs = _select_reference_ns(
-            _ts_ns_sorted(pdf[ts_col]),
-            events_map.get(int(k)),
-            interval_days,
-            min_acquisitions,
+    def _per_partition(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        yield _grouped_refs_frames(
+            pdf, key, ts_col, lambda k: events_map.get(k),
+            interval_days, min_acquisitions,
         )
-        return _refs_frame(key, k, refs)
 
     schema = f"{key} int, ref_idx int, ref_date timestamp"
-    return acq.select(key, ts_col).groupBy(key).applyInPandas(_per_key, schema)
+    n_parts = acq.sparkSession.sparkContext.defaultParallelism
+    # hash-repartition by key (every key complete within one task), then
+    # run the kernel once per PARTITION — same per-key state machine,
+    # same rows, ~no per-group Arrow overhead (see _grouped_refs_frames)
+    return (
+        acq.select(key, ts_col)
+        .repartition(n_parts, key)
+        .mapInPandas(_per_partition, schema)
+    )
 
 
 def reference_dates_cogrouped(
@@ -192,21 +248,40 @@ def reference_dates_cogrouped(
         )
         joined = acq.select(key, ts_col).join(F.broadcast(ev_arr), key, "left")
 
-        def _per_key_bcast(pdf: pd.DataFrame) -> pd.DataFrame:
-            k = pdf[key].iloc[0]
-            dates = pdf["__event_dates"].iloc[0]
-            ev = (
-                {d.toordinal() - _EPOCH_ORD for d in dates}
-                if dates is not None and len(dates)
-                else None
+        def _per_partition_bcast(batches):
+            pdfs = [p for p in batches if len(p)]
+            if not pdfs:
+                return
+            pdf = (
+                pd.concat(pdfs, ignore_index=True)
+                if len(pdfs) > 1
+                else pdfs[0]
             )
-            refs = _select_reference_ns(
-                _ts_ns_sorted(pdf[ts_col]), ev, interval_days, min_acquisitions
+            ev_map: dict = {}
+            kk = pdf[key].to_numpy()
+            dates_col = pdf["__event_dates"].to_numpy()
+            for i in range(len(kk)):
+                k = int(kk[i])
+                if k not in ev_map:
+                    dates = dates_col[i]
+                    ev_map[k] = (
+                        {d.toordinal() - _EPOCH_ORD for d in dates}
+                        if dates is not None and len(dates)
+                        else None
+                    )
+            yield _grouped_refs_frames(
+                pdf, key, ts_col, ev_map.get,
+                interval_days, min_acquisitions,
             )
-            return _refs_frame(key, k, refs)
 
         schema = f"{key} int, ref_idx int, ref_date timestamp"
-        return joined.groupBy(key).applyInPandas(_per_key_bcast, schema)
+        n_parts = acq.sparkSession.sparkContext.defaultParallelism
+        # whole-partition kernel, not per-group (guide §4.5; see
+        # _grouped_refs_frames — same rows, no per-group Arrow cost)
+        return (
+            joined.repartition(n_parts, key)
+            .mapInPandas(_per_partition_bcast, schema)
+        )
 
     def _per_key(acq_pdf: pd.DataFrame, ev_pdf: pd.DataFrame) -> pd.DataFrame:
         if acq_pdf.empty:

@@ -685,7 +685,10 @@ def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     same cost as any tokenize), one (doc, char) count with map-side
     combine, one per-doc rollup. No UDF."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    chars = docs.select(
+    # fan the char explode across all cores (doc_shingles device; r14)
+    chars = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "doc_id",
         F.explode(
             F.transform(
