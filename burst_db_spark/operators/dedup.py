@@ -96,6 +96,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard via shingle self-join.
 
@@ -109,8 +110,14 @@ def ngram_jaccard_pairs(
     shingle set on both sides, so jaccard stays exact w.r.t. the pruned
     vocabulary — the standard near-dup trade-off; leave None for the
     exact-vocabulary baseline at audit scale.
+
+    ``shingles``: optional precomputed :func:`doc_shingles` frame (see
+    :func:`minhash_signatures`) — shares the tokenize+shingle pass with
+    other consumers of the same corpus; identical values either way.
     """
-    sh = doc_shingles(df, id_col, text_col, n)
+    sh = shingles if shingles is not None else doc_shingles(
+        df, id_col, text_col, n
+    )
     if max_df is not None:
         # document frequency via a count window: ONE shuffle on shingle
         # (vs aggregate + join back = two), and the partitioning it
@@ -409,12 +416,21 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = NUM_HASHES,
     n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """K md5-derived min-hashes per document (wide: h0..h{K-1}).
 
     One explode + one groupBy — the shuffle moves (id, K longs) only.
+
+    ``shingles``: optional precomputed :func:`doc_shingles` frame (same
+    ``(id, shingle)`` relation) — callers running several shingle
+    consumers over one corpus pass a persisted frame so the
+    tokenize+shingle pass runs once (guide §2.3: don't recompute what
+    two branches share). Values are identical either way.
     """
-    sh = doc_shingles(df, id_col, text_col, n)
+    sh = shingles if shingles is not None else doc_shingles(
+        df, id_col, text_col, n
+    )
     # Project the md5 digests ONCE per shingle before aggregating: the min
     # aggregates then slice cheap substrings of the digest columns, which
     # guarantees K/4 md5 evaluations per shingle regardless of whether the
@@ -499,6 +515,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.5,
     num_hashes: int = NUM_HASHES,
     band_rows: int = BAND_ROWS,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs with estimated similarity
     (fraction of agreeing min-hashes) ≥ threshold.
@@ -506,8 +523,14 @@ def minhash_lsh_dedup(
     Signatures are persisted: they feed the band join AND both sides of
     the verify join — without it Spark recomputes the shingle+md5 subtree
     per consumer. At 100 TB you'd write them to Parquet instead.
+
+    ``shingles``: optional precomputed :func:`doc_shingles` frame (see
+    :func:`minhash_signatures`) — shares the tokenize+shingle pass with
+    other consumers of the same corpus; identical values either way.
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes).persist()
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingles=shingles
+    ).persist()
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, band_rows)
     # verify on the signature packed as ONE array column per side: the
     # joined row stays narrow and the agreement count is a single

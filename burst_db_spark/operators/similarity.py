@@ -917,6 +917,14 @@ def kmeans_unrolled_stats(
             )
         )
 
+    # Optimization r14 (guide §2.2 — fan the compute-dense stage off the
+    # single-file scan): each round's assign folds k distances per row —
+    # pure CPU that otherwise runs inside the one-partition parquet scan
+    # task. Assignment is row-wise deterministic and the update's
+    # DECIMAL sums are order-free, so the trained model is identical on
+    # any partitioning. (Seeds were derived above from the raw frame;
+    # their global orderBy is partitioning-independent anyway.)
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
     cur = cents
     assigned = None
     funnel = hier_threshold is not None and k >= hier_threshold
@@ -2002,17 +2010,7 @@ def nn_descent(
         ).alias("qv"),
     ).localCheckpoint(eager=True)
 
-    # Arrow int64 dot kernel: bigint sums are order-free, so the numpy
-    # accumulation is the SAME exact integer as the SQL fold — hash-safe
-    # and ~an order of magnitude cheaper per pair than the per-element
-    # HOF loop (the nnd scale probe's constant).
     import numpy as np
-
-    @F.pandas_udf("long")
-    def _dp_kernel(va: pd.Series, vb: pd.Series) -> pd.Series:
-        A = np.vstack(va.to_numpy()).astype(np.int64)
-        B = np.vstack(vb.to_numpy()).astype(np.int64)
-        return pd.Series(np.einsum("ij,ij->i", A, B))
 
     def _topk(scored: DataFrame) -> DataFrame:
         from pyspark.sql import Window
@@ -2047,37 +2045,44 @@ def nn_descent(
         )
 
     blk_span = 4294967296 // n_blocks
-    blks = q.select(
+    # block keys ride the projection — the old shape re-joined q to
+    # itself just to attach them (one whole broadcast join for two
+    # column expressions; optimization r14)
+    qb = q.select(
         "vec_id",
+        "qv",
         (F.col("vec_id") % n_blocks).alias("b1"),
         F.expr(
             f"((vec_id * {hash_mult}) % 4294967296) div {blk_span}"
         ).alias("b2"),
     )
 
-    qb = q.join(blks.select("vec_id", "b1", "b2"), "vec_id")
-
     def _blk_scored(key: str) -> DataFrame:
-        # score INSIDE the block equi-join: the 64-wide code arrays
-        # shuffle once per side (N rows, hash-partitioned on the block
-        # key); only narrow (v, n, dp) rows exist after — the
-        # alternative (generate pairs, then join codes back) ships the
-        # arrays through an N·block_size-row join and was the probe's
-        # entire big-side wall.
-        a = qb.select(
-            F.col("vec_id").alias("v"),
-            F.col("qv").alias("qa"),
-            F.col(key).alias("kk"),
-        )
-        b = qb.select(
-            F.col("vec_id").alias("n"),
-            F.col("qv").alias("qb"),
-            F.col(key).alias("kk"),
-        )
+        # Optimization r14 (guide §8 — move heavy bytes once, decide on
+        # proxies): the old block equi-join shipped the 64-wide code
+        # arrays through Arrow PER PAIR (block_size² rows × 2 × 512 B ≈
+        # 0.5 GB at sf0.1) into a per-pair dot kernel. Instead, group by
+        # block and hand each block's code MATRIX to one numpy int64
+        # gram matmul: Arrow ships N rows per blocking (each vector
+        # once), the kernel emits only the narrow (v, n, dp) rows.
+        # int64 matmul is the same order-free exact integer as the SQL
+        # fold (|dp| ≤ 64·127² « 2⁶³), so values are bit-identical.
+        # Block size stays bounded by the n_blocks ∝ N contract (see
+        # docstring), so the per-block gram is O(block²) = O(N) total.
+        def _gram(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["vec_id"].to_numpy()
+            A = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+            G = A @ A.T
+            m = len(ids)
+            ii, jj = np.nonzero(~np.eye(m, dtype=bool))
+            return pd.DataFrame(
+                {"v": ids[ii], "n": ids[jj], "dp": G[ii, jj]}
+            )
+
         return (
-            a.join(b, "kk")
-            .where(F.col("v") != F.col("n"))
-            .select("v", "n", _dp_kernel(F.col("qa"), F.col("qb")).alias("dp"))
+            qb.select("vec_id", "qv", F.col(key).alias("kk"))
+            .groupBy("kk")
+            .applyInPandas(_gram, "v long, n long, dp long")
         )
 
     # a pair found under BOTH blockings scores identically — max-dedup

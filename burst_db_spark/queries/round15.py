@@ -177,7 +177,15 @@ def knn_hier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell", F.transform("cv", lambda x: x.cast("double")).alias("cv")
     )
     groups_one = sim.hier_group_state(cents, _HA_G)
-    asg = sim.assign_cells_hier(emb, groups_one, nprobe=_HA_NPROBE)
+    # Optimization r14 (guide §2.2 — fan the compute-dense stage off the
+    # single-file scan): the funnel's per-row distance folds are pure
+    # CPU; without a repartition they run inside the one-partition
+    # parquet scan task. Row-wise deterministic -> identical assignment.
+    asg = sim.assign_cells_hier(
+        emb.repartition(spark.sparkContext.defaultParallelism),
+        groups_one,
+        nprobe=_HA_NPROBE,
+    )
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scored = asg.join(F.broadcast(cents), "cell").select(
         "cell",
@@ -361,8 +369,13 @@ def knn_hier2_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell", F.transform("cv", lambda x: x.cast("double")).alias("cv")
     )
     state2 = sim.hier_group_state2(cents, _H2_G, _H2_G2)
+    # fan-out as in knn_hier_assign (guide §2.2): row-wise deterministic
+    # distance folds, identical assignment on any partitioning
     asg = sim.assign_cells_hier2(
-        emb, state2, nprobe2=_H2_NPROBE2, nprobe=_HA_NPROBE
+        emb.repartition(spark.sparkContext.defaultParallelism),
+        state2,
+        nprobe2=_H2_NPROBE2,
+        nprobe=_HA_NPROBE,
     )
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scored = asg.join(F.broadcast(cents), "cell").select(
