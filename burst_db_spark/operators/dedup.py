@@ -867,7 +867,19 @@ def connected_components(
     Both paths produce the identical (id, cluster_id) relation: the
     component-minimum label.
     """
-    p = pairs.select("id_a", "id_b").persist()
+    p = pairs.select("id_a", "id_b")
+    # Optimization r14 (cache hygiene): when the caller already persisted
+    # the pair frame and it is exactly (id_a, id_b), this projection is a
+    # no-op whose analyzed plan ALIASES the caller's cache entry — a
+    # persist here is then "already cached" and the cleanup unpersist
+    # below would EVICT the caller's cache (measured: every downstream
+    # consumer of dd_cluster_modularity's persisted pair list silently
+    # re-ran the full shingle self-join, ~3.8 s of warm exec). Only
+    # create — and only release — a cache this function actually owns.
+    lvl = p.storageLevel
+    owns_cache = not (lvl.useMemory or lvl.useDisk)
+    if owns_cache:
+        p = p.persist()
     n_pairs = p.count()
     if n_pairs <= local_edge_gate:
         # one parallel-fetch collect of the RAW pair list — union-find
@@ -875,7 +887,8 @@ def connected_components(
         # (duplicate/undirected edges are harmless), so the local path
         # skips both shuffles entirely
         rows = p.collect()
-        p.unpersist()
+        if owns_cache:
+            p.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -913,7 +926,8 @@ def connected_components(
         .persist()
     )
     edges.count()
-    p.unpersist()  # edges materialized; the raw-pair cache can go
+    if owns_cache:
+        p.unpersist()  # edges materialized; the raw-pair cache can go
     labels = vertices.select(
         F.col(id_col).alias("src"), F.col(id_col).alias("cluster_id")
     ).persist()

@@ -496,14 +496,11 @@ def lsh_near_dup_pairs_multiprobe(
             marg = np.abs(acc).reshape(x.shape[0], n_bands, r)
             flip = np.argsort(marg, axis=2, kind="stable")[:, :, :T]
             masks_arr = (1 << flip).astype(np.int32)  # (n, bands, T)
-            out = [
-                [
-                    [int(keys[i, b])] + [int(m) for m in masks_arr[i, b]]
-                    for b in range(n_bands)
-                ]
-                for i in range(x.shape[0])
-            ]
-            return pd.Series(out)
+            # vectorized [key, mask1..maskT] assembly (optimization r14,
+            # guide §4 — no per-element Python loop); tolist() yields the
+            # identical nested int lists the comprehension built
+            out = np.concatenate([keys[:, :, None], masks_arr], axis=2)
+            return pd.Series(out.tolist())
 
         sig = emb.select(
             F.col(id_col).alias("vid"),
@@ -544,7 +541,12 @@ def lsh_near_dup_pairs_multiprobe(
     # verify joins: the signature frame is rows × (64 floats + keys) —
     # broadcast it while it fits (bench scales); past the gate the joins
     # fall back to hash exchanges, the 100 TB shape.
-    n_sig = sig.count()
+    # Optimization r14 (guide §1/§5 — don't spend a job on a gate): sig
+    # is a row-preserving projection of emb, so the input's row count IS
+    # n_sig; counting emb costs a column-pruned scan instead of
+    # executing the whole signature UDF pass as a separate gating job
+    # (the sig cache now materializes inside the main action, once).
+    n_sig = emb.count()
     pick = F.broadcast if n_sig <= 100_000 else (lambda d: d)
     a = pick(
         sig.select(

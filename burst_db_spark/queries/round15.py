@@ -1324,19 +1324,38 @@ def g5_hits_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    h1 = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("h"))
-    a1 = (
-        edges.join(h1, "src")
+    # Optimization r14 (guide §2.3 + §3): h2 feeds hmax + hubs + a2, and
+    # a2 feeds amax + auths — uncached, every reference re-ran the whole
+    # join+groupBy chain back to h1 (the before-plan replicates it 4x,
+    # 86 exchanges). A lazy persist does not help: the consumers run as
+    # parallel stages of one job and race to materialize the same cache.
+    # Eagerly materialize each half-round's node-sized score frame
+    # (localCheckpoint — the repo's standard iterative device; integer
+    # sums are shuffle-order-free, so values are identical), and pick
+    # the score-side join strategy by MEASURED size: broadcast while it
+    # fits (the checkpoint makes the count a stored-block count), else
+    # the hash equi-join — the 100 TB fallback (the n_sig gate device).
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True)
+
+    def _fit(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if df.count() <= 500_000 else df
+
+    h1 = _ckpt(
+        edges.groupBy("src").agg(F.count("*").cast("bigint").alias("h"))
+    )
+    a1 = _ckpt(
+        edges.join(_fit(h1), "src")
         .groupBy("dst")
         .agg(F.sum("h").cast("bigint").alias("a"))
     )
-    h2 = (
-        edges.join(a1, "dst")
+    h2 = _ckpt(
+        edges.join(_fit(a1), "dst")
         .groupBy("src")
         .agg(F.sum("a").cast("bigint").alias("h"))
     )
-    a2 = (
-        edges.join(h2, "src")
+    a2 = _ckpt(
+        edges.join(_fit(h2), "src")
         .groupBy("dst")
         .agg(F.sum("h").cast("bigint").alias("a"))
     )

@@ -612,6 +612,17 @@ def g3_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash equi-join on node id per round; nothing driver-side."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
+    # Optimization r14 (guide §2.3 — iterative lineage): each round
+    # references dist TWICE (the union keep-branch and the frontier
+    # join), so the uncached unrolled plan re-evaluated dist_{k-1} 2x,
+    # dist_{k-2} 4x, ... (before-plan: 120 exchanges, the edge build
+    # replicated ~8x). A lazy persist does NOT fix this — the branches
+    # run as parallel stages of ONE job and race to materialize the
+    # same cache, so each still computes the subtree. Eagerly
+    # materialize the edge list and each round's node-sized dist via
+    # localCheckpoint (the repo's standard iterative device: CC, k-truss
+    # peeling); the min-hop integer fold is deterministic, so values
+    # are identical.
     dir_edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
@@ -619,6 +630,7 @@ def g3_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     edges = dir_edges.unionByName(
         dir_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -628,15 +640,23 @@ def g3_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.substring("v", 2, 100).cast("bigint") % 100 == 0)
         .distinct()
     )
-    dist = seeds.select("v", F.lit(0).cast("int").alias("hop"))
+    dist = seeds.select(
+        "v", F.lit(0).cast("int").alias("hop")
+    ).localCheckpoint(eager=True)
     for _ in range(3):
-        nbr = edges.join(dist, edges.src == dist.v).select(
+        # frontier join strategy by MEASURED size (the checkpoint makes
+        # the count a stored-block count, not a recompute): broadcast
+        # the frontier while it fits, else the hash equi-join — the
+        # 100 TB fallback (guide §3; the n_sig gate device).
+        d = F.broadcast(dist) if dist.count() <= 500_000 else dist
+        nbr = edges.join(d, edges.src == d.v).select(
             F.col("dst").alias("v"), (F.col("hop") + 1).alias("hop")
         )
         dist = (
             dist.unionByName(nbr)
             .groupBy("v")
             .agg(F.min("hop").cast("int").alias("hop"))
+            .localCheckpoint(eager=True)
         )
     return (
         dist.groupBy("hop")
