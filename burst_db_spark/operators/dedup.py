@@ -166,6 +166,7 @@ def jaccard_prefix_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    fanout_verify: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard similarity join via prefix filtering (AllPairs /
     PPJoin family, Bayardo et al. WWW'07) — same output as the quadratic
@@ -265,9 +266,24 @@ def jaccard_prefix_pairs(
         F.col("toks").alias("toks_b"),
     )
     common = F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
+    # Optimization r14 (guide §2.5 — the semdedup fan-out device): at
+    # selective thresholds the verify stage is tiny in BYTES (pair ids
+    # + two token arrays) but compute-dense (array_intersect per
+    # candidate), so AQE coalesces the post-join stage to ~1 task.
+    # Deterministic hash repartition on the pair key spreads the
+    # intersect across cores (user-specified repartitions are not
+    # re-coalesced); row set unchanged. Callers in the low-threshold
+    # regime (candidate volume ~ df² · τ-decay, byte-dense, already
+    # fanned out by AQE) pass fanout_verify=False — there the extra
+    # array-carrying exchange is pure overhead (measured +0.7 s on the
+    # τ=0.05 sweep vs −1.1 s on the τ=0.5 join).
+    verified = cand.join(fa, "id_a").join(fb, "id_b")
+    if fanout_verify:
+        verified = verified.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+        )
     out = (
-        cand.join(fa, "id_a")
-        .join(fb, "id_b")
+        verified
         .withColumn("common", common)
         .withColumn(
             "jaccard",
@@ -286,6 +302,7 @@ def jaccard_ppjoin_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    fanout_verify: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard join with the full PPJoin POSITIONAL filter (Xiao
     et al. WWW'08) on top of :func:`jaccard_prefix_pairs`' prefix +
@@ -395,9 +412,24 @@ def jaccard_ppjoin_pairs(
         F.col("toks").alias("toks_b"),
     )
     common = F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
+    # Optimization r14 (guide §2.5 — the semdedup fan-out device): at
+    # selective thresholds the verify stage is tiny in BYTES (pair ids
+    # + two token arrays) but compute-dense (array_intersect per
+    # candidate), so AQE coalesces the post-join stage to ~1 task.
+    # Deterministic hash repartition on the pair key spreads the
+    # intersect across cores (user-specified repartitions are not
+    # re-coalesced); row set unchanged. Callers in the low-threshold
+    # regime (candidate volume ~ df² · τ-decay, byte-dense, already
+    # fanned out by AQE) pass fanout_verify=False — there the extra
+    # array-carrying exchange is pure overhead (measured +0.7 s on the
+    # τ=0.05 sweep vs −1.1 s on the τ=0.5 join).
+    verified = cand.join(fa, "id_a").join(fb, "id_b")
+    if fanout_verify:
+        verified = verified.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+        )
     out = (
-        cand.join(fa, "id_a")
-        .join(fb, "id_b")
+        verified
         .withColumn("common", common)
         .withColumn(
             "jaccard",
@@ -917,26 +949,41 @@ def connected_components(
                 F.coalesce(F.col("__cc"), F.col(id_col)).alias("cluster_id"),
             )
         )
+    # Optimization r14 (guide §2.3 — iterative lineage): each round
+    # references `labels` TWICE (the min-fold keep branch and the
+    # neighbor join), so under persist the LOGICAL plan still nested
+    # exponentially — the returned frame's plan inlined every round's
+    # subtree 2^r times (measured: 1205 Exchange nodes in
+    # g4_cc_iterative's final plan, multi-second Catalyst analysis on
+    # the driver). The repo's standard iterative device (g3 BFS, g5
+    # HITS, k-core/k-truss peels) fixes both the re-execution AND the
+    # plan growth: eager localCheckpoint per round truncates lineage,
+    # and the convergence probe reads stored blocks, not a recompute.
     edges = (
         p.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             p.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    edges.count()
     if owns_cache:
         p.unpersist()  # edges materialized; the raw-pair cache can go
     labels = vertices.select(
         F.col(id_col).alias("src"), F.col(id_col).alias("cluster_id")
-    ).persist()
-    cached = labels  # the actually-persisted frame backing `labels`
+    ).localCheckpoint(eager=True)
+    # join strategy by MEASURED size (the checkpoint makes the count a
+    # stored-block count, and labels stays one row per vertex every
+    # round, so the gate is loop-invariant): broadcast the node-sized
+    # label frame while it fits, hash equi-join past the gate — the
+    # 100 TB fallback (guide §3; the g3/g5 gate device).
+    bcast_labels = labels.count() <= 500_000
     for _ in range(max_iters):
+        lbl = labels.withColumnRenamed("src", "dst")
+        if bcast_labels:
+            lbl = F.broadcast(lbl)
         neighbor_min = (
-            edges.join(
-                labels.withColumnRenamed("src", "dst"), "dst"
-            )
+            edges.join(lbl, "dst")
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nmin"))
         )
@@ -953,17 +1000,12 @@ def connected_components(
                 ).alias("cluster_id"),
                 (F.col("nmin") < F.col("cluster_id")).alias("__changed"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = new_labels.where("__changed").limit(1).count()
-        cached.unpersist()
-        cached = new_labels
         labels = new_labels.drop("__changed")
         if changed == 0:
             break
-    # labels is materialized (the changed-count action ran), so the edge
-    # cache can be dropped — it otherwise leaks for the session lifetime
-    edges.unpersist()
     return labels.select(F.col("src").alias(id_col), "cluster_id")
 
 

@@ -178,11 +178,21 @@ def t_cluster_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     not assumed) zero leaks of the cluster assignment
     (operators/selection.leakage_safe_splits)."""
     docs = load(spark, sf_dir, "documents")
+    # Optimization r14 (guide §2.3): the pair list feeds BOTH the CC
+    # build (eagerly consumed at plan construction) and the leakage
+    # audit's final plan — uncached, the shingle self-join ran twice.
+    # Persist the projected pair frame once; CC's cache-hygiene check
+    # sees a caller-owned cache and leaves it in place. Pair set is
+    # deterministic, so cached vs recomputed values are identical.
     pairs = dd.ngram_jaccard_pairs(docs, "doc_id", threshold=0.2)
-    labels = dd.connected_components(pairs, docs, "doc_id")
-    return sel.leakage_safe_splits(
-        docs, pairs.select("id_a", "id_b"), labels
-    )
+    pair_edges = pairs.select("id_a", "id_b").persist()
+    labels = dd.connected_components(pair_edges, docs, "doc_id")
+    out = sel.leakage_safe_splits(docs, pair_edges, labels)
+    out._dedup_cached = (
+        pair_edges,
+        *getattr(pairs, "_dedup_cached", ()),
+    )  # release_dedup(out) unpersists
+    return out
 
 
 # -- Hybrid retrieval: BM25 + dense cosine, RRF fusion -----------------------

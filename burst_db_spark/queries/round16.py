@@ -1548,13 +1548,21 @@ def g8_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for r in range(1, _LP_ROUNDS + 1):
+        # Optimization r14 (guide §3 — the g3/g5 gate device): the
+        # labeled set is node-sized and localCheckpointed, so its count
+        # is a stored-block count; broadcast it into both per-round
+        # joins while it fits (no shuffle of the edge list per round),
+        # hash equi-join past the gate — the 100 TB fallback. Join
+        # strategy does not change the joined relation, so votes are
+        # identical.
+        small = labeled.count() <= 500_000
+        lab_dst = labeled.select(F.col("v").alias("dst"), "lab")
+        lab_src = labeled.select(F.col("v").alias("src"))
+        if small:
+            lab_dst, lab_src = F.broadcast(lab_dst), F.broadcast(lab_src)
         votes = (
-            edges.join(
-                labeled.select(F.col("v").alias("dst"), "lab"), "dst"
-            )
-            .join(
-                labeled.select(F.col("v").alias("src")), "src", "left_anti"
-            )
+            edges.join(lab_dst, "dst")
+            .join(lab_src, "src", "left_anti")
             .groupBy(F.col("src").alias("v"), "lab")
             .agg(F.count("*").alias("cnt"))
         )

@@ -1062,7 +1062,12 @@ def t_docs_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd.exact_duplicates(d0, "doc_id")
         .select(F.col("keep_id").alias("doc_id"))
     )
-    d1 = docs.join(kept1, "doc_id", "left_semi")
+    # Optimization r14 (guide §2.3): d1 (quality gate + exact dedup)
+    # feeds the eager LSH+CC build AND the final plan's vertex side —
+    # uncached, both stages re-ran per reference. Persist once
+    # (deterministic survivor set, identical rows); released by the
+    # session-level clearCache the registry contract documents.
+    d1 = docs.join(kept1, "doc_id", "left_semi").persist()
     pairs = dd.minhash_lsh_dedup(d1, "doc_id", threshold=0.5)
     cc = dd.connected_components(pairs, d1, "doc_id")
     kept2 = cc.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")

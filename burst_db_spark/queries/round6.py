@@ -608,7 +608,14 @@ def knn_ivf_learned_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     codebook = kmeans_codebook(emb, k=8, iters=2)
-    cells = assign_cells(emb, codebook)
+    # Optimization r14 (guide §2.3): the assigned-cell table feeds BOTH
+    # the query subset and the candidate side of the cell join —
+    # uncached, the per-row k-distance argmin assignment evaluated
+    # twice. Persist + eager count (the wave-4 device; assignment is
+    # row-wise deterministic, values identical); released by the
+    # session-level clearCache the registry contract documents.
+    cells = assign_cells(emb, codebook).persist()
+    cells.count()
     queries = (
         cells.where((F.col("vec_id") >= 20) & (F.col("vec_id") < 35))
         .select("vec_id", "embedding")
