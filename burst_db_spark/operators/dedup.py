@@ -166,7 +166,6 @@ def jaccard_prefix_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    fanout_verify: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard similarity join via prefix filtering (AllPairs /
     PPJoin family, Bayardo et al. WWW'07) — same output as the quadratic
@@ -266,24 +265,9 @@ def jaccard_prefix_pairs(
         F.col("toks").alias("toks_b"),
     )
     common = F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
-    # Optimization r14 (guide §2.5 — the semdedup fan-out device): at
-    # selective thresholds the verify stage is tiny in BYTES (pair ids
-    # + two token arrays) but compute-dense (array_intersect per
-    # candidate), so AQE coalesces the post-join stage to ~1 task.
-    # Deterministic hash repartition on the pair key spreads the
-    # intersect across cores (user-specified repartitions are not
-    # re-coalesced); row set unchanged. Callers in the low-threshold
-    # regime (candidate volume ~ df² · τ-decay, byte-dense, already
-    # fanned out by AQE) pass fanout_verify=False — there the extra
-    # array-carrying exchange is pure overhead (measured +0.7 s on the
-    # τ=0.05 sweep vs −1.1 s on the τ=0.5 join).
-    verified = cand.join(fa, "id_a").join(fb, "id_b")
-    if fanout_verify:
-        verified = verified.repartition(
-            df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
-        )
     out = (
-        verified
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
         .withColumn("common", common)
         .withColumn(
             "jaccard",
@@ -302,7 +286,6 @@ def jaccard_ppjoin_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    fanout_verify: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard join with the full PPJoin POSITIONAL filter (Xiao
     et al. WWW'08) on top of :func:`jaccard_prefix_pairs`' prefix +
@@ -412,24 +395,9 @@ def jaccard_ppjoin_pairs(
         F.col("toks").alias("toks_b"),
     )
     common = F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
-    # Optimization r14 (guide §2.5 — the semdedup fan-out device): at
-    # selective thresholds the verify stage is tiny in BYTES (pair ids
-    # + two token arrays) but compute-dense (array_intersect per
-    # candidate), so AQE coalesces the post-join stage to ~1 task.
-    # Deterministic hash repartition on the pair key spreads the
-    # intersect across cores (user-specified repartitions are not
-    # re-coalesced); row set unchanged. Callers in the low-threshold
-    # regime (candidate volume ~ df² · τ-decay, byte-dense, already
-    # fanned out by AQE) pass fanout_verify=False — there the extra
-    # array-carrying exchange is pure overhead (measured +0.7 s on the
-    # τ=0.05 sweep vs −1.1 s on the τ=0.5 join).
-    verified = cand.join(fa, "id_a").join(fb, "id_b")
-    if fanout_verify:
-        verified = verified.repartition(
-            df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
-        )
     out = (
-        verified
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
         .withColumn("common", common)
         .withColumn(
             "jaccard",

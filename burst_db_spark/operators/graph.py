@@ -260,6 +260,18 @@ def triangle_stats(
     """
     va = F.col(a)
     vb = F.col(b)
+    # Optimization r14 (guide §2.3/§5): the old shape ran FOUR separate
+    # driver actions (edge count, vertex count, wedge sum, triangle
+    # count), each re-evaluating the uncached edge pipeline from
+    # scratch, then collected the integers and re-created a frame on
+    # the driver. Now the edge list is materialized ONCE (eager
+    # localCheckpoint — the iterative-device primitive; one job) and
+    # the four statistics are one LAZY single-row plan (aggregates
+    # cross-joined), so the caller's action runs everything in one job
+    # and nothing round-trips through the driver. Expressions are
+    # unchanged, so every integer is identical.
+    edges = edges.select(va.alias(a), vb.alias(b)).localCheckpoint(eager=True)
+    va, vb = F.col(a), F.col(b)
     verts = edges.select(va.alias("v")).unionByName(edges.select(vb.alias("v")))
     deg = verts.groupBy("v").agg(F.count("*").cast("long").alias("deg"))
 
@@ -280,17 +292,17 @@ def triangle_stats(
     closing = edges.select(F.col(a).alias("__w1"), F.col(b).alias("__w2"))
     tri = wedges_o.join(closing, ["__w1", "__w2"], "left_semi")
 
-    n_edges = edges.count()
-    n_verts = deg.count()
-    n_wedges = (
-        deg.agg(F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long")).first()[0]
-        or 0
-    )
-    n_tri = tri.count()
-    spark = edges.sparkSession
-    return spark.createDataFrame(
-        [(int(n_verts), int(n_edges), int(n_wedges), int(n_tri))],
-        "n_vertices bigint, n_edges bigint, n_wedges bigint, n_triangles bigint",
+    return (
+        deg.agg(
+            F.count("*").cast("bigint").alias("n_vertices"),
+            F.coalesce(
+                F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long"),
+                F.lit(0).cast("long"),
+            ).cast("bigint").alias("n_wedges"),
+        )
+        .crossJoin(edges.agg(F.count("*").cast("bigint").alias("n_edges")))
+        .crossJoin(tri.agg(F.count("*").cast("bigint").alias("n_triangles")))
+        .select("n_vertices", "n_edges", "n_wedges", "n_triangles")
     )
 
 

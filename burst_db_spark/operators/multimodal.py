@@ -219,6 +219,59 @@ def extract_features(media: DataFrame, dim: int = 8, use_decoder: bool = False) 
     return media.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+def _wav_encode_per_key(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    order_col: str,
+) -> DataFrame:
+    """(key, payload) — one PCM16 WAV per key, samples in order_col
+    order, quantized floor(value*10 + 0.5) clipped to ±32000.
+
+    Optimization r14 (guide §4.5 — the w5 reference-dates device:
+    amortize per TASK, not per group): the old
+    ``groupBy(key).applyInPandas`` shape shipped every key as its own
+    Arrow batch + Python call (~2 ms fixed cost per GROUP). Now:
+    hash-repartition by key (every key complete within one task) and
+    run the identical quantize+encode kernel once per PARTITION — one
+    lexsort + numpy boundary split, then the same per-key WAV bytes.
+    Per-key sample order is (order_col), exactly what sort_values gave,
+    so payloads are byte-identical."""
+    import numpy as np
+
+    enc_schema = f"{key} long, payload binary"
+
+    def _enc_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        keys = pdf[key].to_numpy(dtype=np.int64)
+        order = pdf[order_col].to_numpy()
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        idx = np.lexsort((order, keys))
+        keys_s = keys[idx]
+        s_all = np.floor(vals[idx] * 10.0 + 0.5)
+        s_all = np.clip(s_all, -32000, 32000).astype(np.int16)
+        bounds = np.nonzero(np.diff(keys_s))[0] + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(keys_s)]))
+        out_k, out_p = [], []
+        for st, en in zip(starts, ends):
+            out_k.append(int(keys_s[st]))
+            out_p.append(encode_wav_pcm16(list(s_all[st:en])))
+        yield pd.DataFrame(
+            {key: np.asarray(out_k, dtype=np.int64), "payload": out_p}
+        )
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(key, value_col, order_col)
+        .repartition(n_parts, key)
+        .mapInPandas(_enc_part, enc_schema)
+    )
+
+
 def audio_roundtrip_features(
     df: DataFrame,
     key: str = "user_id",
@@ -226,8 +279,8 @@ def audio_roundtrip_features(
     order_col: str = "event_id",
 ) -> DataFrame:
     """End-to-end REAL audio path: per-key PCM16 WAV encode
-    (applyInPandas) → binary payload column → ``decode_media`` →
-    integer sample statistics.
+    (per-partition mapInPandas kernel — _wav_encode_per_key) → binary
+    payload column → ``decode_media`` → integer sample statistics.
 
     Quantization is floor(value·10 + 0.5) clipped to ±32000 — floor
     arithmetic (not Python round; banker's rounding differs from SQL) so
@@ -235,17 +288,7 @@ def audio_roundtrip_features(
     aggregates exact integers on both engines."""
     import numpy as np
 
-    enc_schema = f"{key} long, payload binary"
-
-    def _enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col)
-        s = np.floor(pdf[value_col].to_numpy(dtype=np.float64) * 10.0 + 0.5)
-        s = np.clip(s, -32000, 32000).astype(np.int16)
-        return pd.DataFrame(
-            {key: [pdf[key].iloc[0]], "payload": [encode_wav_pcm16(list(s))]}
-        )
-
-    wavs = df.groupBy(key).applyInPandas(_enc, enc_schema)
+    wavs = _wav_encode_per_key(df, key, value_col, order_col)
 
     out_schema = (
         f"{key} long, n_samples bigint, sum_s bigint, min_s int, "
@@ -302,22 +345,13 @@ def audio_window_features(
 
     Everything integer (PCM16 samples, int64 sums) so a DuckDB oracle
     reproducing the quantization + framing relationally hash-matches
-    exactly. One applyInPandas per key for the encode, one mapInPandas
-    for decode+features: at 100 TB both are embarrassingly parallel
-    over keys/payloads, no shuffle beyond the per-key grouping."""
+    exactly. One per-partition mapInPandas kernel for the encode
+    (_wav_encode_per_key), one mapInPandas for decode+features: at
+    100 TB both are embarrassingly parallel over keys/payloads, no
+    shuffle beyond the per-key grouping."""
     import numpy as np
 
-    enc_schema = f"{key} long, payload binary"
-
-    def _enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col)
-        s = np.floor(pdf[value_col].to_numpy(dtype=np.float64) * 10.0 + 0.5)
-        s = np.clip(s, -32000, 32000).astype(np.int16)
-        return pd.DataFrame(
-            {key: [pdf[key].iloc[0]], "payload": [encode_wav_pcm16(list(s))]}
-        )
-
-    wavs = df.groupBy(key).applyInPandas(_enc, enc_schema)
+    wavs = _wav_encode_per_key(df, key, value_col, order_col)
 
     out_schema = (
         f"{key} long, n_frames bigint, total_energy bigint, "

@@ -661,7 +661,18 @@ def t_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t"
         ),
     ).where(F.size("t") >= _NG_K)
-    grams = toks.select(
+    # Optimization r14 (guide §2.3/§2.4 — the t_substring_dedup wave-1
+    # device): corpus frequency via count() OVER (PARTITION BY g)
+    # replaces aggregate + join-back — the tokenize+md5 gram stream is
+    # now computed ONCE and crosses ONE exchange instead of two; the
+    # per-row c is the same integer the join attached. The compact doc
+    # rows additionally fan out across cores before the compute-dense
+    # gram projection (single-file scan).
+    from pyspark.sql.window import Window as _W
+
+    grams = toks.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "doc_id",
         F.explode(
             F.transform(
@@ -672,9 +683,9 @@ def t_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    freq = grams.groupBy("g").agg(F.count("*").cast("bigint").alias("c"))
+    c = F.count("*").over(_W.partitionBy("g")).cast("bigint")
     per_doc = (
-        grams.join(freq, "g")
+        grams.withColumn("c", c)
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_grams"),

@@ -1307,6 +1307,16 @@ def f_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     one IEEE multiply + floor per row, bit-identical cross-engine, then
     an exact order-free integer sum."""
     li = load(spark, sf_dir, "lineitem")
+    # Optimization r14 (guide §2.2 — the doc_shingles fan-out device):
+    # the try_* gauntlet is per-row expression CPU (string build +
+    # try_cast per row) that otherwise runs inside the one-partition
+    # single-file scan task. Project the five needed columns, fan the
+    # narrow rows across cores, then evaluate; row-wise deterministic,
+    # so the aggregate is identical.
+    li = li.select(
+        "l_returnflag", "l_extendedprice", "l_linenumber", "l_orderkey",
+        "l_quantity",
+    ).repartition(spark.sparkContext.defaultParallelism)
     t = li.select(
         F.col("l_returnflag").alias("flag"),
         F.expr(

@@ -457,11 +457,8 @@ def t_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical IEEE operation order in both engines (explicit repeated
     multiplication, no pow), so the doubles match bit-for-bit."""
     docs = load(spark, sf_dir, "documents")
-    # fanout_verify=False: τ=0.05 candidate volume is byte-dense and
-    # AQE already fans the verify out (see operators/dedup.py).
     exact = dd.jaccard_prefix_pairs(docs, "doc_id",
-                                    threshold=_RC_THRESHOLD,
-                                    fanout_verify=False)
+                                    threshold=_RC_THRESHOLD)
     sigs = dd.minhash_signatures(docs, "doc_id")
     cands = dd.lsh_candidate_pairs(sigs, "doc_id")
     binned = exact.select(
@@ -1224,10 +1221,7 @@ def t_lsh_band_config_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist them or the τ=0.05 prefix-join verify (the dominant cost)
     # and the signature build re-execute per config (exchange reuse only
     # covers the shuffles, not the post-exchange verify work)
-    # fanout_verify=False: τ=0.05 candidate volume is byte-dense and
-    # AQE already fans the verify out (see operators/dedup.py).
-    inner = dd.jaccard_prefix_pairs(docs, "doc_id", threshold=0.05,
-                                    fanout_verify=False)
+    inner = dd.jaccard_prefix_pairs(docs, "doc_id", threshold=0.05)
     exact = inner.select(
         F.floor(F.col("jaccard") * 20).cast("bigint").alias("bin"),
         "id_a",
