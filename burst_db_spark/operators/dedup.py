@@ -1000,7 +1000,15 @@ def simhash_fingerprints(
     feats = F.array_distinct(
         features if features is not None else tokens(F.col(text_col))
     )
-    toks = df.select(F.col(id_col), F.explode(feats).alias("tok"))
+    # Optimization r14 (guide §2.2 — the doc_shingles fan-out device):
+    # tokenize + per-feature md5 + 32 conditional sums are per-row CPU
+    # that otherwise runs inside the one-partition single-file scan
+    # task; fan the compact doc rows across cores first. Votes are
+    # order-free integer sums → fingerprints identical.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(n_parts).select(
+        F.col(id_col), F.explode(feats).alias("tok")
+    )
     h = _md5_hash32(F.col("tok"), 0)
     toks = toks.select(F.col(id_col), h.alias("th"))
     vote_aggs = [
@@ -1114,34 +1122,59 @@ def span_scrub(
     aggregate. Three shuffles total (two on the span key, one on the
     doc key), each carrying at most the original text volume.
     """
-    spans = doc_token_spans(df, id_col, text_col, span_len)
-    freq = (
-        spans.select(id_col, "span")
-        .distinct()
-        .groupBy("span")
-        .agg(F.count("*").cast("bigint").alias("__span_df"))
+    # Optimization r14 (guide §2.3/§2.4 — the t_substring_dedup wave-1
+    # device): the old shape referenced the span stream THREE times
+    # (distinct+count for the span-df, the join-back, the doc-spine
+    # totals) — three tokenize+explode passes and three shuffles. Now
+    # the span document-frequency rides every span row as two window
+    # columns — a first-occurrence marker per (span, doc) and
+    # sum(marker) OVER (PARTITION BY span), the identical distinct-doc
+    # count the join attached (markers + sums spill; a collect_set
+    # variant would hold a hot span's whole doc-id set in memory per
+    # row — the 100 TB hazard) — and ONE doc-key groupBy computes
+    # totals, kept counts, and the reassembly together (collect_list
+    # skips the NULLed removed spans; a doc whose spans are all removed
+    # yields an empty list → '' exactly as the old left-join coalesce
+    # did). One span pass; the compact doc rows fan out before the
+    # explode (single-file scan).
+    from pyspark.sql.window import Window as _W
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    spans = doc_token_spans(
+        df.repartition(n_parts), id_col, text_col, span_len
     )
-    kept = spans.join(freq, "span").filter(F.col("__span_df") <= max_span_df)
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
-                lambda s: s["span"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count("*").cast("bigint").alias("n_spans_kept"),
+    first_in_doc = (
+        F.row_number().over(
+            _W.partitionBy("span", id_col).orderBy("span_idx")
+        )
+        == 1
     )
-    totals = spans.groupBy(id_col).agg(
-        F.count("*").cast("bigint").alias("n_spans")
-    )
-    return totals.join(rebuilt, id_col, "left").select(
-        id_col,
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        "n_spans",
-        F.coalesce("n_spans_kept", F.lit(0).cast("bigint")).alias(
-            "n_spans_kept"
-        ),
+    keep = F.col("__span_df") <= max_span_df
+    return (
+        spans.withColumn("__first", first_in_doc.cast("int"))
+        .withColumn(
+            "__span_df",
+            F.sum("__first").over(_W.partitionBy("span")).cast("bigint"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("span_idx", "span"))
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.coalesce(
+                F.sum(F.when(keep, 1)), F.lit(0)
+            ).cast("bigint").alias("n_spans_kept"),
+        )
+        .select(id_col, "clean_text", "n_spans", "n_spans_kept")
     )
 
 

@@ -136,9 +136,14 @@ def contained_short_pairs(
         return None
 
     out_schema = f"{short_id_col} long, {short_text_col} string, b_id long"
+    # Optimization r14 (guide §2.2 — the doc_shingles fan-out device):
+    # the automaton pass is per-row CPU (O(len(text)) per doc) that
+    # otherwise runs inside the one-partition single-file scan task;
+    # fan the (id, text) rows across cores first. Row-independent
+    # matching → identical (pattern, doc) hits.
     scan_src = base.select(
         F.col(id_col).alias("b_id"), F.col(text_col).alias("b_text")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     parts = []
     for chunk in pattern_chunks:
         # defensive mirror of the contract: empty/null patterns never

@@ -1544,28 +1544,39 @@ def mine_triplets(
         F.col(vec_col).alias("cv"),
         F.col(label_col).alias("clbl"),
     )
+    # Optimization r14 (guide §2.3/§2.4): the old shape filtered
+    # `scored` twice (positive branch + negative branch) and joined the
+    # 20-row positive frame back on — the broadcast join and the
+    # per-row cosine folds evaluated TWICE, and the join added an
+    # exchange the negative window didn't share. Now the positive
+    # (pos_id, cos_pos) ride `scored` as per-anchor WINDOW columns
+    # (max_by keyed on struct(cos, -cand_id) = the identical
+    # cos-DESC/cand-ASC tie rule; anchors with no same-label candidate
+    # get NULL cos_pos, so their negatives vanish in the strict `<`
+    # filter exactly as the old inner join dropped them), and the
+    # ranking window reuses the same anchor partitioning — ONE cosine
+    # pass, one exchange. The compact embedding rows additionally fan
+    # out across cores before the compute-dense cosine projection
+    # (single-file scan).
+    n_parts = emb.sparkSession.sparkContext.defaultParallelism
     scored = (
-        cand.join(F.broadcast(anchors), F.col("cand_id") != F.col("anchor_id"))
+        cand.repartition(n_parts)
+        .join(F.broadcast(anchors), F.col("cand_id") != F.col("anchor_id"))
         .withColumn("cos", cosine(F.col("av"), F.col("cv")))
         .select("anchor_id", "albl", "cand_id", "clbl", "cos")
     )
-    wpos = Window.partitionBy("anchor_id").orderBy(
-        F.col("cos").desc(), F.col("cand_id")
-    )
-    pos = (
-        scored.where(F.col("clbl") == F.col("albl"))
-        .withColumn("r", F.row_number().over(wpos))
-        .where(F.col("r") == 1)
-        .select(
-            "anchor_id",
-            F.col("cand_id").alias("pos_id"),
-            F.col("cos").alias("cos_pos"),
-        )
-    )
+    same = F.col("clbl") == F.col("albl")
+    wa = Window.partitionBy("anchor_id")
     neg_cand = (
-        scored.where(F.col("clbl") != F.col("albl"))
-        .join(pos, "anchor_id")
-        .where(F.col("cos") < F.col("cos_pos"))
+        scored.withColumn(
+            "pos_id",
+            F.expr(
+                "max_by(CASE WHEN clbl = albl THEN cand_id END,"
+                " CASE WHEN clbl = albl THEN struct(cos, -cand_id) END)"
+            ).over(wa),
+        )
+        .withColumn("cos_pos", F.max(F.when(same, F.col("cos"))).over(wa))
+        .where((~same) & (F.col("cos") < F.col("cos_pos")))
     )
     wneg = Window.partitionBy("anchor_id").orderBy(
         F.col("cos").desc(), F.col("cand_id")
