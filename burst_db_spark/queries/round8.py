@@ -748,8 +748,17 @@ def j17_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(bloom_bit("k").alias("bit"))
         .distinct()
     )
-    probe = orders.withColumn("i", F.explode(seeds)).withColumn(
-        "bit", bloom_bit("o_custkey")
+    # Optimization r14 (guide §2.2 — the doc_shingles fan-out device):
+    # 3 md5 probes per order row are per-row CPU inside the
+    # single-partition orders scan; fan the narrow projection out
+    # first. Row-wise deterministic bits → identical survivor set.
+    probe = (
+        orders.select(
+            "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("i", F.explode(seeds))
+        .withColumn("bit", bloom_bit("o_custkey"))
     )
     passed = (
         probe.join(F.broadcast(bits), "bit")
