@@ -857,23 +857,67 @@ def dd_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the stored assignment (stand-in for the label store): clusters of
     # the OLD corpus only
     old_docs = docs.where(~is_new)
-    stored = dd.connected_components(old_pairs, old_docs, "doc_id")
-    star = stored.where(F.col("doc_id") != F.col("cluster_id")).select(
-        F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("id_b")
-    )
+    # persisted: referenced three times below (two endpoint rewrites +
+    # sizes); under CC's union-find path its plan is already leaf-sized
+    # (vertices ⋈ broadcast local labels), so no checkpoint is needed
+    stored = dd.connected_components(old_pairs, old_docs, "doc_id").persist()
     # pairs touching the snapshot (new-old + new-new); at 100 TB these
     # come from the incremental probe against the stored band frames
     # (dd_minhash_incremental machinery)
     new_pairs = all_p.where(
         (F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0)
     )
-    cc = dd.connected_components(
-        star.unionByName(new_pairs), docs, "doc_id"
+    # Optimization r14 (guide §2.3 — shrink the graph, not the shuffle):
+    # the merge CC used to run over the FULL doc spine with one star edge
+    # per old doc (corpus-sized work per snapshot). The output only needs
+    # clusters containing a new doc, so contract every old endpoint to
+    # its stored cluster representative and run CC on the REDUCED graph:
+    # nodes = new docs ∪ touched old-cluster reps. Labels are provably
+    # identical: CC labels are component-minimum ids, each old cluster's
+    # rep IS its minimum member, and every reduced-graph component's min
+    # node id therefore equals the full-graph component's min doc id.
+    # Membership counts come from the stored sizes (old clusters are
+    # internally connected through their star, so they merge atomically).
+    # Work is now proportional to the snapshot + touched clusters.
+    lbl_a = stored.select(
+        F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("ca")
+    )
+    lbl_b = stored.select(
+        F.col("doc_id").alias("id_b"), F.col("cluster_id").alias("cb")
+    )
+    # snapshot-sized; eagerly checkpointed because the node spine and
+    # the merge CC reference it three times — every un-truncated
+    # reference re-inlines the whole LSH candidate pipeline into the
+    # final plan (measured 109–193 Exchange nodes vs 16 checkpointed,
+    # with the spine re-executing the candidate joins at final exec)
+    mapped = (
+        new_pairs.join(lbl_a, "id_a", "left")
+        .join(lbl_b, "id_b", "left")
+        .select(
+            F.coalesce("ca", F.col("id_a")).alias("id_a"),
+            F.coalesce("cb", F.col("id_b")).alias("id_b"),
+        )
+    ).localCheckpoint()
+    nodes = (
+        docs.where(is_new)
+        .select("doc_id")
+        .unionByName(mapped.select(F.col("id_a").alias("doc_id")))
+        .unionByName(mapped.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    cc = dd.connected_components(mapped, nodes, "doc_id")
+    sizes = stored.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("sz")
     )
     out = (
-        cc.groupBy("cluster_id")
+        cc.join(
+            sizes.withColumnRenamed("cluster_id", "doc_id"), "doc_id", "left"
+        )
+        .groupBy("cluster_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("sz"), F.lit(1).cast("bigint")))
+            .cast("bigint")
+            .alias("n_docs"),
             F.sum(is_new.cast("int")).cast("bigint").alias("n_new"),
         )
         .where(F.col("n_new") > 0)
@@ -881,6 +925,8 @@ def dd_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._dedup_cached = (
         all_p,
+        stored,
         *getattr(all_pairs, "_dedup_cached", ()),
-    )  # release_dedup(out) unpersists
+    )  # release_dedup(out) unpersists; mapped's checkpoint blocks are
+    # freed by the ContextCleaner when the frame is GC'd (g3/g5 precedent)
     return out

@@ -618,6 +618,127 @@ def embedding_inc_cd_probe(spark, factor: int) -> dict[str, float]:
     return out
 
 
+def cluster_inc_cd_probe(spark, factor: int) -> dict[str, float]:
+    """Merge step of INCREMENTAL cluster maintenance
+    (dd_cluster_incremental, reworked r14): FIXED snapshot (5k new docs,
+    6k probe pairs) merged into a stored assignment that grows ~factor
+    (50k·f old docs in clusters of 5). Production shape contracts old
+    endpoints to their stored cluster reps and runs CC on the reduced
+    graph (nodes = new docs ∪ touched reps, sizes joined from the label
+    store) — flat wall under old-corpus growth is the proof the merge is
+    snapshot-proportional. The retired r13 shape (one star edge per OLD
+    doc through a full-spine CC) is timed alongside as the corpus-
+    proportional control; both shapes return identical rows (pytest
+    golden in tests/test_round10_ops.py)."""
+    from burst_db_spark.operators.dedup import connected_components
+
+    def synth(f: int):
+        n_old = 50_000 * f
+        stored = spark.range(n_old).select(
+            (F.col("id") * 3 + 1).alias("doc_id"),
+            ((F.col("id") - F.col("id") % 5) * 3 + 1).alias("cluster_id"),
+        ).persist()
+        new_docs = spark.range(5_000).select(
+            (F.col("id") * 3).alias("doc_id")
+        ).persist()
+        new_pairs = (
+            spark.range(5_000)
+            .select(
+                (F.col("id") * 3).alias("id_a"),
+                ((F.col("id") * 7919 % n_old) * 3 + 1).alias("id_b"),
+            )
+            .unionByName(
+                spark.range(1_000).select(
+                    (F.col("id") * 6).alias("id_a"),
+                    (F.col("id") * 6 + 3).alias("id_b"),
+                )
+            )
+            .persist()
+        )
+        stored.count(), new_docs.count(), new_pairs.count()
+        return stored, new_docs, new_pairs
+
+    is_new = F.col("doc_id") % 3 == 0
+    out: dict[str, float] = {}
+    for label, f in (("", 1), ("_big", factor)):
+        stored, new_docs, new_pairs = synth(f)
+
+        t0 = time.perf_counter()
+        star = stored.where(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("id_b")
+        )
+        cc = connected_components(
+            star.unionByName(new_pairs),
+            stored.select("doc_id").unionByName(new_docs),
+            "doc_id",
+        )
+        (
+            cc.groupBy("cluster_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum(is_new.cast("int")).cast("bigint").alias("n_new"),
+            )
+            .where(F.col("n_new") > 0)
+            .orderBy("cluster_id")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        out[f"cluster_inc_star_cd{label}"] = round(
+            time.perf_counter() - t0, 2
+        )
+
+        t0 = time.perf_counter()
+        lbl_a = stored.select(
+            F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("ca")
+        )
+        lbl_b = stored.select(
+            F.col("doc_id").alias("id_b"), F.col("cluster_id").alias("cb")
+        )
+        mapped = (
+            new_pairs.join(lbl_a, "id_a", "left")
+            .join(lbl_b, "id_b", "left")
+            .select(
+                F.coalesce("ca", F.col("id_a")).alias("id_a"),
+                F.coalesce("cb", F.col("id_b")).alias("id_b"),
+            )
+        )
+        nodes = (
+            new_docs.select("doc_id")
+            .unionByName(mapped.select(F.col("id_a").alias("doc_id")))
+            .unionByName(mapped.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        cc2 = connected_components(mapped, nodes, "doc_id")
+        sizes = stored.groupBy("cluster_id").agg(
+            F.count("*").cast("bigint").alias("sz")
+        )
+        (
+            cc2.join(
+                sizes.withColumnRenamed("cluster_id", "doc_id"),
+                "doc_id",
+                "left",
+            )
+            .groupBy("cluster_id")
+            .agg(
+                F.sum(F.coalesce(F.col("sz"), F.lit(1).cast("bigint")))
+                .cast("bigint")
+                .alias("n_docs"),
+                F.sum(is_new.cast("int")).cast("bigint").alias("n_new"),
+            )
+            .where(F.col("n_new") > 0)
+            .orderBy("cluster_id")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        out[f"cluster_inc_reduced_cd{label}"] = round(
+            time.perf_counter() - t0, 2
+        )
+        spark.catalog.clearCache()
+    return out
+
+
 def dpp_cd_probe(spark, factor: int) -> dict[str, float]:
     """Does dynamic partition pruning still prune as the fact's date
     space AND the interval dim grow ``factor``x? (VERDICT r9 item #5,
@@ -1458,6 +1579,7 @@ _CD_PROBES = {
     "minhash_inc": minhash_inc_cd_probe,
     "embedding": embedding_cd_probe,
     "embedding_inc": embedding_inc_cd_probe,
+    "cluster_inc": cluster_inc_cd_probe,
     "dpp": dpp_cd_probe,
     "shuffle": shuffle_cd_probe,
     "fuzzy": fuzzy_cd_probe,

@@ -144,3 +144,73 @@ def test_w5b_oracle_walk_matches_python_on_anchor_moving_case():
             + "SELECT 1 FROM walk WHERE chg > 0"
         ).fetchall()
     )
+
+
+def test_cluster_incremental_reduced_merge_equals_star_merge(spark):
+    """r14 rework of dd_cluster_incremental: the reduced-graph merge
+    (old endpoints contracted to their stored cluster reps, CC over
+    new docs ∪ touched reps, sizes joined from the label store) returns
+    EXACTLY the rows of the retired full-spine star merge. Labels agree
+    because CC labels are component-minimum ids and each old cluster's
+    rep is its minimum member; counts agree because old clusters merge
+    atomically through their star."""
+    docs = load(spark, SF_DIR, "documents")
+    is_new = F.col("doc_id") % 3 == 0
+    all_p = dd.minhash_lsh_dedup(docs, "doc_id", threshold=0.5).select(
+        "id_a", "id_b"
+    ).persist()
+    old_pairs = all_p.where((F.col("id_a") % 3 != 0) & (F.col("id_b") % 3 != 0))
+    new_pairs = all_p.where((F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0))
+    stored = dd.connected_components(
+        old_pairs, docs.where(~is_new), "doc_id"
+    ).persist()
+
+    # retired r13 shape: star edge per old doc, CC over the full spine
+    star = stored.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("id_b")
+    )
+    cc_star = dd.connected_components(star.unionByName(new_pairs), docs, "doc_id")
+    ref = (
+        cc_star.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(is_new.cast("int")).cast("bigint").alias("n_new"),
+        )
+        .where(F.col("n_new") > 0)
+    )
+
+    # production shape (the dd_cluster_incremental body)
+    lbl_a = stored.select(F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("ca"))
+    lbl_b = stored.select(F.col("doc_id").alias("id_b"), F.col("cluster_id").alias("cb"))
+    mapped = (
+        new_pairs.join(lbl_a, "id_a", "left")
+        .join(lbl_b, "id_b", "left")
+        .select(
+            F.coalesce("ca", F.col("id_a")).alias("id_a"),
+            F.coalesce("cb", F.col("id_b")).alias("id_b"),
+        )
+    )
+    nodes = (
+        docs.where(is_new)
+        .select("doc_id")
+        .unionByName(mapped.select(F.col("id_a").alias("doc_id")))
+        .unionByName(mapped.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    cc_red = dd.connected_components(mapped, nodes, "doc_id")
+    sizes = stored.groupBy("cluster_id").agg(F.count("*").cast("bigint").alias("sz"))
+    got = (
+        cc_red.join(sizes.withColumnRenamed("cluster_id", "doc_id"), "doc_id", "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.sum(F.coalesce(F.col("sz"), F.lit(1).cast("bigint")))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.sum(is_new.cast("int")).cast("bigint").alias("n_new"),
+        )
+        .where(F.col("n_new") > 0)
+    )
+
+    assert sorted(map(tuple, ref.collect())) == sorted(map(tuple, got.collect()))
+    all_p.unpersist()
+    stored.unpersist()
