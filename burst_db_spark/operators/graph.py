@@ -403,6 +403,17 @@ def pagerank_int(
     leaks (bounded-iteration oracle-parity semantics, as in
     :func:`pagerank`). Returns (id, rank_fx) bigints in 2^-40 units of
     total mass."""
+    # Optimization r14 (guide §2.3 + §3 — the g3/g4/g5 iterative device):
+    # the old per-round persist+count kept every prior round's subtree in
+    # the LOGICAL plan (each round references `ranks` twice, so analysis
+    # nested 2^r copies of the edge pipeline). Per-round eager
+    # localCheckpoint truncates lineage — each round's plan is the cached
+    # edge scan + one checkpoint leaf — and the node-sized ranks/inflow
+    # and src-keyed deg frames broadcast into their joins while n_nodes
+    # fits the gate (loop-invariant count; hash equi-join past it — the
+    # 100 TB fallback). `edges` stays a persist, NOT a checkpoint: the
+    # caller's node spine is usually derived from the same edge plan and
+    # only cache-fragment substitution lets nodes.count() reuse it.
     edges = edges.persist()
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -410,16 +421,20 @@ def pagerank_int(
         return nodes.select(F.col(id_col), F.lit(0).cast("bigint").alias("rank_fx"))
     p0 = PR_INT_MASS // n_nodes
     tp = (15 * PR_INT_MASS) // (100 * n_nodes)
+    bcast = n_nodes <= 500_000
     deg = edges.groupBy(src).agg(F.count("*").cast("long").alias("__deg")).persist()
     ranks = nodes.select(
         F.col(id_col).alias("__v"), F.lit(p0).cast("bigint").alias("__p")
     )
-    prev: DataFrame | None = None
     try:
         for _ in range(iterations):
+            r = ranks.withColumnRenamed("__v", src)
+            d = deg
+            if bcast:
+                r, d = F.broadcast(r), F.broadcast(d)
             inflow = (
-                edges.join(ranks.withColumnRenamed("__v", src), src)
-                .join(deg, src)
+                edges.join(r, src)
+                .join(d, src)
                 .select(
                     F.col(dst).alias("__v"),
                     F.expr("__p div __deg").alias("__c"),
@@ -427,24 +442,21 @@ def pagerank_int(
                 .groupBy("__v")
                 .agg(F.sum("__c").cast("bigint").alias("__in"))
             )
-            new_ranks = ranks.join(inflow, "__v", "left").select(
-                "__v",
-                (
-                    F.lit(tp).cast("bigint")
-                    + F.expr(
-                        "(85 * coalesce(__in, CAST(0 AS BIGINT))) div 100"
-                    )
-                ).cast("bigint").alias("__p"),
-            ).persist()
-            new_ranks.count()
-            if prev is not None:
-                prev.unpersist()
-            prev = new_ranks
-            ranks = new_ranks
-    except Exception:
-        if prev is not None:
-            prev.unpersist()
-        raise
+            if bcast:
+                inflow = F.broadcast(inflow)
+            ranks = (
+                ranks.join(inflow, "__v", "left")
+                .select(
+                    "__v",
+                    (
+                        F.lit(tp).cast("bigint")
+                        + F.expr(
+                            "(85 * coalesce(__in, CAST(0 AS BIGINT))) div 100"
+                        )
+                    ).cast("bigint").alias("__p"),
+                )
+                .localCheckpoint(eager=True)
+            )
     finally:
         deg.unpersist()
         edges.unpersist()
