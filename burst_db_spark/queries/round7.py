@@ -1683,7 +1683,15 @@ def knn_ivf_int8_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     codebook = kmeans_codebook(emb, k=8, iters=2)
-    cells = assign_cells(emb, codebook)
+    # Optimization r14 wave 12 (guide §2.2): the candidate side below is
+    # per-row CPU (8-centroid argmin + 64-dim quantization + the
+    # 8-probe int8 distance fold per pair) that otherwise runs inside
+    # the ONE-partition embeddings scan task. Fan the rows out AFTER
+    # training (the trainer's collect-based means stay byte-identical on
+    # the untouched scan) — assignment, codes and distances are row-wise
+    # deterministic, so the result is identical on any partitioning.
+    embf = emb.repartition(spark.sparkContext.defaultParallelism)
+    cells = assign_cells(embf, codebook)
     codes = int8_codes(cells, _SQ_DIM).select("vec_id", "embedding", "cell", "code")
     q = (
         codes.where(

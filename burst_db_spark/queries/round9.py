@@ -172,11 +172,8 @@ def dd_docs_cascade_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_id").alias("doc_id")
     ).persist()
     d1 = corpus.join(kept1, "doc_id", "left_semi")
-    pairs = dd.minhash_lsh_dedup(d1, "doc_id", threshold=0.5)
-    cc = dd.connected_components(pairs, d1, "doc_id")
-    kept2 = cc.where(
-        F.col("doc_id") == F.col("cluster_id")
-    ).select("doc_id").persist()
+
+    from concurrent.futures import ThreadPoolExecutor
 
     from burst_db_spark.operators.bloom import bloom_contains, build_bloom
 
@@ -189,7 +186,26 @@ def dd_docs_cascade_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
         .distinct()
     )
-    bits = build_bloom(bench_sh, "shingle", _CB_M, _CB_K)
+
+    # Optimization r14 wave 12 (guide §2.6 — the bcubed-audit device):
+    # the Bloom bitset build (an eager collect over the bench-source
+    # shingles) and the LSH+CC fuzzy-dedup build (eager edge-list
+    # checkpoint inside connected_components) are INDEPENDENT driver-side
+    # actions that ran back-to-back; two driver threads overlap their
+    # jobs on the scheduler. Both pipelines are deterministic and
+    # scheduling-independent, so kept2 and the bitset — and the funnel
+    # manifest — are identical to the sequential form.
+    def _kept2() -> DataFrame:
+        pairs = dd.minhash_lsh_dedup(d1, "doc_id", threshold=0.5)
+        cc = dd.connected_components(pairs, d1, "doc_id")
+        return cc.where(
+            F.col("doc_id") == F.col("cluster_id")
+        ).select("doc_id").persist()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fk = pool.submit(_kept2)
+        fb = pool.submit(build_bloom, bench_sh, "shingle", _CB_M, _CB_K)
+        kept2, bits = fk.result(), fb.result()
     kept2_sh = sh_all.join(kept2, "doc_id", "left_semi")
     contaminated = (
         kept2_sh.where(
