@@ -987,12 +987,25 @@ def dd_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     side runs the df≤50 guarded audit path; the LSH side is the
     production banded join."""
     docs = load(spark, sf_dir, "documents")
+    # Optimization r14 wave 12 (guide §2.3 + §2.6): each pair frame feeds
+    # THREE consumers (its count, the intersect, and — for exact — the
+    # recall denominator), and the consumers run as parallel stages of
+    # ONE job, so a lazy persist races (the g3/g5 lesson) and the
+    # post-cache join work re-ran 3× per side. Persist the pair-count-
+    # sized frames and materialize them eagerly, the two independent
+    # pipelines overlapped in driver threads (the bcubed/cascade device).
+    # Pair sets are deterministic → the audit row is identical.
+    from concurrent.futures import ThreadPoolExecutor
+
     lsh = dd.minhash_lsh_dedup(docs, "doc_id", threshold=0.5).select(
         "id_a", "id_b"
-    )
+    ).persist()
     exact = dd.ngram_jaccard_pairs(
         docs, "doc_id", threshold=0.5, max_df=50
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").persist()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa, fb = pool.submit(lsh.count), pool.submit(exact.count)
+        fa.result(), fb.result()
     hits = exact.intersect(lsh)
     n = (
         lsh.agg(F.count("*").alias("n_lsh"))
