@@ -799,12 +799,17 @@ def t_containment_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary + the md5 of the ordered survivor id list (so the driver
     checks MEMBERSHIP, not just counts). One candidate equi-join + one
     anti-join over the corpus — the shape that survives 100 TB."""
-    from burst_db_spark.operators.dedup import containment_prefix_pairs, doc_shingles
+    from burst_db_spark.operators.dedup import containment_prefix_pairs
 
     docs = load(spark, sf_dir, "documents")
     pairs = containment_prefix_pairs(docs, "doc_id", threshold=_CONT_T10 / 10)
-    sizes = doc_shingles(docs, "doc_id").groupBy("doc_id").agg(
-        F.count("*").alias("b_size")
+    # Optimization r14 wave 12c (guide §2.3): the b-side sizes were
+    # recomputed with a FULL tokenize+shingle+groupBy pass; the operator's
+    # persisted doc frame (the t_dsir_bucket_audit `_dedup_cached` device)
+    # already carries n_sh = count of each doc's distinct shingles — the
+    # identical integer the extra pass produced.
+    sizes = pairs._dedup_cached[0].select(
+        "doc_id", F.col("n_sh").alias("b_size")
     )
     removed = (
         pairs.join(
