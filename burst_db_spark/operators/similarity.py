@@ -541,12 +541,16 @@ def lsh_near_dup_pairs_multiprobe(
     # verify joins: the signature frame is rows × (64 floats + keys) —
     # broadcast it while it fits (bench scales); past the gate the joins
     # fall back to hash exchanges, the 100 TB shape.
-    # Optimization r14 (guide §1/§5 — don't spend a job on a gate): sig
-    # is a row-preserving projection of emb, so the input's row count IS
-    # n_sig; counting emb costs a column-pruned scan instead of
-    # executing the whole signature UDF pass as a separate gating job
-    # (the sig cache now materializes inside the main action, once).
-    n_sig = emb.count()
+    # The gate count MUST run on sig, not emb (r15 ABA retraction of the
+    # r14 "cheap gate" change): counting the persisted sig frame
+    # materializes its cache in the SAME job that decides the broadcast.
+    # With the cold-cache emb.count() gate, the two BroadcastExchange
+    # builds (a, b) and the candidate subtree all scanned the
+    # un-materialized InMemoryRelation concurrently and each re-ran the
+    # signature UDF pass — measured 3.09 s -> 4.91 s best-of-6 on
+    # dd_embedding_nn_multiprobe (OPTIMIZATION_r15.md ABA). The "extra"
+    # gate job is not waste: it is the one place the UDF pass runs.
+    n_sig = sig.count()
     pick = F.broadcast if n_sig <= 100_000 else (lambda d: d)
     a = pick(
         sig.select(

@@ -62,7 +62,7 @@ def main() -> None:
 
     plan_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r14")
+        "plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r15"))
     os.makedirs(plan_dir, exist_ok=True)
 
     out = {}
