@@ -176,15 +176,19 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r15 (guide §2.2/§5): data-derived state partitions for the drain.
+    from burst_db_spark.streaming import drain_shuffle
+
+    with drain_shuffle(spark, data_dir):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -253,15 +257,19 @@ def stream_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
     )
     name = f"corpus_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r15 (guide §2.2/§5): data-derived state partitions for the drain.
+    from burst_db_spark.streaming import drain_shuffle
+
+    with drain_shuffle(spark, data_dir):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -396,13 +404,17 @@ def stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"daily_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r15 (guide §2.2/§5): data-derived state partitions for the drain.
+    from burst_db_spark.streaming import drain_shuffle
+
+    with drain_shuffle(spark, data_dir):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)

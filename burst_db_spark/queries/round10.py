@@ -262,15 +262,20 @@ def stream_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("est").alias("max_est_sim"),
     )
     name = f"inc_dedup_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r15 (guide §2.2/§5): data-derived state/shuffle partitions for the
+    # drain (per-batch band joins + the complete-mode groupBy).
+    from burst_db_spark.streaming import drain_shuffle
+
+    with drain_shuffle(spark, data_dir):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # the memory sink holds the full result after the drain — the input
     # fixture and checkpoint are dead weight; reclaim them so repeated
     # bench/verify invocations don't accumulate /tmp dirs (the memory

@@ -1339,15 +1339,19 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"cusum_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r15 (guide §2.2/§5): data-derived state partitions for the drain.
+    from burst_db_spark.streaming import drain_shuffle
+
+    with drain_shuffle(spark, data_dir):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     daily = spark.table(name)
 
     wd = Window.partitionBy("event_type").orderBy("day")

@@ -264,15 +264,19 @@ def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("day_start"), "n")
     )
     name = f"wma_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r15 (guide §2.2/§5): data-derived state partitions for the drain.
+    from burst_db_spark.streaming import drain_shuffle
+
+    with drain_shuffle(spark, f"{tmp}/in"):
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -806,15 +810,21 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "view_id", "buy_id")
 
     name = f"ssj_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r15 (guide §2.2/§5): state partitions derived from the staged
+    # input volume, not the session core count — see
+    # burst_db_spark.streaming.drain_shuffle.
+    from burst_db_spark.streaming import drain_shuffle
+
+    with drain_shuffle(spark, f"{tmp}/views", f"{tmp}/buys"):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -1045,11 +1055,16 @@ def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(f"{tmp}/in/*")
     )
     snap = f"{tmp}/snapshot"
-    q = upsert_stream_to_parquet(
-        stream, snap, key="user_id", version_col="version",
-        checkpoint=f"{tmp}/ckpt",
-    )
-    q.awaitTermination()
+    # r15 (guide §2.2/§5): data-derived shuffle partitions for the drain
+    # (the per-batch upsert MERGE shuffles by key inside foreachBatch).
+    from burst_db_spark.streaming import drain_shuffle
+
+    with drain_shuffle(spark, f"{tmp}/in"):
+        q = upsert_stream_to_parquet(
+            stream, snap, key="user_id", version_col="version",
+            checkpoint=f"{tmp}/ckpt",
+        )
+        q.awaitTermination()
     return spark.read.parquet(snap).select(
         "user_id",
         F.col("version").cast("bigint").alias("version"),

@@ -925,13 +925,18 @@ def stream_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(partials)
         )
 
-    q = (
-        stream.writeStream.foreachBatch(_partial)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r15 (guide §2.2/§5): data-derived shuffle partitions for the
+    # per-batch window/distinct shuffles inside foreachBatch.
+    from burst_db_spark.streaming import drain_shuffle
+
+    with drain_shuffle(spark, f"{tmp}/in"):
+        q = (
+            stream.writeStream.foreachBatch(_partial)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     merged = spark.read.parquet(partials).distinct()
     w_m = Window.partitionBy("event_type").orderBy("h")
@@ -1589,15 +1594,19 @@ def stream_ohlc_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
     )
     name = f"sohlc_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r15 (guide §2.2/§5): data-derived state partitions for the drain.
+    from burst_db_spark.streaming import drain_shuffle
+
+    with drain_shuffle(spark, f"{tmp}/in"):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("event_type", "bar_start")
 
 

@@ -1242,13 +1242,18 @@ def stream_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(partials)
         )
 
-    q = (
-        stream.writeStream.foreachBatch(_partial)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r15 (guide §2.2/§5): data-derived shuffle partitions for the
+    # per-batch centroid groupBy inside foreachBatch.
+    from burst_db_spark.streaming import drain_shuffle
+
+    with drain_shuffle(spark, f"{tmp}/in"):
+        q = (
+            stream.writeStream.foreachBatch(_partial)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     merged = (
         spark.read.parquet(partials)

@@ -909,15 +909,19 @@ def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_flagged"),
     )
     name = f"decontam_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r15 (guide §2.2/§5): data-derived state partitions for the drain.
+    from burst_db_spark.streaming import drain_shuffle
+
+    with drain_shuffle(spark, data_dir):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("source")
 
 
