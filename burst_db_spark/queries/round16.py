@@ -1538,7 +1538,7 @@ def g8_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = emb.select(
         "vec_id", F.col("label").cast("bigint").alias("true_label")
     )
-    labeled = (
+    seed = (
         emb.where(F.col("vec_id") % _LP_SEED_MOD == 0)
         .select(
             F.col("vec_id").alias("v"),
@@ -1547,15 +1547,20 @@ def g8_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    # r15 (guide §2.3/§5; VERDICT r14 item 3 — frontier-proportional
+    # rounds): the r14 loop checkpointed the WHOLE labeled set each
+    # round (re-reading and re-writing O(V) rows per round, O(V·R)
+    # total) and ran a per-round count job for the broadcast gate. Each
+    # round now eagerly checkpoints only the NEW layer — the frontier,
+    # exactly the work the round computes — and `labeled` is the lazy
+    # union of the per-layer checkpoint leaves (plan grows one leaf per
+    # round; no compounding subtree, the g4 lesson). The gate becomes
+    # loop-invariant: labeled ⊆ nodes always, so one node count decides
+    # broadcast for every round (same relation either way; strategy
+    # does not change the votes).
+    small = emb.count() <= 500_000
+    labeled = seed
     for r in range(1, _LP_ROUNDS + 1):
-        # Optimization r14 (guide §3 — the g3/g5 gate device): the
-        # labeled set is node-sized and localCheckpointed, so its count
-        # is a stored-block count; broadcast it into both per-round
-        # joins while it fits (no shuffle of the edge list per round),
-        # hash equi-join past the gate — the 100 TB fallback. Join
-        # strategy does not change the joined relation, so votes are
-        # identical.
-        small = labeled.count() <= 500_000
         lab_dst = labeled.select(F.col("v").alias("dst"), "lab")
         lab_src = labeled.select(F.col("v").alias("src"))
         if small:
@@ -1573,8 +1578,16 @@ def g8_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "v", "lab", F.lit(r).cast("bigint").alias("assigned_round")
             )
+            .localCheckpoint(eager=True)
         )
-        labeled = labeled.unionByName(new).localCheckpoint(eager=True)
+        # monotone BFS-layer semantics (docstring): an empty frontier
+        # stays empty, so later rounds add nothing — stop paying for
+        # them (take(1) on the just-checkpointed layer is a stored-block
+        # probe, not a recompute). Result set unchanged: unioning the
+        # skipped empty layers is the identity.
+        if not new.take(1):
+            break
+        labeled = labeled.unionByName(new)
     return (
         labeled.where(F.col("assigned_round") > 0)
         .join(truth, labeled.v == truth.vec_id)

@@ -621,7 +621,11 @@ def knn_ivf_learned_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .withColumn("cell", F.explode(F.sequence(F.lit(1), F.lit(8))))
     )
-    return cosine_topk_partitioned(cells, queries, cell_col="cell", k=5)
+    out = cosine_topk_partitioned(cells, queries, cell_col="cell", k=5)
+    # r15 (VERDICT r14 item 6): release handle for the cells persist —
+    # burst_db_spark.operators.dedup.release_dedup(result) frees it.
+    out._dedup_cached = (cells,)
+    return out
 
 
 # ---------------------------------------------------------------------------

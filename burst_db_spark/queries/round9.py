@@ -198,9 +198,12 @@ def dd_docs_cascade_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _kept2() -> DataFrame:
         pairs = dd.minhash_lsh_dedup(d1, "doc_id", threshold=0.5)
         cc = dd.connected_components(pairs, d1, "doc_id")
-        return cc.where(
+        out = cc.where(
             F.col("doc_id") == F.col("cluster_id")
         ).select("doc_id").persist()
+        # carry the LSH operator's cache handles up to the query result
+        out._dedup_cached = getattr(pairs, "_dedup_cached", ())
+        return out
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         fk = pool.submit(_kept2)
@@ -237,7 +240,7 @@ def dd_docs_cascade_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
         )
 
-    return (
+    out = (
         stage_row(corpus_ids, "stage0_raw")
         .unionAll(stage_row(kept0, "stage1_quality"))
         .unionAll(stage_row(kept1, "stage2_exact"))
@@ -245,6 +248,12 @@ def dd_docs_cascade_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage_row(kept3, "stage4_decontam"))
         .orderBy("stage")
     )
+    # r15 (VERDICT r14 item 6): release handles for the four query-level
+    # persists — release_dedup(result) frees them for library callers.
+    out._dedup_cached = (
+        kept0, kept1, kept2, ntok, *getattr(kept2, "_dedup_cached", ())
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------

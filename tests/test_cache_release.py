@@ -60,3 +60,31 @@ def test_release_dedup_is_safe_on_foreign_frames(spark):
     df = load(spark, SF_DIR, "region")
     release_dedup(df)
     release_dedup(df.select(F.col("r_regionkey")))
+
+
+def test_release_query_level_persists(spark):
+    """r15 (VERDICT r14 item 6): the four QUERY-level persists flagged
+    as leak sites also hand back release handles via the same
+    `_dedup_cached` convention, so release_dedup(result) leaves no net
+    cached blocks. (Persisted-but-unmaterialized entries unpersist
+    cleanly too, so the test materializes through the query's own
+    action path first.)"""
+    from burst_db_spark.registry import all_queries
+
+    specs = all_queries()
+    spark.catalog.clearCache()
+    base = _cached_ids(spark)
+    for name in (
+        "dd_lsh_quality_audit",
+        "t_docs_minhash_pipeline",
+        "t_cluster_safe_splits",
+        "knn_ivf_learned_exhaustive",
+        "dd_docs_cascade_pipeline",
+    ):
+        res = specs[name].build(spark, SF_DIR)
+        res.count()
+        assert getattr(res, "_dedup_cached", ()), name
+        assert _cached_ids(spark) - base, name
+        release_dedup(res)
+        leftover = _cached_ids(spark) - base
+        assert not leftover, (name, leftover)
