@@ -177,15 +177,18 @@ def dd_docs_cascade_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from burst_db_spark.operators.bloom import bloom_contains, build_bloom
 
-    sh_all = dd.doc_shingles(docs, "doc_id")
-    bench_ids = docs.where(F.col("source").isin(*_CASCADE_BENCH)).select(
-        "doc_id"
-    )
-    bench_sh = (
-        sh_all.join(F.broadcast(bench_ids), "doc_id")
-        .select("shingle")
-        .distinct()
-    )
+    # r15 (guide §2.3/§6 — filter BEFORE the explode): the bloom side
+    # only needs the two BENCH sources' shingles and the contamination
+    # scan only needs the kept2 survivors' — shingling the whole corpus
+    # into sh_all and filtering after the Generate tokenized every doc
+    # on both paths. Restrict each doc frame first: the source predicate
+    # reaches the parquet scan on the bench side, and each doc pays the
+    # tokenize+shingle explode at most once across the two passes.
+    # Identical shingle sets (per-doc shingling is row-local).
+    bench_docs = docs.where(F.col("source").isin(*_CASCADE_BENCH))
+    bench_sh = dd.doc_shingles(bench_docs, "doc_id").select(
+        "shingle"
+    ).distinct()
 
     # Optimization r14 wave 12 (guide §2.6 — the bcubed-audit device):
     # the Bloom bitset build (an eager collect over the bench-source
@@ -209,7 +212,9 @@ def dd_docs_cascade_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         fk = pool.submit(_kept2)
         fb = pool.submit(build_bloom, bench_sh, "shingle", _CB_M, _CB_K)
         kept2, bits = fk.result(), fb.result()
-    kept2_sh = sh_all.join(kept2, "doc_id", "left_semi")
+    kept2_sh = dd.doc_shingles(
+        docs.join(kept2, "doc_id", "left_semi"), "doc_id"
+    )
     contaminated = (
         kept2_sh.where(
             bloom_contains(spark, F.col("shingle"), bits, _CB_M, _CB_K)
@@ -880,15 +885,17 @@ def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from burst_db_spark.streaming import incremental as st
 
     docs = load(spark, sf_dir, "documents")
-    bench_ids = docs.where(F.col("source").isin(*_CASCADE_BENCH)).select(
-        "doc_id"
-    )
-    bench_sh = (
-        dd.doc_shingles(docs, "doc_id")
-        .join(F.broadcast(bench_ids), "doc_id")
-        .select("shingle")
-        .distinct()
-    )
+    # r15 (guide §2.3/§6 — filter BEFORE the explode): the bloom build
+    # only needs the BENCH sources' shingles, but shingling the whole
+    # corpus and then joining to bench_ids tokenized every document (the
+    # doc_id join cannot be pushed below the Generate). Restrict the doc
+    # frame first — the source predicate reaches the parquet scan
+    # (PushedFilters) and only bench docs pay the tokenize+shingle
+    # explode. Identical shingle set (per-doc shingling is row-local).
+    bench_docs = docs.where(F.col("source").isin(*_CASCADE_BENCH))
+    bench_sh = dd.doc_shingles(bench_docs, "doc_id").select(
+        "shingle"
+    ).distinct()
     bits = build_bloom(bench_sh, "shingle", _CB_M, _CB_K)
 
     corpus = docs.where(~F.col("source").isin(*_CASCADE_BENCH)).select(
